@@ -1,0 +1,127 @@
+package graft.core
+
+import java.nio.file.Path
+
+import org.slf4j.LoggerFactory
+
+/** Loaded plugin sets, replacing the reference's pluggy
+  * PluginManager + hook relay (loader.py:124-147, 244-270) with a
+  * plain registry — the pluggy machinery is Python-ecosystem plumbing
+  * with no Scala analogue needed. */
+final case class PluginRegistry(
+    inputs: Seq[InputPlugin],
+    transforms: Seq[TransformPlugin],
+    outputs: Seq[OutputPlugin])
+
+/** A20 — dynamic plugin loading
+  * (/root/reference/packages/cryoflow-core/cryoflow_core/loader.py).
+  *
+  * The reference resolves a `module` string either as a filesystem path
+  * to a .py file or as a dotted import, then discovers every concrete
+  * `BasePlugin` subclass in the module (loader.py:21-93). On the JVM
+  * the compiled analogue is a fully-qualified class name resolved
+  * reflectively from the classpath; jar-file loading could be layered
+  * on via URLClassLoader but no fixture needs it. Disabled entries are
+  * skipped (loader.py:202,211,220); instantiation failures are wrapped
+  * with the plugin module name (loader.py:96-121).
+  */
+object Loader {
+  private val log = LoggerFactory.getLogger(getClass)
+
+  /** Built-in short names so configs can say `parquet_scan` instead of
+    * the fully-qualified class name (mirrors the reference shipping a
+    * plugin collections package). */
+  val builtinAliases: Map[String, String] = Map(
+    "parquet_scan" -> "graft.plugins.input.ParquetScanPlugin",
+    "csv_scan" -> "graft.plugins.input.CsvScanPlugin",
+    "ipc_scan" -> "graft.plugins.input.IpcScanPlugin",
+    "column_multiplier" -> "graft.plugins.transform.ColumnMultiplierPlugin",
+    "filter" -> "graft.plugins.transform.FilterPlugin",
+    "select" -> "graft.plugins.transform.SelectPlugin",
+    "drop" -> "graft.plugins.transform.DropPlugin",
+    "with_column" -> "graft.plugins.transform.WithColumnPlugin",
+    "cast" -> "graft.plugins.transform.CastPlugin",
+    "rename" -> "graft.plugins.transform.RenamePlugin",
+    "group_by_agg" -> "graft.plugins.transform.GroupByAggPlugin",
+    "join" -> "graft.plugins.transform.JoinPlugin",
+    "sort" -> "graft.plugins.transform.SortPlugin",
+    "when_then" -> "graft.plugins.transform.WhenThenPlugin",
+    "distinct" -> "graft.plugins.transform.DistinctPlugin",
+    "limit" -> "graft.plugins.transform.LimitPlugin",
+    "union" -> "graft.plugins.transform.UnionPlugin",
+    "sql" -> "graft.plugins.transform.SqlPlugin",
+    "dedup" -> "graft.plugins.transform.DedupPlugin",
+    "text_analysis" -> "graft.plugins.transform.TextAnalysisPlugin",
+    "parquet_writer" -> "graft.plugins.output.ParquetWriterPlugin",
+    "csv_writer" -> "graft.plugins.output.CsvWriterPlugin",
+    "ipc_writer" -> "graft.plugins.output.IpcWriterPlugin")
+
+  /** Instantiate one plugin class reflectively. The constructor
+    * contract mirrors loader.py:96-121: (options, configDir, label). */
+  def instantiate(module: String, options: Map[String, Any],
+                  configDir: Path, label: String): Either[Throwable, BasePlugin] = {
+    val className = builtinAliases.getOrElse(module, module)
+    try {
+      val cls = Class.forName(className)
+      if (!classOf[BasePlugin].isAssignableFrom(cls))
+        Left(new PluginLoadError(
+          s"Class '$className' is not a graft plugin (must extend BasePlugin)"))
+      else {
+        val ctor = cls.getConstructor(
+          classOf[Map[String, Any]], classOf[Path], classOf[String])
+        Right(ctor.newInstance(options, configDir, label)
+          .asInstanceOf[BasePlugin])
+      }
+    } catch {
+      case e: ClassNotFoundException =>
+        Left(new PluginLoadError(s"Plugin module not found: '$module'", e))
+      case e: NoSuchMethodException =>
+        Left(new PluginLoadError(
+          s"Plugin '$className' lacks the (options, configDir, label) constructor", e))
+      case scala.util.control.NonFatal(e) =>
+        Left(new PluginLoadError(
+          s"Failed to instantiate plugin '$module': ${e.getMessage}", e))
+    }
+  }
+
+  /** Load all enabled plugins from a config; first failure wins
+    * (loader.py:173-231). `configPath` is the config FILE; relative
+    * plugin paths resolve against its parent directory (A21). */
+  def loadPlugins(config: GraftConfig,
+                  configPath: Path): Either[Throwable, PluginRegistry] = {
+    val configDir = Option(configPath.toAbsolutePath.getParent)
+      .getOrElse(configPath.toAbsolutePath)
+
+    // Kind-check each list: a transform class in input_plugins is a
+    // config error, reported like the reference's discovery failure.
+    def kindCheck(p: BasePlugin, want: Class[_], pc: PluginConfig,
+                  kind: String): Either[Throwable, BasePlugin] =
+      if (want.isInstance(p)) Right(p)
+      else Left(new PluginLoadError(
+        s"Plugin '${pc.module}' is not a valid $kind plugin"))
+
+    def loadList(entries: Seq[PluginConfig], want: Class[_], kind: String)
+        : Either[Throwable, Seq[BasePlugin]] =
+      entries.filter(_.enabled)
+        .foldLeft[Either[Throwable, Vector[BasePlugin]]](Right(Vector.empty)) {
+          (acc, pc) =>
+            acc.flatMap { xs =>
+              instantiate(pc.module, pc.options, configDir, pc.label)
+                .flatMap(p => kindCheck(p, want, pc, kind))
+                .map { p =>
+                  log.info(s"Loaded $kind plugin: ${p.name} (label: ${pc.label})")
+                  xs :+ p
+                }
+            }
+        }
+
+    for {
+      ins <- loadList(config.inputPlugins, classOf[InputPlugin], "input")
+      trs <- loadList(config.transformPlugins, classOf[TransformPlugin], "transform")
+      outs <- loadList(config.outputPlugins, classOf[OutputPlugin], "output")
+    } yield PluginRegistry(
+      ins.map(_.asInstanceOf[InputPlugin]),
+      trs.map(_.asInstanceOf[TransformPlugin]),
+      outs.map(_.asInstanceOf[OutputPlugin]))
+  }
+}

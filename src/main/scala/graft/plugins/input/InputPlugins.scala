@@ -1,0 +1,279 @@
+package graft.plugins.input
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.core.{Errors, InputPlugin, PluginExecutionError}
+
+/** Shared option plumbing for file-based sources. */
+abstract class FileInputPlugin(val options: Map[String, Any],
+                               val configDir: Path,
+                               override val label: String)
+    extends InputPlugin {
+
+  /** Resolve the required `input_path` option; reference message parity
+    * (/root/reference/.../input/parquet_scan.py:27-32). */
+  protected def inputPath(): Either[Throwable, Path] =
+    options.get("input_path") match {
+      case None =>
+        Left(new PluginExecutionError("Option 'input_path' is required"))
+      case Some(p) =>
+        val resolved = resolvePath(p.toString)
+        if (!Files.exists(resolved))
+          Left(new java.io.FileNotFoundException(
+            s"Input file not found: $resolved"))
+        else Right(resolved)
+    }
+}
+
+/** A1/A2 — lazy Parquet source
+  * (ref /root/reference/.../input/parquet_scan.py:20-52).
+  *
+  * `spark.read.parquet` returns an unexecuted plan; the vectorized
+  * reader + filter/column pushdown engage at action time. Unlike the
+  * reference (single file), the path may also be a directory or glob —
+  * at cluster scale a "table" is a directory of part-files and Spark's
+  * partition discovery/pruning come free.
+  */
+class ParquetScanPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends FileInputPlugin(options, configDir, label) {
+  def name: String = "parquet_scan"
+
+  def execute()(implicit spark: SparkSession): Either[Throwable, DataFrame] =
+    inputPath().flatMap(p => Errors.safe(spark.read.parquet(p.toString)))
+
+  /** Footer-only schema read; no Spark job touches row data. */
+  def dryRun()(implicit spark: SparkSession): Either[Throwable, StructType] =
+    inputPath().flatMap(p => Errors.safe(spark.read.parquet(p.toString).schema))
+}
+
+/** A3 — CSV source with schema inference
+  * (ref /root/reference/.../input/csv_scan.py:20-52; options doc'd at
+  * docs/plugin_development.md:311-376). */
+class CsvScanPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends FileInputPlugin(options, configDir, label) {
+  def name: String = "csv_scan"
+
+  private def reader(spark: SparkSession) =
+    spark.read
+      .option("header", options.get("has_header").forall(_.toString.toBoolean))
+      .option("sep", options.get("separator").map(_.toString).getOrElse(","))
+      .option("inferSchema", true)
+
+  def execute()(implicit spark: SparkSession): Either[Throwable, DataFrame] =
+    inputPath().flatMap(p => Errors.safe(reader(spark).csv(p.toString)))
+
+  def dryRun()(implicit spark: SparkSession): Either[Throwable, StructType] =
+    inputPath().flatMap(p => Errors.safe(reader(spark).csv(p.toString).schema))
+}
+
+/** A4 — Arrow IPC (Feather) source
+  * (ref /root/reference/.../input/ipc_scan.py:20-52).
+  *
+  * Spark has no built-in Arrow-IPC file source; we bridge via Arrow
+  * Java (on Spark's classpath). The file is read driver-side into rows
+  * then parallelized — fine for the reference's use of IPC (small
+  * config-adjacent files; largest shipped fixture ~9 KB). For genuine
+  * scale the path would be a DataSourceV2 TableProvider streaming
+  * record batches per task; parquet remains the scale format.
+  */
+class IpcScanPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends FileInputPlugin(options, configDir, label) {
+  def name: String = "ipc_scan"
+
+  def execute()(implicit spark: SparkSession): Either[Throwable, DataFrame] =
+    inputPath().flatMap(p => Errors.safe(ArrowIpc.readFile(p, spark)))
+
+  def dryRun()(implicit spark: SparkSession): Either[Throwable, StructType] =
+    inputPath().flatMap(p => Errors.safe(ArrowIpc.readSchema(p)))
+}
+
+/** Arrow IPC ⇄ Spark bridge used by [[IpcScanPlugin]] and the IPC
+  * writer. Covers the types present in the reference's fixtures
+  * (string, ints, floats, bool, date32, timestamp-us — FIXTURES.md §A). */
+object ArrowIpc {
+  import org.apache.arrow.memory.RootAllocator
+  import org.apache.arrow.vector._
+  import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+  import org.apache.arrow.vector.types.pojo.{ArrowType, Field => AField}
+  import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit => ATimeUnit}
+
+  def toSparkType(t: ArrowType): DataType = t match {
+    case _: ArrowType.Utf8 | _: ArrowType.LargeUtf8 => StringType
+    case i: ArrowType.Int =>
+      (i.getBitWidth, i.getIsSigned) match {
+        case (8, true) => ByteType
+        case (16, true) => ShortType
+        case (32, true) => IntegerType
+        case (64, true) => LongType
+        // Unsigned widening, as Spark's parquet reader does (SURVEY §1):
+        case (8, false) => ShortType
+        case (16, false) => IntegerType
+        case (32, false) => LongType
+        case (64, false) => DecimalType(20, 0)
+        case _ => throw new IllegalArgumentException(s"Unsupported int width: $i")
+      }
+    case f: ArrowType.FloatingPoint =>
+      if (f.getPrecision == FloatingPointPrecision.SINGLE) FloatType else DoubleType
+    case _: ArrowType.Bool => BooleanType
+    case _: ArrowType.Date => DateType
+    case _: ArrowType.Timestamp => TimestampType
+    case _: ArrowType.Binary | _: ArrowType.LargeBinary => BinaryType
+    case other => throw new IllegalArgumentException(s"Unsupported Arrow type: $other")
+  }
+
+  def toSparkSchema(fields: java.util.List[AField]): StructType = {
+    import scala.jdk.CollectionConverters._
+    StructType(fields.asScala.toSeq.map(f =>
+      StructField(f.getName, toSparkType(f.getType), f.isNullable)))
+  }
+
+  /** Footer-only schema read (mirror of `collect_schema()`). */
+  def readSchema(path: Path): StructType = {
+    val alloc = new RootAllocator()
+    val ch = java.nio.channels.FileChannel.open(path)
+    try {
+      val reader = new ArrowFileReader(ch, alloc)
+      try toSparkSchema(reader.getVectorSchemaRoot.getSchema.getFields)
+      finally reader.close()
+    } finally { ch.close(); alloc.close() }
+  }
+
+  private def cellValue(v: FieldVector, i: Int): Any = {
+    if (v.isNull(i)) null
+    else v match {
+      case x: VarCharVector => new String(x.get(i), java.nio.charset.StandardCharsets.UTF_8)
+      case x: LargeVarCharVector => new String(x.get(i), java.nio.charset.StandardCharsets.UTF_8)
+      case x: TinyIntVector => x.get(i)
+      case x: SmallIntVector => x.get(i)
+      case x: IntVector => x.get(i)
+      case x: BigIntVector => x.get(i)
+      case x: UInt1Vector => x.get(i).toShort
+      case x: UInt2Vector => x.get(i).toInt
+      case x: UInt4Vector => java.lang.Integer.toUnsignedLong(x.get(i))
+      case x: UInt8Vector => new java.math.BigDecimal(
+        java.lang.Long.toUnsignedString(x.get(i)))
+      case x: Float4Vector => x.get(i)
+      case x: Float8Vector => x.get(i)
+      case x: BitVector => x.get(i) == 1
+      case x: DateDayVector => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(x.get(i).toLong))
+      case x: TimeStampMicroVector =>
+        java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(
+          x.get(i), java.time.temporal.ChronoUnit.MICROS))
+      case x: TimeStampMilliVector =>
+        new java.sql.Timestamp(x.get(i))
+      case x: TimeStampNanoVector =>
+        java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(
+          x.get(i), java.time.temporal.ChronoUnit.NANOS))
+      case x: TimeStampSecVector =>
+        new java.sql.Timestamp(x.get(i) * 1000L)
+      case x: VarBinaryVector => x.get(i)
+      case other =>
+        throw new IllegalArgumentException(
+          s"Unsupported Arrow vector: ${other.getClass.getSimpleName}")
+    }
+  }
+
+  def readFile(path: Path, spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val alloc = new RootAllocator()
+    val ch = java.nio.channels.FileChannel.open(path)
+    try {
+      val reader = new ArrowFileReader(ch, alloc)
+      try {
+        val root = reader.getVectorSchemaRoot
+        val schema = toSparkSchema(root.getSchema.getFields)
+        val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+        while (reader.loadNextBatch()) {
+          val vectors = root.getFieldVectors.asScala.toSeq
+          var i = 0
+          while (i < root.getRowCount) {
+            rows += Row.fromSeq(vectors.map(v => cellValue(v, i)))
+            i += 1
+          }
+        }
+        spark.createDataFrame(rows.asJava, schema)
+      } finally reader.close()
+    } finally { ch.close(); alloc.close() }
+  }
+
+  /** Write a (small, driver-collected) DataFrame as one Arrow IPC file.
+    * Mirror of the reference's `write_ipc` surface
+    * (docs/plugin_development.md:1239-1242). */
+  def writeFile(df: DataFrame, path: Path): Unit = {
+    import org.apache.arrow.vector.types.pojo.{Schema => ASchema, FieldType}
+    import scala.jdk.CollectionConverters._
+
+    def toArrowField(f: StructField): AField = {
+      val t: ArrowType = f.dataType match {
+        case StringType => ArrowType.Utf8.INSTANCE
+        case ByteType => new ArrowType.Int(8, true)
+        case ShortType => new ArrowType.Int(16, true)
+        case IntegerType => new ArrowType.Int(32, true)
+        case LongType => new ArrowType.Int(64, true)
+        case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+        case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+        case BooleanType => ArrowType.Bool.INSTANCE
+        case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
+        case TimestampType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, "UTC")
+        case BinaryType => ArrowType.Binary.INSTANCE
+        case other => throw new IllegalArgumentException(
+          s"Unsupported Spark type for IPC write: $other")
+      }
+      new AField(f.name, new FieldType(f.nullable, t, null), null)
+    }
+
+    val rows = df.collect()
+    val schema = df.schema
+    val alloc = new RootAllocator()
+    val aschema = new ASchema(schema.fields.map(toArrowField).toList.asJava)
+    val root = VectorSchemaRoot.create(aschema, alloc)
+    val out = Files.newOutputStream(path)
+    try {
+      val writer = new ArrowFileWriter(root, null, java.nio.channels.Channels.newChannel(out))
+      writer.start()
+      root.allocateNew()
+      rows.zipWithIndex.foreach { case (row, i) =>
+        schema.fields.zipWithIndex.foreach { case (f, j) =>
+          val vec = root.getVector(j)
+          if (row.isNullAt(j)) vec.setNull(i)
+          else (vec, f.dataType) match {
+            case (v: VarCharVector, _) => v.setSafe(i,
+              row.getString(j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            case (v: TinyIntVector, _) => v.setSafe(i, row.getByte(j))
+            case (v: SmallIntVector, _) => v.setSafe(i, row.getShort(j))
+            case (v: IntVector, _) => v.setSafe(i, row.getInt(j))
+            case (v: BigIntVector, _) => v.setSafe(i, row.getLong(j))
+            case (v: Float4Vector, _) => v.setSafe(i, row.getFloat(j))
+            case (v: Float8Vector, _) => v.setSafe(i, row.getDouble(j))
+            case (v: BitVector, _) => v.setSafe(i, if (row.getBoolean(j)) 1 else 0)
+            case (v: DateDayVector, _) => v.setSafe(i,
+              row.getDate(j).toLocalDate.toEpochDay.toInt)
+            case (v: TimeStampMicroTZVector, _) =>
+              val ts = row.getTimestamp(j).toInstant
+              v.setSafe(i, ts.getEpochSecond * 1000000L + ts.getNano / 1000L)
+            case (v: VarBinaryVector, _) => v.setSafe(i, row.getAs[Array[Byte]](j))
+            case (v, t) => throw new IllegalArgumentException(
+              s"Unsupported vector/type for IPC write: ${v.getClass.getSimpleName}/$t")
+          }
+        }
+      }
+      root.setRowCount(rows.length)
+      writer.writeBatch()
+      writer.end()
+      writer.close()
+    } finally { out.close(); root.close(); alloc.close() }
+  }
+
+  implicit private class NullableVector(v: FieldVector) {
+    def setNull(i: Int): Unit = v match {
+      case x: BaseFixedWidthVector => x.setNull(i)
+      case x: BaseVariableWidthVector => x.setNull(i)
+      case x: BaseLargeVariableWidthVector => x.setNull(i)
+      case _ => throw new IllegalArgumentException("Cannot set null")
+    }
+  }
+}

@@ -1,0 +1,107 @@
+package graft.plugins.output
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructType
+
+import graft.core.{Errors, OutputPlugin, PluginExecutionError}
+
+/** Shared plumbing for file sinks: required `output_path`, parent-dir
+  * creation, and the dry-run writability check
+  * (ref /root/reference/.../output/parquet_writer.py:22-75). */
+abstract class FileOutputPlugin(val options: Map[String, Any],
+                                val configDir: Path,
+                                override val label: String)
+    extends OutputPlugin {
+
+  protected def outputPath(): Either[Throwable, Path] =
+    options.get("output_path") match {
+      case None =>
+        Left(new PluginExecutionError("Option 'output_path' is required"))
+      case Some(p) => Right(resolvePath(p.toString))
+    }
+
+  /** `mkdir -p` the parent, like parquet_writer.py:38-40. */
+  protected def ensureParent(path: Path): Unit = {
+    val parent = path.toAbsolutePath.getParent
+    if (parent != null) Files.createDirectories(parent)
+  }
+
+  /** Dry-run contract: path present + parent creatable; schema is
+    * passed through unchanged (parquet_writer.py:51-75). */
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    outputPath().flatMap { p =>
+      try { ensureParent(p); Right(schema) }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Left(new PluginExecutionError(
+            s"Cannot create parent directory for $p: ${e.getMessage}", e))
+      }
+    }
+
+  /** Reference writes exactly one file (`sink_parquet`); Spark writes a
+    * directory of part-files — the correct shape at scale, where each
+    * task writes its partition in parallel. `single_file = true` opts
+    * into reference-style one-file output via coalesce(1) (small
+    * results only; it serializes the final write). */
+  protected def singleFile: Boolean =
+    options.get("single_file").exists(_.toString.toBoolean)
+
+  protected def mode: String = optStringOr("mode", "overwrite")
+}
+
+/** A7/A8 — Parquet sink: THE action that triggers the whole lazy plan,
+  * exactly like the reference's `sink_parquet`
+  * (ref output/parquet_writer.py:42-45; docs/plugin_development.md:86-88).
+  * Execution is streaming/out-of-core by construction: each task writes
+  * its own partition; nothing materializes on the driver. */
+class ParquetWriterPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends FileOutputPlugin(options, configDir, label) {
+  def name: String = "parquet_writer"
+
+  def execute(df: DataFrame): Either[Throwable, Unit] =
+    outputPath().flatMap { p =>
+      Errors.safe {
+        ensureParent(p)
+        val out = if (singleFile) df.coalesce(1) else df
+        out.write.mode(mode).parquet(p.toString)
+      }
+    }
+}
+
+/** CSV sink (reference documents `write_csv` as part of the plugin
+  * vocabulary, docs/plugin_development.md:1537-1544). */
+class CsvWriterPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends FileOutputPlugin(options, configDir, label) {
+  def name: String = "csv_writer"
+
+  def execute(df: DataFrame): Either[Throwable, Unit] =
+    outputPath().flatMap { p =>
+      Errors.safe {
+        ensureParent(p)
+        val out = if (singleFile) df.coalesce(1) else df
+        out.write.mode(mode)
+          .option("header", options.get("has_header").forall(_.toString.toBoolean))
+          .option("sep", options.get("separator").map(_.toString).getOrElse(","))
+          .csv(p.toString)
+      }
+    }
+}
+
+/** Arrow IPC sink, mirror of `write_ipc`
+  * (docs/plugin_development.md:1239-1242). Driver-side single-file
+  * write via the Arrow-Java bridge — parity-scale only (the reference's
+  * IPC fixtures are KB-sized); parquet is the scale sink. */
+class IpcWriterPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends FileOutputPlugin(options, configDir, label) {
+  def name: String = "ipc_writer"
+
+  def execute(df: DataFrame): Either[Throwable, Unit] =
+    outputPath().flatMap { p =>
+      Errors.safe {
+        ensureParent(p)
+        graft.plugins.input.ArrowIpc.writeFile(df, p)
+      }
+    }
+}
