@@ -1,13 +1,755 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Pipeline
+import graft.ops.{Dedup, Multimodal, Similarity, Text}
+import graft.plugins.input.ParquetScanPlugin
+import graft.plugins.transform.{FilterPlugin, SelectPlugin, SortPlugin}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is one operator family from SURVEY §2 (or
+  * the north-star extension tier), written Spark-first (DataFrame API,
+  * codegen'd functions, broadcast hints where a side is dimension-
+  * sized). Each SQL-expressible query has a DuckDB oracle in
+  * `oracleSql` with IDENTICAL column names and aliases; results carry
+  * explicit ORDER BY on both sides so row order is deterministic.
+  * Floating aggregates are rounded (2-6 dp) on both sides: double
+  * summation order differs between engines, and rounding makes the
+  * hash compare robust to last-bit drift.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Engine-agnostic fixed-point rounding: floor(x*10^p + 0.5)/10^p.
+    * Spark round() (BigDecimal HALF_UP on the exact binary expansion)
+    * and DuckDB round() disagree on boundary representations; this
+    * formula is pure IEEE double ops, so both engines produce
+    * bit-identical results. The oracle SQL uses the same `r(x, p)`
+    * macro, expanded to the identical formula by [[expandR]]. */
+  private def r(c: org.apache.spark.sql.Column, p: Int): org.apache.spark.sql.Column = {
+    val f = math.pow(10, p)
+    floor(c * f + 0.5) / f
+  }
+
+  /** Expand `r(X, p)` occurrences in oracle SQL into
+    * `(floor((X) * 10^p + 0.5) / 10^p)` — the exact same IEEE ops the
+    * Spark-side helper emits. */
+  private[graft] def expandR(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val atBoundary = i == 0 ||
+        (!sql(i - 1).isLetterOrDigit && sql(i - 1) != '_')
+      if (atBoundary && sql.startsWith("r(", i)) {
+        var depth = 1
+        var j = i + 2
+        while (depth > 0) {
+          if (sql(j) == '(') depth += 1
+          else if (sql(j) == ')') depth -= 1
+          j += 1
+        }
+        val inner = sql.substring(i + 2, j - 1)
+        var d = 0
+        var cut = -1
+        for (k <- inner.indices) inner(k) match {
+          case '(' => d += 1
+          case ')' => d -= 1
+          case ',' if d == 0 => cut = k
+          case _ =>
+        }
+        val x = expandR(inner.substring(0, cut).trim)
+        val p = inner.substring(cut + 1).trim.toInt
+        val f = "1" + ("0" * p)
+        sb.append(s"(floor(($x) * $f + 0.5) / $f)")
+        i = j
+      } else { sb.append(sql(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_groupby_agg")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  //  Query inventory
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A1/A2B scan + projection --------------------------------
+    "q_scan_project" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- filter / predicate pushdown -----------------------------
+    "q_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_partkey")),
+
+    // ---- with_column (derived expression) ------------------------
+    "q_with_column" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("charge", r(
+          col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax")), 2))
+        .select("l_orderkey", "l_linenumber", "charge")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- A5 column multiplier (reference's flagship transform) ---
+    "q_multiplier" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("l_extendedprice", col("l_extendedprice") * lit(2L))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("amount"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- drop ----------------------------------------------------
+    "q_drop" -> ((s, dir) =>
+      t(s, dir, "nation").drop("n_regionkey").orderBy("n_nationkey")),
+
+    // ---- cast ----------------------------------------------------
+    "q_cast" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("int").as("qty_int"),
+          col("l_shipdate").cast("date").as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- rename --------------------------------------------------
+    "q_rename" -> ((s, dir) =>
+      t(s, dir, "region")
+        .withColumnsRenamed(Map(
+          "r_regionkey" -> "region_id", "r_name" -> "region_name"))
+        .orderBy("region_id")),
+
+    // ---- groupBy/agg (TPC-H Q1 shape; partial agg + tiny shuffle) -
+    "q_groupby_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r(sum("l_quantity"), 2).as("sum_qty"),
+          r(sum("l_extendedprice"), 2).as("sum_base_price"),
+          r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          r(avg("l_quantity"), 4).as("avg_qty"),
+          r(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- 3-way join (dimension sides broadcast) ------------------
+    "q_join" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(r(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("n_name")),
+
+    // ---- fact ⋈ broadcast dimension ------------------------------
+    "q_join_broadcast" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("p_brand")),
+
+    // ---- sort + limit (global top-k: TakeOrderedAndProject) ------
+    "q_sort" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)),
+
+    // ---- when/then/otherwise -------------------------------------
+    "q_when_then" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") > 200000, "big")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("small"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority", "bucket")),
+
+    // ---- string functions ----------------------------------------
+    "q_string_funcs" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 10).as("name10"),
+          length(col("p_name")).as("name_len"),
+          col("p_name").like("%el%").as("has_el"))
+        .orderBy("p_partkey")),
+
+    // ---- distinct ------------------------------------------------
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select("c_nationkey", "c_mktsegment").distinct()
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    // ---- union all + agg -----------------------------------------
+    "q_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"), col("c_acctbal").as("acctbal"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey"), col("s_acctbal").as("acctbal"))
+      c.union(sup)
+        .groupBy("nationkey")
+        .agg(r(sum("acctbal"), 2).as("total_bal"), count(lit(1)).as("n"))
+        .orderBy("nationkey")
+    }),
+
+    // ---- window function (per-group top-k) -----------------------
+    "q_window" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("c_mktsegment", "rn")
+    }),
+
+    // ---- aggregate function suite --------------------------------
+    "q_agg_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          r(min("l_extendedprice"), 2).as("min_price"),
+          r(max("l_extendedprice"), 2).as("max_price"),
+          r(avg("l_extendedprice"), 2).as("avg_price"),
+          r(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          countDistinct(col("l_suppkey")).as("n_supp"))
+        .orderBy("l_returnflag")),
+
+    // ---- date functions ------------------------------------------
+    "q_date_funcs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"), r(sum("o_totalprice"), 2).as("total"))
+        .orderBy("yr", "mo")),
+
+    // ---- math functions ------------------------------------------
+    "q_math_funcs" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          r(abs(col("s_acctbal")), 2).as("abs_bal"),
+          ceil(col("s_acctbal")).as("ceil_bal"),
+          floor(col("s_acctbal")).as("floor_bal"),
+          r(sqrt(abs(col("s_acctbal"))), 4).as("sqrt_bal"))
+        .orderBy("s_suppkey")),
+
+    // ---- JSON extraction -----------------------------------------
+    "q_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // ---- semi join (EXISTS) --------------------------------------
+    "q_semi_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // ---- anti join (NOT EXISTS) ----------------------------------
+    "q_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")),
+
+    // ---- groupBy + HAVING ----------------------------------------
+    "q_having" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"), r(sum("l_quantity"), 2).as("qty"))
+        .filter(col("n") >= 40)
+        .orderBy("l_partkey")),
+
+    // ---- pipeline orchestration end-to-end (A1+A10+§2B plugins) --
+    "q_pipeline_e2e" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val cfgDir = Paths.get(dir)
+      val scan = new ParquetScanPlugin(
+        Map("input_path" -> s"$dir/lineitem.parquet"), cfgDir, "default")
+      val transforms = Seq(
+        new FilterPlugin(Map("predicate" -> "l_discount >= 0.05"), cfgDir, "default"),
+        new SelectPlugin(Map("columns" ->
+          Seq("l_orderkey", "l_linenumber", "l_extendedprice")), cfgDir, "default"),
+        new SortPlugin(Map("by" -> Seq("l_orderkey", "l_linenumber")), cfgDir, "default"))
+      Pipeline.executeTransformChain(scan.execute(), transforms)
+        .fold(e => throw e, identity)
+    }),
+
+    // ================= extension tier =============================
+
+    // ---- exact dedup (hash-groupBy) ------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", Seq("lang", "source"))
+        .orderBy("lang", "source")),
+
+    // ---- fingerprint dedup (md5 of normalized text) --------------
+    "dedup_fingerprint" -> ((s, dir) =>
+      Dedup.byFingerprint(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ---- MinHash+LSH candidate pairs (approx; no SQL oracle) -----
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 5, numHashes = 64, bands = 16)
+        .filter(col("est_jaccard") >= 0.3)
+        .orderBy("id_a", "id_b")),
+
+    // ---- SimHash near-dup pairs (custom Catalyst expression) -----
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 8)
+        .orderBy("id_a", "id_b")),
+
+    // ---- exact n-gram Jaccard pairs (lang-blocked) ---------------
+    "dedup_ngram_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.6, blockCol = Some("lang"))
+        .withColumn("jaccard", r(col("jaccard"), 4))
+        .orderBy("id_a", "id_b")),
+
+    // ---- embedding cosine near-dup pairs (exact, for oracle) -----
+    "dedup_embedding_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"),
+        Similarity.normalized(col("embedding")).as("v_a"))
+      val b = e.select(col("vec_id").as("id_b"),
+        Similarity.normalized(col("embedding")).as("v_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Similarity.dot(col("v_a"), col("v_b")).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .withColumn("cosine", r(col("cosine"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- embedding near-dup via LSH blocking (scale path) --------
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.3, planes = 2)
+        .withColumn("cosine", r(col("cosine"), 6))
+        .orderBy("id_a", "id_b")),
+
+    // ---- text token counting -------------------------------------
+    "text_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+          Text.tokenCountBpe(col("text")).cast("long").as("n_tokens_bpe"))
+        .orderBy("doc_id")),
+
+    // ---- text quality scoring ------------------------------------
+    "text_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          r(Text.punctRatio(col("text")), 4).as("punct_ratio"),
+          r(Text.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+          r(Text.meanWordLen(col("text")), 4).as("mean_word_len"),
+          Text.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // ---- language identification ---------------------------------
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id")),
+
+    // ---- document fingerprinting ---------------------------------
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // ---- similarity: brute-force cosine top-k --------------------
+    "sim_topk_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .withColumn("cosine", r(col("cosine"), 6))
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- similarity: LSH-bucketed top-k (approx; no oracle) ------
+    "sim_topk_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, planes = 4)
+        .withColumn("cosine", r(col("cosine"), 6))
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- multimodal: binary payload + stub decode metadata -------
+    "multimodal_meta" -> ((s, dir) => {
+      val withPayload = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.withDecodedMeta(withPayload, "payload")
+        .select(col("doc_id"),
+          col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.format").as("format"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          col("media_meta.checksum").as("checksum"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- multimodal: frame sampling plumbing (no oracle) ---------
+    "multimodal_frames" -> ((s, dir) => {
+      val withPayload = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.sampleFrames(withPayload, "doc_id", "payload", frames = 4)
+        .select("doc_id", "frame_idx", "offset", "n_bytes")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // ---- events: tumbling-window aggregation ---------------------
+    // ts arrives as raw nanoseconds (nanosAsLong, see Verify/Session);
+    // bucket to hour starts in epoch seconds.
+    "events_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("hour_start",
+          (floor(col("ts") / 3600000000000L) * 3600).cast("long"))
+        .groupBy("hour_start", "event_type")
+        .agg(count(lit(1)).as("n"), r(sum("value"), 2).as("sum_value"))
+        .orderBy("hour_start", "event_type"))
+  )
+
+  // ------------------------------------------------------------------
+  //  DuckDB oracles (same column names/aliases, same ORDER BY)
+  // ------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] =
+    rawOracleSql.map { case (k, v) => k -> expandR(v) }
+
+  private def rawOracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_discount
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05
+        |ORDER BY l_orderkey, l_partkey""".stripMargin,
+
+    "q_with_column" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  r(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_multiplier" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice * 2 AS amount
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_drop" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+
+    "q_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(trunc(l_quantity) AS INTEGER) AS qty_int,
+        |  CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_rename" ->
+      """SELECT r_regionkey AS region_id, r_name AS region_name
+        |FROM region ORDER BY region_id""".stripMargin,
+
+    "q_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  r(sum(l_quantity), 2) AS sum_qty,
+        |  r(sum(l_extendedprice), 2) AS sum_base_price,
+        |  r(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  r(avg(l_quantity), 4) AS avg_qty,
+        |  r(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join" ->
+      """SELECT n_name, r(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT p_brand,
+        |  r(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_sort" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_when_then" ->
+      """SELECT o_orderpriority,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'small' END AS bucket,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority, bucket
+        |ORDER BY o_orderpriority, bucket""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        |  substring(p_name, 1, 10) AS name10,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  (p_name LIKE '%el%') AS has_el
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q_union" ->
+      """SELECT nationkey, r(sum(acctbal), 2) AS total_bal, count(*) AS n
+        |FROM (SELECT c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+        |      UNION ALL
+        |      SELECT s_nationkey, s_acctbal FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "q_window" ->
+      """SELECT * FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer)
+        |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  r(min(l_extendedprice), 2) AS min_price,
+        |  r(max(l_extendedprice), 2) AS max_price,
+        |  r(avg(l_extendedprice), 2) AS avg_price,
+        |  r(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |  count(DISTINCT l_suppkey) AS n_supp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  count(*) AS n, r(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT s_suppkey, r(abs(s_acctbal), 2) AS abs_bal,
+        |  CAST(ceil(s_acctbal) AS BIGINT) AS ceil_bal,
+        |  CAST(floor(s_acctbal) AS BIGINT) AS floor_bal,
+        |  r(sqrt(abs(s_acctbal)), 4) AS sqrt_bal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q_json" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_having" ->
+      """SELECT l_partkey, count(*) AS n, r(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 40
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q_pipeline_e2e" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem WHERE l_discount >= 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT lang, source, min(doc_id) AS doc_id, count(*) AS n_dupes
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "dedup_fingerprint" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint,
+        |  min(doc_id) AS doc_id, count(*) AS n_dupes
+        |FROM documents GROUP BY fingerprint ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang, list_distinct(
+        |    [substr(t, g, 3) for g in range(1, greatest(length(t) - 1, 2))]) AS shingles
+        |  FROM d)
+        |SELECT id_a, id_b, r(jaccard, 4) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |    AS n_tokens_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+        |    CAST(length(text) AS DOUBLE) AS n
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n = 0 THEN 0.0 ELSE
+        |      length(regexp_replace(text, '[^[:punct:]]', '', 'g')) / n END AS praw,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(len(list_filter(toks, t -> list_contains(
+        |        ['the','a','an','and','or','of','to','in','is','are','was',
+        |         'for','on','with','as','at','by','it','be','this','that'], t)))
+        |        AS DOUBLE) / len(toks) END AS sraw,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+        |        / len(toks) END AS mraw
+        |  FROM d)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars_m,
+        |  r(praw, 4) AS punct_ratio,
+        |  r(sraw, 4) AS stopword_ratio,
+        |  r(mraw, 4) AS mean_word_len,
+        |  r(least(n / 200.0, 1.0) * 0.4
+        |    + greatest(0.0, 1.0 - praw * 4.0) * 0.2
+        |    + least(sraw * 5.0, 1.0) * 0.2
+        |    + (CASE WHEN mraw >= 3.0 AND mraw <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+        |    4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, cjk,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['the','and','of','to','is','in','that','it','with','for'], t))) AS s_en,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['le','la','les','et','de','des','un','une','est','que'], t))) AS s_fr,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['der','die','das','und','ist','nicht','mit','ein','zu','den'], t))) AS s_de,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['el','los','las','y','es','en','que','un','una','por'], t))) AS s_es
+        |  FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN cjk > 0 THEN 'zh'
+        |       WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+        |       WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+        |       WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+        |       ELSE 'es' END AS lang_guess
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sim_topk_brute" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id,
+        |    CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0 THEN v
+        |         ELSE list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
+        |    END AS v
+        |  FROM e
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.v, c.v),
+        |      p -> p[1] * p[2])) AS cos_raw
+        |  FROM nrm q JOIN nrm c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, r(cos_raw, 6) AS cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "dedup_embedding_pairs" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id,
+        |    CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0 THEN v
+        |         ELSE list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
+        |    END AS v
+        |  FROM e)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  r(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])), 6)
+        |    AS cosine
+        |FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "multimodal_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |    CAST(list_sum(list_transform(regexp_extract_all(text, '.'),
+        |      c -> ord(c))) AS BIGINT) AS checksum
+        |  FROM documents)
+        |SELECT doc_id, n_bytes,
+        |  CASE WHEN n_bytes % 3 = 0 THEN 'png'
+        |       WHEN n_bytes % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        |  CAST(64 + (n_bytes % 64) AS INTEGER) AS width,
+        |  CAST(64 + (checksum % 64) AS INTEGER) AS height,
+        |  checksum
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "events_window" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,
+        |  event_type, count(*) AS n, r(sum(value), 2) AS sum_value
+        |FROM events GROUP BY hour_start, event_type
+        |ORDER BY hour_start, event_type""".stripMargin
+  )
 }

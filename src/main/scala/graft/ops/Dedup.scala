@@ -1,0 +1,226 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.SimHash64.simhash64
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extension tier). Five families, in decreasing exactness /
+  * increasing scale-friendliness:
+  *
+  *  - exact: hash-groupBy on content — one shuffle of (hash, id)
+  *  - fingerprint: md5-of-normalized-text groupBy (near-exact;
+  *    whitespace/punct/case-insensitive)
+  *  - MinHash+LSH: shingle → minhash signature → banded bucket join —
+  *    candidate pairs only ever meet inside a bucket, so the shuffle
+  *    is O(docs × bands), never O(docs²)  [Broder 1997; MMDS ch.3]
+  *  - SimHash: 64-bit signature, Hamming-ball lookup via chunk
+  *    bucketing [Charikar 2002; Manku et al. WWW'07]
+  *  - embedding cosine: near-dup by vector similarity, LSH-blocked
+  *
+  * Everything is expressed as DataFrame transformations (shuffles are
+  * groupBy/join on bounded-width keys), so Catalyst/AQE handle
+  * partial aggregation, skew, and join strategy at any scale.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Keep one row (min of `idCol`) per exact value of `keyCols`.
+    * Map-side partial min per key, tiny shuffle. */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val w = keyCols.map(col)
+    df.groupBy(w: _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
+  }
+
+  /** Near-exact: dedup on the md5 fingerprint of normalized text. */
+  def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fingerprint", Text.fingerprint(col(textCol)))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct character k-shingles of `text` as an array column.
+    * Pure expression (sequence + transform + substring): codegen-able,
+    * no UDF, no explode until the caller wants one. */
+  def charShingles(text: Column, k: Int): Column = {
+    val t = Text.normalize(text)
+    when(length(t) < k, array(t)).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), length(t) - (k - 1)),
+        i => t.substr(i, lit(k)))))
+  }
+
+  /** Word n-gram shingles. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(Text.normalize(text), " ")
+    when(size(toks) < n, array(array_join(toks, " "))).otherwise(
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+  }
+
+  // -------------------------------------------------------- MinHash + LSH
+
+  /** MinHash signature (array of `numHashes` longs) over a shingle
+    * array. Hash family: xxhash64(shingle, seed_i) — affine reuse of
+    * one base hash would correlate lanes; per-seed xxhash64 keeps the
+    * permutations independent. All array ops, no shuffle. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), seed =>
+      array_min(transform(shingles, s => xxhash64(s, seed))))
+
+  /** Candidate near-dup pairs via banded LSH over MinHash signatures.
+    *
+    * bands × rowsPerBand must equal numHashes. A pair lands in a
+    * bucket iff one band of their signatures matches exactly; with
+    * J=jaccard, P(candidate) = 1-(1-J^r)^b — the classic S-curve.
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b, where
+    * est_jaccard is the signature agreement fraction.
+    *
+    * Scale shape: explode to (doc × bands) rows — bounded width (band
+    * hash, id) — then a self-join per bucket. Bucket sizes are the
+    * skew risk at 100 TB: near-identical boilerplate floods one
+    * bucket; cap with `maxBucket` (drop pathological buckets, standard
+    * practice) so the join stays bounded.
+    */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleK: Int = 5, numHashes: Int = 64,
+                            bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = df
+      .select(col(idCol), minhashSignature(
+        charShingles(col(textCol), shingleK), numHashes).as("sig"))
+    val banded = sig.select(
+      col(idCol), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(array_join(transform(
+            slice(col("sig"), b * r + 1, lit(r)), _.cast("string")), ",")).as("bh"))))
+        .as("bucket"))
+      .select(col(idCol), col("sig"),
+        col("bucket.band").as("band"), col("bucket.bh").as("bh"))
+
+    // Cap pathological buckets (boilerplate floods) before the self-join.
+    val counted = banded.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "bh")))
+      .filter(col("bucket_n") <= maxBucket)
+
+    val a = counted.select(col("band"), col("bh"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = counted.select(col("band"), col("bh"),
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast("double") /
+          lit(numHashes.toDouble)).as("est_jaccard"))
+      .groupBy("id_a", "id_b")
+      .agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /** Deduplicate: drop every doc that has a candidate partner with a
+    * smaller id and est_jaccard ≥ threshold (greedy, one pass — the
+    * standard "keep first" policy without transitive closure). */
+  def byMinhash(df: DataFrame, idCol: String, textCol: String,
+                threshold: Double = 0.8, shingleK: Int = 5,
+                numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val dupes = minhashCandidatePairs(df, idCol, textCol, shingleK, numHashes, bands)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupes, Seq(idCol), "left_anti")
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** Attach a 64-bit SimHash signature column (custom Catalyst
+    * expression over whitespace tokens). */
+  def withSimhash(df: DataFrame, textCol: String,
+                  out: String = "simhash"): DataFrame =
+    df.withColumn(out, simhash64(split(Text.normalize(col(textCol)), " ")))
+
+  /** Near-dup pairs with Hamming distance ≤ maxHamming, found via
+    * chunk bucketing: split the 64-bit signature into `chunks` pieces;
+    * two signatures within Hamming k must agree on ≥1 piece when
+    * chunks > k (pigeonhole) — so candidates meet in a chunk-keyed
+    * join, never all-pairs. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    val bitsPer = 64 / chunks
+    val sig = withSimhash(df.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), col("simhash"))
+    val pieces = array((0 until chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1)).as("piece"))
+    }: _*)
+    val chunked = sig.select(col(idCol), col("simhash"),
+      explode(pieces).as("cp"))
+      .select(col(idCol), col("simhash"),
+        col("cp.chunk").as("chunk"), col("cp.piece").as("piece"))
+    val a = chunked.select(col("chunk"), col("piece"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("piece"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "piece"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+
+  // ------------------------------------------------------ n-gram Jaccard
+
+  /** Exact character-n-gram Jaccard similarity pairs ≥ threshold.
+    * Blocked by a cheap key (`blockCol`, e.g. language) so the
+    * quadratic comparison only runs inside blocks; for unblocked
+    * corpora feed the minhash candidates into this as a verifier. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5,
+                        blockCol: Option[String] = None): DataFrame = {
+    val withSh = df.select(
+      (col(idCol) +: blockCol.map(col).toSeq) :+
+        charShingles(col(textCol), n).as("sh"): _*)
+    val joinKeys = blockCol.toSeq
+    val a = withSh.select(
+      (joinKeys.map(col) :+ col(idCol).as("id_a")) :+ col("sh").as("sh_a"): _*)
+    val b = withSh.select(
+      (joinKeys.map(col) :+ col(idCol).as("id_b")) :+ col("sh").as("sh_b"): _*)
+    val joined = if (joinKeys.nonEmpty) a.join(b, joinKeys) else a.crossJoin(b)
+    joined
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Near-dup pairs by embedding cosine ≥ threshold. Blocked via
+    * random-hyperplane LSH (see Similarity.hyperplaneSignature): only
+    * vectors sharing a signature bucket are compared. */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, embCol: String,
+                           threshold: Double = 0.95,
+                           planes: Int = 8): DataFrame = {
+    val sig = df.select(col(idCol),
+      Similarity.normalized(col(embCol)).as("v"))
+      .withColumn("bucket", Similarity.hyperplaneSignature(col("v"), planes))
+    val a = sig.select(col("bucket"), col(idCol).as("id_a"), col("v").as("v_a"))
+    val b = sig.select(col("bucket"), col(idCol).as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.dot(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy("id_a", "id_b").agg(max("cosine").as("cosine"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two tiers (north-star extension — SURVEY §7 step 8):
+  *  - brute-force cosine top-k: exact; broadcast the (small) query set
+  *    against the corpus scan — one pass, no corpus shuffle. The right
+  *    baseline even at 100 TB when the query set is bounded.
+  *  - LSH-bucketed (random hyperplane signatures, Charikar 2002):
+  *    approximate; corpus and queries bucket by signature so each
+  *    query only scans its bucket — the scale path when the query set
+  *    itself is huge (all-pairs-ish workloads).
+  *
+  * Vector math is done with `zip_with`/`aggregate` higher-order
+  * functions over array<double> — no UDFs, deterministic
+  * left-to-right summation (reproducible across runs and engines).
+  */
+object Similarity {
+
+  /** Sequential dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cast to double and L2-normalize, so cosine = dot. Zero vectors
+    * stay zero (cosine 0 against everything) rather than NaN. */
+  def normalized(a: Column): Column = {
+    val d = a.cast("array<double>")
+    val n = norm(d)
+    when(n === 0.0, d).otherwise(transform(d, x => x / n))
+  }
+
+  def cosine(a: Column, b: Column): Column = {
+    val na = norm(a) * norm(b)
+    when(na === 0.0, lit(0.0)).otherwise(dot(a, b) / na)
+  }
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * `queries` must be small enough to broadcast (it is hint-forced):
+    * the plan is then a single corpus scan with a broadcast
+    * nested-loop join — no shuffle of the corpus, and the top-k
+    * per query is a partial aggregation (window over query id ranks
+    * only (corpus × queries) rows, bounded by the broadcast side).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, embCol: String, k: Int,
+                     queryIdOut: String = "query_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      normalized(col(embCol)).as("v_c"))
+    val q = queries.select(col(idCol).as(queryIdOut),
+      normalized(col(embCol)).as("v_q"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col(queryIdOut))
+      .select(col(queryIdOut), col("neighbor_id"),
+        dot(col("v_q"), col("v_c")).as("cosine"))
+    val w = Window.partitionBy(queryIdOut)
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane signature: `planes` sign
+    * bits, plane p's component for dimension i derived from
+    * xxhash64(p, i) — reproducible without shipping a matrix, cheap to
+    * evaluate, and identical on every executor. */
+  def hyperplaneSignature(vec: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec,
+          transform(sequence(lit(0), size(vec) - 1), i =>
+            // hash → symmetric {-1, +1} weight; deterministic per (p, i)
+            when(pmod(xxhash64(lit(p), i), lit(2)) === 0, lit(1.0))
+              .otherwise(lit(-1.0))),
+          (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k via hyperplane-LSH bucketing: queries and
+    * corpus share signature buckets; each query ranks only its bucket.
+    * Recall is tuned by `planes` (fewer planes → bigger buckets →
+    * higher recall, more compute). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, embCol: String, k: Int,
+              planes: Int = 6,
+              queryIdOut: String = "query_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      normalized(col(embCol)).as("v_c"))
+      .withColumn("bucket", hyperplaneSignature(col("v_c"), planes))
+    val q = queries.select(col(idCol).as(queryIdOut),
+      normalized(col(embCol)).as("v_q"))
+      .withColumn("bucket", hyperplaneSignature(col("v_q"), planes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col(queryIdOut))
+      .select(col(queryIdOut), col("neighbor_id"),
+        dot(col("v_q"), col("v_c")).as("cosine"))
+    val w = Window.partitionBy(queryIdOut)
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star extensions beyond the reference surface — SURVEY §7
+  * step 8). All are pure `Column` expressions built from codegen'd
+  * `org.apache.spark.sql.functions` — no UDFs — so they stay inside
+  * whole-stage codegen and scale linearly with input splits: per-row,
+  * no shuffle.
+  */
+object Text {
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: word pieces + standalone punctuation,
+    * the usual cheap proxy for LLM token budgeting. */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /
+        length(text).cast("double"))
+
+  /** Ratio of uppercase letters to all letters. */
+  def upperRatio(text: Column): Column = {
+    val letters = length(regexp_replace(text, "[^A-Za-z]", ""))
+    when(letters === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^A-Z]", "")).cast("double") /
+        letters.cast("double"))
+  }
+
+  /** English stopword ratio over whitespace tokens. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "be", "this", "that")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val stops = filter(toks, t => array_contains(
+      array(stopwords.map(lit): _*), t))
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(stops).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Mean whitespace-token length. */
+  def meanWordLen(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: long enough, low punctuation
+    * noise, has some stopword glue, sane word lengths. Deterministic
+    * arithmetic, so it is DuckDB-oracle-able. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val mwl = meanWordLen(text)
+    val wordScore = when(mwl >= 3.0 && mwl <= 10.0, lit(1.0)).otherwise(lit(0.5))
+    round(lenScore * 0.4 + punctPenalty * 0.2 + stopScore * 0.2 + wordScore * 0.2, 4)
+  }
+
+  /** Language-ID marker lexicons (top function words per language) +
+    * a CJK character-class test for zh. A cheap n-gram/stopword
+    * heuristic, not a model — the standard first-pass lang filter in
+    * data pipelines. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with", "for"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "des", "un", "une", "est", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "los", "las", "y", "es", "en", "que", "un", "una", "por"))
+
+  /** Per-language marker-hit count over whitespace tokens. */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))
+  }
+
+  /** CJK codepoint count (zh detection). */
+  def cjkCount(text: Column): Column =
+    length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+
+  /** Argmax language guess with deterministic tie-break (declaration
+    * order; "und" = undetermined when nothing scores). */
+  def langId(text: Column): Column = {
+    val cjk = cjkCount(text)
+    val scores = langMarkers.map { case (l, ms) => (l, langScore(text, ms)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first-match-wins across declaration order on score ties
+    when(cjk > 0, lit("zh")).otherwise(
+      scores.foldLeft(lit("und")) { case (acc, (l, s)) =>
+        when(acc =!= "und", acc).otherwise(when(s === best && best > 0, lit(l)).otherwise(acc))
+      })
+  }
+
+  /** Canonical text normalization for fingerprinting: lowercase, strip
+    * punctuation, collapse whitespace. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[\\p{Punct}]", " "),
+      "\\s+", " "))
+
+  /** Content fingerprint = md5 of normalized text. md5 (not xxhash64)
+    * so the fingerprint is reproducible across engines (DuckDB has
+    * md5; xxhash64 seeds differ). */
+  def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
+
+  /** Convenience: attach the full analysis column set. */
+  def analyze(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_tokens_bpe", tokenCountBpe(t))
+      .withColumn("punct_ratio", round(punctRatio(t), 4))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 4))
+      .withColumn("mean_word_len", round(meanWordLen(t), 4))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_guess", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

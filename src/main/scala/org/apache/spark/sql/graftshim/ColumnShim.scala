@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+package graftshim
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` Column↔Expression conversion for custom
+  * Catalyst expressions (Spark 4 moved `new Column(expr)` behind
+  * ColumnNode plumbing; `classic.ExpressionUtils` is the blessed
+  * internal path — see org.apache.spark.sql.classic.columnNodeSupport).
+  * This file lives in the org.apache.spark.sql package solely to
+  * satisfy the `private[sql]` access; it contains no Spark code. */
+object ColumnShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
