@@ -339,11 +339,10 @@ object SparkEntry {
 
     // ---- embedding cosine near-dup pairs (exact, for oracle) -----
     "dedup_embedding_pairs" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("id_a"),
-        Similarity.normalized(col("embedding")).as("v_a"))
-      val b = e.select(col("vec_id").as("id_b"),
-        Similarity.normalized(col("embedding")).as("v_b"))
+      val e = Similarity.withNormalized(
+        t(s, dir, "embeddings"), "embedding", "v")
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"))
       a.crossJoin(b).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           Similarity.dot(col("v_a"), col("v_b")).as("cosine"))

@@ -43,16 +43,19 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Distinct character k-shingles of `text` as an array column.
-    * Pure expression (sequence + transform + substring): codegen-able,
-    * no UDF, no explode until the caller wants one. */
-  def charShingles(text: Column, k: Int): Column = {
-    val t = Text.normalize(text)
-    when(length(t) < k, array(t)).otherwise(
-      array_distinct(transform(
-        sequence(lit(1), length(t) - (k - 1)),
-        i => t.substr(i, lit(k)))))
-  }
+  /** Distinct character k-shingles over an ALREADY-NORMALIZED string
+    * attribute (custom expression: one pass per row; see
+    * [[graft.expressions.CharShingles]]). Keep the input a projected
+    * column, not a nested expression — a nested subtree would be
+    * re-evaluated per reference (see minhashSignatures scaladoc). */
+  def shinglesOfNormalized(t: Column, k: Int): Column =
+    graft.expressions.CharShingles.char_shingles(t, k)
+
+  /** Convenience single-expression form — only use on small inputs or
+    * where the input is already a plain column; prefer the staged
+    * projections (normalize → shingle) in hot paths. */
+  def charShingles(text: Column, k: Int): Column =
+    shinglesOfNormalized(Text.normalize(text), k)
 
   /** Word n-gram shingles. */
   def wordShingles(text: Column, n: Int): Column = {
@@ -65,13 +68,22 @@ object Dedup {
 
   // -------------------------------------------------------- MinHash + LSH
 
-  /** MinHash signature (array of `numHashes` longs) over a shingle
-    * array. Hash family: xxhash64(shingle, seed_i) — affine reuse of
-    * one base hash would correlate lanes; per-seed xxhash64 keeps the
-    * permutations independent. All array ops, no shuffle. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), seed =>
-      array_min(transform(shingles, s => xxhash64(s, seed))))
+  /** MinHash signatures as a DataFrame of (idCol, sig: array<long>).
+    *
+    * Two stages: (1) normalize the text in its own projection (so the
+    * regex work runs once per row — nesting it under the signature
+    * expression would re-evaluate it per reference), (2) the
+    * [[graft.expressions.MinHashSignature64]] custom expression
+    * computes all lanes in one pass over the bytes. Composing this
+    * from `transform`/`array_min` built-ins ran interpreted per lane
+    * (167 s at sf0.01); the staged+custom form is ~1 s.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol), Text.normalize(col(textCol)).as("_t"))
+      .select(col(idCol),
+        graft.expressions.MinHashSignature64.minhash_signature64(
+          col("_t"), shingleK, numHashes).as("sig"))
 
   /** Candidate near-dup pairs via banded LSH over MinHash signatures.
     *
@@ -81,10 +93,12 @@ object Dedup {
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b, where
     * est_jaccard is the signature agreement fraction.
     *
-    * Scale shape: explode to (doc × bands) rows — bounded width (band
-    * hash, id) — then a self-join per bucket. Bucket sizes are the
+    * Scale shape: explode to narrow (id, band, band-hash) rows — the
+    * wide signature array does NOT ride through the shuffle; the
+    * bucket self-join emits distinct id pairs only, and signatures are
+    * re-attached just for the surviving pairs. Bucket sizes are the
     * skew risk at 100 TB: near-identical boilerplate floods one
-    * bucket; cap with `maxBucket` (drop pathological buckets, standard
+    * bucket; `maxBucket` drops pathological buckets (standard
     * practice) so the join stays bounded.
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
@@ -92,37 +106,36 @@ object Dedup {
                             bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = df
-      .select(col(idCol), minhashSignature(
-        charShingles(col(textCol), shingleK), numHashes).as("sig"))
+    val sig = minhashSignatures(df, idCol, textCol, shingleK, numHashes)
+
     val banded = sig.select(
-      col(idCol), col("sig"),
+      col(idCol),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
           xxhash64(array_join(transform(
             slice(col("sig"), b * r + 1, lit(r)), _.cast("string")), ",")).as("bh"))))
         .as("bucket"))
-      .select(col(idCol), col("sig"),
-        col("bucket.band").as("band"), col("bucket.bh").as("bh"))
+      .select(col(idCol), col("bucket.band").as("band"), col("bucket.bh").as("bh"))
 
     // Cap pathological buckets (boilerplate floods) before the self-join.
-    val counted = banded.withColumn("bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("band", "bh")))
-      .filter(col("bucket_n") <= maxBucket)
+    val keepBuckets = banded.groupBy("band", "bh").count()
+      .filter(col("count") <= maxBucket).drop("count")
+    val capped = banded.join(keepBuckets, Seq("band", "bh"))
 
-    val a = counted.select(col("band"), col("bh"),
-      col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val b = counted.select(col("band"), col("bh"),
-      col(idCol).as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bh"))
+    val pairs = capped.select(col("band"), col("bh"), col(idCol).as("id_a"))
+      .join(capped.select(col("band"), col("bh"), col(idCol).as("id_b")),
+        Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    pairs
+      .join(sig.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), b => b)).cast("double") /
           lit(numHashes.toDouble)).as("est_jaccard"))
-      .groupBy("id_a", "id_b")
-      .agg(max("est_jaccard").as("est_jaccard"))
   }
 
   /** Deduplicate: drop every doc that has a candidate partner with a
@@ -181,13 +194,24 @@ object Dedup {
   /** Exact character-n-gram Jaccard similarity pairs ≥ threshold.
     * Blocked by a cheap key (`blockCol`, e.g. language) so the
     * quadratic comparison only runs inside blocks; for unblocked
-    * corpora feed the minhash candidates into this as a verifier. */
+    * corpora feed the minhash candidates into this as a verifier.
+    *
+    * Per doc: shingle (custom expression, one pass), hash each
+    * shingle to a long, sort — done ONCE before the join. Per pair:
+    * a single O(|A|+|B|) merge ([[graft.expressions.SortedLongJaccard]])
+    * instead of interpreted hash-set intersect/union. Equality is
+    * preserved by the 64-bit hash, so the Jaccard value is the exact
+    * string-set value (collisions negligible).
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         blockCol: Option[String] = None): DataFrame = {
-    val withSh = df.select(
-      (col(idCol) +: blockCol.map(col).toSeq) :+
-        charShingles(col(textCol), n).as("sh"): _*)
+    val keep = col(idCol) +: blockCol.map(col).toSeq
+    val withSh = df
+      .select(keep :+ Text.normalize(col(textCol)).as("_t"): _*)
+      .select(keep :+ shinglesOfNormalized(col("_t"), n).as("_sh"): _*)
+      .select(keep :+
+        array_sort(transform(col("_sh"), s => xxhash64(s))).as("sh"): _*)
     val joinKeys = blockCol.toSeq
     val a = withSh.select(
       (joinKeys.map(col) :+ col(idCol).as("id_a")) :+ col("sh").as("sh_a"): _*)
@@ -197,9 +221,8 @@ object Dedup {
     joined
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-          .as("jaccard"))
+        graft.expressions.SortedLongJaccard.sorted_long_jaccard(
+          col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -211,8 +234,9 @@ object Dedup {
   def embeddingCosinePairs(df: DataFrame, idCol: String, embCol: String,
                            threshold: Double = 0.95,
                            planes: Int = 8): DataFrame = {
-    val sig = df.select(col(idCol),
-      Similarity.normalized(col(embCol)).as("v"))
+    val sig = Similarity.withNormalized(
+      df.select(col(idCol), col(embCol).as("_e")), "_e", "v")
+      .select(col(idCol), col("v"))
       .withColumn("bucket", Similarity.hyperplaneSignature(col("v"), planes))
     val a = sig.select(col("bucket"), col(idCol).as("id_a"), col("v").as("v_a"))
     val b = sig.select(col("bucket"), col(idCol).as("id_b"), col("v").as("v_b"))

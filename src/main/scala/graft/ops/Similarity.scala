@@ -28,12 +28,27 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cast to double and L2-normalize, so cosine = dot. Zero vectors
-    * stay zero (cosine 0 against everything) rather than NaN. */
+    * stay zero (cosine 0 against everything) rather than NaN.
+    *
+    * NOTE: as a single nested expression the norm subtree is embedded
+    * in the per-element division lambda and re-evaluated per element
+    * (HOFs skip codegen/CSE). Fine for one-off use on small frames;
+    * hot paths use [[withNormalized]], which stages the norm as a
+    * projected column. */
   def normalized(a: Column): Column = {
     val d = a.cast("array<double>")
     val n = norm(d)
     when(n === 0.0, d).otherwise(transform(d, x => x / n))
   }
+
+  /** Staged projection variant: attach `out` = L2-normalized
+    * array<double> of `embCol`, computing the norm once per row. */
+  def withNormalized(df: DataFrame, embCol: String, out: String): DataFrame =
+    df.withColumn("_vd", col(embCol).cast("array<double>"))
+      .withColumn("_n", norm(col("_vd")))
+      .withColumn(out, when(col("_n") === 0.0, col("_vd"))
+        .otherwise(transform(col("_vd"), x => x / col("_n"))))
+      .drop("_vd", "_n")
 
   def cosine(a: Column, b: Column): Column = {
     val na = norm(a) * norm(b)
@@ -51,10 +66,12 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, embCol: String, k: Int,
                      queryIdOut: String = "query_id"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      normalized(col(embCol)).as("v_c"))
-    val q = queries.select(col(idCol).as(queryIdOut),
-      normalized(col(embCol)).as("v_q"))
+    val c = withNormalized(
+      corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
+      "_e", "v_c").select("neighbor_id", "v_c")
+    val q = withNormalized(
+      queries.select(col(idCol).as(queryIdOut), col(embCol).as("_e")),
+      "_e", "v_q").select(queryIdOut, "v_q")
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col(queryIdOut))
       .select(col(queryIdOut), col("neighbor_id"),
         dot(col("v_q"), col("v_c")).as("cosine"))
@@ -89,11 +106,13 @@ object Similarity {
               idCol: String, embCol: String, k: Int,
               planes: Int = 6,
               queryIdOut: String = "query_id"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      normalized(col(embCol)).as("v_c"))
+    val c = withNormalized(
+      corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
+      "_e", "v_c").select("neighbor_id", "v_c")
       .withColumn("bucket", hyperplaneSignature(col("v_c"), planes))
-    val q = queries.select(col(idCol).as(queryIdOut),
-      normalized(col(embCol)).as("v_q"))
+    val q = withNormalized(
+      queries.select(col(idCol).as(queryIdOut), col(embCol).as("_e")),
+      "_e", "v_q").select(queryIdOut, "v_q")
       .withColumn("bucket", hyperplaneSignature(col("v_q"), planes))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col(queryIdOut))
