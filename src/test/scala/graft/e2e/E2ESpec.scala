@@ -1,0 +1,110 @@
+package graft.e2e
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.core.{Config, Loader, Pipeline}
+import graft.plugins.input.ParquetScanPlugin
+import graft.plugins.output.ParquetWriterPlugin
+import graft.plugins.transform.ColumnMultiplierPlugin
+
+/** Mirrors the reference e2e suite
+  * (packages/cryoflow-core/tests/e2e/test_e2e_integration.py):
+  * parquet → ×2 → parquet with exact values; chained multipliers;
+  * nested dir creation; config-driven run via the library API. */
+class E2ESpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SharedSpark.spark
+  import spark.implicits._
+
+  private def writeInput(dir: java.nio.file.Path): String = {
+    val p = dir.resolve("input.parquet").toString
+    Seq((100L, "a"), (200L, "b"), (300L, "c")).toDF("amount", "item")
+      .coalesce(1).write.mode("overwrite").parquet(p)
+    p
+  }
+
+  test("parquet -> x2 -> parquet yields {200,400,600} (ref e2e:15-46)") {
+    val tmp = Files.createTempDirectory("e2e")
+    val in = writeInput(tmp)
+    val out = tmp.resolve("out.parquet").toString
+    val result = Pipeline.runPipeline(
+      inputs = Seq(new ParquetScanPlugin(Map("input_path" -> in), tmp, "default")),
+      transforms = Seq(new ColumnMultiplierPlugin(
+        Map("column_name" -> "amount", "multiplier" -> 2), tmp, "default")),
+      outputs = Seq(new ParquetWriterPlugin(Map("output_path" -> out), tmp, "default")))
+    assert(result.isRight, result.left.toOption.map(_.getMessage))
+    val vals = spark.read.parquet(out).select("amount").as[Long]
+      .collect().sorted.toSeq
+    assert(vals == Seq(200L, 400L, 600L))
+  }
+
+  test("chained x2 x3 = x6 (ref e2e:78-104)") {
+    val tmp = Files.createTempDirectory("e2e")
+    val in = tmp.resolve("in.parquet").toString
+    Seq(10L, 20L, 30L).toDF("value").coalesce(1).write.parquet(in)
+    val out = tmp.resolve("out.parquet").toString
+    val result = Pipeline.runPipeline(
+      inputs = Seq(new ParquetScanPlugin(Map("input_path" -> in), tmp, "default")),
+      transforms = Seq(
+        new ColumnMultiplierPlugin(Map("column_name" -> "value", "multiplier" -> 2), tmp, "default"),
+        new ColumnMultiplierPlugin(Map("column_name" -> "value", "multiplier" -> 3), tmp, "default")),
+      outputs = Seq(new ParquetWriterPlugin(Map("output_path" -> out), tmp, "default")))
+    assert(result.isRight)
+    assert(spark.read.parquet(out).select("value").as[Long].collect().sorted.toSeq
+      == Seq(60L, 120L, 180L))
+  }
+
+  test("nested output dirs are created (ref e2e:106-128)") {
+    val tmp = Files.createTempDirectory("e2e")
+    val in = writeInput(tmp)
+    val out = tmp.resolve("deeply/nested/dirs/out.parquet").toString
+    val result = Pipeline.runPipeline(
+      inputs = Seq(new ParquetScanPlugin(Map("input_path" -> in), tmp, "default")),
+      transforms = Seq.empty,
+      outputs = Seq(new ParquetWriterPlugin(Map("output_path" -> out), tmp, "default")))
+    assert(result.isRight)
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
+  test("config-driven end-to-end with relative paths (ref e2e:130-206)") {
+    val tmp = Files.createTempDirectory("e2ecfg")
+    writeInput(tmp.resolve("data").tap(Files.createDirectories(_)))
+    val cfg = tmp.resolve("config.toml")
+    Files.writeString(cfg,
+      """
+        |[[input_plugins]]
+        |module = "parquet_scan"
+        |[input_plugins.options]
+        |input_path = "data/input.parquet"
+        |
+        |[[transform_plugins]]
+        |module = "column_multiplier"
+        |[transform_plugins.options]
+        |column_name = "amount"
+        |multiplier = 2
+        |
+        |[[output_plugins]]
+        |module = "parquet_writer"
+        |[output_plugins.options]
+        |output_path = "out/result.parquet"
+        |""".stripMargin)
+    val config = Config.loadConfig(cfg).fold(e => fail(e.getMessage), identity)
+    val reg = Loader.loadPlugins(config, cfg).fold(e => fail(e.getMessage), identity)
+    val result = Pipeline.runPipeline(reg.inputs, reg.transforms, reg.outputs)
+    assert(result.isRight, result.left.toOption.map(_.getMessage))
+    val vals = spark.read.parquet(tmp.resolve("out/result.parquet").toString)
+      .select("amount").as[Long].collect().sorted.toSeq
+    assert(vals == Seq(200L, 400L, 600L))
+
+    // dry run over the same registry: schema passes through unchanged
+    val dry = Pipeline.runDryRunPipeline(reg.inputs, reg.transforms, reg.outputs)
+    assert(dry.toOption.get.fieldNames.toSeq == Seq("amount", "item"))
+  }
+
+  implicit private class Tap[A](a: A) {
+    def tap(f: A => Unit): A = { f(a); a }
+  }
+}

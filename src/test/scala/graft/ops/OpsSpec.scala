@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.expressions.SimHash64.simhash64
+import graft.expressions.SortedLongJaccard.sorted_long_jaccard
+
+/** Extension-operator semantics on small hand-built frames. */
+class OpsSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SharedSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (2L, "the quick brown fox jumped over the lazy dog"),  // near dup
+    (3L, "completely different text about spark engines"),
+    (4L, "THE QUICK  BROWN FOX jumps over the lazy dog!")  // dup of 0 modulo norm
+  ).toDF("doc_id", "text")
+
+  test("Text.tokenCount / bpe / ratios") {
+    val row = Seq((1L, "Hello, world! This is IT.")).toDF("id", "text")
+      .select(
+        Text.tokenCount(col("text")).as("tc"),
+        Text.tokenCountBpe(col("text")).as("bpe"),
+        Text.punctRatio(col("text")).as("pr"),
+        Text.upperRatio(col("text")).as("ur")).head()
+    assert(row.getInt(0) == 5)
+    // Hello , world ! This is IT . -> 8 BPE-ish tokens
+    assert(row.getInt(1) == 8)
+    assert(row.getDouble(2) > 0.0 && row.getDouble(2) < 0.5)
+    assert(row.getDouble(3) > 0.0)
+    assert(Seq(("", "")).toDF("id", "text")
+      .select(Text.tokenCount(col("text"))).head().getInt(0) == 0)
+  }
+
+  test("Text.langId picks marker language; CJK wins; und when no signal") {
+    val r = Seq(
+      ("the cat and the dog is here", "en"),
+      ("le chat et la maison est une", "fr"),
+      ("der hund und die katze ist", "de"),
+      ("el gato y la casa es un", "es"),
+      ("你好 世界", "zh"),
+      ("zzz qqq xxx", "und")
+    ).toDF("text", "expected")
+      .select(Text.langId(col("text")).as("got"), col("expected"))
+      .collect()
+    r.foreach(row => assert(row.getString(0) == row.getString(1),
+      s"langId mismatch: got ${row.getString(0)} want ${row.getString(1)}"))
+  }
+
+  test("Text.fingerprint is normalization-invariant") {
+    val fps = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(0L) == fps(1L))
+    assert(fps(0L) == fps(4L)) // case/punct/whitespace normalized away
+    assert(fps(0L) != fps(3L))
+  }
+
+  test("Dedup.exact keeps min id and counts dupes") {
+    val out = Dedup.exact(docs, "doc_id", Seq("text"))
+      .filter(col("n_dupes") > 1).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("doc_id") == 0L)
+    assert(out.head.getAs[Long]("n_dupes") == 2L)
+  }
+
+  test("Dedup.byFingerprint groups normalized duplicates") {
+    val out = Dedup.byFingerprint(docs, "doc_id", "text")
+    assert(out.count() == 3) // {0,1,4}, {2}, {3}
+    assert(out.filter(col("n_dupes") === 3).select("doc_id")
+      .as[Long].head() == 0L)
+  }
+
+  test("minhash candidate pairs surface near-dups, not unrelated docs") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      shingleK = 5, numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((0L, 1L))) // identical
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0)
+    assert(ids.contains((0L, 2L)) || ids.contains((1L, 2L))) // near dup
+    assert(!ids.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated stays out
+  }
+
+  test("byMinhash drops near-dups keeping smallest id") {
+    val kept = Dedup.byMinhash(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept.contains(0L) && kept.contains(3L))
+    assert(!kept.contains(1L)) // exact dup of 0 dropped
+  }
+
+  test("simhash: equal texts equal hash; near dup within small hamming") {
+    val sig = Dedup.withSimhash(docs, "text").select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(1L))
+    assert(java.lang.Long.bitCount(sig(0L) ^ sig(2L)) <= 12)
+    assert(java.lang.Long.bitCount(sig(0L) ^ sig(3L)) > 12)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("ngram jaccard: exact set semantics via hashed merge") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs(((0L, 1L))) == 1.0)
+    assert(pairs.contains((0L, 2L)))
+    assert(pairs((0L, 2L)) > 0.5 && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("SortedLongJaccard equals set jaccard") {
+    val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L))).toDF("a", "b")
+    val j = df.select(sorted_long_jaccard(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(j - 2.0 / 6.0) < 1e-12)
+    val empty = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+      .select(sorted_long_jaccard(col("a"), col("b"))).head().getDouble(0)
+    assert(empty == 0.0)
+  }
+
+  test("simhash64 expression: deterministic, type-checked") {
+    val h1 = docs.select(simhash64(split(col("text"), " "))).head().getLong(0)
+    val h2 = docs.select(simhash64(split(col("text"), " "))).head().getLong(0)
+    assert(h1 == h2)
+    intercept[Exception] {
+      docs.select(simhash64(col("doc_id"))).head()
+    }
+  }
+
+  test("Similarity: brute-force top-k finds the exact nearest vector") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(top.length == 2)
+    assert(top(0).getAs[Long]("neighbor_id") == 1L) // closest by cosine
+    assert(top(0).getAs[Int]("rank") == 1)
+    assert(top(0).getAs[Double]("cosine") > 0.99 * (0.9 / math.sqrt(0.82)))
+  }
+
+  test("Similarity: zero vector yields cosine 0, no NaN") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Similarity.withNormalized(vecs, "embedding", "v")
+      .select(Similarity.dot(col("v"), col("v")).as("d"))
+      .orderBy("vec_id").collect().map(_.getDouble(0))
+    assert(c(0) == 0.0 && math.abs(c(1) - 1.0) < 1e-12)
+  }
+
+  test("Multimodal: stub decode is deterministic and partition-wise") {
+    val withPayload = docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val meta = Multimodal.withDecodedMeta(withPayload, "payload")
+      .select("doc_id", "media_meta.n_bytes", "media_meta.format",
+        "media_meta.width", "media_meta.checksum")
+      .orderBy("doc_id").collect()
+    assert(meta.length == 5)
+    assert(meta(0).getLong(1) == 43) // text byte length
+    assert(meta(0) == Multimodal.withDecodedMeta(withPayload, "payload")
+      .select("doc_id", "media_meta.n_bytes", "media_meta.format",
+        "media_meta.width", "media_meta.checksum").orderBy("doc_id").collect()(0))
+    val frames = Multimodal.sampleFrames(withPayload, "doc_id", "payload", 4)
+    assert(frames.count() == 20)
+    assert(frames.filter(col("doc_id") === 0 && col("frame_idx") === 3)
+      .select("offset").as[Long].head() == 43L * 3 / 4)
+  }
+
+  test("SparkEntry.expandR macro expansion") {
+    assert(graft.SparkEntry.expandR("SELECT r(sum(x), 2) AS s FROM t") ==
+      "SELECT (floor((sum(x)) * 100 + 0.5) / 100) AS s FROM t")
+    assert(graft.SparkEntry.expandR("floor(x) + year(d)") == "floor(x) + year(d)")
+    assert(graft.SparkEntry.expandR("r(r(x, 4) * 2, 2)") ==
+      "(floor(((floor((x) * 10000 + 0.5) / 10000) * 2) * 100 + 0.5) / 100)")
+  }
+}

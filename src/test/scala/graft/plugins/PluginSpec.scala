@@ -1,0 +1,171 @@
+package graft.plugins
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.core.{Loader, Pipeline}
+import graft.plugins.input.{ArrowIpc, CsvScanPlugin, IpcScanPlugin, ParquetScanPlugin}
+import graft.plugins.output.{IpcWriterPlugin, ParquetWriterPlugin}
+import graft.plugins.transform._
+
+/** Mirrors the reference per-plugin suites
+  * (packages/cryoflow-plugin-collections/tests/...) plus loader tests:
+  * execute success values, missing-option / missing-file failures with
+  * message substrings, dry_run schema pass/fail. */
+class PluginSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SharedSpark.spark
+  import spark.implicits._
+  private val dir = Paths.get("/tmp")
+
+  private def tmpParquet(vals: Seq[(Long, String)]): String = {
+    val p = Files.createTempDirectory("plug").resolve("in.parquet").toString
+    vals.toDF("amount", "item").coalesce(1).write.mode("overwrite").parquet(p)
+    p
+  }
+
+  test("parquet scan: execute reads values lazily; dry_run = footer schema") {
+    val p = tmpParquet(Seq((100L, "a"), (200L, "b"), (300L, "c")))
+    val plug = new ParquetScanPlugin(Map("input_path" -> p), dir, "default")
+    val df = plug.execute().fold(e => fail(e.getMessage), identity)
+    assert(df.select("amount").as[Long].collect().sorted.toSeq == Seq(100L, 200L, 300L))
+    val schema = plug.dryRun().fold(e => fail(e.getMessage), identity)
+    assert(schema.fieldNames.toSeq == Seq("amount", "item"))
+  }
+
+  test("parquet scan: missing option / missing file messages") {
+    val noOpt = new ParquetScanPlugin(Map.empty, dir, "default")
+    assert(noOpt.execute().left.toOption.get.getMessage
+      .contains("Option 'input_path' is required"))
+    val noFile = new ParquetScanPlugin(Map("input_path" -> "/nope.parquet"), dir, "default")
+    assert(noFile.execute().left.toOption.get.getMessage
+      .contains("Input file not found"))
+  }
+
+  test("column multiplier: values, missing options, dry_run type checks") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("value", "name")
+    val x3 = new ColumnMultiplierPlugin(
+      Map("column_name" -> "value", "multiplier" -> 3), dir, "default")
+    val out = x3.execute(df).fold(e => fail(e.getMessage), identity)
+    assert(out.select("value").as[Long].collect().sorted.toSeq == Seq(3L, 6L, 9L))
+    assert(out.columns.toSeq == df.columns.toSeq) // name preserved
+
+    assert(new ColumnMultiplierPlugin(Map("multiplier" -> 2), dir, "default")
+      .execute(df).left.toOption.get.getMessage
+      .contains("Option 'column_name' is required"))
+    assert(new ColumnMultiplierPlugin(Map("column_name" -> "value"), dir, "default")
+      .execute(df).left.toOption.get.getMessage
+      .contains("Option 'multiplier' is required"))
+
+    val dryBadCol = x3.copyWith("column_name" -> "nope")
+      .dryRun(df.schema).left.toOption.get.getMessage
+    assert(dryBadCol.contains("Column 'nope' not found in schema"))
+    val dryBadType = new ColumnMultiplierPlugin(
+      Map("column_name" -> "name", "multiplier" -> 2), dir, "default")
+      .dryRun(df.schema).left.toOption.get.getMessage
+    assert(dryBadType.contains("expected numeric type"))
+  }
+
+  implicit private class MultCopy(p: ColumnMultiplierPlugin) {
+    def copyWith(kv: (String, Any)): ColumnMultiplierPlugin =
+      new ColumnMultiplierPlugin(p.options + kv, dir, "default")
+  }
+
+  test("filter/select/with_column/group_by_agg compose through expr()") {
+    val df = Seq((1L, 10.0, "x"), (2L, 20.0, "y"), (3L, 30.0, "x"))
+      .toDF("id", "v", "g")
+    val filtered = new FilterPlugin(Map("predicate" -> "v > 15"), dir, "default")
+      .execute(df).toOption.get
+    assert(filtered.count() == 2)
+    val selected = new SelectPlugin(
+      Map("columns" -> Seq("g", "v * 2 as v2")), dir, "default")
+      .execute(df).toOption.get
+    assert(selected.columns.toSeq == Seq("g", "v2"))
+    val derived = new WithColumnPlugin(
+      Map("column" -> "flag", "expression" -> "v >= 20"), dir, "default")
+      .execute(df).toOption.get
+    assert(derived.filter("flag").count() == 2)
+    val agg = new GroupByAggPlugin(Map(
+      "group_by" -> Seq("g"),
+      "aggregations" -> Seq("sum(v) as total", "count(*) as n")), dir, "default")
+      .execute(df).toOption.get
+    assert(agg.filter("g = 'x'").select("total").as[Double].head() == 40.0)
+  }
+
+  test("join plugin joins another labeled stream; broadcast hint applies") {
+    val facts = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val dims = Seq((1L, "one"), (2L, "two")).toDF("k", "name")
+    val plug = new JoinPlugin(Map(
+      "right_label" -> "dims", "on" -> Seq("k"), "broadcast" -> true), dir, "default")
+    val out = plug.executeWith(facts, Map("dims" -> Right(dims))).toOption.get
+    assert(out.columns.toSeq == Seq("k", "v", "name"))
+    assert(out.count() == 2)
+    val missing = plug.executeWith(facts, Map.empty).left.toOption.get
+    assert(missing.getMessage.contains("No input data with label 'dims'"))
+  }
+
+  test("parquet writer: writes + creates parents; dry_run validates path") {
+    val out = Files.createTempDirectory("wr").resolve("nested/deep/out.parquet")
+    val plug = new ParquetWriterPlugin(
+      Map("output_path" -> out.toString, "single_file" -> true), dir, "default")
+    val df = Seq((1L, "a")).toDF("amount", "item")
+    assert(plug.dryRun(df.schema).isRight)
+    assert(plug.execute(df).isRight)
+    assert(spark.read.parquet(out.toString).count() == 1)
+    assert(new ParquetWriterPlugin(Map.empty, dir, "default")
+      .execute(df).left.toOption.get.getMessage
+      .contains("Option 'output_path' is required"))
+  }
+
+  test("arrow IPC roundtrip: write then scan preserves values and schema") {
+    val df = Seq((100L, "a", 1.5, true), (200L, "b", 2.5, false))
+      .toDF("amount", "item", "ratio", "flag")
+    val p = Files.createTempDirectory("ipc").resolve("data.arrow")
+    ArrowIpc.writeFile(df, p)
+    val plug = new IpcScanPlugin(Map("input_path" -> p.toString), dir, "default")
+    val back = plug.execute().fold(e => fail(e.getMessage), identity)
+    assert(back.schema.fieldNames.toSeq == Seq("amount", "item", "ratio", "flag"))
+    assert(back.orderBy("amount").collect().map(_.getLong(0)).toSeq == Seq(100L, 200L))
+    assert(plug.dryRun().toOption.get.fieldNames.length == 4)
+  }
+
+  test("csv scan: separator and header options, schema inference") {
+    val p = Files.createTempDirectory("csv").resolve("d.csv")
+    Files.writeString(p, "id;name\n1;aa\n2;bb\n")
+    val plug = new CsvScanPlugin(
+      Map("input_path" -> p.toString, "separator" -> ";"), dir, "default")
+    val df = plug.execute().fold(e => fail(e.getMessage), identity)
+    assert(df.count() == 2)
+    assert(df.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("loader: aliases resolve, unknown module fails, disabled skipped, kind checked") {
+    import graft.core.{GraftConfig, PluginConfig}
+    val cfg = GraftConfig(
+      inputPlugins = Seq(
+        PluginConfig("parquet_scan", options = Map("input_path" -> "x")),
+        PluginConfig("csv_scan", enabled = false)),
+      transformPlugins = Seq(PluginConfig("filter")),
+      outputPlugins = Seq(PluginConfig("parquet_writer")))
+    val reg = Loader.loadPlugins(cfg, Paths.get("/tmp/config.toml")).toOption.get
+    assert(reg.inputs.map(_.name) == Seq("parquet_scan")) // disabled skipped
+    assert(reg.transforms.map(_.name) == Seq("filter"))
+
+    val unknown = Loader.loadPlugins(GraftConfig(
+      inputPlugins = Seq(PluginConfig("no.such.Plugin"))), Paths.get("/t"))
+    assert(unknown.left.toOption.get.getMessage.contains("Plugin module not found"))
+
+    val wrongKind = Loader.loadPlugins(GraftConfig(
+      inputPlugins = Seq(PluginConfig("filter"))), Paths.get("/t"))
+    assert(wrongKind.left.toOption.get.getMessage.contains("not a valid input plugin"))
+  }
+
+  test("path resolution: relative against configDir, absolute normalized") {
+    val plug = new ParquetScanPlugin(Map.empty, Paths.get("/cfg/dir"), "default")
+    assert(plug.resolvePath("data/in.parquet").toString == "/cfg/dir/data/in.parquet")
+    assert(plug.resolvePath("/abs/../x.parquet").toString == "/x.parquet")
+    assert(plug.label == "default")
+  }
+}
