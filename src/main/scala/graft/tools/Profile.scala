@@ -50,6 +50,26 @@ object Profile {
     time("simhash pairs") {
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8).count()
     }
+    time("fingerprint dedup") {
+      Dedup.byFingerprint(docs, "doc_id", "text").count()
+    }
+    time("normalize only") {
+      docs.select(graft.ops.Text.normalize(col("text")).as("t"))
+        .select(sum(length(col("t")))).collect().head.getLong(0)
+    }
+    time("md5(normalize)") {
+      docs.select(graft.ops.Text.fingerprint(col("text")).as("f"))
+        .select(count(col("f"))).collect().head.getLong(0)
+    }
+    time("langid staged") {
+      graft.ops.Text.withLangId(docs, "text").select(count(col("lang_guess")))
+        .collect().head.getLong(0)
+    }
+    time("quality staged") {
+      graft.ops.Text.withQualityMetrics(docs, "text")
+        .select(sum(col("_praw") + col("_sraw") + col("_mraw")))
+        .collect().head.getDouble(0).toLong
+    }
     spark.stop()
   }
 }
