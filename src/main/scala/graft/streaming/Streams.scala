@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface of the engine (extension tier: the
+  * reference's "streaming" is Polars' out-of-core sink, not event
+  * streaming — SURVEY §1; this is the Spark-native generalization).
+  *
+  * The batch transform vocabulary carries over verbatim: a streaming
+  * DataFrame is the same lazy plan type, so every TransformPlugin
+  * (filter/select/with_column/...) composes onto `readStream` sources
+  * unchanged. This module adds the genuinely streaming pieces:
+  * watermarks, windowed aggregation, and custom session state.
+  */
+object Streams {
+
+  /** events-shaped stream from a parquet directory. Schema must be
+    * supplied for readStream; we take it from a batch footer read.
+    * `ts` arrives as raw nanos (nanosAsLong) and is surfaced as a
+    * proper timestamp column `event_time`. */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("event_time",
+        (col("ts") / 1000000000L).cast("timestamp"))
+  }
+
+  /** Tumbling-window counts/sums per event type with a watermark:
+    * state is bounded — windows older than the watermark are finalized
+    * and evicted, which is what makes this run forever at scale. */
+  def windowedAgg(events: DataFrame,
+                  window_ : String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  final case class Event(user_id: Long, event_time: java.sql.Timestamp,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Long, end: Long, nEvents: Int,
+                                sumValue: Double)
+  final case class SessionSummary(user_id: Long, session_start: Long,
+                                  session_end: Long, n_events: Int,
+                                  sum_value: Double)
+
+  /** Gap-based sessionization with explicit state
+    * (flatMapGroupsWithState): a session closes when no event arrives
+    * within `gapSeconds` of the last one (enforced via processing-time
+    * timeout). State per user is O(1) — start/end/counters — so the
+    * operator scales with distinct active users, not event volume. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)(
+      implicit spark: SparkSession): Dataset[SessionSummary] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId, s.start, s.end, s.nEvents, s.sumValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.event_time.getTime)
+            var closed = List.empty[SessionSummary]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.event_time.getTime / 1000
+              cur match {
+                case Some(s) if t - s.end <= gapSeconds =>
+                  cur = Some(s.copy(end = t, nEvents = s.nEvents + 1,
+                    sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  closed ::= SessionSummary(userId, s.start, s.end, s.nEvents, s.sumValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Run a streaming frame to completion against currently-available
+    * input (memory sink) and return the materialized result — the
+    * batch-driven smoke harness for streaming queries. */
+  def runToMemory(df: DataFrame, queryName: String,
+                  outputMode: String = "append"): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    df.sparkSession.table(queryName)
+  }
+}
