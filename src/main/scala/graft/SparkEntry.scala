@@ -432,6 +432,49 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ---- as-of join (time-series; compositional one-shuffle) -----
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      // dedupe right on (user, ts) so the as-of pick is deterministic
+      // in both engines (ties at identical timestamps)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("view_id"), max("value").as("view_value"))
+      graft.ops.AsOfJoin.asOf(clicks, views, Seq("user_id"),
+          leftTime = "ts", rightTime = "ts", tieBreak = Some("view_id"))
+        .select(col("event_id"), col("user_id"),
+          col("view_id"), r(col("view_value"), 2).as("view_value"))
+        .orderBy("event_id")
+    }),
+
+    // ---- rollup (hierarchical subtotals) -------------------------
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), r(sum("l_quantity"), 2).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // ---- cube (all grouping-set combinations) --------------------
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), r(sum("o_totalprice"), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // ---- exact percentiles (interpolated) ------------------------
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          r(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+          r(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          r(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"))
+        .orderBy("l_returnflag")),
+
     // ---- events: tumbling-window aggregation ---------------------
     // ts arrives as raw nanoseconds (nanosAsLong, see Verify/Session);
     // bucket to hour starts in epoch seconds.
@@ -744,6 +787,39 @@ object SparkEntry {
         |  CAST(64 + (checksum % 64) AS INTEGER) AS height,
         |  checksum
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'
+        |), views AS (
+        |  SELECT user_id, ts, max(event_id) AS view_id,
+        |    max(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, v.view_id,
+        |  r(v.view_value, 2) AS view_value
+        |FROM clicks c ASOF JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  r(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  r(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  r(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+        |  r(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  r(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "events_window" ->
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,

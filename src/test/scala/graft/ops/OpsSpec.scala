@@ -173,6 +173,27 @@ class OpsSpec extends AnyFunSuite {
       .select("offset").as[Long].head() == 43L * 3 / 4)
   }
 
+  test("AsOfJoin: most recent right row at-or-before left time; inner drops unmatched") {
+    val quotes = Seq(
+      (1L, 100L, 10.0), (1L, 200L, 11.0), (2L, 150L, 20.0)
+    ).toDF("sym", "qt", "price")
+    val trades = Seq(
+      (1L, 150L, "t1"),  // matches quote@100
+      (1L, 200L, "t2"),  // matches quote@200 (inclusive)
+      (1L, 50L, "t0"),   // no quote yet -> dropped (inner)
+      (2L, 500L, "t3")   // matches quote@150
+    ).toDF("sym", "tt", "tid")
+    val out = AsOfJoin.asOf(trades, quotes, Seq("sym"),
+      leftTime = "tt", rightTime = "qt")
+      .select("tid", "price").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("t1" -> 10.0, "t2" -> 11.0, "t3" -> 20.0))
+
+    val left = AsOfJoin.asOf(trades, quotes, Seq("sym"),
+      leftTime = "tt", rightTime = "qt", joinType = "left")
+    assert(left.count() == 4)
+    assert(left.filter(col("tid") === "t0").select("price").head().isNullAt(0))
+  }
+
   test("SparkEntry.expandR macro expansion") {
     assert(graft.SparkEntry.expandR("SELECT r(sum(x), 2) AS s FROM t") ==
       "SELECT (floor((sum(x)) * 100 + 0.5) / 100) AS s FROM t")
