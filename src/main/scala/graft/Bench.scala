@@ -53,9 +53,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warm the JVM (parquet reader, codegen, JIT) outside the clock.
-    SparkEntry.queries("q_groupby_agg")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
+    // Warm the JVM (parquet reader, codegen, regex/HOF interpreters,
+    // JIT) outside the clock — one query per input family.
+    Seq("q_groupby_agg", "text_fingerprint", "sim_topk_lsh", "q_json")
+      .foreach(n => SparkEntry.queries(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
 
     val results = headline.map(n => n -> runOne(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

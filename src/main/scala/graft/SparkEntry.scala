@@ -28,6 +28,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Rebalance a (possibly single-split) input across the cluster
+    * before a CPU-heavy per-row stage. Small tables arrive as one
+    * parquet split and would otherwise run regex/shingling on one
+    * core; one narrow shuffle of (id, text) buys full parallelism —
+    * the standard rebalance-before-compute pattern, equally valid on
+    * a real cluster when upstream splits are few or skewed. */
+  private def tBalanced(s: SparkSession, dir: String, name: String): DataFrame =
+    t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
   /** Engine-agnostic fixed-point rounding: floor(x*10^p + 0.5)/10^p.
     * Spark round() (BigDecimal HALF_UP on the exact binary expansion)
     * and DuckDB round() disagree on boundary representations; this
@@ -319,20 +328,20 @@ object SparkEntry {
 
     // ---- MinHash+LSH candidate pairs (approx; no SQL oracle) -----
     "dedup_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashCandidatePairs(tBalanced(s, dir, "documents"), "doc_id", "text",
         shingleK = 5, numHashes = 64, bands = 16)
         .filter(col("est_jaccard") >= 0.3)
         .orderBy("id_a", "id_b")),
 
     // ---- SimHash near-dup pairs (custom Catalyst expression) -----
     "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.simhashPairs(tBalanced(s, dir, "documents"), "doc_id", "text",
         maxHamming = 8)
         .orderBy("id_a", "id_b")),
 
     // ---- exact n-gram Jaccard pairs (lang-blocked) ---------------
     "dedup_ngram_pairs" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.ngramJaccardPairs(tBalanced(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.6, blockCol = Some("lang"))
         .withColumn("jaccard", r(col("jaccard"), 4))
         .orderBy("id_a", "id_b")),
@@ -353,7 +362,7 @@ object SparkEntry {
 
     // ---- embedding near-dup via LSH blocking (scale path) --------
     "dedup_embedding_lsh" -> ((s, dir) =>
-      Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "vec_id",
+      Dedup.embeddingCosinePairs(tBalanced(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.3, planes = 2)
         .withColumn("cosine", r(col("cosine"), 6))
         .orderBy("id_a", "id_b")),

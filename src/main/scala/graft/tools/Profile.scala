@@ -61,6 +61,18 @@ object Profile {
       docs.select(graft.ops.Text.fingerprint(col("text")).as("f"))
         .select(count(col("f"))).collect().head.getLong(0)
     }
+    time("fingerprint noop+sort") {
+      Dedup.byFingerprint(docs, "doc_id", "text").orderBy("doc_id")
+        .write.format("noop").mode("overwrite").save(); 0L
+    }
+    time("fingerprint repart(32)") {
+      Dedup.byFingerprint(docs.repartition(32), "doc_id", "text")
+        .orderBy("doc_id")
+        .write.format("noop").mode("overwrite").save(); 0L
+    }
+    time("minhash pairs repart(32)") {
+      Dedup.minhashCandidatePairs(docs.repartition(32), "doc_id", "text").count()
+    }
     time("langid staged") {
       graft.ops.Text.withLangId(docs, "text").select(count(col("lang_guess")))
         .collect().head.getLong(0)
