@@ -104,6 +104,56 @@ class E2ESpec extends AnyFunSuite {
     assert(dry.toOption.get.fieldNames.toSeq == Seq("amount", "item"))
   }
 
+  test("multi-label streams: config-driven join of two labeled inputs") {
+    val tmp = Files.createTempDirectory("e2elbl")
+    Files.createDirectories(tmp.resolve("data"))
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+      .coalesce(1).write.parquet(tmp.resolve("data/facts.parquet").toString)
+    Seq((1L, "one"), (2L, "two")).toDF("k", "name")
+      .coalesce(1).write.parquet(tmp.resolve("data/dims.parquet").toString)
+    val cfg = tmp.resolve("config.toml")
+    Files.writeString(cfg,
+      """
+        |[[input_plugins]]
+        |module = "parquet_scan"
+        |[input_plugins.options]
+        |input_path = "data/facts.parquet"
+        |
+        |[[input_plugins]]
+        |module = "parquet_scan"
+        |label = "dims"
+        |[input_plugins.options]
+        |input_path = "data/dims.parquet"
+        |
+        |[[transform_plugins]]
+        |module = "join"
+        |[transform_plugins.options]
+        |right_label = "dims"
+        |on = ["k"]
+        |broadcast = true
+        |
+        |[[transform_plugins]]
+        |module = "sort"
+        |[transform_plugins.options]
+        |by = ["k"]
+        |
+        |[[output_plugins]]
+        |module = "parquet_writer"
+        |[output_plugins.options]
+        |output_path = "out/joined.parquet"
+        |""".stripMargin)
+    val config = Config.loadConfig(cfg).fold(e => fail(e.getMessage), identity)
+    val reg = Loader.loadPlugins(config, cfg).fold(e => fail(e.getMessage), identity)
+    assert(reg.inputs.map(_.label) == Seq("default", "dims"))
+    val result = Pipeline.runPipeline(reg.inputs, reg.transforms, reg.outputs)
+    assert(result.isRight, result.left.toOption.map(_.getMessage))
+    val out = spark.read.parquet(tmp.resolve("out/joined.parquet").toString)
+    assert(out.columns.toSeq == Seq("k", "v", "name"))
+    // inner join drops k=3 (no dim row)
+    assert(out.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(2))).toSeq == Seq((1L, "one"), (2L, "two")))
+  }
+
   implicit private class Tap[A](a: A) {
     def tap(f: A => Unit): A = { f(a); a }
   }
