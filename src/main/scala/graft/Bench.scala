@@ -24,6 +24,7 @@ object Bench {
     "q_agg_stats", "q_date_funcs", "q_json", "q_semi_join", "q_anti_join",
     "q_having", "q_union", "q_distinct", "q_when_then", "events_window",
     "q_pipeline_e2e", "q_asof_join", "q_rollup", "q_cube", "q_percentile",
+    "q_array_funcs",
     "dedup_exact", "dedup_fingerprint", "dedup_minhash_pairs",
     "dedup_simhash_pairs", "dedup_embedding_lsh",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",

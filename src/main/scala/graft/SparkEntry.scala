@@ -441,6 +441,17 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ---- array functions over embedding vectors ------------------
+    "q_array_funcs" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first_val"),
+          size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"),
+          r(aggregate(slice(col("embedding").cast("array<double>"), 1, 8),
+            lit(0.0), (acc, x) => acc + x), 4).as("head_sum"))
+        .orderBy("vec_id")),
+
     // ---- as-of join (time-series; compositional one-shuffle) -----
     "q_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -796,6 +807,14 @@ object SparkEntry {
         |  CAST(64 + (checksum % 64) AS INTEGER) AS height,
         |  checksum
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_val,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        |  r(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 4)
+        |    AS head_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH clicks AS (

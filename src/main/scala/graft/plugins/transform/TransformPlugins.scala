@@ -215,10 +215,24 @@ class GroupByAggPlugin(options: Map[String, Any], configDir: Path, label: String
     extends BaseTransformPlugin(options, configDir, label) {
   def name: String = "group_by_agg"
 
+  /** Two option shapes: `aggregations` = SQL aggregate expressions
+    * with aliases (primary), or the reference's documented shape
+    * (docs/plugin_development.md:1220-1227) `agg_columns` +
+    * `agg_fn` → one `fn(col) AS col_fn` per column. */
+  private def aggExprs(): Either[Throwable, Seq[String]] =
+    options.get("aggregations") match {
+      case Some(_) => stringList("aggregations")
+      case None =>
+        for {
+          cols <- stringList("agg_columns")
+          fn = options.get("agg_fn").map(_.toString).getOrElse("sum")
+        } yield cols.map(c => s"$fn($c) AS ${c}_$fn")
+    }
+
   private def build(df: DataFrame): Either[Throwable, DataFrame] =
     for {
       keys <- stringList("group_by")
-      aggs <- stringList("aggregations")
+      aggs <- aggExprs()
       _ <- if (aggs.isEmpty)
              Left(new PluginExecutionError("Option 'aggregations' must be non-empty"))
            else Right(())

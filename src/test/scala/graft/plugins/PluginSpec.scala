@@ -92,6 +92,12 @@ class PluginSpec extends AnyFunSuite {
       "aggregations" -> Seq("sum(v) as total", "count(*) as n")), dir, "default")
       .execute(df).toOption.get
     assert(agg.filter("g = 'x'").select("total").as[Double].head() == 40.0)
+    // reference-doc'd option shape: agg_columns + agg_fn
+    val refShape = new GroupByAggPlugin(Map(
+      "group_by" -> Seq("g"), "agg_columns" -> Seq("v"),
+      "agg_fn" -> "sum"), dir, "default").execute(df).toOption.get
+    assert(refShape.columns.toSeq == Seq("g", "v_sum"))
+    assert(refShape.filter("g = 'x'").select("v_sum").as[Double].head() == 40.0)
   }
 
   test("join plugin joins another labeled stream; broadcast hint applies") {
