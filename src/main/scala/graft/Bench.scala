@@ -28,7 +28,7 @@ object Bench {
     "dedup_exact", "dedup_fingerprint", "dedup_minhash_pairs",
     "dedup_simhash_pairs", "dedup_embedding_lsh",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
-    "sim_topk_brute", "sim_topk_lsh", "multimodal_meta")
+    "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "multimodal_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

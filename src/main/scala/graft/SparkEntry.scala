@@ -418,6 +418,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- similarity: IVF (k-means inverted lists) top-k ----------
+    "sim_topk_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .withColumn("cosine", r(col("cosine"), 6))
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- multimodal: binary payload + stub decode metadata -------
     "multimodal_meta" -> ((s, dir) => {
       val withPayload = t(s, dir, "documents")

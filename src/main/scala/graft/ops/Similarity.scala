@@ -98,22 +98,95 @@ object Similarity {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Approximate top-k via hyperplane-LSH bucketing: queries and
-    * corpus share signature buckets; each query ranks only its bucket.
-    * Recall is tuned by `planes` (fewer planes → bigger buckets →
-    * higher recall, more compute). */
+  /** Approximate top-k via IVF (inverted-file) partitioning: k-means
+    * centroids trained on (a sample of) the corpus, corpus vectors
+    * assigned to their nearest centroid list, queries probe the
+    * `nprobe` nearest lists. The classic ANN trade-off (FAISS-style):
+    * recall grows with nprobe, compute shrinks with nlist.
+    *
+    * Scale shape: training runs on a bounded sample; centroids are a
+    * tiny broadcast; assignment is one scan. The probe join is
+    * (query × nprobe) rows against centroid-keyed corpus lists — a
+    * co-partitioned equi-join, never all-pairs.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, embCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              queryIdOut: String = "query_id"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val c = withNormalized(
+      corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
+      "_e", "v_c").select(col("neighbor_id"), col("v_c"))
+    val q = withNormalized(
+      queries.select(col(idCol).as(queryIdOut), col(embCol).as("_e")),
+      "_e", "v_q").select(col(queryIdOut), col("v_q"))
+
+    val train = c.select(array_to_vector(
+      col("v_c").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(train)
+    val centroids = model.clusterCenters.map(_.toArray)
+
+    // Assign to nearest centroid(s) via a broadcast literal matrix:
+    // one pass, no UDF-side model state.
+    def centroidDists(vec: Column): Seq[(Int, Column)] =
+      centroids.toSeq.zipWithIndex.map { case (ctr, i) =>
+        val lit_c = array(ctr.map(lit): _*)
+        i -> aggregate(zip_with(vec, lit_c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      }
+
+    def nearestLists(vec: Column, n: Int): Column = {
+      val dists = array(centroidDists(vec).map { case (i, d) =>
+        struct(d.as("d"), lit(i).as("i")) }: _*)
+      slice(transform(array_sort(dists), s => s.getField("i")), 1, n)
+    }
+
+    val cAssigned = c.withColumn("list_id",
+      element_at(nearestLists(col("v_c"), 1), 1))
+    val qProbed = q.withColumn("list_id",
+      explode(nearestLists(col("v_q"), nprobe)))
+
+    val scored = cAssigned.join(broadcast(qProbed), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col(queryIdOut))
+      .select(col(queryIdOut), col("neighbor_id"),
+        dot(col("v_q"), col("v_c")).as("cosine"))
+    val w = Window.partitionBy(queryIdOut)
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Approximate top-k via hyperplane-LSH bucketing with multi-probe:
+    * the corpus is bucketed by its signature; each query probes its
+    * own bucket PLUS every bucket at Hamming distance 1 (flipping one
+    * hyperplane sign — the neighbors most likely to hide near
+    * vectors). Recall tuning: fewer planes → bigger buckets; probing
+    * all 1-bit flips multiplies candidate coverage by (planes+1) at
+    * the cost of (planes+1)× probe rows — still tiny, it's the query
+    * side that explodes, never the corpus. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, embCol: String, k: Int,
-              planes: Int = 6,
+              planes: Int = 6, multiProbe: Boolean = true,
               queryIdOut: String = "query_id"): DataFrame = {
     val c = withNormalized(
       corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
       "_e", "v_c").select("neighbor_id", "v_c")
       .withColumn("bucket", hyperplaneSignature(col("v_c"), planes))
-    val q = withNormalized(
+    val qSig = withNormalized(
       queries.select(col(idCol).as(queryIdOut), col(embCol).as("_e")),
       "_e", "v_q").select(queryIdOut, "v_q")
-      .withColumn("bucket", hyperplaneSignature(col("v_q"), planes))
+      .withColumn("_sig", hyperplaneSignature(col("v_q"), planes))
+    val probes =
+      if (multiProbe)
+        array((lit(0L) +: (0 until planes).map(b => lit(1L << b))): _*)
+      else array(lit(0L))
+    val q = qSig
+      .withColumn("bucket",
+        explode(transform(probes, m => col("_sig").bitwiseXOR(m))))
+      .drop("_sig")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col(queryIdOut))
       .select(col(queryIdOut), col("neighbor_id"),

@@ -147,6 +147,24 @@ class OpsSpec extends AnyFunSuite {
     assert(top(0).getAs[Double]("cosine") > 0.99 * (0.9 / math.sqrt(0.82)))
   }
 
+  test("ANN recall floors on real embeddings: IVF and multi-probe LSH") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5))
+    val ivf = pairs(Similarity.ivfTopK(e, q, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 3))
+    val lsh = pairs(Similarity.lshTopK(e, q, "vec_id", "embedding", 5,
+      planes = 4))
+    assert(brute.size == 50)
+    assert((brute & ivf).size.toDouble / brute.size >= 0.5,
+      s"IVF recall too low: ${(brute & ivf).size / 50.0}")
+    assert((brute & lsh).size.toDouble / brute.size >= 0.3,
+      s"LSH recall too low: ${(brute & lsh).size / 50.0}")
+  }
+
   test("Similarity: zero vector yields cosine 0, no NaN") {
     val vecs = Seq(
       (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
