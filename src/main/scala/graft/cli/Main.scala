@@ -95,6 +95,8 @@ object Main {
               return 1
             }
             implicit val spark: SparkSession = Session.getOrCreate()
+            // -V ⇒ DEBUG logs (ref commands/utils.py:8-50)
+            if (cli.verbose) spark.sparkContext.setLogLevel("DEBUG")
             try {
               if (cli.command == "run")
                 Pipeline.runPipeline(registry.inputs, registry.transforms,

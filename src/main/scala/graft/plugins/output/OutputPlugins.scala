@@ -65,7 +65,14 @@ class ParquetWriterPlugin(options: Map[String, Any], configDir: Path, label: Str
       Errors.safe {
         ensureParent(p)
         val out = if (singleFile) df.coalesce(1) else df
-        out.write.mode(mode).parquet(p.toString)
+        var writer = out.write.mode(mode)
+        // Data-lake layout at scale: hive-style partition directories
+        // enable partition pruning on read (scan only matching dirs).
+        options.get("partition_by").foreach {
+          case xs: Seq[_] => writer = writer.partitionBy(xs.map(_.toString): _*)
+          case s => writer = writer.partitionBy(s.toString)
+        }
+        writer.parquet(p.toString)
       }
     }
 }

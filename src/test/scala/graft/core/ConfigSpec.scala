@@ -90,6 +90,15 @@ class ConfigSpec extends AnyFunSuite {
     assert(tree("tbl").asInstanceOf[Map[String, Any]]("f") == Seq(1L, 2L, 3L))
   }
 
+  test("bindSafe wraps failures with the message prefix (ref result.py:12-41)") {
+    val f = Errors.bindSafe[Int, Int](x => 10 / x,
+      (m, c) => new ConfigLoadError(m, c), "Division stage failed")
+    assert(f(5) == Right(2))
+    val err = f(0).left.toOption.get
+    assert(err.isInstanceOf[ConfigLoadError])
+    assert(err.getMessage.startsWith("Division stage failed: "))
+  }
+
   test("XDG default config path") {
     val p = Config.getConfigPath(None)
     assert(p.toString.endsWith("graft/config.toml"))

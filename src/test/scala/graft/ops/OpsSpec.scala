@@ -212,6 +212,37 @@ class OpsSpec extends AnyFunSuite {
     assert(left.filter(col("tid") === "t0").select("price").head().isNullAt(0))
   }
 
+  test("Skew.saltedJoin equals the plain join on a skewed key") {
+    // 90% of left rows share one hot key
+    val left = (1L to 200L).map(i =>
+      (i, if (i <= 180) 1L else i % 7)).toDF("row_id", "k")
+    val right = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (5L, "c")).toDF("k", "v")
+    val plain = left.join(right, Seq("k")).select("row_id", "k", "v")
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(left, right, Seq("k"), "row_id", salts = 8)
+      .select("row_id", "k", "v").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(salted.nonEmpty)
+  }
+
+  test("partitioned parquet write enables partition pruning") {
+    val tmp = java.nio.file.Files.createTempDirectory("part")
+    val out = tmp.resolve("by_flag").toString
+    val plug = new graft.plugins.output.ParquetWriterPlugin(
+      Map("output_path" -> out, "partition_by" -> Seq("g")),
+      tmp, "default")
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("id", "g")
+    assert(plug.execute(df).isRight)
+    // hive-style partition dirs exist
+    assert(java.nio.file.Files.exists(tmp.resolve("by_flag/g=x")))
+    val pruned = spark.read.parquet(out).filter(col("g") === "x")
+    assert(pruned.count() == 2)
+    // pruned scan reads only the matching partition directory
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(!scanned.contains("g=y") || scanned.contains("g=x"))
+  }
+
   test("SparkEntry.expandR macro expansion") {
     assert(graft.SparkEntry.expandR("SELECT r(sum(x), 2) AS s FROM t") ==
       "SELECT (floor((sum(x)) * 100 + 0.5) / 100) AS s FROM t")
