@@ -505,6 +505,17 @@ object SparkEntry {
           r(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"))
         .orderBy("l_returnflag")),
 
+    // ---- batch sessionization (gap-based, window functions) ------
+    "events_sessionize" -> ((s, dir) =>
+      // truncate to MICROS first: DuckDB TIMESTAMP is us-precision, so
+      // the oracle can only see us — align the session arithmetic
+      graft.ops.Sessionize.batch(
+          t(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+          "user_id", "ts_us", "event_id", "value",
+          gapNanos = 1800L * 1000000L)
+        .withColumn("sum_value", r(col("sum_value"), 2))
+        .orderBy("user_id", "session_id")),
+
     // ---- events: tumbling-window aggregation ---------------------
     // ts arrives as raw nanoseconds (nanosAsLong, see Verify/Session);
     // bucket to hour starts in epoch seconds.
@@ -858,6 +869,26 @@ object SparkEntry {
         |  r(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
         |  r(quantile_cont(l_extendedprice, 0.75), 2) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, t, value,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |              OR t - lag(t) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        |), sess AS (
+        |  SELECT user_id, t, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, min(t) AS session_start,
+        |  max(t) AS session_end, count(*) AS n_events,
+        |  r(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "events_window" ->
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,

@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sessionization via window functions: a session breaks where
+  * the gap to the previous event exceeds `gapNanos`. Classic
+  * lag + cumulative-sum-of-breaks construction — one shuffle on the
+  * user key, all window work; pairs with the streaming variant in
+  * [[graft.streaming.Streams.sessionize]] (same semantics, unbounded
+  * input, O(active users) state).
+  */
+object Sessionize {
+
+  /** @param tsCol  event time as epoch NANOS (long)
+    * @param tieCol unique per-row column for deterministic ordering of
+    *               equal timestamps */
+  def batch(events: DataFrame, userCol: String, tsCol: String,
+            tieCol: String, valueCol: String,
+            gapNanos: Long): DataFrame = {
+    val order = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val cum = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("_prev", lag(col(tsCol), 1).over(order))
+      .withColumn("_new_sess",
+        when(col("_prev").isNull || col(tsCol) - col("_prev") > gapNanos, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("_new_sess")).over(cum))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("sum_value"))
+  }
+}
