@@ -422,7 +422,7 @@ object SparkEntry {
     "sim_topk_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6)
         .withColumn("cosine", r(col("cosine"), 6))
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")

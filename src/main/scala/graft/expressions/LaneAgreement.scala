@@ -1,0 +1,54 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Fraction of positions where two equal-length array<long> columns
+  * agree — the MinHash signature-agreement Jaccard estimator
+  * (P[minhash_i(A) == minhash_i(B)] = J(A,B), Broder 1997). One
+  * primitive loop per candidate pair instead of interpreted
+  * zip_with + filter + size (which allocates a boolean array and
+  * boxes every lane). */
+case class LaneAgreement(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "lane_agreement"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lane_agreement requires (array<bigint>, array<bigint>), got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var same = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) same += 1
+      i += 1
+    }
+    same.toDouble / n.toDouble
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LaneAgreement =
+    copy(left = newLeft, right = newRight)
+}
+
+object LaneAgreement {
+  def lane_agreement(a: Column, b: Column): Column =
+    ColumnShim.column(LaneAgreement(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+}

@@ -133,9 +133,8 @@ object Dedup {
       .join(sig.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sig.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => x === y), b => b)).cast("double") /
-          lit(numHashes.toDouble)).as("est_jaccard"))
+        graft.expressions.LaneAgreement.lane_agreement(
+          col("sig_a"), col("sig_b")).as("est_jaccard"))
   }
 
   /** Deduplicate: drop every doc that has a candidate partner with a

@@ -113,9 +113,6 @@ object Similarity {
               idCol: String, embCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
               queryIdOut: String = "query_id"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
     val c = withNormalized(
       corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
       "_e", "v_c").select(col("neighbor_id"), col("v_c"))
@@ -123,31 +120,23 @@ object Similarity {
       queries.select(col(idCol).as(queryIdOut), col(embCol).as("_e")),
       "_e", "v_q").select(col(queryIdOut), col("v_q"))
 
-    val train = c.select(array_to_vector(
-      col("v_c").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .fit(train)
-    val centroids = model.clusterCenters.map(_.toArray)
+    // FAISS-style training: a bounded deterministic sample to the
+    // driver, local Lloyd's, centroids broadcast as literals. No
+    // per-iteration cluster jobs (MLlib KMeans paid ~40 s of job
+    // overhead for 2000 vectors).
+    val trainSample = 2048
+    val sample = c.orderBy("neighbor_id").limit(trainSample)
+      .select("v_c").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centroids = KMeansLite.fit(sample, nlist, iters = 25, seed = 42L)
 
-    // Assign to nearest centroid(s) via a broadcast literal matrix:
-    // one pass, no UDF-side model state.
-    def centroidDists(vec: Column): Seq[(Int, Column)] =
-      centroids.toSeq.zipWithIndex.map { case (ctr, i) =>
-        val lit_c = array(ctr.map(lit): _*)
-        i -> aggregate(zip_with(vec, lit_c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x)
-      }
-
-    def nearestLists(vec: Column, n: Int): Column = {
-      val dists = array(centroidDists(vec).map { case (i, d) =>
-        struct(d.as("d"), lit(i).as("i")) }: _*)
-      slice(transform(array_sort(dists), s => s.getField("i")), 1, n)
-    }
-
+    // Assignment/probe via a custom expression carrying the centroid
+    // matrix with the serialized plan: one primitive loop per row.
+    import graft.expressions.NearestCentroids.nearest_centroids
     val cAssigned = c.withColumn("list_id",
-      element_at(nearestLists(col("v_c"), 1), 1))
+      element_at(nearest_centroids(col("v_c"), centroids, 1), 1))
     val qProbed = q.withColumn("list_id",
-      explode(nearestLists(col("v_q"), nprobe)))
+      explode(nearest_centroids(col("v_q"), centroids, nprobe)))
 
     val scored = cAssigned.join(broadcast(qProbed), Seq("list_id"))
       .filter(col("neighbor_id") =!= col(queryIdOut))
