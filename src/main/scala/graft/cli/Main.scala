@@ -66,7 +66,7 @@ object Main {
     val configPath = Config.getConfigPath(cli.config)
     Config.loadConfig(configPath) match {
       case Left(e) =>
-        System.err.println(s"[ERROR] ${e.getMessage}")
+        Console.err.println(s"[ERROR] ${e.getMessage}")
         1
       case Right(config) =>
         // Echo the plugin table (ref commands/run.py:23-35).
@@ -82,18 +82,21 @@ object Main {
 
         Loader.loadPlugins(config, configPath) match {
           case Left(e) =>
-            System.err.println(s"[ERROR] ${e.getMessage}")
+            Console.err.println(s"[ERROR] ${e.getMessage}")
             1
           case Right(registry) =>
             // Guards: ≥1 input and ≥1 output (ref run.py:51-57).
             if (registry.inputs.isEmpty) {
-              System.err.println("[ERROR] No input plugins configured")
+              Console.err.println("[ERROR] No input plugins configured")
               return 1
             }
             if (registry.outputs.isEmpty) {
-              System.err.println("[ERROR] No output plugins configured")
+              Console.err.println("[ERROR] No output plugins configured")
               return 1
             }
+            // Reuse an already-running session (e.g. library/test
+            // embedding) and only stop sessions this CLI created.
+            val preexisting = SparkSession.getDefaultSession.isDefined
             implicit val spark: SparkSession = Session.getOrCreate()
             // -V ⇒ DEBUG logs (ref commands/utils.py:8-50)
             if (cli.verbose) spark.sparkContext.setLogLevel("DEBUG")
@@ -104,7 +107,7 @@ object Main {
                   case Right(_) =>
                     println("[SUCCESS] Pipeline completed successfully"); 0
                   case Left(e) =>
-                    System.err.println(s"[ERROR] Pipeline failed: ${e.getMessage}"); 1
+                    Console.err.println(s"[ERROR] Pipeline failed: ${e.getMessage}"); 1
                 }
               else
                 Pipeline.runDryRunPipeline(registry.inputs, registry.transforms,
@@ -116,9 +119,9 @@ object Main {
                       println(s"  ${f.name}: ${f.dataType.simpleString}"))
                     println("[SUCCESS] Pipeline validation passed"); 0
                   case Left(e) =>
-                    System.err.println(s"[ERROR] Pipeline validation failed: ${e.getMessage}"); 1
+                    Console.err.println(s"[ERROR] Pipeline validation failed: ${e.getMessage}"); 1
                 }
-            } finally spark.stop()
+            } finally if (!preexisting) spark.stop()
         }
     }
   }
