@@ -23,7 +23,7 @@ object Bench {
     "q_groupby_agg", "q_join", "q_join_broadcast", "q_sort", "q_window",
     "q_agg_stats", "q_date_funcs", "q_json", "q_semi_join", "q_anti_join",
     "q_having", "q_union", "q_distinct", "q_when_then", "events_window",
-    "events_sessionize",
+    "events_sessionize", "q_range_join", "q_approx_sketch",
     "q_pipeline_e2e", "q_asof_join", "q_rollup", "q_cube", "q_percentile",
     "q_array_funcs",
     "dedup_exact", "dedup_fingerprint", "dedup_minhash_pairs",

@@ -505,6 +505,32 @@ object SparkEntry {
           r(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"))
         .orderBy("l_returnflag")),
 
+    // ---- range (interval) join: bucketized equi-join -------------
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_us").as("click_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts_us").as("view_us"))
+      graft.ops.RangeJoin.within(clicks, views, Seq("user_id"),
+          "click_us", "view_us", tolerance = 3600L * 1000000L)
+        .select("click_id", "view_id", "user_id")
+        .orderBy("click_id", "view_id")
+    }),
+
+    // ---- approximate sketches (HLL, approx percentile; no oracle) -
+    "q_approx_sketch" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          r(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 0)
+            .as("approx_median"))
+        .orderBy("l_returnflag")),
+
     // ---- batch sessionization (gap-based, window functions) ------
     "events_sessionize" -> ((s, dir) =>
       // truncate to MICROS first: DuckDB TIMESTAMP is us-precision, so
@@ -869,6 +895,19 @@ object SparkEntry {
         |  r(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
         |  r(quantile_cont(l_extendedprice, 0.75), 2) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_range_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |            FROM events),
+        |clicks AS (SELECT event_id AS click_id, user_id, ts_us AS click_us
+        |           FROM ev WHERE event_type = 'click'),
+        |views AS (SELECT event_id AS view_id, user_id, ts_us AS view_us
+        |          FROM ev WHERE event_type = 'view')
+        |SELECT click_id, view_id, c.user_id AS user_id
+        |FROM clicks c JOIN views v
+        |  ON c.user_id = v.user_id
+        | AND abs(c.click_us - v.view_us) <= 3600000000
+        |ORDER BY click_id, view_id""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (

@@ -212,6 +212,20 @@ class OpsSpec extends AnyFunSuite {
     assert(left.filter(col("tid") === "t0").select("price").head().isNullAt(0))
   }
 
+  test("RangeJoin.within equals the naive inequality join (bucket edges included)") {
+    val l = Seq((1L, 0L, "a"), (1L, 100L, "b"), (2L, 50L, "c")).toDF("k", "lt", "lid")
+    val r = Seq((1L, 9L, "x"), (1L, 111L, "y"), (1L, 500L, "z"), (2L, 49L, "w"))
+      .toDF("k", "rt", "rid")
+    val got = RangeJoin.within(l, r, Seq("k"), "lt", "rt", tolerance = 10L)
+      .select("lid", "rid").collect().map(x => (x.getString(0), x.getString(1))).toSet
+    val naive = l.join(r, Seq("k"))
+      .filter(abs(col("lt") - col("rt")) <= 10)
+      .select("lid", "rid").collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(got == naive)
+    // (b@100, y@111) differs by 11 > tolerance 10 — correctly excluded
+    assert(got == Set(("a", "x"), ("c", "w")))
+  }
+
   test("Skew.saltedJoin equals the plain join on a skewed key") {
     // 90% of left rows share one hot key
     val left = (1L to 200L).map(i =>
