@@ -52,6 +52,8 @@ object Loader {
     "sql" -> "graft.plugins.transform.SqlPlugin",
     "dedup" -> "graft.plugins.transform.DedupPlugin",
     "text_analysis" -> "graft.plugins.transform.TextAnalysisPlugin",
+    "parquet_stream_scan" -> "graft.plugins.streaming.ParquetStreamScanPlugin",
+    "stream_parquet_writer" -> "graft.plugins.streaming.StreamParquetWriterPlugin",
     "parquet_writer" -> "graft.plugins.output.ParquetWriterPlugin",
     "csv_writer" -> "graft.plugins.output.CsvWriterPlugin",
     "ipc_writer" -> "graft.plugins.output.IpcWriterPlugin")

@@ -1,0 +1,96 @@
+package graft.plugins.streaming
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.core.{Errors, InputPlugin, OutputPlugin, PluginExecutionError}
+
+/** Streaming face of the pipeline: the SAME config format and the
+  * SAME transform plugins, with streaming sources/sinks. A streaming
+  * DataFrame is the same lazy plan type, so the whole §2B transform
+  * vocabulary (filter/select/with_column/group_by_agg/...) composes
+  * unchanged between `parquet_stream_scan` and `stream_parquet_writer`.
+  *
+  * The sink runs with `Trigger.AvailableNow`: process everything
+  * currently in the landing directory through the streaming engine
+  * (micro-batches, checkpointed offsets, exactly-once file sink),
+  * then stop — the batch-driven mode of a continuously-running
+  * pipeline. Re-running the same config picks up only NEW files via
+  * the checkpoint: incremental ingestion from a config file.
+  */
+class ParquetStreamScanPlugin(val options: Map[String, Any],
+                              val configDir: Path,
+                              override val label: String)
+    extends InputPlugin {
+  def name: String = "parquet_stream_scan"
+
+  private def inputPath(): Either[Throwable, Path] =
+    options.get("input_path") match {
+      case None => Left(new PluginExecutionError("Option 'input_path' is required"))
+      case Some(p) =>
+        val resolved = resolvePath(p.toString)
+        if (!Files.isDirectory(resolved))
+          Left(new PluginExecutionError(
+            s"Streaming input must be a directory of files: $resolved"))
+        else Right(resolved)
+    }
+
+  def execute()(implicit spark: SparkSession): Either[Throwable, DataFrame] =
+    inputPath().flatMap { p =>
+      Errors.safe {
+        // schema from the current files' footers (required by readStream)
+        val schema = spark.read.parquet(p.toString).schema
+        spark.readStream.schema(schema).parquet(p.toString)
+      }
+    }
+
+  def dryRun()(implicit spark: SparkSession): Either[Throwable, StructType] =
+    inputPath().flatMap(p => Errors.safe(spark.read.parquet(p.toString).schema))
+}
+
+/** Streaming parquet sink with checkpointed exactly-once semantics. */
+class StreamParquetWriterPlugin(val options: Map[String, Any],
+                                val configDir: Path,
+                                override val label: String)
+    extends OutputPlugin {
+  def name: String = "stream_parquet_writer"
+
+  private def outputPath(): Either[Throwable, Path] =
+    options.get("output_path") match {
+      case None => Left(new PluginExecutionError("Option 'output_path' is required"))
+      case Some(p) => Right(resolvePath(p.toString))
+    }
+
+  def execute(df: DataFrame): Either[Throwable, Unit] =
+    outputPath().flatMap { p =>
+      Errors.safe {
+        if (!df.isStreaming)
+          throw new PluginExecutionError(
+            s"$name requires a streaming input (use parquet_stream_scan)")
+        val checkpoint = options.get("checkpoint")
+          .map(c => resolvePath(c.toString).toString)
+          .getOrElse(p.toString + "_checkpoint")
+        val mode = options.get("output_mode").map(_.toString).getOrElse("append")
+        val q = df.writeStream
+          .format("parquet")
+          .option("path", p.toString)
+          .option("checkpointLocation", checkpoint)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    outputPath().flatMap { p =>
+      Errors.safe {
+        val parent = p.toAbsolutePath.getParent
+        if (parent != null) Files.createDirectories(parent)
+        schema
+      }
+    }
+}

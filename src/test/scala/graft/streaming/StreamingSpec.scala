@@ -58,6 +58,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(col("event_type") =!= "click").count() == 0)
   }
 
+  test("config-driven streaming pipeline: stream scan -> filter -> stream write, incremental") {
+    import graft.core.{Config, Loader, Pipeline}
+    val tmp = Files.createTempDirectory("streamcfg")
+    val landing = tmp.resolve("landing")
+    Files.createDirectories(landing)
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      landing.resolve("batch1.parquet"))
+    val cfg = tmp.resolve("config.toml")
+    Files.writeString(cfg,
+      """
+        |[[input_plugins]]
+        |module = "parquet_stream_scan"
+        |[input_plugins.options]
+        |input_path = "landing"
+        |
+        |[[transform_plugins]]
+        |module = "filter"
+        |[transform_plugins.options]
+        |predicate = "event_type = 'click'"
+        |
+        |[[output_plugins]]
+        |module = "stream_parquet_writer"
+        |[output_plugins.options]
+        |output_path = "out/clicks"
+        |""".stripMargin)
+    val config = Config.loadConfig(cfg).fold(e => fail(e.getMessage), identity)
+    val reg = Loader.loadPlugins(config, cfg).fold(e => fail(e.getMessage), identity)
+    assert(Pipeline.runPipeline(reg.inputs, reg.transforms, reg.outputs).isRight)
+
+    val batchClicks = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .filter(col("event_type") === "click").count()
+    val out = tmp.resolve("out/clicks").toString
+    assert(spark.read.parquet(out).count() == batchClicks)
+
+    // incremental: re-run with one extra landed file; checkpoint
+    // ensures only the NEW file is processed (no duplicates)
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      landing.resolve("batch2.parquet"))
+    assert(Pipeline.runPipeline(reg.inputs, reg.transforms, reg.outputs).isRight)
+    assert(spark.read.parquet(out).count() == 2 * batchClicks)
+
+    // dry run validates the streaming pipeline schema without execution
+    val dry = Pipeline.runDryRunPipeline(reg.inputs, reg.transforms, reg.outputs)
+    assert(dry.toOption.get.fieldNames.contains("event_type"))
+  }
+
   test("sessionize groups events within the gap into one session") {
     import Streams.{Event, SessionSummary}
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
