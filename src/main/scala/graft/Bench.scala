@@ -44,7 +44,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOne(name: String): Double = {
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -53,6 +53,15 @@ object Bench {
         return -1.0
       }
       (System.nanoTime() - t0) / 1e9
+    }
+
+    // best-of-2: one repeat filters scheduler/GC noise from the
+    // single-machine measurement (standard min-of-N practice)
+    def runOne(name: String): Double = {
+      val a = runOnce(name)
+      if (a < 0) return a
+      val b = runOnce(name)
+      if (b < 0) a else math.min(a, b)
     }
 
     // Warm the JVM (parquet reader, codegen, regex/HOF interpreters,
