@@ -495,14 +495,16 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
-    // ---- exact percentiles (interpolated) ------------------------
+    // ---- exact percentiles (window construction, O(1) task mem) --
     "q_percentile" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          r(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
-          r(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-          r(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"))
+      graft.ops.Percentiles.exactInterpolated(
+          t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice"),
+          Seq("l_returnflag"), "l_extendedprice",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+        .select(col("l_returnflag"),
+          r(col("p25"), 2).as("p25"),
+          r(col("p50"), 2).as("p50"),
+          r(col("p75"), 2).as("p75"))
         .orderBy("l_returnflag")),
 
     // ---- range (interval) join: bucketized equi-join -------------
