@@ -369,7 +369,7 @@ object SparkEntry {
 
     // ---- text token counting -------------------------------------
     "text_tokens" -> ((s, dir) =>
-      t(s, dir, "documents")
+      tBalanced(s, dir, "documents")
         .select(col("doc_id"),
           Text.tokenCount(col("text")).cast("long").as("n_tokens"),
           Text.tokenCountBpe(col("text")).cast("long").as("n_tokens_bpe"))
@@ -377,7 +377,7 @@ object SparkEntry {
 
     // ---- text quality scoring (staged metrics, computed once) ----
     "text_quality" -> ((s, dir) =>
-      Text.withQualityMetrics(t(s, dir, "documents"), "text")
+      Text.withQualityMetrics(tBalanced(s, dir, "documents"), "text")
         .select(col("doc_id"),
           col("_len").cast("long").as("n_chars_m"),
           r(col("_praw"), 4).as("punct_ratio"),
@@ -388,7 +388,7 @@ object SparkEntry {
 
     // ---- language identification (staged scores) -----------------
     "text_langid" -> ((s, dir) =>
-      Text.withLangId(t(s, dir, "documents"), "text")
+      Text.withLangId(tBalanced(s, dir, "documents"), "text")
         .select(col("doc_id"), col("lang_guess"))
         .orderBy("doc_id")),
 
