@@ -206,6 +206,27 @@ object SparkEntry {
           col("p_name").like("%el%").as("has_el"))
         .orderBy("p_partkey")),
 
+    // ---- advanced string functions -------------------------------
+    "q_string_advanced" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"),
+          expr("split_part(p_name, ' ', 1)").as("first_word"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_padded"),
+          reverse(col("p_brand")).as("brand_rev"))
+        .orderBy("p_partkey")),
+
+    // ---- advanced date functions ---------------------------------
+    "q_date_advanced" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          quarter(col("o_orderdate")).as("qtr"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          dayofmonth(col("o_orderdate")).as("dom"))
+        .orderBy("o_orderkey")),
+
     // ---- distinct ------------------------------------------------
     "q_distinct" -> ((s, dir) =>
       t(s, dir, "customer")
@@ -639,6 +660,23 @@ object SparkEntry {
         |  CAST(length(p_name) AS INTEGER) AS name_len,
         |  (p_name LIKE '%el%') AS has_el
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_string_advanced" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  concat_ws('-', p_brand, p_type) AS brand_type,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+        |  reverse(p_brand) AS brand_rev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_date_advanced" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_distinct" ->
       """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
