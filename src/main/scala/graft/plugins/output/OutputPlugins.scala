@@ -72,7 +72,25 @@ class ParquetWriterPlugin(options: Map[String, Any], configDir: Path, label: Str
           case xs: Seq[_] => writer = writer.partitionBy(xs.map(_.toString): _*)
           case s => writer = writer.partitionBy(s.toString)
         }
-        writer.parquet(p.toString)
+        // Bucketed tables: co-locate join/agg keys at WRITE time so
+        // repeated joins on the bucket key run with NO shuffle on
+        // either side (bucket-aware scan). Requires a catalog table
+        // (`table` option); data still lands under output_path.
+        (options.get("bucket_by"), options.get("table")) match {
+          case (Some(by), Some(tbl)) =>
+            val cols = by match {
+              case xs: Seq[_] => xs.map(_.toString)
+              case s => Seq(s.toString)
+            }
+            val n = options.get("buckets").map(_.toString.toInt).getOrElse(16)
+            writer
+              .bucketBy(n, cols.head, cols.tail: _*)
+              .sortBy(cols.head, cols.tail: _*)
+              .option("path", p.toString)
+              .saveAsTable(tbl.toString)
+          case _ =>
+            writer.parquet(p.toString)
+        }
       }
     }
 }
