@@ -37,15 +37,20 @@ object SparkEntry {
   private def tBalanced(s: SparkSession, dir: String, name: String): DataFrame =
     t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
 
-  /** Engine-agnostic fixed-point rounding: floor(x*10^p + 0.5)/10^p.
-    * Spark round() (BigDecimal HALF_UP on the exact binary expansion)
-    * and DuckDB round() disagree on boundary representations; this
-    * formula is pure IEEE double ops, so both engines produce
-    * bit-identical results. The oracle SQL uses the same `r(x, p)`
-    * macro, expanded to the identical formula by [[expandR]]. */
+  /** Engine-agnostic fixed-point rounding:
+    * floor(x*10^p + 0.5 + 1e-6)/10^p. Spark round() (BigDecimal
+    * HALF_UP on the exact binary expansion) and DuckDB round()
+    * disagree on boundary representations; this formula is pure IEEE
+    * double ops, so both engines produce bit-identical results. The
+    * 1e-6 nudge handles values that land EXACTLY on a .xx5 midpoint
+    * (systematic for interpolated percentiles of 2-decimal prices):
+    * each engine's last-bit noise would otherwise flip the floor on
+    * one side only; with the nudge both engines round such values up
+    * consistently. The oracle SQL uses the same `r(x, p)` macro,
+    * expanded to the identical formula by [[expandR]]. */
   private def r(c: org.apache.spark.sql.Column, p: Int): org.apache.spark.sql.Column = {
     val f = math.pow(10, p)
-    floor(c * f + 0.5) / f
+    floor(c * f + 0.5 + 1e-6) / f
   }
 
   /** Expand `r(X, p)` occurrences in oracle SQL into
@@ -77,7 +82,7 @@ object SparkEntry {
         val x = expandR(inner.substring(0, cut).trim)
         val p = inner.substring(cut + 1).trim.toInt
         val f = "1" + ("0" * p)
-        sb.append(s"(floor(($x) * $f + 0.5) / $f)")
+        sb.append(s"(floor(($x) * $f + 0.5 + 0.000001) / $f)")
         i = j
       } else { sb.append(sql(i)); i += 1 }
     }

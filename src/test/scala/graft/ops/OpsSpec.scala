@@ -259,9 +259,9 @@ class OpsSpec extends AnyFunSuite {
 
   test("SparkEntry.expandR macro expansion") {
     assert(graft.SparkEntry.expandR("SELECT r(sum(x), 2) AS s FROM t") ==
-      "SELECT (floor((sum(x)) * 100 + 0.5) / 100) AS s FROM t")
+      "SELECT (floor((sum(x)) * 100 + 0.5 + 0.000001) / 100) AS s FROM t")
     assert(graft.SparkEntry.expandR("floor(x) + year(d)") == "floor(x) + year(d)")
     assert(graft.SparkEntry.expandR("r(r(x, 4) * 2, 2)") ==
-      "(floor(((floor((x) * 10000 + 0.5) / 10000) * 2) * 100 + 0.5) / 100)")
+      "(floor(((floor((x) * 10000 + 0.5 + 0.000001) / 10000) * 2) * 100 + 0.5 + 0.000001) / 100)")
   }
 }
