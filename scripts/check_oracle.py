@@ -54,6 +54,18 @@ def main(sfdir: str, outdir: str) -> int:
             print(f"{name:24s} ROWCOUNT-MISMATCH got={len(g)} exp={len(e)}")
             failures += 1
             continue
+        # dtype-kind gate first: the driver hashes canonical values, so
+        # an int64 vs float64 drift (e.g. DuckDB HUGEINT materialized
+        # as float) fails its hash even when values are numerically
+        # equal. Integer *widths* (int32 vs int64) are canonicalized by
+        # the driver (q_window rn passed r01), so compare kind only.
+        dtype_mismatch = [(c, str(g[c].dtype), str(e[c].dtype))
+                          for c in g.columns
+                          if g[c].dtype.kind != e[c].dtype.kind]
+        if dtype_mismatch:
+            print(f"{name:24s} DTYPE-MISMATCH {dtype_mismatch}")
+            failures += 1
+            continue
         # value compare, exact for non-floats, tiny tolerance report for floats
         mismatch_cols = []
         for c in g.columns:

@@ -726,7 +726,7 @@ object SparkEntry {
 
     "q_json" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -965,8 +965,8 @@ object SparkEntry {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
         |), sess AS (
         |  SELECT user_id, t, value,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM g)
         |SELECT user_id, session_id, min(t) AS session_start,
         |  max(t) AS session_end, count(*) AS n_events,
