@@ -21,34 +21,39 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential dot product of two array<double> columns. */
+  /** Sequential dot product of two array<double> columns — primitive
+    * loop ([[graft.expressions.VectorKernels.DotProductDouble]]),
+    * bit-identical to the left-to-right `aggregate(zip_with(...))`
+    * reference form ([[dotHof]], kept for parity tests). */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.VectorKernels.dot_product_double(a, b)
+
+  /** Reference HOF formulation of [[dot]] — parity pin only. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cast to double and L2-normalize, so cosine = dot. Zero vectors
     * stay zero (cosine 0 against everything) rather than NaN.
-    *
-    * NOTE: as a single nested expression the norm subtree is embedded
-    * in the per-element division lambda and re-evaluated per element
-    * (HOFs skip codegen/CSE). Fine for one-off use on small frames;
-    * hot paths use [[withNormalized]], which stages the norm as a
-    * projected column. */
-  def normalized(a: Column): Column = {
+    * One primitive loop per row
+    * ([[graft.expressions.VectorKernels.L2NormalizeDouble]]). */
+  def normalized(a: Column): Column =
+    graft.expressions.VectorKernels.l2_normalize_double(a.cast("array<double>"))
+
+  /** Reference HOF formulation of [[normalized]] — parity pin only.
+    * (The norm subtree is re-evaluated per element; never use hot.) */
+  def normalizedHof(a: Column): Column = {
     val d = a.cast("array<double>")
-    val n = norm(d)
+    val n = sqrt(dotHof(d, d))
     when(n === 0.0, d).otherwise(transform(d, x => x / n))
   }
 
-  /** Staged projection variant: attach `out` = L2-normalized
-    * array<double> of `embCol`, computing the norm once per row. */
+  /** Attach `out` = L2-normalized array<double> of `embCol`. (With the
+    * kernel expression the staging indirection is no longer needed for
+    * performance; kept as the call-site idiom.) */
   def withNormalized(df: DataFrame, embCol: String, out: String): DataFrame =
-    df.withColumn("_vd", col(embCol).cast("array<double>"))
-      .withColumn("_n", norm(col("_vd")))
-      .withColumn(out, when(col("_n") === 0.0, col("_vd"))
-        .otherwise(transform(col("_vd"), x => x / col("_n"))))
-      .drop("_vd", "_n")
+    df.withColumn(out, normalized(col(embCol)))
 
   def cosine(a: Column, b: Column): Column = {
     val na = norm(a) * norm(b)
@@ -84,8 +89,22 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane signature: `planes` sign
     * bits, plane p's component for dimension i derived from
     * xxhash64(p, i) — reproducible without shipping a matrix, cheap to
-    * evaluate, and identical on every executor. */
+    * evaluate, and identical on every executor.
+    *
+    * Evaluated by [[graft.expressions.HyperplaneSignature64]]: one
+    * primitive loop per row over a per-task weight table. The
+    * equivalent interpreted-HOF formulation ([[hyperplaneSignatureHof]],
+    * kept as the parity reference) re-hashes every (plane, dim) pair
+    * per row inside nested aggregate/zip_with/transform subtrees and
+    * dominated `dedup_embedding_lsh` (1.18 s for 2 k vectors at sf0.1).
+    */
   def hyperplaneSignature(vec: Column, planes: Int): Column =
+    graft.expressions.HyperplaneSignature64.hyperplane_signature64(vec, planes)
+
+  /** Reference formulation of [[hyperplaneSignature]] in pure
+    * built-ins — bit-for-bit equal output, kept only to pin the custom
+    * expression's semantics in tests. Do not use in hot paths. */
+  def hyperplaneSignatureHof(vec: Column, planes: Int): Column =
     (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(vec,

@@ -257,6 +257,52 @@ class OpsSpec extends AnyFunSuite {
     assert(!scanned.contains("g=y") || scanned.contains("g=x"))
   }
 
+  test("HyperplaneSignature64 expression matches the HOF reference bit-for-bit") {
+    // real embeddings (including negatives and varied magnitudes) plus
+    // degenerate shapes: zero vector, single dim
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    for (planes <- Seq(1, 6, 16, 63)) {
+      val mismatches = emb.select(
+          Similarity.hyperplaneSignature(col("v"), planes).as("fast"),
+          Similarity.hyperplaneSignatureHof(col("v"), planes).as("ref"))
+        .filter(col("fast") =!= col("ref")).count()
+      assert(mismatches == 0L, s"planes=$planes")
+    }
+    val edge = Seq(Array(0.0, 0.0, 0.0), Array(-1.5)).toDF("v")
+    val rows = edge.select(
+      Similarity.hyperplaneSignature(col("v"), 8).as("fast"),
+      Similarity.hyperplaneSignatureHof(col("v"), 8).as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("VectorKernels dot/normalize match the HOF references bit-for-bit") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // dot(v, reverse(v)) exercises distinct operands; compare exact bits
+    val dotMis = emb.select(
+        Similarity.dot(col("v"), reverse(col("v"))).as("fast"),
+        Similarity.dotHof(col("v"), reverse(col("v"))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(dotMis == 0L)
+    val normMis = emb.select(
+        Similarity.normalized(col("v")).as("fast"),
+        Similarity.normalizedHof(col("v")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(normMis == 0L)
+    // edge cases: zero vector passes through; length mismatch → null dot
+    val edge = Seq((Array(0.0, 0.0), Array(1.0, 2.0, 3.0))).toDF("z", "w")
+    val r = edge.select(
+      Similarity.normalized(col("z")).as("nz"),
+      Similarity.dot(col("z"), col("w")).as("d")).head()
+    assert(r.getSeq[Double](0) == Seq(0.0, 0.0))
+    assert(r.isNullAt(1))
+  }
+
   test("SparkEntry.expandR macro expansion") {
     assert(graft.SparkEntry.expandR("SELECT r(sum(x), 2) AS s FROM t") ==
       "SELECT (floor((sum(x)) * 100 + 0.5 + 0.000001) / 100) AS s FROM t")
