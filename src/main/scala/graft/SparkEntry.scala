@@ -900,6 +900,16 @@ object SparkEntry {
         |  checksum
         |FROM d ORDER BY doc_id""".stripMargin,
 
+    "multimodal_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT doc_id, CAST(f.range AS INTEGER) AS frame_idx,
+        |  CAST(floor(f.range * n_bytes / 4.0) AS BIGINT) AS "offset",
+        |  n_bytes
+        |FROM d CROSS JOIN range(4) f
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "q_array_funcs" ->
       """SELECT vec_id, len(embedding) AS dim,
         |  CAST(embedding[1] AS DOUBLE) AS first_val,
