@@ -43,46 +43,61 @@ case class HyperplaneSignature64(child: Expression, planes: Int)
         s"hyperplane_signature64 requires array<double>, got ${other.simpleString}")
     }
 
+  // The HOF reference form never yields NULL: a NULL vector, an empty
+  // array, or a null element all poison the projection, so every
+  // `when(proj >= 0, bit)` takes the `otherwise(0)` branch → 0L.
+  override def nullable: Boolean = false
+
   // Weight table cache, grown to the largest dimensionality seen on
   // this task. planes × dim doubles (e.g. 16 × 1024 = 128 KiB) — tiny,
   // rebuilt at most log-ish times if dims vary, usually once.
-  @transient private var table: Array[Array[Double]] = _
-  @transient private var tableDim: Int = -1
+  // Published as ONE (dim, table) reference so a concurrent reader can
+  // never pair a new dim with a stale smaller table.
+  @transient private var cache: (Int, Array[Array[Double]]) = _
 
-  private def ensureTable(dim: Int): Unit = {
-    if (table == null || dim > tableDim) {
-      val t = Array.ofDim[Double](planes, dim)
-      var p = 0
-      while (p < planes) {
-        // xxhash64(p, i) == hashInt(i, hashInt(p, seed=42)) — Spark
-        // folds the hash left-to-right over the argument list.
-        val hp = XXH64.hashInt(p, 42L)
-        val row = t(p)
-        var i = 0
-        while (i < dim) {
-          val h = XXH64.hashInt(i, hp)
-          // pmod(h, 2) == 0 → +1 else -1
-          row(i) = if ((h & 1L) == 0L) 1.0 else -1.0
-          i += 1
-        }
-        p += 1
+  private def tableFor(dim: Int): Array[Array[Double]] = {
+    val c = cache
+    if (c != null && dim <= c._1) return c._2
+    val t = Array.ofDim[Double](planes, dim)
+    var p = 0
+    while (p < planes) {
+      // xxhash64(p, i) == hashInt(i, hashInt(p, seed=42)) — Spark
+      // folds the hash left-to-right over the argument list.
+      val hp = XXH64.hashInt(p, 42L)
+      val row = t(p)
+      var i = 0
+      while (i < dim) {
+        val h = XXH64.hashInt(i, hp)
+        // pmod(h, 2) == 0 → +1 else -1
+        row(i) = if ((h & 1L) == 0L) 1.0 else -1.0
+        i += 1
       }
-      table = t
-      tableDim = dim
+      p += 1
     }
+    cache = (dim, t)
+    t
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData].toDoubleArray()
-    val dim = v.length
-    ensureTable(dim)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val value = child.eval(input)
+    if (value == null) return 0L // HOF parity: NULL vector → 0L
+    val arr = value.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    if (dim == 0) return 0L // HOF parity: empty → null-poisoned proj → 0L
+    var i = 0
+    while (i < dim) { // HOF parity: null element poisons every plane
+      if (arr.isNullAt(i)) return 0L
+      i += 1
+    }
+    val v = arr.toDoubleArray()
+    val table = tableFor(dim)
     var sig = 0L
     var p = 0
     while (p < planes) {
       val w = table(p)
       var s = 0.0
-      var i = 0
-      while (i < dim) { s += v(i) * w(i); i += 1 }
+      var j = 0
+      while (j < dim) { s += v(j) * w(j); j += 1 }
       if (s >= 0.0) sig |= (1L << p)
       p += 1
     }

@@ -5,7 +5,6 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -16,9 +15,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * A custom Catalyst `Expression` rather than a Scala UDF: operates on
   * `UTF8String` bytes directly (no JVM String materialization per
-  * token) and uses Spark's internal XXH64, so per-row cost is one pass
-  * over token bytes plus a 64-lane counter update. Per-row and
-  * shuffle-free — embarrassingly parallel at 100 TB.
+  * token), so per-row cost is one token-bytes digest plus a 64-lane
+  * counter update. Per-row and shuffle-free — embarrassingly parallel
+  * at 100 TB.
+  *
+  * The per-token 64-bit hash is the BIG-ENDIAN FIRST 8 BYTES OF MD5
+  * (same cross-engine rationale as `Text.fingerprint`): md5 exists in
+  * every SQL engine, so the full signature — and therefore the
+  * Hamming-distance pair set — is exactly reproducible in the DuckDB
+  * oracle. xxhash64 would be ~5× cheaper per token but is not
+  * portable; signature cost is a tiny fraction of the scan either way.
   *
   * Implements the reference-free extension tier (SURVEY §7 step 8);
   * near-dup semantics follow the public SimHash literature, not any
@@ -39,6 +45,12 @@ case class SimHash64(child: Expression)
           s"simhash64 requires array<string>, got ${other.simpleString}")
     }
 
+  // One digest instance per expression instance (plans deserialize one
+  // per task; MessageDigest is not thread-safe but tasks are
+  // single-threaded — same assumption as HyperplaneSignature64's table).
+  @transient private lazy val md5 =
+    java.security.MessageDigest.getInstance("MD5")
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val counts = new Array[Int](64)
@@ -47,8 +59,13 @@ case class SimHash64(child: Expression)
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val tok = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(
-          tok.getBaseObject, tok.getBaseOffset, tok.numBytes, 42L)
+        md5.reset()
+        val digest = md5.digest(tok.getBytes)
+        // big-endian first 8 bytes → the same value DuckDB reads off
+        // the first 16 hex chars of md5(token)
+        var h = 0L
+        var j = 0
+        while (j < 8) { h = (h << 8) | (digest(j) & 0xffL); j += 1 }
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

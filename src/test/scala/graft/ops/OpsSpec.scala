@@ -153,15 +153,17 @@ class OpsSpec extends AnyFunSuite {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // default params (IVF nlist=8/nprobe=7, LSH planes=4/probeBits=3)
+    // are tuned to hold recall@5 ≥ 0.9 on the isotropic fixtures at
+    // every SF (measured 0.96-1.0; see BASELINE.md) — the floor here
+    // is the quality bar, not a pass-anything guard.
     val brute = pairs(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5))
-    val ivf = pairs(Similarity.ivfTopK(e, q, "vec_id", "embedding", 5,
-      nlist = 8, nprobe = 3))
-    val lsh = pairs(Similarity.lshTopK(e, q, "vec_id", "embedding", 5,
-      planes = 4))
+    val ivf = pairs(Similarity.ivfTopK(e, q, "vec_id", "embedding", 5))
+    val lsh = pairs(Similarity.lshTopK(e, q, "vec_id", "embedding", 5))
     assert(brute.size == 50)
-    assert((brute & ivf).size.toDouble / brute.size >= 0.5,
+    assert((brute & ivf).size.toDouble / brute.size >= 0.9,
       s"IVF recall too low: ${(brute & ivf).size / 50.0}")
-    assert((brute & lsh).size.toDouble / brute.size >= 0.3,
+    assert((brute & lsh).size.toDouble / brute.size >= 0.9,
       s"LSH recall too low: ${(brute & lsh).size / 50.0}")
   }
 
@@ -276,6 +278,22 @@ class OpsSpec extends AnyFunSuite {
       Similarity.hyperplaneSignature(col("v"), 8).as("fast"),
       Similarity.hyperplaneSignatureHof(col("v"), 8).as("ref")).collect()
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // degenerate inputs: NULL vector, empty array, null element — the
+    // HOF's null-poisoned projection takes the otherwise(0) branch on
+    // every plane, so all three must yield 0L (and never NULL)
+    val degen = Seq(
+      (1L, Some(Seq(Option(1.0), None, Option(2.0)))),
+      (2L, Some(Seq.empty[Option[Double]])),
+      (3L, Option.empty[Seq[Option[Double]]])
+    ).toDF("id", "v")
+    val dRows = degen.select(
+      Similarity.hyperplaneSignature(col("v"), 8).as("fast"),
+      Similarity.hyperplaneSignatureHof(col("v"), 8).as("ref")).collect()
+    dRows.foreach { r =>
+      assert(!r.isNullAt(0) && r.getLong(0) == 0L)
+      assert(!r.isNullAt(1) && r.getLong(1) == 0L)
+      assert(r.getLong(0) == r.getLong(1))
+    }
   }
 
   test("VectorKernels dot/normalize match the HOF references bit-for-bit") {
