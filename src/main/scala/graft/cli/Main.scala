@@ -87,11 +87,11 @@ object Main {
           case Right(registry) =>
             // Guards: ≥1 input and ≥1 output (ref run.py:51-57).
             if (registry.inputs.isEmpty) {
-              Console.err.println("[ERROR] No input plugins configured")
+              Console.err.println("[ERROR] No input plugin configured")
               return 1
             }
             if (registry.outputs.isEmpty) {
-              Console.err.println("[ERROR] No output plugins configured")
+              Console.err.println("[ERROR] No output plugin configured")
               return 1
             }
             // Reuse an already-running session (e.g. library/test

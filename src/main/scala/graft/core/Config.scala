@@ -13,15 +13,21 @@ import java.nio.file.{Files, Path, Paths}
   * The config surface stays TOML for parity with the reference's
   * examples (examples/config.toml). The offline environment forbids new
   * dependencies, so `Toml` below is a minimal hand-rolled parser
-  * covering exactly the constructs the reference uses — array-of-tables
-  * `[[x]]`, nested tables `[x.options]`, scalar/array values — plus
-  * inline arrays for our richer built-in plugins.
+  * covering the constructs the reference's `tomllib` accepts in real
+  * configs — array-of-tables `[[x]]`, nested tables `[x.options]`,
+  * scalar values, single- and multi-line arrays, inline tables.
+  *
+  * `name` is left defaultable on the case class for programmatic
+  * construction convenience, but [[Config.loadConfig]] REQUIRES it in
+  * the TOML (pydantic `name: str` has no default — config.py:14-21),
+  * as it requires all three plugin-list keys (config.py:24-29).
   */
 final case class PluginConfig(
     module: String,
     enabled: Boolean = true,
     label: String = "default",
-    options: Map[String, Any] = Map.empty)
+    options: Map[String, Any] = Map.empty,
+    name: String = "")
 
 final case class GraftConfig(
     inputPlugins: Seq[PluginConfig] = Seq.empty,
@@ -50,29 +56,35 @@ object Config {
       text <- Errors.safe(Files.readString(p)).left.map(e =>
         new ConfigLoadError(s"Failed to read config file: ${e.getMessage}", e))
       tree <- Toml.parse(text).left.map(e =>
-        new ConfigLoadError(s"Failed to parse config file: ${e.getMessage}", e))
+        new ConfigLoadError(s"Failed to parse TOML config: ${e.getMessage}", e))
       cfg <- validate(tree).left.map(e =>
-        new ConfigLoadError(s"Invalid config: ${e.getMessage}", e))
+        new ConfigLoadError(s"Config validation failed: ${e.getMessage}", e))
     } yield cfg
 
+  /** Mirrors the pydantic models (config.py:14-29): `name` and
+    * `module` are required per entry, the three plugin-list keys are
+    * required at top level; error text follows pydantic's
+    * "<loc>: Field required" shape. */
   private def validate(tree: Map[String, Any]): Either[Throwable, GraftConfig] =
     Errors.safe {
       def pluginList(key: String): Seq[PluginConfig] =
         tree.get(key) match {
-          case None => Seq.empty
+          case None =>
+            throw new ConfigLoadError(s"$key: Field required")
           case Some(xs: Seq[_]) =>
-            xs.map {
-              case m: Map[_, _] =>
+            xs.zipWithIndex.map {
+              case (m: Map[_, _], idx) =>
                 val entry = m.asInstanceOf[Map[String, Any]]
-                val module = entry.getOrElse("module",
-                  throw new ConfigLoadError(
-                    s"$key entry missing required field 'module'")).toString
+                def required(field: String): String =
+                  entry.getOrElse(field, throw new ConfigLoadError(
+                    s"$key.$idx.$field: Field required")).toString
                 PluginConfig(
-                  module = module,
+                  name = required("name"),
+                  module = required("module"),
                   enabled = entry.get("enabled") match {
                     case Some(b: Boolean) => b
                     case Some(other) => throw new ConfigLoadError(
-                      s"$key.enabled must be a boolean, got: $other")
+                      s"$key.$idx.enabled must be a boolean, got: $other")
                     case None => true
                   },
                   label = entry.get("label").map(_.toString).getOrElse("default"),
@@ -80,8 +92,9 @@ object Config {
                     case Some(o: Map[_, _]) => o.asInstanceOf[Map[String, Any]]
                     case _ => Map.empty
                   })
-              case other =>
-                throw new ConfigLoadError(s"$key entries must be tables, got: $other")
+              case (other, idx) =>
+                throw new ConfigLoadError(
+                  s"$key.$idx entries must be tables, got: $other")
             }
           case Some(other) =>
             throw new ConfigLoadError(
@@ -142,10 +155,11 @@ object Toml {
       node
     }
 
-    var lineNo = 0
-    for (rawLine <- text.linesIterator) {
-      lineNo += 1
-      val line = stripComment(rawLine).trim
+    val lines = text.linesIterator.toArray
+    var li = 0
+    while (li < lines.length) {
+      val lineNo = li + 1
+      val line = stripComment(lines(li)).trim
       if (line.nonEmpty) {
         if (line.startsWith("[[") && line.endsWith("]]")) {
           val path = line.substring(2, line.length - 2).trim
@@ -159,12 +173,22 @@ object Toml {
           val eq = indexOfTopLevelEquals(line)
           if (eq < 0)
             throw new IllegalArgumentException(
-              s"TOML syntax error at line $lineNo: '$rawLine'")
+              s"TOML syntax error at line $lineNo: '${lines(li)}'")
           val key = unquoteKey(line.substring(0, eq).trim)
-          val value = parseValue(line.substring(eq + 1).trim, lineNo)
-          current(key) = value
+          // Multi-line arrays / inline tables: keep consuming lines
+          // until every top-level [ and { is balanced (tomllib
+          // allows arrays to span lines; inline tables are
+          // single-line per spec, but accepting both here is
+          // harmless and simpler).
+          var valueStr = line.substring(eq + 1).trim
+          while (bracketDepth(valueStr) > 0 && li + 1 < lines.length) {
+            li += 1
+            valueStr = valueStr + " " + stripComment(lines(li)).trim
+          }
+          current(key) = parseValue(valueStr, lineNo)
         }
       }
+      li += 1
     }
 
     def freeze(v: Any): Any = v match {
@@ -219,6 +243,27 @@ object Toml {
     -1
   }
 
+  /** Net count of unclosed top-level `[`/`{` outside strings — > 0
+    * means the value continues on the next line. */
+  private def bracketDepth(s: String): Int = {
+    var depth = 0; var inBasic = false; var inLiteral = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inBasic) { if (c == '\\') i += 1 else if (c == '"') inBasic = false }
+      else if (inLiteral) { if (c == '\'') inLiteral = false }
+      else c match {
+        case '"' => inBasic = true
+        case '\'' => inLiteral = true
+        case '[' | '{' => depth += 1
+        case ']' | '}' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    depth
+  }
+
   private def unquoteKey(k: String): String =
     if ((k.startsWith("\"") && k.endsWith("\"")) ||
         (k.startsWith("'") && k.endsWith("'"))) k.substring(1, k.length - 1)
@@ -236,6 +281,7 @@ object Toml {
             s"TOML: unterminated literal string at line $lineNo")
         v.substring(1, v.length - 1)
       case '[' => parseArray(v, lineNo)
+      case '{' => parseInlineTable(v, lineNo)
       case _ =>
         if (v == "true") true
         else if (v == "false") false
@@ -280,13 +326,10 @@ object Toml {
     sb.toString
   }
 
-  private def parseArray(v: String, lineNo: Int): Seq[Any] = {
-    if (!v.endsWith("]"))
-      throw new IllegalArgumentException(
-        s"TOML: unterminated array at line $lineNo (multi-line arrays unsupported)")
-    val body = v.substring(1, v.length - 1).trim
-    if (body.isEmpty) return Seq.empty
-    // Split on top-level commas (respecting quotes and nested brackets).
+  /** Split on top-level commas, respecting quotes and nested
+    * brackets/braces. A trailing comma (legal in TOML arrays) yields
+    * a final empty part, which is dropped. */
+  private def splitTopLevel(body: String): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0; var inBasic = false; var inLiteral = false
     var start = 0; var i = 0
@@ -297,8 +340,8 @@ object Toml {
       else c match {
         case '"' => inBasic = true
         case '\'' => inLiteral = true
-        case '[' => depth += 1
-        case ']' => depth -= 1
+        case '[' | '{' => depth += 1
+        case ']' | '}' => depth -= 1
         case ',' if depth == 0 =>
           parts += body.substring(start, i); start = i + 1
         case _ =>
@@ -307,6 +350,32 @@ object Toml {
     }
     if (start < body.length && body.substring(start).trim.nonEmpty)
       parts += body.substring(start)
-    parts.map(p => parseValue(p, lineNo)).toSeq
+    parts.toSeq
+  }
+
+  private def parseArray(v: String, lineNo: Int): Seq[Any] = {
+    if (!v.endsWith("]"))
+      throw new IllegalArgumentException(
+        s"TOML: unterminated array at line $lineNo")
+    val body = v.substring(1, v.length - 1).trim
+    if (body.isEmpty) return Seq.empty
+    splitTopLevel(body).map(p => parseValue(p, lineNo))
+  }
+
+  /** Inline table `{ k = v, ... }` → Map. */
+  private def parseInlineTable(v: String, lineNo: Int): Map[String, Any] = {
+    if (!v.endsWith("}"))
+      throw new IllegalArgumentException(
+        s"TOML: unterminated inline table at line $lineNo")
+    val body = v.substring(1, v.length - 1).trim
+    if (body.isEmpty) return Map.empty
+    splitTopLevel(body).map { part =>
+      val eq = indexOfTopLevelEquals(part)
+      if (eq < 0)
+        throw new IllegalArgumentException(
+          s"TOML: inline table entry without '=' at line $lineNo: '$part'")
+      unquoteKey(part.substring(0, eq).trim) ->
+        parseValue(part.substring(eq + 1).trim, lineNo)
+    }.toMap
   }
 }

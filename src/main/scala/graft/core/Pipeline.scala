@@ -80,14 +80,17 @@ object Pipeline {
     result
   }
 
-  /** A13 — dry-run fan-out: each output validates the same schema
-    * (pipeline.py:97-117). */
+  /** A13 — dry-run fan-out: every output validates the ORIGINAL
+    * schema (`result = schema.bind(plugin.dry_run)` each iteration —
+    * pipeline.py:97-117), so one sink's returned schema never leaks
+    * into the next sink's validation; the LAST sink's result is
+    * returned, and the fold stops at the first failure. */
   def executeOutputDryRun(schema: Either[Throwable, StructType],
                           outputs: Seq[OutputPlugin]): Either[Throwable, StructType] =
     outputs.zipWithIndex.foldLeft(schema) { case (acc, (p, i)) =>
-      acc.flatMap { s =>
+      acc.flatMap { _ =>
         log.info(s"[${i + 1}/${outputs.size}] Dry-running output: ${p.name}")
-        p.dryRun(s)
+        schema.flatMap(p.dryRun)
       }
     }
 

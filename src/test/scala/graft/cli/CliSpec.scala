@@ -27,14 +27,21 @@ class CliSpec extends AnyFunSuite {
     Seq((100L, "a"), (200L, "b")).toDF("amount", "item")
       .coalesce(1).write.parquet(tmp.resolve("in.parquet").toString)
     val cfg = tmp.resolve("config.toml")
+    // the transform_plugins key is REQUIRED (ref config.py:24-29) —
+    // an empty TOP-LEVEL list (before any table header) when no
+    // transform is configured
+    val emptyTransforms =
+      if (extraTransform.isEmpty) "transform_plugins = []" else ""
     Files.writeString(cfg,
-      s"""
+      s"""$emptyTransforms
          |[[input_plugins]]
+         |name = "parquet-scan"
          |module = "parquet_scan"
          |[input_plugins.options]
          |input_path = "in.parquet"
          |$extraTransform
          |[[output_plugins]]
+         |name = "parquet-writer"
          |module = "parquet_writer"
          |[output_plugins.options]
          |output_path = "out/result.parquet"
@@ -67,6 +74,7 @@ class CliSpec extends AnyFunSuite {
     val cfg = writeConfig(
       """
         |[[transform_plugins]]
+        |name = "column-multiplier"
         |module = "column_multiplier"
         |[transform_plugins.options]
         |column_name = "missing_col"
@@ -84,18 +92,32 @@ class CliSpec extends AnyFunSuite {
     assert(err.contains("Config file not found"))
   }
 
-  test("guards: no inputs / no outputs, exit 1") {
+  test("guards: empty input list trips CLI guard, exit 1 (ref run.py:51-52)") {
     val tmp = Files.createTempDirectory("cli")
     val cfg = tmp.resolve("config.toml")
     Files.writeString(cfg,
-      """[[output_plugins]]
+      """input_plugins = []
+        |transform_plugins = []
+        |
+        |[[output_plugins]]
+        |name = "parquet-writer"
         |module = "parquet_writer"
         |[output_plugins.options]
         |output_path = "x.parquet"
         |""".stripMargin)
     val (code, _, err) = withCapture(Main.run(Array("run", "-c", cfg.toString)))
     assert(code == 1)
-    assert(err.contains("No input plugins configured"))
+    assert(err.contains("No input plugin configured"))
+  }
+
+  test("missing plugin-list key fails validation before any guard (ref MISSING_FIELDS_TOML)") {
+    val tmp = Files.createTempDirectory("cli")
+    val cfg = tmp.resolve("config.toml")
+    Files.writeString(cfg, "transform_plugins = []\n")
+    val (code, _, err) = withCapture(Main.run(Array("run", "-c", cfg.toString)))
+    assert(code == 1)
+    assert(err.contains("Config validation failed"))
+    assert(err.contains("Field required"))
   }
 
   test("--version and unknown command") {

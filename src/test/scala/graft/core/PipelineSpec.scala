@@ -103,6 +103,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toOption.get.fieldNames.toSeq == Seq("a", "c1", "c2"))
   }
 
+  test("output dry-run fans out the ORIGINAL schema (ref pipeline.py:97-117)") {
+    // A sink whose dryRun RETURNS a mutated schema must not leak it
+    // into the next sink's validation — each sink binds the original.
+    var validated = List.empty[Int]
+    def sink(n: String): OutputPlugin = new OutputPlugin {
+      val name = n; val options: Map[String, Any] = Map.empty
+      val configDir: Path = dir
+      def execute(df: DataFrame): Either[Throwable, Unit] = Right(())
+      def dryRun(s: StructType): Either[Throwable, StructType] = {
+        validated = validated :+ s.size
+        Right(s.add(s"extra_$n", org.apache.spark.sql.types.IntegerType))
+      }
+    }
+    val init: StructType = frame(Seq(1L)).schema // 1 column
+    val out = Pipeline.executeOutputDryRun(Right(init),
+      Seq(sink("o1"), sink("o2"), sink("o3")))
+    assert(validated == List(1, 1, 1)) // each saw the ORIGINAL 1-col schema
+    // ... and the returned value is the LAST sink's result
+    assert(out.toOption.get.fieldNames.toSeq == Seq("a", "extra_o3"))
+    // failure still stops the fold
+    val boom = new OutputPlugin {
+      val name = "boom"; val options: Map[String, Any] = Map.empty
+      val configDir: Path = dir
+      def execute(df: DataFrame): Either[Throwable, Unit] = Right(())
+      def dryRun(s: StructType): Either[Throwable, StructType] =
+        Left(new SchemaValidationError("boom dry failed"))
+    }
+    validated = Nil
+    val bad = Pipeline.executeOutputDryRun(Right(init),
+      Seq(sink("o1"), boom, sink("o2")))
+    assert(bad.isLeft && validated == List(1)) // o2 never validated
+  }
+
   test("output fan-out: all sinks get the same frame; failure stops") {
     var seen = List.empty[String]
     def sink(n: String, fail: Boolean = false): OutputPlugin = new OutputPlugin {

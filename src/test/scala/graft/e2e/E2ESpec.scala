@@ -76,17 +76,20 @@ class E2ESpec extends AnyFunSuite {
     Files.writeString(cfg,
       """
         |[[input_plugins]]
+        |name = "parquet-scan"
         |module = "parquet_scan"
         |[input_plugins.options]
         |input_path = "data/input.parquet"
         |
         |[[transform_plugins]]
+        |name = "column-multiplier"
         |module = "column_multiplier"
         |[transform_plugins.options]
         |column_name = "amount"
         |multiplier = 2
         |
         |[[output_plugins]]
+        |name = "parquet-writer"
         |module = "parquet_writer"
         |[output_plugins.options]
         |output_path = "out/result.parquet"
@@ -115,17 +118,20 @@ class E2ESpec extends AnyFunSuite {
     Files.writeString(cfg,
       """
         |[[input_plugins]]
+        |name = "parquet-scan"
         |module = "parquet_scan"
         |[input_plugins.options]
         |input_path = "data/facts.parquet"
         |
         |[[input_plugins]]
+        |name = "parquet-scan"
         |module = "parquet_scan"
         |label = "dims"
         |[input_plugins.options]
         |input_path = "data/dims.parquet"
         |
         |[[transform_plugins]]
+        |name = "join"
         |module = "join"
         |[transform_plugins.options]
         |right_label = "dims"
@@ -133,11 +139,13 @@ class E2ESpec extends AnyFunSuite {
         |broadcast = true
         |
         |[[transform_plugins]]
+        |name = "sort"
         |module = "sort"
         |[transform_plugins.options]
         |by = ["k"]
         |
         |[[output_plugins]]
+        |name = "parquet-writer"
         |module = "parquet_writer"
         |[output_plugins.options]
         |output_path = "out/joined.parquet"

@@ -69,16 +69,19 @@ class StreamingSpec extends AnyFunSuite {
     Files.writeString(cfg,
       """
         |[[input_plugins]]
+        |name = "parquet-stream-scan"
         |module = "parquet_stream_scan"
         |[input_plugins.options]
         |input_path = "landing"
         |
         |[[transform_plugins]]
+        |name = "filter"
         |module = "filter"
         |[transform_plugins.options]
         |predicate = "event_type = 'click'"
         |
         |[[output_plugins]]
+        |name = "stream-parquet-writer"
         |module = "stream_parquet_writer"
         |[output_plugins.options]
         |output_path = "out/clicks"
