@@ -1,6 +1,8 @@
 package graft.core
 
-import java.nio.file.Path
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
 
 import org.slf4j.LoggerFactory
 
@@ -18,12 +20,23 @@ final case class PluginRegistry(
   *
   * The reference resolves a `module` string either as a filesystem path
   * to a .py file or as a dotted import, then discovers every concrete
-  * `BasePlugin` subclass in the module (loader.py:21-93). On the JVM
-  * the compiled analogue is a fully-qualified class name resolved
-  * reflectively from the classpath; jar-file loading could be layered
-  * on via URLClassLoader but no fixture needs it. Disabled entries are
-  * skipped (loader.py:202,211,220); instantiation failures are wrapped
-  * with the plugin module name (loader.py:96-121).
+  * `BasePlugin` subclass in the module (loader.py:21-93). The JVM
+  * analogue of both branches:
+  *
+  *  - path-looking strings (same heuristic as loader.py:21-24: a
+  *    separator, a `.jar` suffix, or a leading dot) resolve against
+  *    the config directory (loader.py:27-41), load through a cached
+  *    `URLClassLoader`, and every concrete `BasePlugin` class in the
+  *    jar is discovered and instantiated (loader.py:75-121) — so a
+  *    user ships a plugin jar and points `module` at it, no engine
+  *    rebuild;
+  *  - anything else is a fully-qualified class name (or built-in
+  *    alias) resolved reflectively from the classpath — the dotted
+  *    import branch.
+  *
+  * Disabled entries are skipped (loader.py:202,211,220);
+  * instantiation failures are wrapped with the plugin module name
+  * (loader.py:96-121).
   */
 object Loader {
   private val log = LoggerFactory.getLogger(getClass)
@@ -86,6 +99,75 @@ object Loader {
     }
   }
 
+  /** Module strings that refer to a file rather than a class name —
+    * mirrors `_is_filesystem_path` (loader.py:21-24, with `.jar` as
+    * the JVM's `.py`). */
+  private[core] def isFilesystemPath(module: String): Boolean =
+    module.contains("/") || module.contains("\\") ||
+      module.endsWith(".jar") || module.startsWith(".")
+
+  /** One classloader per resolved jar, shared by all config entries
+    * pointing at it (like the reference's sys.modules registration,
+    * loader.py:50-55) — classes from the same jar stay identical. */
+  private val jarLoaders =
+    scala.collection.concurrent.TrieMap.empty[Path, ClassLoader]
+
+  /** Load EVERY concrete BasePlugin class from a plugin jar —
+    * `_resolve_module_path` + `_load_module_from_path` +
+    * `_discover_plugin_classes` + `_instantiate_plugins`
+    * (loader.py:27-121). Top-level classes only: `$`-suffixed
+    * companion/inner classes are compiler artifacts, not plugins. */
+  def loadFromFile(module: String, options: Map[String, Any],
+                   configDir: Path, label: String): Either[Throwable, Seq[BasePlugin]] =
+    try {
+      val p0 = Paths.get(module)
+      val resolved = (if (p0.isAbsolute) p0
+                      else configDir.resolve(p0)).normalize.toAbsolutePath
+      if (!Files.exists(resolved))
+        return Left(new PluginLoadError(s"Plugin file does not exist: $resolved"))
+      val loader = jarLoaders.getOrElseUpdate(resolved,
+        new java.net.URLClassLoader(
+          Array(resolved.toUri.toURL), getClass.getClassLoader))
+      val jar = new java.util.jar.JarFile(resolved.toFile)
+      val classNames =
+        try jar.entries().asScala.map(_.getName)
+          .filter(n => n.endsWith(".class") && !n.contains("$"))
+          .map(n => n.stripSuffix(".class").replace('/', '.'))
+          .toList
+        finally jar.close()
+      val pluginClasses = classNames.flatMap { cn =>
+        // initialize = false: don't run static init of unrelated classes
+        val c = Class.forName(cn, false, loader)
+        if (classOf[BasePlugin].isAssignableFrom(c) && !c.isInterface &&
+            !java.lang.reflect.Modifier.isAbstract(c.getModifiers)) Some(c)
+        else None
+      }
+      if (pluginClasses.isEmpty)
+        Left(new PluginLoadError(
+          s"Plugin '$module': no BasePlugin subclasses found in module"))
+      else
+        pluginClasses.foldLeft[Either[Throwable, Vector[BasePlugin]]](
+          Right(Vector.empty)) { (acc, cls) =>
+          acc.flatMap { xs =>
+            try {
+              val ctor = cls.getConstructor(
+                classOf[Map[String, Any]], classOf[Path], classOf[String])
+              Right(xs :+ ctor.newInstance(options, configDir, label)
+                .asInstanceOf[BasePlugin])
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                Left(new PluginLoadError(
+                  s"Plugin '$module': failed to instantiate " +
+                    s"${cls.getSimpleName}: ${e.getMessage}", e))
+            }
+          }
+        }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(new PluginLoadError(
+          s"Plugin '$module': failed to load from file: ${e.getMessage}", e))
+    }
+
   /** Load all enabled plugins from a config; first failure wins
     * (loader.py:173-231). `configPath` is the config FILE; relative
     * plugin paths resolve against its parent directory (A21). */
@@ -108,12 +190,22 @@ object Loader {
         .foldLeft[Either[Throwable, Vector[BasePlugin]]](Right(Vector.empty)) {
           (acc, pc) =>
             acc.flatMap { xs =>
-              instantiate(pc.module, pc.options, configDir, pc.label)
-                .flatMap(p => kindCheck(p, want, pc, kind))
-                .map { p =>
-                  log.info(s"Loaded $kind plugin: ${p.name} (label: ${pc.label})")
-                  xs :+ p
+              val loaded: Either[Throwable, Seq[BasePlugin]] =
+                if (isFilesystemPath(pc.module))
+                  loadFromFile(pc.module, pc.options, configDir, pc.label)
+                else
+                  instantiate(pc.module, pc.options, configDir, pc.label)
+                    .map(Seq(_))
+              loaded.flatMap { ps =>
+                ps.foldLeft[Either[Throwable, Vector[BasePlugin]]](
+                  Right(Vector.empty)) { (a, p) =>
+                  a.flatMap(v => kindCheck(p, want, pc, kind).map(v :+ _))
                 }
+              }.map { ps =>
+                ps.foreach(p => log.info(
+                  s"Loaded $kind plugin: ${p.name} (label: ${pc.label})"))
+                xs ++ ps
+              }
             }
         }
 
