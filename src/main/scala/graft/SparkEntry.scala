@@ -684,7 +684,41 @@ object SparkEntry {
           (floor(col("ts") / 3600000000000L) * 3600).cast("long"))
         .groupBy("hour_start", "event_type")
         .agg(count(lit(1)).as("n"), r(sum("value"), 2).as("sum_value"))
-        .orderBy("hour_start", "event_type"))
+        .orderBy("hour_start", "event_type")),
+
+    // ---- STREAMING windowed agg through the plugin pipeline ------
+    // The real streaming path end-to-end under the hash oracle:
+    // parquet_stream_scan (readStream) → watermark + tumbling-window
+    // agg → stream_parquet_writer (AvailableNow, checkpointed
+    // exactly-once file sink), then the sink's parquet is read back
+    // as the result. Append mode emits exactly the windows the
+    // watermark finalized — window_end ≤ max(event_time) − 2h after
+    // the trailing no-data batch — which the DuckDB oracle replicates
+    // with the same cutoff, so the row set hash-matches the batch
+    // semantics it claims.
+    "stream_events_window" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val work = java.nio.file.Files.createTempDirectory("stream_ew")
+      val inDir = work.resolve("in")
+      java.nio.file.Files.createDirectories(inDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        inDir.resolve("events.parquet"))
+      val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
+        Map("input_path" -> inDir.toString), work, "default")
+      val events = scan.execute().fold(e => throw e, identity)
+        .withColumn("event_time", (col("ts") / 1000000000L).cast("timestamp"))
+      val agg = graft.streaming.Streams.windowedAgg(events, "1 hour", "2 hours")
+      val sink = new graft.plugins.streaming.StreamParquetWriterPlugin(
+        Map("output_path" -> work.resolve("out").toString), work, "default")
+      sink.execute(agg).fold(e => throw e, _ => ())
+      s.read.parquet(work.resolve("out").toString)
+        .select(
+          col("window_start").cast("long").as("hour_start"),
+          col("event_type"), col("n"),
+          r(col("sum_value"), 2).as("sum_value"))
+        .orderBy("hour_start", "event_type")
+    })
   )
 
   // ------------------------------------------------------------------
@@ -1176,6 +1210,17 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,
         |  event_type, count(*) AS n, r(sum(value), 2) AS sum_value
         |FROM events GROUP BY hour_start, event_type
+        |ORDER BY hour_start, event_type""".stripMargin,
+
+    // Same aggregation, restricted to the windows a 2-hour watermark
+    // finalizes in append mode: window_end ≤ max(event_time) − 2h.
+    "stream_events_window" ->
+      """WITH mx AS (SELECT max(epoch(ts)) AS m FROM events)
+        |SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,
+        |  event_type, count(*) AS n, r(sum(value), 2) AS sum_value
+        |FROM events, mx
+        |GROUP BY hour_start, event_type, m
+        |HAVING hour_start + 3600 <= m - 7200
         |ORDER BY hour_start, event_type""".stripMargin
   )
 }
