@@ -495,12 +495,20 @@ object SparkEntry {
     }),
 
     // ---- text token counting -------------------------------------
-    "text_tokens" -> ((s, dir) =>
-      tBalanced(s, dir, "documents")
+    // Edge rows unioned in: blank text (token count must be 0, not
+    // the 1 a naive split yields) and non-ASCII text — both under
+    // the hash oracle.
+    "text_tokens" -> ((s, dir) => {
+      import s.implicits._
+      val base = tBalanced(s, dir, "documents").select(col("doc_id"), col("text"))
+      val edges = Seq((-2L, "héllo wörld — ünicode"),
+        (-1L, "   ")).toDF("doc_id", "text")
+      base.unionByName(edges)
         .select(col("doc_id"),
           Text.tokenCount(col("text")).cast("long").as("n_tokens"),
           Text.tokenCountBpe(col("text")).cast("long").as("n_tokens_bpe"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // ---- text quality scoring (staged metrics, computed once) ----
     "text_quality" -> ((s, dir) =>
@@ -550,8 +558,16 @@ object SparkEntry {
       recallGate(benchOnly("sim_topk_ivf")(s, dir), s, dir)),
 
     // ---- multimodal: binary payload + stub decode metadata -------
+    // Edge rows unioned in: non-ASCII (bytes ≠ chars — the decode
+    // stub sums UTF-8 BYTES and the oracle now does too), empty
+    // payload, and a NULL payload (meta passes through NULL).
     "multimodal_meta" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Seq((-3L, Option.empty[String]), (-2L, Some("")),
+        (-1L, Some("héllo wörld — ünicode")))
+        .toDF("doc_id", "text")
       val withPayload = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).unionByName(edges)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       Multimodal.withDecodedMeta(withPayload, "payload")
         .select(col("doc_id"),
@@ -617,16 +633,25 @@ object SparkEntry {
           col("o_orderpriority").asc_nulls_first)),
 
     // ---- exact percentiles (window construction, O(1) task mem) --
-    "q_percentile" -> ((s, dir) =>
+    // NULL-polluted on purpose: two NULL values inside real groups
+    // (must be IGNORED, like quantile_cont) and one all-NULL group
+    // 'Z' (must still appear, with NULL percentiles) — the oracle
+    // unions the same rows, so the NULL semantics are hash-checked.
+    "q_percentile" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice")
+      val edges = Seq(("A", Option.empty[Double]), ("N", Option.empty[Double]),
+        ("Z", Option.empty[Double])).toDF("l_returnflag", "l_extendedprice")
       graft.ops.Percentiles.exactInterpolated(
-          t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice"),
+          base.unionByName(edges),
           Seq("l_returnflag"), "l_extendedprice",
           Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
         .select(col("l_returnflag"),
           r(col("p25"), 2).as("p25"),
           r(col("p50"), 2).as("p50"),
           r(col("p75"), 2).as("p75"))
-        .orderBy("l_returnflag")),
+        .orderBy("l_returnflag")
+    }),
 
     // ---- range (interval) join: bucketized equi-join -------------
     "q_range_join" -> ((s, dir) => {
@@ -946,12 +971,21 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
 
+    // Blank text counts 0 whitespace tokens (a naive split of ''
+    // yields ['] → 1); same edge rows as the Spark side unions in.
     "text_tokens" ->
-      """SELECT doc_id,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (CAST(-2 AS BIGINT), 'héllo wörld — ünicode'),
+        |    (CAST(-1 AS BIGINT), '   ')) v(doc_id, text))
+        |SELECT doc_id,
+        |  CAST(CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |    AS n_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
         |    AS n_tokens_bpe
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM src ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       """WITH d AS (
@@ -1108,18 +1142,35 @@ object SparkEntry {
         |  true AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
+    // Byte-exact recomputation of the decode stub: n_bytes counts
+    // UTF-8 BYTES (octet_length of the encoded payload, not chars)
+    // and checksum sums the bytes themselves (hex-pair walk over the
+    // encoded blob) — matches the stub on non-ASCII text, which the
+    // unioned edge rows exercise. NULL payload → NULL meta.
     "multimodal_meta" ->
-      """WITH d AS (
-        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
-        |    CAST(list_sum(list_transform(regexp_extract_all(text, '.'),
-        |      c -> ord(c))) AS BIGINT) AS checksum
-        |  FROM documents)
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (CAST(-3 AS BIGINT), CAST(NULL AS VARCHAR)),
+        |    (CAST(-2 AS BIGINT), ''),
+        |    (CAST(-1 AS BIGINT), 'héllo wörld — ünicode')) v(doc_id, text)
+        |), d AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      [substr(hex(encode(text)), 2*i + 1, 2)
+        |       for i in range(octet_length(encode(text)))],
+        |      x -> ('0x' || x)::BIGINT)), 0) AS BIGINT) AS checksum
+        |  FROM src)
         |SELECT doc_id, n_bytes,
-        |  CASE WHEN n_bytes % 3 = 0 THEN 'png'
+        |  CASE WHEN n_bytes IS NULL THEN NULL
+        |       WHEN n_bytes % 3 = 0 THEN 'png'
         |       WHEN n_bytes % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
-        |  CAST(64 + (n_bytes % 64) AS INTEGER) AS width,
-        |  CAST(64 + (checksum % 64) AS INTEGER) AS height,
-        |  checksum
+        |  CAST(CASE WHEN n_bytes IS NULL THEN NULL
+        |       ELSE 64 + (n_bytes % 64) END AS INTEGER) AS width,
+        |  CAST(CASE WHEN n_bytes IS NULL THEN NULL
+        |       ELSE 64 + (checksum % 64) END AS INTEGER) AS height,
+        |  CASE WHEN n_bytes IS NULL THEN NULL ELSE checksum END AS checksum
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "multimodal_frames" ->
@@ -1166,12 +1217,21 @@ object SparkEntry {
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
+    // quantile_cont ignores NULL values; the all-NULL group 'Z'
+    // still yields a row (NULL percentiles) — same edge rows as the
+    // Spark side unions in.
     "q_percentile" ->
-      """SELECT l_returnflag,
+      """WITH src AS (
+        |  SELECT l_returnflag, l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT * FROM (VALUES ('A', CAST(NULL AS DOUBLE)),
+        |    ('N', CAST(NULL AS DOUBLE)), ('Z', CAST(NULL AS DOUBLE)))
+        |    v(l_returnflag, l_extendedprice))
+        |SELECT l_returnflag,
         |  r(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
         |  r(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
         |  r(quantile_cont(l_extendedprice, 0.75), 2) AS p75
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |FROM src GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_range_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us

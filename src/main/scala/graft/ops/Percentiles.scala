@@ -23,12 +23,19 @@ import org.apache.spark.sql.functions._
 object Percentiles {
 
   /** Returns `keys :+ p_<label> ...` with one column per requested
-    * percentile. `ps` are (label, fraction) pairs. */
+    * percentile. `ps` are (label, fraction) pairs.
+    *
+    * NULL values are ignored — the same semantics as SQL
+    * `percentile`/`quantile_cont` (ranking them would shift every
+    * percentile; `_n` must count VALUES, not rows). Groups whose
+    * values are all NULL still appear, with NULL percentiles, via the
+    * key-restoring left join. */
   def exactInterpolated(df: DataFrame, keys: Seq[String], valueCol: String,
                         ps: Seq[(String, Double)]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
     val cnt = Window.partitionBy(keys.map(col): _*)
     val ranked = df
+      .filter(col(valueCol).isNotNull)
       .withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(cnt))
 
@@ -43,11 +50,16 @@ object Percentiles {
     }
     val out = ranked.groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-    ps.foldLeft(out) { case (acc, (label, _)) =>
+    val computed = ps.foldLeft(out) { case (acc, (label, _)) =>
       acc.withColumn(label,
         col(s"_lo_$label") + col(s"_frac_$label") *
           (coalesce(col(s"_hi_$label"), col(s"_lo_$label")) - col(s"_lo_$label")))
         .drop(s"_lo_$label", s"_hi_$label", s"_frac_$label")
     }
+    // groups whose every value was NULL dropped out of `ranked`;
+    // SQL percentile still emits them (with NULL) — restore via the
+    // original key set (tiny agg + broadcast-able join)
+    df.select(keys.map(col): _*).distinct()
+      .join(computed, keys, "left")
   }
 }
