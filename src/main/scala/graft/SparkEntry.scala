@@ -465,6 +465,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- near-dup clustering (connected components) --------------
+    // Min-label propagation over the exact 5-gram Jaccard pair graph
+    // (the hash-verified ngramJaccardVerified output), so a
+    // transitive chain A~B~C labels all three with min(id). The
+    // oracle recomputes the same components with a recursive CTE
+    // over its own quadratic pair set — full 500-row mapping
+    // hash-checked.
+    "dedup_cluster" -> ((s, dir) => {
+      val docs = tBalanced(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardVerified(docs, "doc_id", "text",
+          n = 5, threshold = 0.8)
+        .select("id_a", "id_b")
+      Dedup.clusterPairs(docs.select(col("doc_id")), "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
+
     // ---- embedding LSH pair recall gate (driver-checkable) -------
     // The LSH-blocked pair set is approximate, so its rows have no
     // hash oracle; what the oracle CAN verify is the recall floor:
@@ -1106,6 +1122,34 @@ object SparkEntry {
         |      len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    // Connected components by transitive closure: min reachable id
+    // per node over the same exact 5-gram J ≥ 0.8 pair graph.
+    "dedup_cluster" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [substr(t, g, 5) for g in range(1, greatest(length(t) - 3, 2))]) AS shingles
+        |  FROM d
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  WITH RECURSIVE rr(id, seen) AS (
+        |    SELECT doc_id, doc_id FROM d
+        |    UNION
+        |    SELECT e.src, rr.seen FROM edges e JOIN rr ON rr.id = e.dst
+        |  ) SELECT id, seen FROM rr)
+        |SELECT id AS doc_id, min(seen) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Recall/bounds gates: the oracle recomputes the exact columns
     // and asserts the quality gate held (the *_ok flags must be true).

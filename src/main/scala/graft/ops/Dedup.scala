@@ -137,6 +137,73 @@ object Dedup {
           col("sig_a"), col("sig_b")).as("est_jaccard"))
   }
 
+  // --------------------------------------------------- clustering
+
+  /** Connected components over a near-dup pair graph by iterative
+    * min-label propagation: every node starts labeled with its own
+    * id; each round, a node adopts the smallest label among itself
+    * and its neighbors; fixpoint = components labeled by their
+    * minimum member id. No GraphX — plain DataFrame joins.
+    *
+    * Scale shape: rounds needed = component DIAMETER, and near-dup
+    * clusters are small and dense (boilerplate families), so this
+    * converges in a handful of rounds; `maxIter` bounds pathology.
+    * Each round is one (edges ⋈ labels) shuffle + a map-side min;
+    * intermediate labels are persisted and the previous round
+    * unpersisted so lineage stays flat. The convergence check is one
+    * count per round — a driver-side SCALAR, not collected data.
+    *
+    * Returns (idCol, cluster_id) for EVERY node (singletons keep
+    * their own id as cluster).
+    */
+  def clusterPairs(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                   maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("_src"), col("id_b").as("_dst"))
+      .union(pairs.select(col("id_b").as("_src"), col("id_a").as("_dst")))
+      .persist()
+    var labels = nodes.select(col(idCol).as("_id"))
+      .withColumn("cluster_id", col("_id")).persist()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("_id").as("_dst"), col("cluster_id")), Seq("_dst"))
+        .groupBy("_src").agg(min("cluster_id").as("_nbr_min"))
+        .withColumnRenamed("_src", "_id")
+      val next = labels
+        .join(nbrMin, Seq("_id"), "left")
+        .select(col("_id"),
+          least(col("cluster_id"),
+            coalesce(col("_nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .persist()
+      changed = next
+        .join(labels.select(col("_id"), col("cluster_id").as("_prev")), Seq("_id"))
+        .filter(col("cluster_id") =!= col("_prev")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("_id").as(idCol), col("cluster_id"))
+  }
+
+  /** Cluster-then-keep-one dedup over minhash candidates: the
+    * semantics real training-data dedup expects — a transitive chain
+    * A~B~C collapses to ONE survivor (min id of the component), where
+    * greedy keep-first ([[byMinhash]]) is order-dependent and
+    * non-transitive. */
+  def byMinhashClustered(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double = 0.8, shingleK: Int = 5,
+                         numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val pairs = minhashCandidatePairs(df, idCol, textCol, shingleK, numHashes, bands)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b")
+    val clusters = clusterPairs(df.select(col(idCol)), idCol, pairs)
+    df.join(clusters.filter(col(idCol) =!= col("cluster_id"))
+        .select(col(idCol)), Seq(idCol), "left_anti")
+  }
+
   /** Deduplicate: drop every doc that has a candidate partner with a
     * smaller id and est_jaccard ≥ threshold (greedy, one pass — the
     * standard "keep first" policy without transitive closure). */

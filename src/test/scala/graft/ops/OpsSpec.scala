@@ -93,6 +93,32 @@ class OpsSpec extends AnyFunSuite {
     assert(!kept.contains(1L)) // exact dup of 0 dropped
   }
 
+  test("clusterPairs: transitive chain collapses to one component/survivor") {
+    import spark.implicits._
+    // chain: 10~11, 11~12 (10 and 12 NOT directly paired); isolated 13
+    val nodes = Seq(10L, 11L, 12L, 13L).toDF("id")
+    val pairs = Seq((10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+    val cc = Dedup.clusterPairs(nodes, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L))
+    // keep-one semantics over the clustered components: one survivor
+    // for the whole chain — where greedy keep-first would also keep
+    // 12 if 10~12 never became a direct candidate pair
+    val survivors = nodes
+      .join(Dedup.clusterPairs(nodes, "id", pairs)
+        .filter(col("id") =!= col("cluster_id")).select("id"),
+        Seq("id"), "left_anti")
+      .as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(10L, 13L))
+  }
+
+  test("byMinhashClustered keeps one doc per near-dup component") {
+    val kept = Dedup.byMinhashClustered(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept.contains(0L) && !kept.contains(1L)) // dup of 0 dropped
+    assert(kept.contains(3L)) // unrelated doc survives
+  }
+
   test("simhash: equal texts equal hash; near dup within small hamming") {
     val sig = Dedup.withSimhash(docs, "text").select("doc_id", "simhash")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
