@@ -52,7 +52,11 @@ object Main {
       |  -V, --verbose      Debug logging
       |  --version          Print version""".stripMargin
 
-  private def version: String = "graft 0.1.0"
+  /** Core + collections pair, like the reference's version_callback
+    * (commands/utils.py:21-34). One artifact ships both tiers here,
+    * so the versions coincide by construction. */
+  private def version: String =
+    "graft version 0.1.0\ngraft-plugin-collections version 0.1.0"
 
   def main(args: Array[String]): Unit = sys.exit(run(args))
 

@@ -101,10 +101,13 @@ object Text {
     val cjk = cjkCount(text)
     val scores = langMarkers.map { case (l, ms) => (l, langScore(text, ms)) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    // first-match-wins across declaration order on score ties
+    // first-match-wins across declaration order on score ties:
+    // reversed fold nests earlier languages OUTERMOST, so the first
+    // declared winner short-circuits (and no acc-vs-literal compare —
+    // the old fold tripped Spark's trivially-true-predicate warning)
     when(cjk > 0, lit("zh")).otherwise(
-      scores.foldLeft(lit("und")) { case (acc, (l, s)) =>
-        when(acc =!= "und", acc).otherwise(when(s === best && best > 0, lit(l)).otherwise(acc))
+      scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+        when(s === best && best > 0, lit(l)).otherwise(acc)
       })
   }
 
@@ -119,10 +122,13 @@ object Text {
     }
     val scoreRefs = langMarkers.map { case (l, _) => col(s"_s_$l") }
     val best = scoreRefs.reduce((a, b) => greatest(a, b))
-    val pick = langMarkers.foldLeft(lit("und")) { case (acc, (l, _)) =>
-      when(acc =!= "und", acc).otherwise(
+    // reversed fold = first-match-wins with earlier languages
+    // outermost (see langId); avoids the literal-vs-literal compare
+    // that spammed the trivially-true-predicate warning per run
+    val pick = langMarkers.reverse.foldLeft(lit("und"): Column) {
+      case (acc, (l, _)) =>
         when(col(s"_s_$l") === col("_best") && col("_best") > 0, lit(l))
-          .otherwise(acc))
+          .otherwise(acc)
     }
     df.withColumn("_toks", split(lower(trim(col(textCol))), "\\s+"))
       .withColumn("_cjk", cjkCount(col(textCol)))
