@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Pipeline
-import graft.ops.{Dedup, Multimodal, Similarity, Text}
+import graft.ops.{Contamination, Dedup, Multimodal, Sampling, Similarity, Text}
 import graft.plugins.input.ParquetScanPlugin
 import graft.plugins.transform.{FilterPlugin, SelectPlugin, SortPlugin}
 
@@ -509,6 +509,100 @@ object SparkEntry {
           (sum(coalesce(col("_hit"), lit(0))) >=
             ceil(count(lit(1)) * 0.9)).as("recall_ok"))
     }),
+
+    // ---- CSV source/sink roundtrip under the oracle --------------
+    // customer → csv_writer plugin → csv_scan plugin (header +
+    // inferSchema) → cast back to the parquet schema → must equal
+    // the original table (oracle reads the parquet directly). Puts
+    // the CSV plugins' quoting/typing on the hash gate, not just
+    // sbt assertions.
+    "q_csv_roundtrip" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val base = t(s, dir, "customer")
+      val work = java.nio.file.Files.createTempDirectory("csv_rt")
+      new graft.plugins.output.CsvWriterPlugin(
+        Map("output_path" -> work.resolve("out").toString), work, "default")
+        .execute(base).fold(e => throw e, _ => ())
+      val back = new graft.plugins.input.CsvScanPlugin(
+        Map("input_path" -> work.resolve("out").toString), work, "default")
+        .execute().fold(e => throw e, identity)
+      val casted = base.schema.fields.foldLeft(back) { (df, f) =>
+        df.withColumn(f.name, col(f.name).cast(f.dataType))
+      }
+      casted.select(base.schema.fieldNames.map(col): _*).orderBy("c_custkey")
+    }),
+
+    // ---- Arrow IPC source/sink roundtrip under the oracle --------
+    // Same gate for the Arrow-Java bridge: ipc_writer → ipc_scan
+    // must reproduce the table bit-for-bit (types preserved, no
+    // inference involved).
+    "q_ipc_roundtrip" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val base = t(s, dir, "customer")
+      val work = java.nio.file.Files.createTempDirectory("ipc_rt")
+      new graft.plugins.output.IpcWriterPlugin(
+        Map("output_path" -> work.resolve("out.arrow").toString), work, "default")
+        .execute(base).fold(e => throw e, _ => ())
+      new graft.plugins.input.IpcScanPlugin(
+        Map("input_path" -> work.resolve("out.arrow").toString), work, "default")
+        .execute().fold(e => throw e, identity)
+        .orderBy("c_custkey")
+    }),
+
+    // ---- repetition signals (Gopher-style quality) ---------------
+    "text_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val base = tBalanced(s, dir, "documents").select(col("doc_id"), col("text"))
+      val edges = Seq((-2L, "spam spam spam spam spam"), (-1L, "   "))
+        .toDF("doc_id", "text")
+      base.unionByName(edges)
+        .select(col("doc_id"),
+          r(Text.tokenRepetitionRatio(col("text")), 4).as("tok_rep"),
+          r(Text.charNgramRepetitionRatio(col("text"), 3), 4).as("gram_rep"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- PII redaction -------------------------------------------
+    // Fixture text has no PII, so edge rows plant every category;
+    // redacted text + per-category counts all hash-checked.
+    "text_redact_pii" -> ((s, dir) => {
+      import s.implicits._
+      val base = tBalanced(s, dir, "documents").select(col("doc_id"), col("text"))
+      val edges = Seq(
+        (-3L, "contact bob.smith+spam@example.co.uk or jane@test.org today"),
+        (-2L, "server at 192.168.1.254 answered, call 555-867-5309 now"),
+        (-1L, "mixed: a@b.io via 10.0.0.1 and 123.456.7890")).toDF("doc_id", "text")
+      val counts = Text.piiCounts(col("text"))
+        .map { case (n, c) => c.cast("long").as(n) }
+      base.unionByName(edges)
+        .select(Seq(col("doc_id"),
+          Text.redactPii(col("text")).as("redacted")) ++ counts: _*)
+        .orderBy("doc_id")
+    }),
+
+    // ---- benchmark contamination (word 8-gram overlap) -----------
+    // "Benchmark" = docs 0-4 of the same corpus, so the checker must
+    // flag at least those five (self-contamination) plus any real
+    // near-dups — all reproduced by the oracle's quadratic version.
+    "q_contamination" -> ((s, dir) => {
+      val docs = tBalanced(s, dir, "documents")
+      Contamination.ngramOverlap(
+          docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 5), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // ---- deterministic hash sampling -----------------------------
+    "q_sample_hash" -> ((s, dir) =>
+      Sampling.sampleByHash(t(s, dir, "documents"), "doc_id", rate = 0.1)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    "q_sample_cap" -> ((s, dir) =>
+      Sampling.stratifiedCap(t(s, dir, "documents"),
+          Seq("lang"), "doc_id", cap = 20)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
 
     // ---- text token counting -------------------------------------
     // Edge rows unioned in: blank text (token count must be 0, not
@@ -1150,6 +1244,97 @@ object SparkEntry {
         |  ) SELECT id, seen FROM rr)
         |SELECT id AS doc_id, min(seen) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Roundtrips: the engine wrote and re-read the table through the
+    // CSV / Arrow-IPC plugins; the oracle reads the original parquet.
+    "q_csv_roundtrip" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
+
+    "q_ipc_roundtrip" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
+
+    "text_repetition" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (CAST(-2 AS BIGINT), 'spam spam spam spam spam'),
+        |    (CAST(-1 AS BIGINT), '   ')) v(doc_id, text)
+        |), d AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM src)
+        |SELECT doc_id,
+        |  r(CASE WHEN trim(text) = '' THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |    END, 4) AS tok_rep,
+        |  r(CASE WHEN length(t) = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(
+        |      [substr(t, g, 3) for g in range(1, greatest(length(t) - 1, 2))]))
+        |      AS DOUBLE) / greatest(length(t) - 2, 1)
+        |    END, 4) AS gram_rep
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "text_redact_pii" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(-3 AS BIGINT), 'contact bob.smith+spam@example.co.uk or jane@test.org today'),
+        |    (CAST(-2 AS BIGINT), 'server at 192.168.1.254 answered, call 555-867-5309 now'),
+        |    (CAST(-1 AS BIGINT), 'mixed: a@b.io via 10.0.0.1 and 123.456.7890'))
+        |    v(doc_id, text))
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones
+        |FROM src ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'),
+        |    '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[g:g+7], ' ')
+        |                             for g in range(1, len(toks) - 6)])
+        |    END AS gs
+        |  FROM d
+        |), bench AS (
+        |  SELECT DISTINCT g, bench_id FROM (
+        |    SELECT doc_id AS bench_id, unnest(gs) AS g FROM grams
+        |    WHERE doc_id < 5)
+        |), docg AS (
+        |  SELECT doc_id, unnest(gs) AS g FROM grams)
+        |SELECT doc_id, count(*) AS n_overlap,
+        |  count(DISTINCT bench_id) AS n_bench_docs
+        |FROM docg JOIN bench USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |  < 429496729
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_cap" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |      doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
 
     // Recall/bounds gates: the oracle recomputes the exact columns
     // and asserts the quality gate held (the *_ok flags must be true).

@@ -69,6 +69,55 @@ object Text {
     round(lenScore * 0.4 + punctPenalty * 0.2 + stopScore * 0.2 + wordScore * 0.2, 4)
   }
 
+  // ------------------------------------------------- repetition signals
+
+  /** Token-repetition ratio: 1 − distinct/total whitespace tokens —
+    * the Gopher-style "repetitious document" signal (boilerplate,
+    * keyword stuffing, decoding loops). Blank text scores 0. */
+  def tokenRepetitionRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(length(trim(text)) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Character n-gram repetition ratio over NORMALIZED text:
+    * 1 − distinct/total n-grams (total = len−n+1, floored at 1).
+    * Catches sub-token repetition that word-level misses. */
+  def charNgramRepetitionRatio(text: Column, n: Int = 3): Column = {
+    val t = normalize(text)
+    val total = greatest(length(t) - (n - 1), lit(1)).cast("double")
+    when(length(t) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(graft.expressions.CharShingles.char_shingles(t, n))
+        .cast("double") / total)
+  }
+
+  // ----------------------------------------------------- PII redaction
+
+  /** Engine-portable (RE2-safe: no lookaround/backrefs) PII patterns. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Redact emails, IPv4 addresses, and phone numbers with typed
+    * placeholder tokens. Order matters: emails before phones (an
+    * address can embed digit runs), IPs before phones (dotted
+    * quads would otherwise half-match the phone pattern). Pure
+    * regexp_replace chain — codegen'd, per-row, no shuffle, and
+    * reproducible in any engine with RE2-class regexes. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** Per-category PII match counts (pre-redaction). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(emailPattern), lit(0))),
+    "n_ips" -> size(regexp_extract_all(text, lit(ipv4Pattern), lit(0))),
+    "n_phones" -> size(regexp_extract_all(text, lit(phonePattern), lit(0))))
+
   /** Language-ID marker lexicons (top function words per language) +
     * a CJK character-class test for zh. A cheap n-gram/stopword
     * heuristic, not a model — the standard first-pass lang filter in

@@ -93,6 +93,51 @@ class OpsSpec extends AnyFunSuite {
     assert(!kept.contains(1L)) // exact dup of 0 dropped
   }
 
+  test("redactPii masks emails/IPs/phones; repetition ratios behave") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a@b.io or c.d+x@e.org, host 10.0.0.1, call 555-123-4567"),
+      (2L, "no pii here"),
+      (3L, "spam spam spam spam")).toDF("id", "text")
+    val red = df.select(col("id"), Text.redactPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) == "mail <EMAIL> or <EMAIL>, host <IP>, call <PHONE>")
+    assert(red(2L) == "no pii here")
+    val reps = df.select(col("id"),
+      Text.tokenRepetitionRatio(col("text")).as("r")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(reps(3L) == 0.75) // 4 tokens, 1 distinct
+    assert(reps(2L) == 0.0)
+  }
+
+  test("contamination flags n-gram overlap with a benchmark set") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog today")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "prefix words the quick brown fox jumps over the lazy dog today and more"),
+      (2L, "completely unrelated text about spark catalyst optimizer internals")).toDF("id", "text")
+    val hits = Contamination.ngramOverlap(corpus, "id", "text", bench, "id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.map(_._1).toSet == Set(1L)) // only the overlapping doc
+    assert(hits.head._2 >= 1 && hits.head._3 == 1)
+  }
+
+  test("hash sampling is deterministic and caps strata") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("id", "lang")
+    val s1 = Sampling.sampleByHash(df, "id", 0.2).select("id").as[Long].collect().toSet
+    val s2 = Sampling.sampleByHash(df, "id", 0.2).select("id").as[Long].collect().toSet
+    assert(s1 == s2) // deterministic
+    assert(s1.size > 120 && s1.size < 280) // ~200 expected
+    val capped = Sampling.stratifiedCap(df, Seq("lang"), "id", cap = 50)
+    assert(capped.groupBy("lang").count().collect()
+      .forall(_.getLong(1) == 50L))
+    // nested sampling property: rate 0.1 sample is a subset of rate 0.2
+    val s01 = Sampling.sampleByHash(df, "id", 0.1).select("id").as[Long].collect().toSet
+    assert(s01.subsetOf(s1))
+  }
+
   test("clusterPairs: transitive chain collapses to one component/survivor") {
     import spark.implicits._
     // chain: 10~11, 11~12 (10 and 12 NOT directly paired); isolated 13
