@@ -65,6 +65,9 @@ object Loader {
     "sql" -> "graft.plugins.transform.SqlPlugin",
     "dedup" -> "graft.plugins.transform.DedupPlugin",
     "text_analysis" -> "graft.plugins.transform.TextAnalysisPlugin",
+    "sample" -> "graft.plugins.transform.SamplePlugin",
+    "redact_pii" -> "graft.plugins.transform.RedactPiiPlugin",
+    "contamination" -> "graft.plugins.transform.ContaminationPlugin",
     "parquet_stream_scan" -> "graft.plugins.streaming.ParquetStreamScanPlugin",
     "stream_parquet_writer" -> "graft.plugins.streaming.StreamParquetWriterPlugin",
     "parquet_writer" -> "graft.plugins.output.ParquetWriterPlugin",

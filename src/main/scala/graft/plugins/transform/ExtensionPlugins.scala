@@ -24,6 +24,18 @@ class DedupPlugin(options: Map[String, Any], configDir: Path, label: String)
       idCol <- requiredString("id_column")
       out <- graft.core.Errors.safe {
         method match {
+          case "ngram_verified" =>
+            Dedup.ngramJaccardVerified(df, idCol, textColumn,
+              n = numOpt("n", 5).toInt,
+              threshold = numOpt("threshold", 0.8),
+              numHashes = numOpt("num_hashes", 64).toInt,
+              bands = numOpt("bands", 16).toInt)
+          case "minhash_clustered" =>
+            Dedup.byMinhashClustered(df, idCol, textColumn,
+              threshold = numOpt("threshold", 0.8),
+              shingleK = numOpt("shingle_k", 5).toInt,
+              numHashes = numOpt("num_hashes", 64).toInt,
+              bands = numOpt("bands", 16).toInt)
           case "exact" =>
             val keys = options.get("key_columns") match {
               case Some(xs: Seq[_]) => xs.map(_.toString)
@@ -69,6 +81,117 @@ class DedupPlugin(options: Map[String, Any], configDir: Path, label: String)
     requiredString("method").flatMap { _ =>
       propagateSchema(schema)(df => execute(df).fold(e => throw e, identity))
     }
+}
+
+/** Config-driven deterministic sampling ([[graft.ops.Sampling]]):
+  *
+  *   method = "uniform"        — rate ∈ (0,1], md5-keyed band
+  *          | "stratified_cap" — cap rows per group_columns stratum
+  */
+class SamplePlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "sample"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      method <- requiredString("method")
+      keyCol <- requiredString("key_column")
+      out <- method match {
+        case "uniform" =>
+          required("rate").flatMap(r => graft.core.Errors.safe(
+            graft.ops.Sampling.sampleByHash(df, keyCol, r.toString.toDouble)))
+        case "stratified_cap" =>
+          for {
+            groups <- stringList("group_columns")
+            cap <- required("cap")
+            out <- graft.core.Errors.safe(
+              graft.ops.Sampling.stratifiedCap(df, groups, keyCol,
+                cap.toString.toDouble.toInt))
+          } yield out
+        case other => Left(new PluginExecutionError(
+          s"Unknown sample method: '$other'"))
+      }
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    requiredString("method").flatMap { _ =>
+      propagateSchema(schema)(df => execute(df).fold(e => throw e, identity))
+    }
+}
+
+/** Config-driven PII redaction ([[graft.ops.Text.redactPii]]):
+  * rewrites text_column in place (or into output_column) and
+  * optionally attaches per-category counts. */
+class RedactPiiPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "redact_pii"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    graft.core.Errors.safe {
+      import org.apache.spark.sql.functions.col
+      val tc = options.getOrElse("text_column", "text").toString
+      val out = options.getOrElse("output_column", tc).toString
+      val redacted = df.withColumn(out, Text.redactPii(col(tc)))
+      if (options.get("with_counts").exists(_.toString.toBoolean))
+        Text.piiCounts(col(tc)).foldLeft(redacted) { case (acc, (n, c)) =>
+          acc.withColumn(n, c.cast("long"))
+        }
+      else redacted
+    }
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] = {
+    val tc = options.getOrElse("text_column", "text").toString
+    if (!schema.fieldNames.contains(tc))
+      Left(new graft.core.SchemaValidationError(
+        s"Column '$tc' not found in schema"))
+    else propagateSchema(schema)(df => execute(df).fold(e => throw e, identity))
+  }
+}
+
+/** Config-driven benchmark-contamination check
+  * ([[graft.ops.Contamination.ngramOverlap]]): the benchmark stream
+  * arrives under `bench_label` (multi-stream routing, like join's
+  * right_label). */
+class ContaminationPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label)
+    with graft.core.MultiStreamTransformPlugin {
+  def name: String = "contamination"
+
+  def executeWith(df: DataFrame,
+                  streams: Map[String, Either[Throwable, DataFrame]])
+      : Either[Throwable, DataFrame] =
+    for {
+      bl <- requiredString("bench_label")
+      bench <- streams.getOrElse(bl, Left(new NoSuchElementException(
+        s"No input data with label '$bl' for contamination plugin")))
+      idCol <- requiredString("id_column")
+      benchId = options.getOrElse("bench_id_column", "doc_id").toString
+      out <- graft.core.Errors.safe {
+        val tc = options.getOrElse("text_column", "text").toString
+        val btc = options.getOrElse("bench_text_column", tc).toString
+        graft.ops.Contamination.ngramOverlap(df, idCol, tc,
+          bench, benchId, btc,
+          n = options.get("n").map(_.toString.toDouble.toInt).getOrElse(8))
+      }
+    } yield out
+
+  def dryRunWith(schema: StructType,
+                 schemas: Map[String, Either[Throwable, StructType]])
+      : Either[Throwable, StructType] =
+    for {
+      bl <- requiredString("bench_label")
+      _ <- schemas.getOrElse(bl, Left(new NoSuchElementException(
+        s"No input data with label '$bl' for contamination plugin")))
+      idCol <- requiredString("id_column")
+      out <- graft.core.Errors.safe {
+        val idField = schema.fields.find(_.name == idCol).getOrElse(
+          throw new graft.core.SchemaValidationError(
+            s"Column '$idCol' not found in schema"))
+        StructType(Seq(idField,
+          StructField("n_overlap", LongType, nullable = false),
+          StructField("n_bench_docs", LongType, nullable = false)))
+      }
+    } yield out
 }
 
 /** Config-driven wrapper over [[graft.ops.Text.analyze]]: attaches

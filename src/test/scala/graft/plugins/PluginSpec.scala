@@ -147,6 +147,61 @@ class PluginSpec extends AnyFunSuite {
     assert(df.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
   }
 
+  test("sample plugin: uniform band + stratified cap via config options") {
+    val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val uni = new SamplePlugin(Map("method" -> "uniform",
+        "key_column" -> "doc_id", "rate" -> 0.25), dir, "default")
+      .execute(df).fold(e => throw e, identity)
+    val n = uni.count()
+    assert(n > 50 && n < 150) // ~100 expected, deterministic
+    val capped = new SamplePlugin(Map("method" -> "stratified_cap",
+        "key_column" -> "doc_id", "group_columns" -> Seq("lang"),
+        "cap" -> 30), dir, "default")
+      .execute(df).fold(e => throw e, identity)
+    assert(capped.groupBy("lang").count().collect()
+      .forall(_.getLong(1) == 30L))
+    val bad = new SamplePlugin(Map("method" -> "uniform",
+        "key_column" -> "doc_id"), dir, "default").execute(df)
+    assert(bad.left.toOption.get.getMessage.contains("'rate' is required"))
+  }
+
+  test("redact_pii plugin: in-place rewrite + counts; dry_run checks column") {
+    val df = Seq((1L, "mail a@b.io from 10.0.0.1")).toDF("id", "text")
+    val out = new RedactPiiPlugin(Map("with_counts" -> true), dir, "default")
+      .execute(df).fold(e => throw e, identity)
+    val row = out.collect()(0)
+    assert(row.getString(1) == "mail <EMAIL> from <IP>")
+    assert(out.columns.toSeq ==
+      Seq("id", "text", "n_emails", "n_ips", "n_phones"))
+    val dry = new RedactPiiPlugin(Map("text_column" -> "nope"), dir, "default")
+      .dryRun(df.schema)
+    assert(dry.left.toOption.get.getMessage.contains("'nope' not found"))
+  }
+
+  test("contamination plugin: routes the bench stream by label") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "unrelated words entirely different from anything else here"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (9L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val plug = new ContaminationPlugin(Map("bench_label" -> "bench",
+      "id_column" -> "doc_id"), dir, "default")
+    val out = plug.executeWith(corpus,
+        Map("bench" -> Right(bench)))
+      .fold(e => throw e, identity)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet == Set(1L))
+    // dry_run propagates the (id, n_overlap, n_bench_docs) schema
+    val schema = plug.dryRunWith(corpus.schema,
+      Map("bench" -> Right(bench.schema))).toOption.get
+    assert(schema.fieldNames.toSeq == Seq("doc_id", "n_overlap", "n_bench_docs"))
+    // missing bench label short-circuits
+    assert(plug.executeWith(corpus, Map.empty).isLeft)
+  }
+
   test("loader: aliases resolve, unknown module fails, disabled skipped, kind checked") {
     import graft.core.{GraftConfig, PluginConfig}
     val cfg = GraftConfig(
