@@ -72,7 +72,21 @@ object Loader {
     "stream_parquet_writer" -> "graft.plugins.streaming.StreamParquetWriterPlugin",
     "parquet_writer" -> "graft.plugins.output.ParquetWriterPlugin",
     "csv_writer" -> "graft.plugins.output.CsvWriterPlugin",
-    "ipc_writer" -> "graft.plugins.output.IpcWriterPlugin")
+    "ipc_writer" -> "graft.plugins.output.IpcWriterPlugin",
+    // Compat aliases for the reference's shipped module paths (the
+    // complete cryoflow_plugin_collections surface), so an existing
+    // cryoflow config — including examples/config.toml — runs on this
+    // engine unmodified.
+    "cryoflow_plugin_collections.input.parquet_scan" ->
+      "graft.plugins.input.ParquetScanPlugin",
+    "cryoflow_plugin_collections.input.csv_scan" ->
+      "graft.plugins.input.CsvScanPlugin",
+    "cryoflow_plugin_collections.input.ipc_scan" ->
+      "graft.plugins.input.IpcScanPlugin",
+    "cryoflow_plugin_collections.transform.multiplier" ->
+      "graft.plugins.transform.ColumnMultiplierPlugin",
+    "cryoflow_plugin_collections.output.parquet_writer" ->
+      "graft.plugins.output.ParquetWriterPlugin")
 
   /** Instantiate one plugin class reflectively. The constructor
     * contract mirrors loader.py:96-121: (options, configDir, label). */

@@ -162,6 +162,36 @@ class E2ESpec extends AnyFunSuite {
       (r.getLong(0), r.getString(2))).toSeq == Seq((1L, "one"), (2L, "two")))
   }
 
+  test("the reference's own examples/config.toml runs unmodified") {
+    val refDir = java.nio.file.Paths.get("/root/reference/examples")
+    assume(java.nio.file.Files.exists(refDir.resolve("config.toml")))
+    // copy config + data to a writable dir (the config's output path
+    // is relative, so it must land beside the copied config)
+    val tmp = java.nio.file.Files.createTempDirectory("refcfg")
+    java.nio.file.Files.createDirectories(tmp.resolve("data"))
+    java.nio.file.Files.copy(refDir.resolve("config.toml"),
+      tmp.resolve("config.toml"))
+    java.nio.file.Files.copy(refDir.resolve("data/sample_sales.parquet"),
+      tmp.resolve("data/sample_sales.parquet"))
+    val cfg = tmp.resolve("config.toml")
+    val config = Config.loadConfig(cfg).fold(e => fail(e.getMessage), identity)
+    // reference module paths resolve through the compat aliases
+    assert(config.inputPlugins.head.module ==
+      "cryoflow_plugin_collections.input.parquet_scan")
+    val reg = Loader.loadPlugins(config, cfg).fold(e => fail(e.getMessage), identity)
+    val result = Pipeline.runPipeline(reg.inputs, reg.transforms, reg.outputs)
+    assert(result.isRight, result.left.toOption.map(_.getMessage))
+    val in = spark.read.parquet(tmp.resolve("data/sample_sales.parquet").toString)
+    val out = spark.read.parquet(tmp.resolve("data/output.parquet").toString)
+    assert(out.count() == in.count())
+    // the multiplier doubled total_amount, everything else untouched
+    def amountSum(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("total_amount").cast("double")))
+        .collect()(0).getDouble(0)
+    assert(math.abs(amountSum(out) - 2 * amountSum(in)) < 1e-6)
+  }
+
   implicit private class Tap[A](a: A) {
     def tap(f: A => Unit): A = { f(a); a }
   }
