@@ -101,7 +101,10 @@ object ArrowIpc {
   import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit => ATimeUnit}
 
   def toSparkType(t: ArrowType): DataType = t match {
-    case _: ArrowType.Utf8 | _: ArrowType.LargeUtf8 => StringType
+    // Utf8View/BinaryView: the string layout Polars ≥1.x writes by
+    // default — same logical type, different buffer layout
+    case _: ArrowType.Utf8 | _: ArrowType.LargeUtf8 | _: ArrowType.Utf8View =>
+      StringType
     case i: ArrowType.Int =>
       (i.getBitWidth, i.getIsSigned) match {
         case (8, true) => ByteType
@@ -120,7 +123,8 @@ object ArrowIpc {
     case _: ArrowType.Bool => BooleanType
     case _: ArrowType.Date => DateType
     case _: ArrowType.Timestamp => TimestampType
-    case _: ArrowType.Binary | _: ArrowType.LargeBinary => BinaryType
+    case _: ArrowType.Binary | _: ArrowType.LargeBinary |
+         _: ArrowType.BinaryView => BinaryType
     case other => throw new IllegalArgumentException(s"Unsupported Arrow type: $other")
   }
 
@@ -146,6 +150,8 @@ object ArrowIpc {
     else v match {
       case x: VarCharVector => new String(x.get(i), java.nio.charset.StandardCharsets.UTF_8)
       case x: LargeVarCharVector => new String(x.get(i), java.nio.charset.StandardCharsets.UTF_8)
+      case x: ViewVarCharVector => new String(x.get(i), java.nio.charset.StandardCharsets.UTF_8)
+      case x: ViewVarBinaryVector => x.get(i)
       case x: TinyIntVector => x.get(i)
       case x: SmallIntVector => x.get(i)
       case x: IntVector => x.get(i)

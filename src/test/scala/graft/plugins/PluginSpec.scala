@@ -137,6 +137,21 @@ class PluginSpec extends AnyFunSuite {
     assert(plug.dryRun().toOption.get.fieldNames.length == 4)
   }
 
+  test("arrow IPC bridge reads the reference's Polars-written file (Utf8View)") {
+    val ipc = Paths.get("/root/reference/examples/data/sample_sales.ipc")
+    assume(Files.exists(ipc))
+    val viaIpc = new IpcScanPlugin(
+      Map("input_path" -> ipc.toString), dir, "default")
+      .execute().fold(e => throw e, identity)
+    val viaParquet = spark.read.parquet(
+      "/root/reference/examples/data/sample_sales.parquet")
+    assert(viaIpc.schema == viaParquet.schema)
+    // same 50 rows, value-identical (both files ship the same table)
+    val a = viaIpc.orderBy("order_id").collect().map(_.toSeq)
+    val b = viaParquet.orderBy("order_id").collect().map(_.toSeq)
+    assert(a.length == 50 && a.sameElements(b))
+  }
+
   test("csv scan: separator and header options, schema inference") {
     val p = Files.createTempDirectory("csv").resolve("d.csv")
     Files.writeString(p, "id;name\n1;aa\n2;bb\n")
