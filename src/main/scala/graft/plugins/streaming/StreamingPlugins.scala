@@ -43,7 +43,14 @@ class ParquetStreamScanPlugin(val options: Map[String, Any],
       Errors.safe {
         // schema from the current files' footers (required by readStream)
         val schema = spark.read.parquet(p.toString).schema
-        spark.readStream.schema(schema).parquet(p.toString)
+        val reader = spark.readStream.schema(schema)
+        // bound per-micro-batch work on a flooded landing dir
+        // (backfill catch-up) — the standard ingestion rate limit
+        val limited = options.get("max_files_per_trigger")
+          .map(v => reader.option("maxFilesPerTrigger",
+            v.toString.toDouble.toInt.toString))
+          .getOrElse(reader)
+        limited.parquet(p.toString)
       }
     }
 

@@ -45,6 +45,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup keeps one doc per fingerprint within the watermark") {
+    val dir = Files.createTempDirectory("docs_stream")
+    // near-dup pair (same normalized text) + one distinct doc
+    Seq(
+      (1L, "Hello, World!", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, "hello   world", java.sql.Timestamp.valueOf("2024-01-01 10:05:00")),
+      (3L, "something else", java.sql.Timestamp.valueOf("2024-01-01 10:10:00")))
+      .toDF("doc_id", "text", "event_time")
+      .coalesce(1).write.parquet(dir.resolve("in").toString)
+    val schema = spark.read.parquet(dir.resolve("in").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.resolve("in").toString)
+    val got = Streams.runToMemory(
+      Streams.dedupStream(stream, "text", "event_time"), "dedup_stream_test")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.size == 2)          // the fingerprint-dup collapsed
+    assert(got.contains(3L))       // distinct doc survives
+    assert((got & Set(1L, 2L)).size == 1) // exactly one of the dups
+  }
+
   test("batch transform plugins compose onto streaming frames") {
     val tmp = Files.createTempDirectory("stream")
     val stream = Streams.eventStream(spark, eventsDir)
