@@ -34,6 +34,9 @@ object Percentiles {
                         ps: Seq[(String, Double)]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
     val cnt = Window.partitionBy(keys.map(col): _*)
+    // the unbounded count window rides the SAME exchange as the
+    // row_number sort; an agg + broadcast-join alternative measured
+    // slightly slower (extra stage barrier) at sf0.1
     val ranked = df
       .filter(col(valueCol).isNotNull)
       .withColumn("_rn", row_number().over(w))
