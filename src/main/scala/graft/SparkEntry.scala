@@ -604,6 +604,35 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // ---- sequence packing (concat-and-chunk, per-shard) ----------
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.ops.Packing.packChunks(
+          tBalanced(s, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              Text.tokenCount(col("text")).cast("long").as("n_tokens")),
+          "n_tokens", budget = 2048,
+          shardCols = Seq("lang"), orderCol = "doc_id")
+        .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
+        .orderBy("doc_id")),
+
+    // ---- composed corpus-cleaning pipeline (flagship) ------------
+    // The end-to-end story every piece above exists for: language
+    // filter → quality floor → exact-dup drop (min doc_id survives)
+    // → deterministic 50% sample — one declarative plan, one oracle.
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      val docs = tBalanced(s, dir, "documents")
+      val scored = Text.withQualityMetrics(docs, "text")
+        .withColumn("quality", Text.qualityFromMetrics)
+      val en = scored.filter(col("lang") === "en" && col("quality") >= 0.5)
+      val survivors = en.withColumn("fingerprint", Text.fingerprint(col("text")))
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))))
+        .filter(col("_rk") === 1)
+      Sampling.sampleByHash(survivors, "doc_id", rate = 0.5)
+        .select(col("doc_id"), col("source"), r(col("quality"), 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
     // ---- text token counting -------------------------------------
     // Edge rows unioned in: blank text (token count must be 0, not
     // the 1 a naive split yields) and non-ASCII text — both under
@@ -1244,6 +1273,71 @@ object SparkEntry {
         |  ) SELECT id, seen FROM rr)
         |SELECT id AS doc_id, min(seen) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Concat-and-chunk packing: per-lang running token count → chunk
+    // id/offset, replicated with a window cumsum.
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+        |      - n_tokens, 0) AS cum_before
+        |  FROM d)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor(cum_before / 2048) AS BIGINT) AS seq_id,
+        |  CAST(cum_before % 2048 AS BIGINT) AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // The composed cleaning pipeline, replicated stage by stage:
+    // quality formula (same IEEE op order as qualityFromMetrics),
+    // lang+quality filter, fingerprint keep-first, md5 hash-band
+    // sample at rate 0.5 (0.5 · 2^32 = 2147483648).
+    "pipeline_clean_corpus" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang, text,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+        |    CAST(length(text) AS DOUBLE) AS n
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, source, lang, text, n,
+        |    CASE WHEN n = 0 THEN 0.0 ELSE
+        |      length(regexp_replace(text, '[^[:punct:]]', '', 'g')) / n END AS praw,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(len(list_filter(toks, t -> list_contains(
+        |        ['the','a','an','and','or','of','to','in','is','are','was',
+        |         'for','on','with','as','at','by','it','be','this','that'], t)))
+        |        AS DOUBLE) / len(toks) END AS sraw,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+        |        / len(toks) END AS mraw
+        |  FROM d
+        |), q AS (
+        |  SELECT doc_id, source, lang, text,
+        |    least(n / 200.0, 1.0) * 0.4
+        |      + greatest(0.0, 1.0 - praw * 4.0) * 0.2
+        |      + least(sraw * 5.0, 1.0) * 0.2
+        |      + (CASE WHEN mraw >= 3.0 AND mraw <= 10.0
+        |         THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+        |  FROM m
+        |), en AS (
+        |  SELECT * FROM q WHERE lang = 'en' AND quality >= 0.5
+        |), fp AS (
+        |  SELECT doc_id, source, quality, row_number() OVER (
+        |    PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')))
+        |    ORDER BY doc_id) AS rk
+        |  FROM en)
+        |SELECT doc_id, source, r(quality, 4) AS quality
+        |FROM fp
+        |WHERE rk = 1
+        |  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    < 2147483648
+        |ORDER BY doc_id""".stripMargin,
 
     // Roundtrips: the engine wrote and re-read the table through the
     // CSV / Arrow-IPC plugins; the oracle reads the original parquet.

@@ -122,6 +122,21 @@ class OpsSpec extends AnyFunSuite {
     assert(hits.head._2 >= 1 && hits.head._3 == 1)
   }
 
+  test("packChunks assigns concat-and-chunk sequence ids per shard") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 600L), (2L, "a", 600L), (3L, "a", 600L), (4L, "a", 600L),
+      (5L, "b", 2000L), (6L, "b", 100L)).toDF("id", "shard", "toks")
+    val out = Packing.packChunks(df, "toks", budget = 1024,
+        shardCols = Seq("shard"), orderCol = "id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    // shard a cum_before: 0, 600, 1200, 1800 → seqs 0,0,1,1
+    assert(out(1L) == (0L, 0L) && out(2L) == (0L, 600L))
+    assert(out(3L) == (1L, 176L) && out(4L) == (1L, 776L))
+    // shard b independent: 0, 2000 → seqs 0, 1
+    assert(out(5L) == (0L, 0L) && out(6L) == (1L, 976L))
+  }
+
   test("hash sampling is deterministic and caps strata") {
     import spark.implicits._
     val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
