@@ -604,6 +604,19 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // ---- skew-salted join (semantics-preserving plan change) -----
+    // Salting must change the SHUFFLE, not the RESULT: output is
+    // hash-compared against the plain SQL join.
+    "q_skew_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      val parts = t(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_name"), col("p_brand"))
+      graft.ops.Skew.saltedJoin(li, parts, Seq("l_partkey"),
+          rowId = "l_orderkey", salts = 8)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // ---- sequence packing (concat-and-chunk, per-shard) ----------
     "q_pack_sequences" -> ((s, dir) =>
       graft.ops.Packing.packChunks(
@@ -1273,6 +1286,13 @@ object SparkEntry {
         |  ) SELECT id, seen FROM rr)
         |SELECT id AS doc_id, min(seen) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // The salted join must equal the plain join exactly.
+    "q_skew_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |  p_name, p_brand
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // Concat-and-chunk packing: per-lang running token count → chunk
     // id/offset, replicated with a window cumsum.
