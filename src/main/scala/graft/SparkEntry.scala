@@ -28,6 +28,25 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-process scratch root for roundtrip/streaming queries, wiped
+    * by a shutdown hook — repeated bench/verify runs previously
+    * leaked one orphan temp dir (with full table copies) per
+    * invocation into /tmp. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_scratch")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case _: Throwable => () }
+    }
+    root
+  }
+
+  private def scratch(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
+
   /** Rebalance a (possibly single-split) input across the cluster
     * before a CPU-heavy per-row stage. Small tables arrive as one
     * parquet split and would otherwise run regex/shingling on one
@@ -519,7 +538,7 @@ object SparkEntry {
     "q_csv_roundtrip" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       val base = t(s, dir, "customer")
-      val work = java.nio.file.Files.createTempDirectory("csv_rt")
+      val work = scratch("csv_rt")
       new graft.plugins.output.CsvWriterPlugin(
         Map("output_path" -> work.resolve("out").toString), work, "default")
         .execute(base).fold(e => throw e, _ => ())
@@ -539,7 +558,7 @@ object SparkEntry {
     "q_ipc_roundtrip" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       val base = t(s, dir, "customer")
-      val work = java.nio.file.Files.createTempDirectory("ipc_rt")
+      val work = scratch("ipc_rt")
       new graft.plugins.output.IpcWriterPlugin(
         Map("output_path" -> work.resolve("out.arrow").toString), work, "default")
         .execute(base).fold(e => throw e, _ => ())
@@ -792,8 +811,16 @@ object SparkEntry {
     "q_percentile" -> ((s, dir) => {
       import s.implicits._
       val base = t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice")
+      // edge groups: all-NULL values ("Z"), NULL-valued rows mixed
+      // into real groups, and a NULL KEY group with real values —
+      // GROUP BY treats NULL as a group; the restore join must be
+      // null-safe for its percentiles to survive
       val edges = Seq(("A", Option.empty[Double]), ("N", Option.empty[Double]),
         ("Z", Option.empty[Double])).toDF("l_returnflag", "l_extendedprice")
+        .unionByName(Seq((Option.empty[String], Some(100.0)),
+          (Option.empty[String], Some(200.0)),
+          (Option.empty[String], Some(400.0)))
+          .toDF("l_returnflag", "l_extendedprice"))
       graft.ops.Percentiles.exactInterpolated(
           base.unionByName(edges),
           Seq("l_returnflag"), "l_extendedprice",
@@ -875,7 +902,7 @@ object SparkEntry {
     // semantics it claims.
     "stream_events_window" -> ((s, dir) => {
       implicit val spark: SparkSession = s
-      val work = java.nio.file.Files.createTempDirectory("stream_ew")
+      val work = scratch("stream_ew")
       val inDir = work.resolve("in")
       java.nio.file.Files.createDirectories(inDir)
       java.nio.file.Files.copy(
@@ -1568,7 +1595,10 @@ object SparkEntry {
         |  SELECT l_returnflag, l_extendedprice FROM lineitem
         |  UNION ALL
         |  SELECT * FROM (VALUES ('A', CAST(NULL AS DOUBLE)),
-        |    ('N', CAST(NULL AS DOUBLE)), ('Z', CAST(NULL AS DOUBLE)))
+        |    ('N', CAST(NULL AS DOUBLE)), ('Z', CAST(NULL AS DOUBLE)),
+        |    (CAST(NULL AS VARCHAR), CAST(100.0 AS DOUBLE)),
+        |    (CAST(NULL AS VARCHAR), CAST(200.0 AS DOUBLE)),
+        |    (CAST(NULL AS VARCHAR), CAST(400.0 AS DOUBLE)))
         |    v(l_returnflag, l_extendedprice))
         |SELECT l_returnflag,
         |  r(quantile_cont(l_extendedprice, 0.25), 2) AS p25,

@@ -123,11 +123,34 @@ object Loader {
     module.contains("/") || module.contains("\\") ||
       module.endsWith(".jar") || module.startsWith(".")
 
-  /** One classloader per resolved jar, shared by all config entries
-    * pointing at it (like the reference's sys.modules registration,
-    * loader.py:50-55) — classes from the same jar stay identical. */
+  /** One classloader per resolved jar VERSION, shared by all config
+    * entries pointing at it (like the reference's sys.modules
+    * registration, loader.py:50-55) — classes from the same jar stay
+    * identical. The cache key includes (lastModified, size) so a jar
+    * replaced on disk mid-process gets a fresh loader instead of
+    * serving stale classes; superseded loaders are closed (releasing
+    * their file handles), and all remaining loaders are closed by a
+    * JVM shutdown hook. */
   private val jarLoaders =
-    scala.collection.concurrent.TrieMap.empty[Path, ClassLoader]
+    scala.collection.concurrent.TrieMap.empty[(Path, Long, Long), java.net.URLClassLoader]
+
+  sys.addShutdownHook {
+    jarLoaders.values.foreach(l => try l.close() catch { case _: Throwable => () })
+  }
+
+  private def loaderFor(resolved: Path): ClassLoader = {
+    val f = resolved.toFile
+    val key = (resolved, f.lastModified, f.length)
+    val loader = jarLoaders.getOrElseUpdate(key,
+      new java.net.URLClassLoader(
+        Array(resolved.toUri.toURL), getClass.getClassLoader))
+    // drop (and close) loaders for older versions of the same path
+    jarLoaders.keys.filter(k => k._1 == resolved && k != key).foreach { k =>
+      jarLoaders.remove(k).foreach(l =>
+        try l.close() catch { case _: Throwable => () })
+    }
+    loader
+  }
 
   /** Load EVERY concrete BasePlugin class from a plugin jar —
     * `_resolve_module_path` + `_load_module_from_path` +
@@ -142,9 +165,7 @@ object Loader {
                       else configDir.resolve(p0)).normalize.toAbsolutePath
       if (!Files.exists(resolved))
         return Left(new PluginLoadError(s"Plugin file does not exist: $resolved"))
-      val loader = jarLoaders.getOrElseUpdate(resolved,
-        new java.net.URLClassLoader(
-          Array(resolved.toUri.toURL), getClass.getClassLoader))
+      val loader = loaderFor(resolved)
       val jar = new java.util.jar.JarFile(resolved.toFile)
       val classNames =
         try jar.entries().asScala.map(_.getName)

@@ -98,13 +98,32 @@ object Dedup {
     * bucket self-join emits distinct id pairs only, and signatures are
     * re-attached just for the surviving pairs. Bucket sizes are the
     * skew risk at 100 TB: near-identical boilerplate floods one
-    * bucket; `maxBucket` drops pathological buckets (standard
-    * practice) so the join stays bounded.
+    * bucket; `maxBucket` bounds the self-join, with `overCap`
+    * choosing what happens to over-cap buckets:
+    *
+    *  - "drop": discard the bucket entirely (the classic cap). A
+    *    SILENT LOSS of exactly the dense duplicate families dedup
+    *    exists to catch — acceptable only for candidate/verifier
+    *    paths whose oracle corpus is known to stay under the cap, or
+    *    after an exact fingerprint dedup has already collapsed
+    *    identical docs.
+    *  - "star" (clustering default): emit O(bucket) STAR edges —
+    *    every member paired with the bucket's min-id member — instead
+    *    of the O(bucket²) clique. For connected-components dedup the
+    *    star preserves exactly what matters (connectivity through the
+    *    hub); downstream est_jaccard still verifies each star edge,
+    *    so an over-cap bucket of identical boilerplate collapses to
+    *    one survivor while a rare false-flood bucket still gets its
+    *    non-dup members released. Pair-EXACTNESS is not preserved
+    *    (members similar to each other but not to the hub lose their
+    *    direct edge) — that is the price of never going quadratic.
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleK: Int = 5, numHashes: Int = 64,
-                            bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
+                            bands: Int = 16, maxBucket: Int = 1000,
+                            overCap: String = "drop"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(Set("drop", "star")(overCap), s"unknown overCap mode: $overCap")
     val r = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, shingleK, numHashes)
 
@@ -118,16 +137,29 @@ object Dedup {
       .select(col(idCol), col("bucket.band").as("band"), col("bucket.bh").as("bh"))
 
     // Cap pathological buckets (boilerplate floods) before the self-join.
-    val keepBuckets = banded.groupBy("band", "bh").count()
+    val bucketCounts = banded.groupBy("band", "bh").count()
+    val keepBuckets = bucketCounts
       .filter(col("count") <= maxBucket).drop("count")
     val capped = banded.join(keepBuckets, Seq("band", "bh"))
 
-    val pairs = capped.select(col("band"), col("bh"), col(idCol).as("id_a"))
+    val cliquePairs = capped.select(col("band"), col("bh"), col(idCol).as("id_a"))
       .join(capped.select(col("band"), col("bh"), col(idCol).as("id_b")),
         Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
+
+    val pairs = (if (overCap == "star") {
+      val over = banded.join(
+        bucketCounts.filter(col("count") > maxBucket).drop("count"),
+        Seq("band", "bh"))
+      // hub = min id per over-cap bucket; one shuffle on (band, bh),
+      // O(bucket) edges out
+      val hubs = over.groupBy("band", "bh").agg(min(col(idCol)).as("_hub"))
+      val starPairs = over.join(hubs, Seq("band", "bh"))
+        .filter(col(idCol) =!= col("_hub"))
+        .select(col("_hub").as("id_a"), col(idCol).as("id_b"))
+      cliquePairs.unionByName(starPairs)
+    } else cliquePairs).distinct()
 
     pairs
       .join(sig.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -185,6 +217,14 @@ object Dedup {
       round += 1
     }
     edges.unpersist()
+    // exiting via maxIter with changes still in flight means some
+    // component of diameter > maxIter got SPLIT into pseudo-clusters
+    // (extra survivors downstream) — make that visible, never silent
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"clusterPairs did not converge in $maxIter rounds " +
+          s"($changed labels still changing): components with diameter " +
+          s"> $maxIter are split; raise maxIter")
     labels.select(col("_id").as(idCol), col("cluster_id"))
   }
 
@@ -195,8 +235,14 @@ object Dedup {
     * non-transitive. */
   def byMinhashClustered(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double = 0.8, shingleK: Int = 5,
-                         numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val pairs = minhashCandidatePairs(df, idCol, textCol, shingleK, numHashes, bands)
+                         numHashes: Int = 64, bands: Int = 16,
+                         maxBucket: Int = 1000): DataFrame = {
+    // overCap = "star": over-cap buckets (dense boilerplate families)
+    // contribute hub-spoke edges instead of being dropped, so the
+    // component still collapses to one survivor — see
+    // minhashCandidatePairs scaladoc
+    val pairs = minhashCandidatePairs(df, idCol, textCol, shingleK, numHashes,
+        bands, maxBucket, overCap = "star")
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b")
     val clusters = clusterPairs(df.select(col(idCol)), idCol, pairs)
@@ -313,8 +359,15 @@ object Dedup {
     * a true pair: with 16 bands × 4 rows, P(miss | J ≥ 0.8) ≤ 2.2e-4
     * and ≤ 4e-8 at J ≥ 0.9 — candidates are a superset of the
     * threshold pairs for any corpus without a mass of pairs sitting
-    * exactly at threshold. Output is therefore EXACT (same rows as the
-    * quadratic DuckDB verifier) and hash-oracled.
+    * exactly at threshold. Output matches the quadratic DuckDB
+    * verifier (hash-oracled) UNDER TWO PRECONDITIONS: the S-curve
+    * bound above, and NO LSH BUCKET EXCEEDING `maxBucket` — over-cap
+    * buckets are dropped (see minhashCandidatePairs), taking their
+    * pairs with them. Run exact fingerprint dedup first (collapsing
+    * identical docs, the main flood source) or raise `maxBucket` if
+    * the corpus has ≥1000-member near-identical families; for
+    * cluster-collapse semantics at any bucket size use
+    * [[byMinhashClustered]] (star edges, no pair-exactness claim).
     */
   def ngramJaccardVerified(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 5, threshold: Double = 0.8,

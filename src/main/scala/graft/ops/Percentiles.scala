@@ -61,8 +61,19 @@ object Percentiles {
     }
     // groups whose every value was NULL dropped out of `ranked`;
     // SQL percentile still emits them (with NULL) — restore via the
-    // original key set (tiny agg + broadcast-able join)
-    df.select(keys.map(col): _*).distinct()
-      .join(computed, keys, "left")
+    // original key set (tiny agg + broadcast-able join). NULL-SAFE
+    // equality: a NULL key is a legal GROUP BY group in both Spark
+    // and SQL, and `=` would orphan it (NULL percentiles for a group
+    // that has values).
+    // (computed's keys are renamed first — both sides descend from
+    // `df`, and same-name columns across a self-join lineage trip
+    // Spark's ambiguity heuristics)
+    val keyDf = df.select(keys.map(col): _*).distinct()
+    val renamed = computed.select(
+      keys.map(k => col(k).as(s"_ck_$k")) ++
+        ps.map { case (label, _) => col(label) }: _*)
+    val joinCond = keys.map(k => col(k) <=> col(s"_ck_$k")).reduce(_ && _)
+    keyDf.join(renamed, joinCond, "left")
+      .select(keys.map(col) ++ ps.map { case (label, _) => col(label) }: _*)
   }
 }

@@ -179,6 +179,25 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.contains(3L)) // unrelated doc survives
   }
 
+  test("byMinhashClustered collapses an over-cap bucket via star edges") {
+    import spark.implicits._
+    // 12 identical docs flood every LSH bucket past maxBucket=5 —
+    // "drop" mode would silently lose the whole family (zero pairs,
+    // all 12 survive); star mode keeps connectivity through the
+    // min-id hub, so the family collapses to one survivor
+    val flood = (0L until 12L).map(i =>
+      (i, "the same boilerplate paragraph repeated verbatim in every doc"))
+    val corpus = (flood :+ (100L, "a completely different document about unrelated topics entirely"))
+      .toDF("doc_id", "text")
+    val dropped = Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+      maxBucket = 5).count()
+    assert(dropped == 0L) // the silent-loss failure mode, demonstrated
+    val kept = Dedup.byMinhashClustered(corpus, "doc_id", "text",
+        threshold = 0.8, maxBucket = 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 100L))
+  }
+
   test("simhash: equal texts equal hash; near dup within small hamming") {
     val sig = Dedup.withSimhash(docs, "text").select("doc_id", "simhash")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -68,12 +68,15 @@ class PropertySpec extends AnyFunSuite {
       }
   }
 
-  test("exactInterpolated matches Spark percentile() incl. NULL values") {
+  test("exactInterpolated matches Spark percentile() incl. NULL values/keys") {
     import spark.implicits._
+    // keys are Options too: a NULL key is a legal GROUP BY group, and
+    // the key-restoring join must be null-safe for it to keep its
+    // computed percentiles
     val genRows = Gen.listOfN(30, for {
-      g <- Gen.choose(0, 2)
+      g <- Gen.option(Gen.choose(0, 2).map(i => s"g$i"))
       v <- Gen.option(Gen.choose(-1000, 1000).map(_.toDouble / 10))
-    } yield (s"g$g", v))
+    } yield (g, v))
 
     def cell(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
       if (r.isNullAt(i)) None else Some(r.getDouble(i))
