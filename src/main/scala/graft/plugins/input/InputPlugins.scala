@@ -72,19 +72,20 @@ class CsvScanPlugin(options: Map[String, Any], configDir: Path, label: String)
 /** A4 — Arrow IPC (Feather) source
   * (ref /root/reference/.../input/ipc_scan.py:20-52).
   *
-  * Spark has no built-in Arrow-IPC file source; we bridge via Arrow
-  * Java (on Spark's classpath). The file is read driver-side into rows
-  * then parallelized — fine for the reference's use of IPC (small
-  * config-adjacent files; largest shipped fixture ~9 KB). For genuine
-  * scale the path would be a DataSourceV2 TableProvider streaming
-  * record batches per task; parquet remains the scale format.
+  * Spark has no built-in Arrow-IPC file source; reads go through the
+  * [[graft.sources.ArrowIpcSource]] DataSourceV2 — one task per
+  * record batch, column pruning pushed into the scan, no driver
+  * materialization — so `ipc_scan` keeps the reference's semantics
+  * at cluster scale. ([[ArrowIpc.readFile]] remains as the
+  * driver-side reference implementation the DSv2 is tested against.)
   */
 class IpcScanPlugin(options: Map[String, Any], configDir: Path, label: String)
     extends FileInputPlugin(options, configDir, label) {
   def name: String = "ipc_scan"
 
   def execute()(implicit spark: SparkSession): Either[Throwable, DataFrame] =
-    inputPath().flatMap(p => Errors.safe(ArrowIpc.readFile(p, spark)))
+    inputPath().flatMap(p => Errors.safe(
+      spark.read.format("arrow-ipc").load(p.toString)))
 
   def dryRun()(implicit spark: SparkSession): Either[Throwable, StructType] =
     inputPath().flatMap(p => Errors.safe(ArrowIpc.readSchema(p)))
@@ -145,7 +146,7 @@ object ArrowIpc {
     } finally { ch.close(); alloc.close() }
   }
 
-  private def cellValue(v: FieldVector, i: Int): Any = {
+  private[graft] def cellValue(v: FieldVector, i: Int): Any = {
     if (v.isNull(i)) null
     else v match {
       case x: VarCharVector => new String(x.get(i), java.nio.charset.StandardCharsets.UTF_8)
@@ -209,7 +210,7 @@ object ArrowIpc {
   /** Write a (small, driver-collected) DataFrame as one Arrow IPC file.
     * Mirror of the reference's `write_ipc` surface
     * (docs/plugin_development.md:1239-1242). */
-  def writeFile(df: DataFrame, path: Path): Unit = {
+  def writeFile(df: DataFrame, path: Path, batchRows: Int = Int.MaxValue): Unit = {
     import org.apache.arrow.vector.types.pojo.{Schema => ASchema, FieldType}
     import scala.jdk.CollectionConverters._
 
@@ -241,34 +242,38 @@ object ArrowIpc {
     try {
       val writer = new ArrowFileWriter(root, null, java.nio.channels.Channels.newChannel(out))
       writer.start()
-      root.allocateNew()
-      rows.zipWithIndex.foreach { case (row, i) =>
-        schema.fields.zipWithIndex.foreach { case (f, j) =>
-          val vec = root.getVector(j)
-          if (row.isNullAt(j)) vec.setNull(i)
-          else (vec, f.dataType) match {
-            case (v: VarCharVector, _) => v.setSafe(i,
-              row.getString(j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            case (v: TinyIntVector, _) => v.setSafe(i, row.getByte(j))
-            case (v: SmallIntVector, _) => v.setSafe(i, row.getShort(j))
-            case (v: IntVector, _) => v.setSafe(i, row.getInt(j))
-            case (v: BigIntVector, _) => v.setSafe(i, row.getLong(j))
-            case (v: Float4Vector, _) => v.setSafe(i, row.getFloat(j))
-            case (v: Float8Vector, _) => v.setSafe(i, row.getDouble(j))
-            case (v: BitVector, _) => v.setSafe(i, if (row.getBoolean(j)) 1 else 0)
-            case (v: DateDayVector, _) => v.setSafe(i,
-              row.getDate(j).toLocalDate.toEpochDay.toInt)
-            case (v: TimeStampMicroTZVector, _) =>
-              val ts = row.getTimestamp(j).toInstant
-              v.setSafe(i, ts.getEpochSecond * 1000000L + ts.getNano / 1000L)
-            case (v: VarBinaryVector, _) => v.setSafe(i, row.getAs[Array[Byte]](j))
-            case (v, t) => throw new IllegalArgumentException(
-              s"Unsupported vector/type for IPC write: ${v.getClass.getSimpleName}/$t")
+      // chunk rows into record batches of `batchRows` — each batch is
+      // an independently seekable split for the arrow-ipc DSv2 source
+      rows.grouped(math.max(1, batchRows)).foreach { chunk =>
+        root.allocateNew()
+        chunk.zipWithIndex.foreach { case (row, i) =>
+          schema.fields.zipWithIndex.foreach { case (f, j) =>
+            val vec = root.getVector(j)
+            if (row.isNullAt(j)) vec.setNull(i)
+            else (vec, f.dataType) match {
+              case (v: VarCharVector, _) => v.setSafe(i,
+                row.getString(j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              case (v: TinyIntVector, _) => v.setSafe(i, row.getByte(j))
+              case (v: SmallIntVector, _) => v.setSafe(i, row.getShort(j))
+              case (v: IntVector, _) => v.setSafe(i, row.getInt(j))
+              case (v: BigIntVector, _) => v.setSafe(i, row.getLong(j))
+              case (v: Float4Vector, _) => v.setSafe(i, row.getFloat(j))
+              case (v: Float8Vector, _) => v.setSafe(i, row.getDouble(j))
+              case (v: BitVector, _) => v.setSafe(i, if (row.getBoolean(j)) 1 else 0)
+              case (v: DateDayVector, _) => v.setSafe(i,
+                row.getDate(j).toLocalDate.toEpochDay.toInt)
+              case (v: TimeStampMicroTZVector, _) =>
+                val ts = row.getTimestamp(j).toInstant
+                v.setSafe(i, ts.getEpochSecond * 1000000L + ts.getNano / 1000L)
+              case (v: VarBinaryVector, _) => v.setSafe(i, row.getAs[Array[Byte]](j))
+              case (v, t) => throw new IllegalArgumentException(
+                s"Unsupported vector/type for IPC write: ${v.getClass.getSimpleName}/$t")
+            }
           }
         }
+        root.setRowCount(chunk.length)
+        writer.writeBatch()
       }
-      root.setRowCount(rows.length)
-      writer.writeBatch()
       writer.end()
       writer.close()
     } finally { out.close(); root.close(); alloc.close() }
