@@ -922,6 +922,75 @@ object SparkEntry {
           col("event_type"), col("n"),
           r(col("sum_value"), 2).as("sum_value"))
         .orderBy("hour_start", "event_type")
+    }),
+
+    // ---- streaming fingerprint dedup under the oracle ------------
+    // Continuous-ingest dedup: parquet_stream_scan → watermarked
+    // dropDuplicates on the md5 fingerprint → exactly-once parquet
+    // sink. The surviving doc per fingerprint depends on micro-batch
+    // arrival order, so the gated output is the FINGERPRINT SET —
+    // deterministic and exactly what DuckDB recomputes with
+    // SELECT DISTINCT over the same normalization.
+    "stream_dedup_fingerprint" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val work = scratch("stream_dd")
+      val inDir = work.resolve("in")
+      java.nio.file.Files.createDirectories(inDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        inDir.resolve("documents.parquet"))
+      val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
+        Map("input_path" -> inDir.toString), work, "default")
+      val docs = scan.execute().fold(e => throw e, identity)
+        // synthetic event time (documents carry none): doc_id seconds,
+        // +1 so no row sits AT epoch 0 — the initial watermark is 0
+        // and event_time <= watermark counts as late (drops doc 0)
+        .withColumn("event_time", expr("timestamp_micros((doc_id + 1) * 1000000)"))
+      val deduped = graft.streaming.Streams.dedupStream(
+        docs, "text", "event_time", watermark = "1 hour")
+      val sink = new graft.plugins.streaming.StreamParquetWriterPlugin(
+        Map("output_path" -> work.resolve("out").toString), work, "default")
+      sink.execute(deduped).fold(e => throw e, _ => ())
+      s.read.parquet(work.resolve("out").toString)
+        .select(Text.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("fingerprint")
+    }),
+
+    // ---- streaming sessionization under the oracle ---------------
+    // flatMapGroupsWithState gap sessions on the event stream. With
+    // AvailableNow the trailing session per user is still OPEN in
+    // state when input drains (its timeout never fires), so the
+    // emitted rows are exactly "every session except each user's
+    // last" — which the DuckDB oracle replicates by dropping the
+    // max-session_id row per user from the batch sessionization.
+    // Timestamps truncate to whole seconds on both sides (integer
+    // division, no float path).
+    "stream_sessionize" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val work = scratch("stream_sess")
+      val inDir = work.resolve("in")
+      java.nio.file.Files.createDirectories(inDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        inDir.resolve("events.parquet"))
+      val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
+        Map("input_path" -> inDir.toString), work, "default")
+      val events = scan.execute().fold(e => throw e, identity)
+        .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+        .select(col("user_id"), col("event_time"), col("event_type"), col("value"))
+        .as[graft.streaming.Streams.Event]
+      val sessions = graft.streaming.Streams.sessionize(events,
+        gapSeconds = 1800,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      val sink = new graft.plugins.streaming.StreamParquetWriterPlugin(
+        Map("output_path" -> work.resolve("out").toString), work, "default")
+      sink.execute(sessions.toDF()).fold(e => throw e, _ => ())
+      s.read.parquet(work.resolve("out").toString)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events").cast("long").as("n_events"),
+          r(col("sum_value"), 2).as("sum_value"))
+        .orderBy("user_id", "session_start")
     })
   )
 
@@ -1654,6 +1723,43 @@ object SparkEntry {
         |FROM events, mx
         |GROUP BY hour_start, event_type, m
         |HAVING hour_start + 3600 <= m - 7200
-        |ORDER BY hour_start, event_type""".stripMargin
+        |ORDER BY hour_start, event_type""".stripMargin,
+
+    // deterministic part of streaming dropDuplicates: the distinct
+    // fingerprint set (the surviving doc_id depends on arrival order)
+    "stream_dedup_fingerprint" ->
+      """SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY fingerprint""".stripMargin,
+
+    // batch sessionization minus each user's LAST session — the one
+    // still open in flatMapGroupsWithState state when AvailableNow
+    // input drains. Gap rule on whole seconds (integer division),
+    // matching the streaming side's ms-to-s truncation.
+    "stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS t, value
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, t, value,
+        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        |), sess AS (
+        |  SELECT user_id, t, value,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g
+        |), summ AS (
+        |  SELECT user_id, session_id, min(t) AS session_start,
+        |    max(t) AS session_end, count(*) AS n_events,
+        |    r(sum(value), 2) AS sum_value
+        |  FROM sess GROUP BY user_id, session_id
+        |)
+        |SELECT user_id, session_start, session_end, n_events, sum_value
+        |FROM summ
+        |WHERE session_id < (SELECT max(s2.session_id) FROM summ s2
+        |                    WHERE s2.user_id = summ.user_id)
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

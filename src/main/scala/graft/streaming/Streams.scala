@@ -53,14 +53,24 @@ object Streams {
     * (flatMapGroupsWithState): a session closes when no event arrives
     * within `gapSeconds` of the last one (enforced via processing-time
     * timeout). State per user is O(1) — start/end/counters — so the
-    * operator scales with distinct active users, not event volume. */
-  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)(
+    * operator scales with distinct active users, not event volume.
+    *
+    * `timeout`: ProcessingTimeTimeout (default) flushes idle sessions
+    * in continuous operation. Pass NoTimeout for batch-driven runs
+    * (Trigger.AvailableNow) — a registered processing-time timer
+    * keeps the query alive waiting for the timer to fire, so
+    * AvailableNow would never terminate; with NoTimeout the trailing
+    * session per user simply stays in state, which is exactly the
+    * append-mode semantics the oracle encodes. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+                 timeout: GroupStateTimeout =
+                   GroupStateTimeout.ProcessingTimeTimeout)(
       implicit spark: SparkSession): Dataset[SessionSummary] = {
     import spark.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionSummary](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -85,7 +95,8 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapSeconds * 1000)
+              if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+                state.setTimeoutDuration(gapSeconds * 1000)
             }
             closed.reverseIterator
           }
