@@ -623,6 +623,16 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // ---- domain mixing: downsample to target source weights ------
+    // src0 binds (rate 1.0), src1/src2 are hash-sampled to 0.6/0.4 —
+    // the oracle recomputes counts, rates, and bands in SQL with the
+    // same double arithmetic and the same md5 band filter
+    "q_mix_sources" -> ((s, dir) =>
+      Sampling.mixToWeights(t(s, dir, "documents"), "source", "doc_id",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // ---- skew-salted join (semantics-preserving plan change) -----
     // Salting must change the SHUFFLE, not the RESULT: output is
     // hash-compared against the plain SQL join.
@@ -747,6 +757,26 @@ object SparkEntry {
           col("media_meta.width").as("width"),
           col("media_meta.height").as("height"),
           col("media_meta.checksum").as("checksum"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- multimodal: resize stage (stub codec, real plumbing) ----
+    // binary→binary per-partition resize (every 4th byte) composed
+    // with post-resize metadata decode; the oracle recomputes the
+    // strided byte selection and its checksum from the hex expansion
+    "multimodal_resize" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Seq((-3L, Option.empty[String]), (-2L, Some("")),
+        (-1L, Some("héllo wörld — ünicode")))
+        .toDF("doc_id", "text")
+      val withPayload = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).unionByName(edges)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val resized = Multimodal.withResized(withPayload, "payload", factor = 4)
+      Multimodal.withDecodedMeta(resized, "resized", out = "meta")
+        .select(col("doc_id"),
+          col("meta.n_bytes").as("n_bytes_out"),
+          col("meta.checksum").as("checksum_out"))
         .orderBy("doc_id")
     }),
 
@@ -1538,6 +1568,27 @@ object SparkEntry {
         |  < 429496729
         |ORDER BY doc_id""".stripMargin,
 
+    "q_mix_sources" ->
+      """WITH weights(source, w) AS (
+        |  SELECT * FROM (VALUES ('src0', CAST(0.5 AS DOUBLE)),
+        |    ('src1', CAST(0.3 AS DOUBLE)), ('src2', CAST(0.2 AS DOUBLE))) v
+        |), counts AS (
+        |  SELECT d.source, count(*) AS c FROM documents d
+        |  JOIN weights USING (source) GROUP BY d.source
+        |), sc AS (
+        |  SELECT min(CAST(c AS DOUBLE) / w) AS scale
+        |  FROM counts JOIN weights USING (source)
+        |), bands AS (
+        |  SELECT source,
+        |    CAST(floor(least(CAST(1.0 AS DOUBLE), scale * w / CAST(c AS DOUBLE))
+        |      * 4294967296) AS BIGINT) AS band
+        |  FROM counts JOIN weights USING (source), sc
+        |)
+        |SELECT d.doc_id, d.source FROM documents d JOIN bands USING (source)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |  < band
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_sample_cap" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
@@ -1610,6 +1661,25 @@ object SparkEntry {
         |  CAST(CASE WHEN n_bytes IS NULL THEN NULL
         |       ELSE 64 + (checksum % 64) END AS INTEGER) AS height,
         |  CASE WHEN n_bytes IS NULL THEN NULL ELSE checksum END AS checksum
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "multimodal_resize" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (CAST(-3 AS BIGINT), CAST(NULL AS VARCHAR)),
+        |    (CAST(-2 AS BIGINT), ''),
+        |    (CAST(-1 AS BIGINT), 'héllo wörld — ünicode')) v(doc_id, text)
+        |), d AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN text IS NULL THEN NULL ELSE
+        |      [('0x' || substr(hex(encode(text)), 2*i + 1, 2))::BIGINT
+        |       for i in range(0, octet_length(encode(text)), 4)] END AS strided
+        |  FROM src)
+        |SELECT doc_id,
+        |  CAST(len(strided) AS BIGINT) AS n_bytes_out,
+        |  CAST(CASE WHEN text IS NULL THEN NULL
+        |       ELSE coalesce(list_sum(strided), 0) END AS BIGINT) AS checksum_out
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "multimodal_frames" ->

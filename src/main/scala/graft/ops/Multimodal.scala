@@ -56,6 +56,35 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: keep every `factor`-th byte of the payload — the
+    * deterministic stand-in for a real downsample (a codec would
+    * decode, scale, re-encode here). Shape is the real thing: a
+    * binary→binary map with no driver involvement, composable with
+    * [[withDecodedMeta]] for post-resize metadata. */
+  def resizeStub(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor > 0, "factor must be positive")
+    val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+    out
+  }
+
+  /** Attach a resized copy of a binary `payloadCol` (per-partition
+    * batches, like [[withDecodedMeta]]). */
+  def withResized(df: DataFrame, payloadCol: String, factor: Int,
+                  out: String = "resized"): DataFrame = {
+    val schema = df.schema.add(out, BinaryType, nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val resized = if (payload == null) null else resizeStub(payload, factor)
+        Row.fromSeq(r.toSeq :+ resized)
+      }
+    }
+  }
+
   /** Deterministic "frame sampling" stub for video-shaped payloads:
     * split the payload into `frames` equal slices and emit one row per
     * sampled slice with its offset — the partitioning/explode shape of

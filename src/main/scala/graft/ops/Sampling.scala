@@ -42,4 +42,43 @@ object Sampling {
       .filter(col("_rk") <= cap)
       .drop("_rk")
   }
+
+  /** Domain mixing: downsample per-`groupCol` so the output matches
+    * the target `weights` mixture as closely as downsampling allows
+    * (the Pile/Dolma-style source re-weighting every pretraining
+    * corpus build performs). The binding source — the one whose
+    * count/weight ratio is smallest — is kept whole; every other
+    * source is hash-sampled down to `scale × weight` rows. Sources
+    * absent from `weights` are dropped.
+    *
+    * Deterministic and engine-portable: per-source rates derive from
+    * exact counts, and row fate is the same md5 key-hash band as
+    * [[sampleByHash]] — so the exact output row set is reproducible
+    * in the DuckDB oracle and stable across reruns/backfills.
+    *
+    * Scale shape: one count aggregation (distinct sources are few by
+    * definition — the collect is O(#sources), not O(rows)), then a
+    * single per-row filter with a broadcast-sized CASE on the source
+    * column. No extra shuffle beyond the count.
+    */
+  def mixToWeights(df: DataFrame, groupCol: String, keyCol: String,
+                   weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val counts = df.filter(col(groupCol).isin(weights.keys.toSeq: _*))
+      .groupBy(groupCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    require(present.nonEmpty, "no weighted source present in the data")
+    val scale = present.map { case (s, w) => counts(s).toDouble / w }.min
+    val bands = present.map { case (s, w) =>
+      val rate = math.min(1.0, scale * w / counts(s).toDouble)
+      s -> math.floor(rate * 4294967296.0).toLong
+    }
+    // sources not in `bands` fall through to band -1 (hash is never < -1)
+    val bandCol = bands.foldLeft(lit(-1L)) { case (acc, (s, b)) =>
+      when(col(groupCol) === lit(s), lit(b)).otherwise(acc)
+    }
+    df.filter(keyHash(col(keyCol)) < bandCol)
+  }
 }

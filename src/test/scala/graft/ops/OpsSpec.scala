@@ -153,6 +153,27 @@ class OpsSpec extends AnyFunSuite {
     assert(s01.subsetOf(s1))
   }
 
+  test("mixToWeights downsamples to the target mixture, binding source whole") {
+    import spark.implicits._
+    // 100 a-rows, 100 b-rows; weights 3:1 -> a binds (kept whole),
+    // b downsampled to ~100/3
+    val df = ((0L until 100L).map(i => (i, "a")) ++
+      (100L until 200L).map(i => (i, "b")) ++
+      (200L until 220L).map(i => (i, "c"))).toDF("id", "src")
+    val out = Sampling.mixToWeights(df, "src", "id",
+      Map("a" -> 0.75, "b" -> 0.25))
+    val bystrata = out.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bystrata("a") == 100)              // binding source kept whole
+    assert(!bystrata.contains("c"))           // unweighted source dropped
+    val b = bystrata("b")
+    assert(b > 15 && b < 55, s"b=$b expected ~33")   // hash-band variance
+    // deterministic: same call, same row set
+    val again = Sampling.mixToWeights(df, "src", "id",
+      Map("a" -> 0.75, "b" -> 0.25)).select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+  }
+
   test("clusterPairs: transitive chain collapses to one component/survivor") {
     import spark.implicits._
     // chain: 10~11, 11~12 (10 and 12 NOT directly paired); isolated 13
@@ -296,6 +317,18 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.count() == 20)
     assert(frames.filter(col("doc_id") === 0 && col("frame_idx") === 3)
       .select("offset").as[Long].head() == 43L * 3 / 4)
+  }
+
+  test("Multimodal: resize stub strides bytes and composes with decode meta") {
+    val bytes = Array.tabulate(10)(i => i.toByte)
+    assert(Multimodal.resizeStub(bytes, 4).toSeq == Seq[Byte](0, 4, 8))
+    assert(Multimodal.resizeStub(bytes, 1).toSeq == bytes.toSeq)
+    assert(Multimodal.resizeStub(Array.empty[Byte], 4).isEmpty)
+    val withPayload = docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val resized = Multimodal.withResized(withPayload, "payload", factor = 4)
+    val meta = Multimodal.withDecodedMeta(resized, "resized", out = "meta")
+      .select("doc_id", "meta.n_bytes").orderBy("doc_id").collect()
+    assert(meta(0).getLong(1) == (43 + 3) / 4) // ceil(43/4) strided bytes
   }
 
   test("AsOfJoin: most recent right row at-or-before left time; inner drops unmatched") {
