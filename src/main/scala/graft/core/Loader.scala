@@ -68,6 +68,7 @@ object Loader {
     "sample" -> "graft.plugins.transform.SamplePlugin",
     "redact_pii" -> "graft.plugins.transform.RedactPiiPlugin",
     "contamination" -> "graft.plugins.transform.ContaminationPlugin",
+    "multimodal" -> "graft.plugins.transform.MultimodalPlugin",
     "parquet_stream_scan" -> "graft.plugins.streaming.ParquetStreamScanPlugin",
     "stream_parquet_writer" -> "graft.plugins.streaming.StreamParquetWriterPlugin",
     "parquet_writer" -> "graft.plugins.output.ParquetWriterPlugin",

@@ -87,6 +87,8 @@ class DedupPlugin(options: Map[String, Any], configDir: Path, label: String)
   *
   *   method = "uniform"        — rate ∈ (0,1], md5-keyed band
   *          | "stratified_cap" — cap rows per group_columns stratum
+  *          | "mix_weights"    — downsample to a target source mixture
+  *                               (weights = inline table {src = w})
   */
 class SamplePlugin(options: Map[String, Any], configDir: Path, label: String)
     extends BaseTransformPlugin(options, configDir, label) {
@@ -107,6 +109,20 @@ class SamplePlugin(options: Map[String, Any], configDir: Path, label: String)
             out <- graft.core.Errors.safe(
               graft.ops.Sampling.stratifiedCap(df, groups, keyCol,
                 cap.toString.toDouble.toInt))
+          } yield out
+        case "mix_weights" =>
+          for {
+            groupCol <- requiredString("group_column")
+            w <- required("weights")
+            out <- graft.core.Errors.safe {
+              val weights = w match {
+                case m: Map[_, _] =>
+                  m.map { case (k, v) => k.toString -> v.toString.toDouble }
+                case other => throw new PluginExecutionError(
+                  s"Option 'weights' must be a table of source -> weight, got: $other")
+              }
+              graft.ops.Sampling.mixToWeights(df, groupCol, keyCol, weights)
+            }
           } yield out
         case other => Left(new PluginExecutionError(
           s"Unknown sample method: '$other'"))
@@ -192,6 +208,53 @@ class ContaminationPlugin(options: Map[String, Any], configDir: Path, label: Str
           StructField("n_bench_docs", LongType, nullable = false)))
       }
     } yield out
+}
+
+/** Config-driven multimodal column processing
+  * ([[graft.ops.Multimodal]]) over an opaque binary payload column:
+  *
+  *   method = "decode_meta"   — attach the decoded metadata struct
+  *          | "resize"        — binary→binary stub downsample
+  *                              (factor = keep every k-th byte)
+  *          | "sample_frames" — one row per sampled payload slice
+  */
+class MultimodalPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "multimodal"
+
+  private def payloadColumn: String =
+    options.getOrElse("payload_column", "payload").toString
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      method <- requiredString("method")
+      out <- graft.core.Errors.safe {
+        method match {
+          case "decode_meta" =>
+            graft.ops.Multimodal.withDecodedMeta(df, payloadColumn,
+              options.getOrElse("output_column", "media_meta").toString)
+          case "resize" =>
+            graft.ops.Multimodal.withResized(df, payloadColumn,
+              options.get("factor").map(_.toString.toDouble.toInt).getOrElse(2),
+              options.getOrElse("output_column", "resized").toString)
+          case "sample_frames" =>
+            graft.ops.Multimodal.sampleFrames(df,
+              options.getOrElse("id_column", "doc_id").toString,
+              payloadColumn,
+              options.get("frames").map(_.toString.toDouble.toInt).getOrElse(4))
+          case other => throw new PluginExecutionError(
+            s"Unknown multimodal method: '$other'")
+        }
+      }
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] = {
+    val pc = payloadColumn
+    if (!schema.fieldNames.contains(pc))
+      Left(new graft.core.SchemaValidationError(
+        s"Column '$pc' not found in schema"))
+    else propagateSchema(schema)(df => execute(df).fold(e => throw e, identity))
+  }
 }
 
 /** Config-driven wrapper over [[graft.ops.Text.analyze]]: attaches

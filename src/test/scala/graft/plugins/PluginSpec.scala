@@ -181,6 +181,46 @@ class PluginSpec extends AnyFunSuite {
     assert(bad.left.toOption.get.getMessage.contains("'rate' is required"))
   }
 
+  test("sample plugin: mix_weights downsamples to a target mixture") {
+    val df = ((0L until 100L).map(i => (i, "web")) ++
+      (100L until 200L).map(i => (i, "code"))).toDF("doc_id", "src")
+    val mixed = new SamplePlugin(Map("method" -> "mix_weights",
+        "key_column" -> "doc_id", "group_column" -> "src",
+        "weights" -> Map("web" -> 0.8, "code" -> 0.2)), dir, "default")
+      .execute(df).fold(e => throw e, identity)
+    val by = mixed.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by("web") == 100)    // binding source whole
+    assert(by("code") < 60)     // downsampled toward 25
+    val bad = new SamplePlugin(Map("method" -> "mix_weights",
+        "key_column" -> "doc_id", "group_column" -> "src",
+        "weights" -> "nope"), dir, "default").execute(df)
+    assert(bad.left.toOption.get.getMessage.contains("must be a table"))
+  }
+
+  test("multimodal plugin: decode_meta, resize and sample_frames methods") {
+    import org.apache.spark.sql.functions.{col, length}
+    val df = Seq((1L, "hello world payload bytes"), (2L, "xy"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    def plug(opts: Map[String, Any]) =
+      new MultimodalPlugin(opts, dir, "default")
+    val meta = plug(Map("method" -> "decode_meta"))
+      .execute(df).fold(e => throw e, identity)
+    assert(meta.select("media_meta.n_bytes").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(25L, 2L))
+    val resized = plug(Map("method" -> "resize", "factor" -> 5))
+      .execute(df).fold(e => throw e, identity)
+    assert(resized.filter(col("doc_id") === 1)
+      .select(length(col("resized"))).collect()(0).getInt(0) == 5)
+    val frames = plug(Map("method" -> "sample_frames", "frames" -> 3))
+      .execute(df).fold(e => throw e, identity)
+    assert(frames.count() == 6)
+    val noCol = plug(Map("method" -> "decode_meta",
+      "payload_column" -> "nope")).dryRun(df.schema)
+    assert(noCol.left.toOption.get.getMessage.contains("'nope' not found"))
+  }
+
   test("redact_pii plugin: in-place rewrite + counts; dry_run checks column") {
     val df = Seq((1L, "mail a@b.io from 10.0.0.1")).toDF("id", "text")
     val out = new RedactPiiPlugin(Map("with_counts" -> true), dir, "default")
