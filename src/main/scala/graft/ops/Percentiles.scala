@@ -41,7 +41,15 @@ object Percentiles {
       .filter(col(valueCol).isNotNull)
       .withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(cnt))
+    finishFromRanked(ranked, df, keys, valueCol, ps)
+  }
 
+  /** Shared tail: `ranked` needs (keys..., valueCol, _rn, _n) rows
+    * that INCLUDE every group's boundary ranks (lo, lo+1 per
+    * percentile); extra rows are harmless. */
+  private def finishFromRanked(ranked: DataFrame, df: DataFrame,
+                               keys: Seq[String], valueCol: String,
+                               ps: Seq[(String, Double)]): DataFrame = {
     val aggs = ps.flatMap { case (label, p) =>
       val h = (col("_n") - 1) * lit(p)
       val lo = floor(h) + 1
@@ -75,5 +83,112 @@ object Percentiles {
     val joinCond = keys.map(k => col(k) <=> col(s"_ck_$k")).reduce(_ && _)
     keyDf.join(renamed, joinCond, "left")
       .select(keys.map(col) ++ ps.map { case (label, _) => col(label) }: _*)
+  }
+
+  /** Exact interpolated percentiles by DISTRIBUTED SELECTION — the
+    * low-cardinality-group scale path.
+    *
+    * [[exactInterpolated]]'s window hash-partitions by the group
+    * keys, so 100 TB with 4 groups sorts on 4 tasks. Here the sort is
+    * a RANGE partition on (keys, value): a big group spans many
+    * partitions and every core sorts a slice. Then
+    *
+    *   pass 1: per-(partition, group) row counts — a tiny aggregate
+    *           (partitions × groups rows) collected and turned into
+    *           each partition's global in-group START RANK plus each
+    *           group's needed boundary ranks {lo, lo+1} per
+    *           percentile;
+    *   pass 2: mapPartitions walks its sorted slice with a running
+    *           rank and emits ONLY boundary rows (groups × ps × 2
+    *           total), which the shared interpolation tail reduces.
+    *
+    * Both passes are full-parallel scans; nothing per-group is
+    * serialized. The driver handles only O(partitions × groups)
+    * count rows — the same scale class as a groupBy().count()
+    * collect, not data. Value is surfaced as DOUBLE (interpolation
+    * output type). NULL values are ignored, NULL keys are legal
+    * groups, all-NULL groups come back with NULL percentiles — same
+    * contract as [[exactInterpolated]], property-tested equal.
+    *
+    * Crossover: measured at sf0.1/local[32] (600k rows, 4 groups) the
+    * window path wins (1.3 s vs 2.5 s) — three jobs plus a persist
+    * don't amortize on sub-million-row groups. Use this variant when
+    * rows-per-group ≫ rows a single task should sort (billions of
+    * rows over a handful of groups); use [[exactInterpolated]] when
+    * group count ≥ cluster parallelism. */
+  def exactInterpolatedBySelection(df: DataFrame, keys: Seq[String],
+                                   valueCol: String,
+                                   ps: Seq[(String, Double)],
+                                   numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val sortCols = keys.map(col) :+ col(valueCol)
+    val parted = df
+      .filter(col(valueCol).isNotNull)
+      .select(keys.map(col) :+ col(valueCol).cast("double").as(valueCol): _*)
+      .repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .persist()
+
+    // pass 1: (pid, group) -> count; tiny (partitions × groups)
+    val countRows = parted
+      .groupBy(spark_partition_id().as("_pid") +: keys.map(col): _*)
+      .count().collect()
+    val nKeys = keys.length
+    val groupOf: org.apache.spark.sql.Row => Seq[Any] =
+      r => (0 until nKeys).map(i => r.get(i + 1))
+    var totals = Map.empty[Seq[Any], Long]
+    var starts = Map.empty[(Int, Seq[Any]), Long]
+    countRows.sortBy(_.getInt(0)).foreach { r =>
+      val g = groupOf(r)
+      val c = r.getLong(nKeys + 1)
+      starts += ((r.getInt(0), g) -> totals.getOrElse(g, 0L))
+      totals += (g -> (totals.getOrElse(g, 0L) + c))
+    }
+    val needed: Map[Seq[Any], Set[Long]] = totals.map { case (g, n) =>
+      g -> ps.flatMap { case (_, frac) =>
+        val lo = math.floor((n - 1) * frac).toLong + 1
+        Seq(lo, math.min(lo + 1, n))
+      }.toSet
+    }
+    val startsB = spark.sparkContext.broadcast(starts)
+    val neededB = spark.sparkContext.broadcast(needed)
+    val totalsB = spark.sparkContext.broadcast(totals)
+
+    // pass 2: emit only boundary rows, with (_rn, _n) attached
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keys.map(k => parted.schema(k)) ++ Seq(
+        parted.schema(valueCol),
+        org.apache.spark.sql.types.StructField("_rn",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("_n",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    implicit val enc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val boundary = parted.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var curKey: Seq[Any] = null
+      var rank = 0L
+      var want: Set[Long] = Set.empty
+      var n = 0L
+      rows.flatMap { r =>
+        val g = (0 until nKeys).map(i => r.get(i))
+        if (g != curKey) {
+          curKey = g
+          rank = startsB.value.getOrElse((pid, g), 0L)
+          want = neededB.value.getOrElse(g, Set.empty)
+          n = totalsB.value.getOrElse(g, 0L)
+        }
+        rank += 1
+        if (want.contains(rank))
+          Some(org.apache.spark.sql.Row.fromSeq(
+            g :+ r.getDouble(nKeys) :+ rank :+ n))
+        else None
+      }
+    }.persist()
+    boundary.count() // materialize so the range-partitioned input can go
+    parted.unpersist(blocking = false)
+    finishFromRanked(boundary, df, keys, valueCol, ps)
   }
 }

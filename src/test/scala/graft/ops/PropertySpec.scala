@@ -86,20 +86,28 @@ class PropertySpec extends AnyFunSuite {
       val mine = Percentiles.exactInterpolated(df, Seq("k"), "v",
           Seq("p50" -> 0.5, "p90" -> 0.9))
         .collect().map(r => r.getString(0) -> (cell(r, 1), cell(r, 2))).toMap
+      val sel = Percentiles.exactInterpolatedBySelection(df, Seq("k"), "v",
+          Seq("p50" -> 0.5, "p90" -> 0.9), numPartitions = 7)
+        .collect().map(r => r.getString(0) -> (cell(r, 1), cell(r, 2))).toMap
       val ref = df.groupBy("k").agg(
           expr("percentile(v, 0.5)").as("p50"),
           expr("percentile(v, 0.9)").as("p90"))
         .collect().map(r => r.getString(0) -> (cell(r, 1), cell(r, 2))).toMap
       assert(mine.keySet == ref.keySet)
+      assert(sel.keySet == ref.keySet)
+      def close(x: Option[Double], y: Option[Double]) = (x, y) match {
+        case (None, None) => true
+        case (Some(a), Some(b)) => math.abs(a - b) < 1e-9
+        case _ => false
+      }
       mine.foreach { case (k, (m50, m90)) =>
         val (r50, r90) = ref(k)
-        def close(x: Option[Double], y: Option[Double]) = (x, y) match {
-          case (None, None) => true
-          case (Some(a), Some(b)) => math.abs(a - b) < 1e-9
-          case _ => false
-        }
         assert(close(m50, r50), s"p50 group $k: $m50 vs $r50 rows=$rows")
         assert(close(m90, r90), s"p90 group $k: $m90 vs $r90 rows=$rows")
+        // the distributed-selection path must agree with the window path
+        val (s50, s90) = sel(k)
+        assert(close(s50, m50) && close(s90, m90),
+          s"selection path diverges for group $k: ($s50,$s90) vs ($m50,$m90)")
       }
     }
   }
