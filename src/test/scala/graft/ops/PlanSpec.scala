@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Physical-plan assertions for the scale claims the scaladocs make:
+  * the approximate-dedup paths must never plan an all-pairs join, and
+  * the single-pass operators must not introduce shuffles. A claim
+  * like "never quadratic" belongs in a test, not only in prose —
+  * plan regressions (a future edit defeating the bucketing) fail
+  * here even while small-fixture results stay correct. */
+class PlanSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SharedSpark.spark
+  import spark.implicits._
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p.children ++ (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case _ => Seq.empty
+    }) ++ p.subqueries
+    p +: kids.flatMap(flatten)
+  }
+
+  private def nodes(df: DataFrame): Seq[SparkPlan] =
+    flatten(df.queryExecution.executedPlan)
+
+  private def assertNoAllPairs(df: DataFrame, what: String): Unit = {
+    val bad = nodes(df).filter {
+      case _: CartesianProductExec => true
+      case _: BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }
+    assert(bad.isEmpty,
+      s"$what plans an all-pairs join: ${bad.map(_.nodeName).mkString(", ")}")
+  }
+
+  private val docs = ((0L until 40L).map(i => (i, s"doc number $i with shared text body")) ++
+    Seq((100L, "doc number 7 with shared text body"))).toDF("doc_id", "text")
+
+  test("minhash candidate pairs never plan an all-pairs join") {
+    assertNoAllPairs(
+      Dedup.minhashCandidatePairs(docs, "doc_id", "text"),
+      "minhashCandidatePairs")
+  }
+
+  test("minhash star mode (over-cap buckets) never plans an all-pairs join") {
+    assertNoAllPairs(
+      Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        maxBucket = 2, overCap = "star"),
+      "minhashCandidatePairs(star)")
+  }
+
+  test("ngramJaccardVerified never plans an all-pairs join") {
+    assertNoAllPairs(
+      Dedup.ngramJaccardVerified(docs, "doc_id", "text"),
+      "ngramJaccardVerified")
+  }
+
+  test("simhash pairs never plan an all-pairs join") {
+    assertNoAllPairs(
+      Dedup.simhashPairs(docs, "doc_id", "text"),
+      "simhashPairs")
+  }
+
+  test("embedding LSH pairs never plan an all-pairs join") {
+    val emb = (0L until 30L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    assertNoAllPairs(
+      Dedup.embeddingCosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.3, planes = 4, probeBits = 1),
+      "embeddingCosinePairs")
+  }
+
+  test("mixToWeights adds no shuffle to the kept-rows path") {
+    val df = ((0L until 50L).map(i => (i, "a")) ++
+      (50L until 100L).map(i => (i, "b"))).toDF("id", "src")
+    val mixed = Sampling.mixToWeights(df, "src", "id",
+      Map("a" -> 0.5, "b" -> 0.5))
+    val shuffles = nodes(mixed).collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"mix filter should be a single stage, found ${shuffles.size} exchanges")
+  }
+}
