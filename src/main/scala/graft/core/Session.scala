@@ -14,6 +14,7 @@ object Session {
     val spark = SparkSession.builder()
       .appName(appName)
       .master(master)
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
