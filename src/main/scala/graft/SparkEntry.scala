@@ -623,6 +623,24 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // ---- SQL-function surface under the oracle -------------------
+    // The GraftExtensions registry path end-to-end: the config-level
+    // sql plugin computes SimHash signatures with the simhash64 SQL
+    // function; DuckDB recomputes the same md5-token signatures, so
+    // the registered function (not just the Column API) sits on the
+    // hash gate.
+    "q_sql_kernels" -> ((s, dir) => {
+      val docs = tBalanced(s, dir, "documents").select("doc_id", "text")
+      new graft.plugins.transform.SqlPlugin(
+        Map("query" ->
+          ("SELECT doc_id, simhash64(split(trim(regexp_replace(" +
+            "regexp_replace(lower(text), '[\\\\p{Punct}]', ' '), " +
+            "'\\\\s+', ' ')), ' ')) AS sig " +
+            "FROM input ORDER BY doc_id")),
+        java.nio.file.Paths.get("/tmp"), "default")
+        .execute(docs).fold(e => throw e, identity)
+    }),
+
     // ---- domain mixing: downsample to target source weights ------
     // src0 binds (rate 1.0), src1/src2 are hash-sampled to 0.6/0.4 —
     // the oracle recomputes counts, rates, and bands in SQL with the
@@ -1567,6 +1585,25 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |  < 429496729
         |ORDER BY doc_id""".stripMargin,
+
+    "q_sql_kernels" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM d
+        |), h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM tok
+        |), bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM h, range(64) rng(b) GROUP BY doc_id, b
+        |)
+        |SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN
+        |    (CASE WHEN b = 63 THEN -9223372036854775808
+        |          ELSE (1::BIGINT << b) END) ELSE 0 END) AS BIGINT) AS sig
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_mix_sources" ->
       """WITH weights(source, w) AS (

@@ -13,6 +13,7 @@ object ProfileBench {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.tail.toSeq else graft.Bench.headline
     val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
