@@ -69,6 +69,7 @@ object Loader {
     "redact_pii" -> "graft.plugins.transform.RedactPiiPlugin",
     "contamination" -> "graft.plugins.transform.ContaminationPlugin",
     "multimodal" -> "graft.plugins.transform.MultimodalPlugin",
+    "sessionize" -> "graft.plugins.transform.SessionizePlugin",
     "parquet_stream_scan" -> "graft.plugins.streaming.ParquetStreamScanPlugin",
     "stream_parquet_writer" -> "graft.plugins.streaming.StreamParquetWriterPlugin",
     "parquet_writer" -> "graft.plugins.output.ParquetWriterPlugin",

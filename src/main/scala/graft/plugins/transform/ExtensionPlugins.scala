@@ -210,6 +210,45 @@ class ContaminationPlugin(options: Map[String, Any], configDir: Path, label: Str
     } yield out
 }
 
+/** Config-driven batch sessionization ([[graft.ops.Sessionize]]):
+  * gap-based sessions per user from an epoch-nanos timestamp column.
+  * Options: user_column, ts_column (epoch nanos), tie_column (unique
+  * per-row, for deterministic equal-timestamp ordering), value_column,
+  * gap_seconds (default 1800). */
+class SessionizePlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "sessionize"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      user <- requiredString("user_column")
+      ts <- requiredString("ts_column")
+      tie <- requiredString("tie_column")
+      value <- requiredString("value_column")
+      out <- graft.core.Errors.safe {
+        val gapSeconds =
+          options.get("gap_seconds").map(_.toString.toDouble.toLong).getOrElse(1800L)
+        graft.ops.Sessionize.batch(df, user, ts, tie, value,
+          gapNanos = gapSeconds * 1000000000L)
+      }
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    for {
+      user <- requiredString("user_column")
+      _ <- requiredString("ts_column")
+      _ <- requiredString("tie_column")
+      _ <- requiredString("value_column")
+      out <- Seq("user_column", "ts_column", "tie_column", "value_column")
+        .map(options(_).toString)
+        .find(c => !schema.fieldNames.contains(c))
+        .map(c => Left(new graft.core.SchemaValidationError(
+          s"Column '$c' not found in schema")))
+        .getOrElse(propagateSchema(schema)(df =>
+          execute(df).fold(e => throw e, identity)))
+    } yield out
+}
+
 /** Config-driven multimodal column processing
   * ([[graft.ops.Multimodal]]) over an opaque binary payload column:
   *

@@ -221,6 +221,26 @@ class PluginSpec extends AnyFunSuite {
     assert(noCol.left.toOption.get.getMessage.contains("'nope' not found"))
   }
 
+  test("sessionize plugin: gap sessions from config options") {
+    val ns = 1000000000L
+    val df = Seq(
+      (1L, 0L * ns, 10L, 1.0), (1L, 100L * ns, 11L, 2.0),
+      (1L, 5000L * ns, 12L, 3.0), (2L, 0L * ns, 13L, 4.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val plug = new SessionizePlugin(Map(
+      "user_column" -> "user_id", "ts_column" -> "ts",
+      "tie_column" -> "event_id", "value_column" -> "value",
+      "gap_seconds" -> 1800), dir, "default")
+    val out = plug.execute(df).fold(e => throw e, identity)
+    assert(out.count() == 3) // user 1 splits at the 4900s gap
+    assert(plug.dryRun(df.schema).isRight)
+    val bad = new SessionizePlugin(Map(
+      "user_column" -> "nope", "ts_column" -> "ts",
+      "tie_column" -> "event_id", "value_column" -> "value"), dir, "default")
+      .dryRun(df.schema)
+    assert(bad.left.toOption.get.getMessage.contains("'nope' not found"))
+  }
+
   test("redact_pii plugin: in-place rewrite + counts; dry_run checks column") {
     val df = Seq((1L, "mail a@b.io from 10.0.0.1")).toDF("id", "text")
     val out = new RedactPiiPlugin(Map("with_counts" -> true), dir, "default")
