@@ -162,6 +162,30 @@ class E2ESpec extends AnyFunSuite {
       (r.getLong(0), r.getString(2))).toSeq == Seq((1L, "one"), (2L, "two")))
   }
 
+  test("examples/corpus_clean.toml: the full cleaning pipeline runs e2e") {
+    val src = java.nio.file.Paths.get("examples/corpus_clean.toml")
+    assume(java.nio.file.Files.exists(src))
+    // copy to a writable tmp dir so the relative output path lands there
+    val tmp = java.nio.file.Files.createTempDirectory("cleancfg")
+    val cfg = tmp.resolve("corpus_clean.toml")
+    java.nio.file.Files.copy(src, cfg)
+    val config = Config.loadConfig(cfg).fold(e => fail(e.getMessage), identity)
+    val reg = Loader.loadPlugins(config, cfg).fold(e => fail(e.getMessage), identity)
+    assert(reg.transforms.map(_.name) ==
+      Seq("redact_pii", "text_analysis", "filter", "dedup", "sample"))
+    val result = Pipeline.runPipeline(reg.inputs, reg.transforms, reg.outputs)
+    assert(result.isRight, result.left.toOption.map(_.getMessage))
+    val out = spark.read.parquet(tmp.resolve("out/clean_corpus.parquet").toString)
+    assert(out.count() > 0)
+    // analysis columns present, quality gate applied, only weighted sources
+    assert(out.columns.contains("quality") && out.columns.contains("n_emails"))
+    assert(out.agg(org.apache.spark.sql.functions.min("quality"))
+      .collect()(0).getDouble(0) >= 0.3)
+    val sources = out.select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(sources.subsetOf(Set("src0", "src1", "src2")) && sources.nonEmpty)
+  }
+
   test("the reference's own examples/config.toml runs unmodified") {
     val refDir = java.nio.file.Paths.get("/root/reference/examples")
     assume(java.nio.file.Files.exists(refDir.resolve("config.toml")))
