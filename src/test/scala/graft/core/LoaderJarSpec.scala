@@ -18,8 +18,13 @@ class LoaderJarSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
 
   /** A plugin source the engine has never seen: implements the
-    * TransformPlugin trait (a plain JVM interface) from Java. */
-  private val pluginSource =
+    * TransformPlugin trait (a plain JVM interface) from Java; MARKER
+    * is substituted per build so jar-replacement tests can tell
+    * versions apart. */
+  private def pluginSourceWithMarker(marker: Int): String =
+    template.replace("MARKER", marker.toString)
+
+  private val template =
     """package thirdparty;
       |
       |import java.nio.file.Path;
@@ -47,7 +52,7 @@ class LoaderJarSpec extends AnyFunSuite {
       |  @Override public String label() { return label; }
       |
       |  public scala.util.Either<Throwable, Dataset<Row>> execute(Dataset<Row> df) {
-      |    return new scala.util.Right<>(df.withColumn("from_jar", functions.lit(42)));
+      |    return new scala.util.Right<>(df.withColumn("from_jar", functions.lit(MARKER)));
       |  }
       |
       |  public scala.util.Either<Throwable, StructType> dryRun(StructType schema) {
@@ -59,10 +64,10 @@ class LoaderJarSpec extends AnyFunSuite {
   /** Compile `pluginSource` with the in-JVM JDK compiler and pack the
     * class into plugin.jar under `dir`. Tests fork, so
     * java.class.path carries the full Spark+graft classpath. */
-  private def buildPluginJar(dir: Path): Path = {
+  private def buildPluginJar(dir: Path, marker: Int = 42): Path = {
     val src = dir.resolve("thirdparty/JarMarkerPlugin.java")
     Files.createDirectories(src.getParent)
-    Files.writeString(src, pluginSource)
+    Files.writeString(src, pluginSourceWithMarker(marker))
     val classesDir = dir.resolve("classes")
     Files.createDirectories(classesDir)
     val compiler = javax.tools.ToolProvider.getSystemJavaCompiler
@@ -103,6 +108,29 @@ class LoaderJarSpec extends AnyFunSuite {
     val schema = reg.transforms.head.dryRun(Seq(1L).toDF("a").schema)
       .fold(e => fail(e.getMessage), identity)
     assert(schema.fieldNames.toSeq == Seq("a", "from_jar"))
+  }
+
+  test("a replaced jar serves fresh classes (versioned loader cache)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jarswap")
+    def marker(): Int = {
+      val cfg = GraftConfig(
+        inputPlugins = Seq.empty,
+        transformPlugins = Seq(PluginConfig("plugin.jar")),
+        outputPlugins = Seq.empty)
+      Loader.loadPlugins(cfg, dir.resolve("config.toml"))
+        .fold(e => fail(e.getMessage), identity)
+        .transforms.head.execute(Seq(1L).toDF("a"))
+        .fold(e => fail(e.getMessage), identity)
+        .select("from_jar").collect()(0).getInt(0)
+    }
+    buildPluginJar(dir, marker = 42)
+    assert(marker() == 42)
+    // replace the jar in place; the (path, mtime, size) cache key must
+    // produce a fresh classloader instead of serving the stale class
+    Thread.sleep(1100) // coarse-mtime filesystems
+    buildPluginJar(dir, marker = 43)
+    assert(marker() == 43)
   }
 
   test("absolute jar paths and separator-bearing modules hit the file branch") {
