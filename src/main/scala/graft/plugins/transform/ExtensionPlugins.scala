@@ -35,7 +35,8 @@ class DedupPlugin(options: Map[String, Any], configDir: Path, label: String)
               threshold = numOpt("threshold", 0.8),
               shingleK = numOpt("shingle_k", 5).toInt,
               numHashes = numOpt("num_hashes", 64).toInt,
-              bands = numOpt("bands", 16).toInt)
+              bands = numOpt("bands", 16).toInt,
+              maxBucket = numOpt("max_bucket", 1000).toInt)
           case "exact" =>
             val keys = options.get("key_columns") match {
               case Some(xs: Seq[_]) => xs.map(_.toString)
