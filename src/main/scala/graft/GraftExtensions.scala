@@ -28,50 +28,59 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn: argument ${pos + 1} must be an integer literal, got $other")
   }
 
+  /** Exact-arity guard: silently ignoring extra arguments would let
+    * `simhash64(tokens, 5)` run with the 5 discarded, and missing
+    * arguments would die with an opaque index error. */
+  private def arity(fn: String, n: Int, usage: String)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$fn expects $n argument(s), got ${args.length}; usage: $usage")
+      build(args)
+    }
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("simhash64"),
-      info("simhash64", "simhash64(tokens) - 64-bit SimHash of an array<string>"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+    def inject(name: String, n: Int, usage: String)(
+        build: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage),
+        arity(name, n, usage)(build)))
 
-    ext.injectFunction((FunctionIdentifier("minhash_signature64"),
-      info("minhash_signature64",
-        "minhash_signature64(text, shingle_k, num_hashes) - MinHash signature array<long>"),
-      (args: Seq[Expression]) => MinHashSignature64(args.head,
+    inject("simhash64", 1,
+      "simhash64(tokens) - 64-bit SimHash of an array<string>")(
+      args => SimHash64(args.head))
+
+    inject("minhash_signature64", 3,
+      "minhash_signature64(text, shingle_k, num_hashes) - MinHash signature array<long>")(
+      args => MinHashSignature64(args.head,
         intArg(args(1), "minhash_signature64", 1),
-        intArg(args(2), "minhash_signature64", 2))))
+        intArg(args(2), "minhash_signature64", 2)))
 
-    ext.injectFunction((FunctionIdentifier("char_shingles"),
-      info("char_shingles",
-        "char_shingles(text, k) - distinct character k-shingles"),
-      (args: Seq[Expression]) => CharShingles(args.head,
-        intArg(args(1), "char_shingles", 1))))
+    inject("char_shingles", 2,
+      "char_shingles(text, k) - distinct character k-shingles")(
+      args => CharShingles(args.head, intArg(args(1), "char_shingles", 1)))
 
-    ext.injectFunction((FunctionIdentifier("sorted_long_jaccard"),
-      info("sorted_long_jaccard",
-        "sorted_long_jaccard(a, b) - exact Jaccard of two SORTED array<long>"),
-      (args: Seq[Expression]) => SortedLongJaccard(args.head, args(1))))
+    inject("sorted_long_jaccard", 2,
+      "sorted_long_jaccard(a, b) - exact Jaccard of two SORTED array<long>")(
+      args => SortedLongJaccard(args.head, args(1)))
 
-    ext.injectFunction((FunctionIdentifier("lane_agreement"),
-      info("lane_agreement",
-        "lane_agreement(sig_a, sig_b) - fraction of agreeing minhash lanes"),
-      (args: Seq[Expression]) => LaneAgreement(args.head, args(1))))
+    inject("lane_agreement", 2,
+      "lane_agreement(sig_a, sig_b) - fraction of agreeing minhash lanes")(
+      args => LaneAgreement(args.head, args(1)))
 
-    ext.injectFunction((FunctionIdentifier("hyperplane_signature64"),
-      info("hyperplane_signature64",
-        "hyperplane_signature64(vec, planes) - random-hyperplane LSH bucket of array<double>"),
-      (args: Seq[Expression]) => HyperplaneSignature64(args.head,
-        intArg(args(1), "hyperplane_signature64", 1))))
+    inject("hyperplane_signature64", 2,
+      "hyperplane_signature64(vec, planes) - random-hyperplane LSH bucket of array<double>")(
+      args => HyperplaneSignature64(args.head,
+        intArg(args(1), "hyperplane_signature64", 1)))
 
-    ext.injectFunction((FunctionIdentifier("vec_dot"),
-      info("vec_dot", "vec_dot(a, b) - dot product of two array<double>"),
-      (args: Seq[Expression]) => VectorKernels.DotProductDouble(args.head, args(1))))
+    inject("vec_dot", 2,
+      "vec_dot(a, b) - dot product of two array<double>")(
+      args => VectorKernels.DotProductDouble(args.head, args(1)))
 
-    ext.injectFunction((FunctionIdentifier("vec_l2_normalize"),
-      info("vec_l2_normalize",
-        "vec_l2_normalize(a) - L2-normalized copy of an array<double>"),
-      (args: Seq[Expression]) => VectorKernels.L2NormalizeDouble(args.head)))
+    inject("vec_l2_normalize", 1,
+      "vec_l2_normalize(a) - L2-normalized copy of an array<double>")(
+      args => VectorKernels.L2NormalizeDouble(args.head))
   }
 }

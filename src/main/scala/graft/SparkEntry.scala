@@ -1617,7 +1617,9 @@ object SparkEntry {
         |  FROM counts JOIN weights USING (source)
         |), bands AS (
         |  SELECT source,
-        |    CAST(floor(least(CAST(1.0 AS DOUBLE), scale * w / CAST(c AS DOUBLE))
+        |    CAST(floor(CASE WHEN CAST(c AS DOUBLE) / w = scale
+        |      THEN CAST(1.0 AS DOUBLE)
+        |      ELSE least(CAST(1.0 AS DOUBLE), scale * w / CAST(c AS DOUBLE)) END
         |      * 4294967296) AS BIGINT) AS band
         |  FROM counts JOIN weights USING (source), sc
         |)

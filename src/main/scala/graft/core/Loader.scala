@@ -130,14 +130,20 @@ object Loader {
     * registration, loader.py:50-55) — classes from the same jar stay
     * identical. The cache key includes (lastModified, size) so a jar
     * replaced on disk mid-process gets a fresh loader instead of
-    * serving stale classes; superseded loaders are closed (releasing
-    * their file handles), and all remaining loaders are closed by a
-    * JVM shutdown hook. */
+    * serving stale classes. Superseded loaders are NOT closed eagerly
+    * — plugin instances loaded from them may still be live, and their
+    * deferred Spark plans can trigger further class/resource loads
+    * mid-query — they are retired and closed together with the
+    * current loaders by a JVM shutdown hook. */
   private val jarLoaders =
     scala.collection.concurrent.TrieMap.empty[(Path, Long, Long), java.net.URLClassLoader]
+  private val retiredLoaders =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.net.URLClassLoader]()
 
   sys.addShutdownHook {
-    jarLoaders.values.foreach(l => try l.close() catch { case _: Throwable => () })
+    import scala.jdk.CollectionConverters._
+    (jarLoaders.values ++ retiredLoaders.asScala)
+      .foreach(l => try l.close() catch { case _: Throwable => () })
   }
 
   private def loaderFor(resolved: Path): ClassLoader = {
@@ -146,10 +152,11 @@ object Loader {
     val loader = jarLoaders.getOrElseUpdate(key,
       new java.net.URLClassLoader(
         Array(resolved.toUri.toURL), getClass.getClassLoader))
-    // drop (and close) loaders for older versions of the same path
+    // retire cache entries for older versions of the same path (kept
+    // open — see scaladoc; `remove` is atomic, so concurrent callers
+    // retire an entry at most once)
     jarLoaders.keys.filter(k => k._1 == resolved && k != key).foreach { k =>
-      jarLoaders.remove(k).foreach(l =>
-        try l.close() catch { case _: Throwable => () })
+      jarLoaders.remove(k).foreach(retiredLoaders.add)
     }
     loader
   }

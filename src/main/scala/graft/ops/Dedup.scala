@@ -117,6 +117,14 @@ object Dedup {
     *    non-dup members released. Pair-EXACTNESS is not preserved
     *    (members similar to each other but not to the hub lose their
     *    direct edge) — that is the price of never going quadratic.
+    *
+    * Plan-cost note: the signature/banding subtree feeds several
+    * consumers (bucket counts, the capped self-join, and in star mode
+    * the over-cap branch); identical shuffle exchanges are deduped by
+    * Spark's ReuseExchange, but callers running this over an
+    * EXPENSIVE upstream chain should persist their input — and at
+    * petabyte scale run [[byFingerprint]] first so identical docs
+    * (the main flood source) collapse before any signature work.
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleK: Int = 5, numHashes: Int = 64,

@@ -186,9 +186,16 @@ object Percentiles {
             g :+ r.getDouble(nKeys) :+ rank :+ n))
         else None
       }
-    }.persist()
-    boundary.count() // materialize so the range-partitioned input can go
+    }
+    // boundary is ≤ groups × ps × 2 rows — bounded by the
+    // low-cardinality contract — so collecting it both materializes
+    // the selection pass and lets the range-partitioned cache go
+    // WITHOUT leaving a persisted frame behind (a .persist here would
+    // accumulate one cache entry per call in long-lived sessions)
+    val boundaryRows = boundary.collect().toIndexedSeq
     parted.unpersist(blocking = false)
-    finishFromRanked(boundary, df, keys, valueCol, ps)
+    val small = spark.createDataFrame(
+      spark.sparkContext.parallelize(boundaryRows, 1), outSchema)
+    finishFromRanked(small, df, keys, valueCol, ps)
   }
 }

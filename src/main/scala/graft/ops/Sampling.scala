@@ -60,6 +60,12 @@ object Sampling {
     * definition — the collect is O(#sources), not O(rows)), then a
     * single per-row filter with a broadcast-sized CASE on the source
     * column. No extra shuffle beyond the count.
+    *
+    * NOTE the count is an EAGER action over the upstream plan: if
+    * this sits at the end of an expensive unpersisted chain (dedup,
+    * analysis), that chain executes once for the counts and again for
+    * the downstream sink — persist/checkpoint the input first in
+    * such pipelines.
     */
   def mixToWeights(df: DataFrame, groupCol: String, keyCol: String,
                    weights: Map[String, Double]): DataFrame = {
@@ -70,9 +76,15 @@ object Sampling {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
     require(present.nonEmpty, "no weighted source present in the data")
-    val scale = present.map { case (s, w) => counts(s).toDouble / w }.min
+    val ratios = present.map { case (s, w) => s -> counts(s).toDouble / w }
+    val scale = ratios.values.min
     val bands = present.map { case (s, w) =>
-      val rate = math.min(1.0, scale * w / counts(s).toDouble)
+      // the binding (argmin) source is kept whole BY CONSTRUCTION:
+      // recomputing its rate as scale*w/c in floating point can round
+      // to 0.999... and silently drop the rows whose hash lands on
+      // the last band value
+      val rate = if (ratios(s) == scale) 1.0
+                 else math.min(1.0, scale * w / counts(s).toDouble)
       s -> math.floor(rate * 4294967296.0).toLong
     }
     // sources not in `bands` fall through to band -1 (hash is never < -1)

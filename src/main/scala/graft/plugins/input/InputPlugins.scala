@@ -88,7 +88,11 @@ class IpcScanPlugin(options: Map[String, Any], configDir: Path, label: String)
       spark.read.format("arrow-ipc").load(p.toString)))
 
   def dryRun()(implicit spark: SparkSession): Either[Throwable, StructType] =
-    inputPath().flatMap(p => Errors.safe(ArrowIpc.readSchema(p)))
+    // same path resolution as execution (file OR directory of IPC
+    // files), so dry-run accepts exactly what the run accepts
+    inputPath().flatMap(p => Errors.safe(ArrowIpc.readSchema(
+      java.nio.file.Paths.get(
+        graft.sources.ArrowIpcSource.resolvePaths(p.toString).head))))
 }
 
 /** Arrow IPC ⇄ Spark bridge used by [[IpcScanPlugin]] and the IPC

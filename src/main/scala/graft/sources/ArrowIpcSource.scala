@@ -39,19 +39,7 @@ class ArrowIpcSource extends TableProvider with DataSourceRegister {
   private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val p = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("arrow-ipc: 'path' is required"))
-    val path = java.nio.file.Paths.get(p)
-    if (java.nio.file.Files.isDirectory(path)) {
-      import scala.jdk.CollectionConverters._
-      val files = java.nio.file.Files.list(path).iterator().asScala
-        .filter(f => {
-          val n = f.getFileName.toString
-          n.endsWith(".arrow") || n.endsWith(".ipc") || n.endsWith(".feather")
-        })
-        .map(_.toString).toSeq.sorted
-      if (files.isEmpty)
-        throw new IllegalArgumentException(s"arrow-ipc: no IPC files in $p")
-      files
-    } else Seq(p)
+    ArrowIpcSource.resolvePaths(p)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -64,6 +52,30 @@ class ArrowIpcSource extends TableProvider with DataSourceRegister {
       paths(new CaseInsensitiveStringMap(properties)))
 
   override def supportsExternalMetadata(): Boolean = true
+}
+
+object ArrowIpcSource {
+  /** `.arrow`/`.ipc`/`.feather` file, or a directory of them (sorted).
+    * Shared with IpcScanPlugin's dry-run so schema probing accepts
+    * exactly what execution accepts. */
+  def resolvePaths(p: String): Seq[String] = {
+    val path = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.isDirectory(path)) {
+      val stream = java.nio.file.Files.list(path)
+      try {
+        import scala.jdk.CollectionConverters._
+        val files = stream.iterator().asScala
+          .filter { f =>
+            val n = f.getFileName.toString
+            n.endsWith(".arrow") || n.endsWith(".ipc") || n.endsWith(".feather")
+          }
+          .map(_.toString).toSeq.sorted
+        if (files.isEmpty)
+          throw new IllegalArgumentException(s"arrow-ipc: no IPC files in $p")
+        files
+      } finally stream.close()
+    } else Seq(p)
+  }
 }
 
 private[sources] class IpcTable(schema: StructType, files: Seq[String])
@@ -130,12 +142,18 @@ private[sources] class IpcPartitionReader(p: IpcPartition, schema: StructType)
 
   private val alloc = new org.apache.arrow.memory.RootAllocator()
   private val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(p.file))
-  private val reader = new ArrowFileReader(ch, alloc)
-  private val vectors = {
-    reader.loadRecordBatch(reader.getRecordBlocks.get(p.blockIndex))
-    val root = reader.getVectorSchemaRoot
-    schema.fields.map(f => root.getVector(f.name))
-  }
+  private val reader =
+    try new ArrowFileReader(ch, alloc)
+    catch { case e: Throwable => close(); throw e }
+  // a corrupt/truncated batch must not leak the channel/allocator:
+  // Spark only close()s readers it received, never ones whose
+  // construction threw
+  private val vectors =
+    try {
+      reader.loadRecordBatch(reader.getRecordBlocks.get(p.blockIndex))
+      val root = reader.getVectorSchemaRoot
+      schema.fields.map(f => root.getVector(f.name))
+    } catch { case e: Throwable => close(); throw e }
   private val rowCount = reader.getVectorSchemaRoot.getRowCount
   private val toCatalyst = schema.fields.map(f =>
     CatalystTypeConverters.createToCatalystConverter(f.dataType))
@@ -155,6 +173,7 @@ private[sources] class IpcPartitionReader(p: IpcPartition, schema: StructType)
   }
 
   override def close(): Unit = {
-    try reader.close() finally { ch.close(); alloc.close() }
+    try { if (reader != null) reader.close() }
+    finally { ch.close(); alloc.close() }
   }
 }

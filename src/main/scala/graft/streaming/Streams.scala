@@ -103,20 +103,22 @@ object Streams {
       }
   }
 
-  /** Streaming exact/fingerprint dedup: `dropDuplicates` on the
-    * md5-of-normalized-text fingerprint with an event-time watermark,
-    * so the dedup state stores one (fingerprint, ts) per distinct doc
-    * INSIDE the watermark horizon and evicts beyond it — the standard
-    * bounded-state design for continuous ingestion (an unbounded
-    * dropDuplicates would grow state forever at 100 TB/day). Docs
-    * whose duplicate arrives later than the watermark delay are the
-    * accepted tradeoff, exactly as in production ingest dedup. */
+  /** Streaming exact/fingerprint dedup:
+    * `dropDuplicatesWithinWatermark` on the md5-of-normalized-text
+    * fingerprint, so the dedup state stores one fingerprint per
+    * distinct doc INSIDE the watermark horizon and EVICTS it once the
+    * watermark passes — the bounded-state design continuous ingestion
+    * needs (a plain `dropDuplicates("_fp")` keyed without the event
+    * time never evicts: state grows by one entry per distinct doc
+    * forever at 100 TB/day). Docs whose duplicate arrives later than
+    * the watermark delay are the accepted tradeoff, exactly as in
+    * production ingest dedup. */
   def dedupStream(docs: DataFrame, textCol: String, eventTimeCol: String,
                   watermark: String = "1 hour"): DataFrame =
     docs
       .withColumn("_fp", graft.ops.Text.fingerprint(col(textCol)))
       .withWatermark(eventTimeCol, watermark)
-      .dropDuplicates("_fp")
+      .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
   /** Run a streaming frame to completion against currently-available
