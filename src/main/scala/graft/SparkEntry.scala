@@ -623,6 +623,24 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // ---- quality-quantile gate: percentiles feeding a filter -----
+    // The realistic corpus-curation shape: keep each language's top
+    // quartile by quality score. Exercises exactInterpolated as a
+    // THRESHOLD PRODUCER (tiny result broadcast back onto the corpus)
+    // rather than a terminal aggregate; both sides compare at 4 dp so
+    // the interpolated threshold is engine-stable.
+    "q_quality_gate" -> ((s, dir) => {
+      val q = Text.withQualityMetrics(tBalanced(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("lang"),
+          r(Text.qualityFromMetrics, 6).as("q"))
+      val th = graft.ops.Percentiles.exactInterpolated(
+        q, Seq("lang"), "q", Seq("p75" -> 0.75))
+      q.join(broadcast(th), Seq("lang"))
+        .filter(r(col("q"), 4) >= r(col("p75"), 4))
+        .select(col("doc_id"), col("lang"), r(col("q"), 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
     // ---- SQL-function surface under the oracle -------------------
     // The GraftExtensions registry path end-to-end: the config-level
     // sql plugin computes SimHash signatures with the simhash64 SQL
@@ -1584,6 +1602,41 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |  < 429496729
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_quality_gate" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+        |    CAST(length(text) AS DOUBLE) AS n
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, lang, n,
+        |    CASE WHEN n = 0 THEN 0.0 ELSE
+        |      length(regexp_replace(text, '[^[:punct:]]', '', 'g')) / n END AS praw,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(len(list_filter(toks, t -> list_contains(
+        |        ['the','a','an','and','or','of','to','in','is','are','was',
+        |         'for','on','with','as','at','by','it','be','this','that'], t)))
+        |        AS DOUBLE) / len(toks) END AS sraw,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+        |        / len(toks) END AS mraw
+        |  FROM d
+        |), q AS (
+        |  SELECT doc_id, lang,
+        |    r(least(n / 200.0, 1.0) * 0.4
+        |      + greatest(0.0, 1.0 - praw * 4.0) * 0.2
+        |      + least(sraw * 5.0, 1.0) * 0.2
+        |      + (CASE WHEN mraw >= 3.0 AND mraw <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+        |      6) AS q
+        |  FROM m
+        |), th AS (
+        |  SELECT lang, quantile_cont(q, 0.75) AS p75 FROM q GROUP BY lang
+        |)
+        |SELECT doc_id, q.lang AS lang, r(q.q, 4) AS quality
+        |FROM q JOIN th USING (lang)
+        |WHERE r(q.q, 4) >= r(th.p75, 4)
         |ORDER BY doc_id""".stripMargin,
 
     "q_sql_kernels" ->
