@@ -29,7 +29,8 @@ object Bench {
     "dedup_exact", "dedup_fingerprint", "dedup_minhash_pairs",
     "dedup_simhash_pairs", "dedup_embedding_lsh",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
-    "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "multimodal_meta")
+    "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivfpq",
+    "multimodal_meta")
 
   /** Full query inventory: oracled queries + bench-only raw ANN
     * top-k (kept under their historical names). */

@@ -134,6 +134,14 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     }),
+    "sim_topk_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .withColumn("cosine", r(col("cosine"), 6))
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    }),
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashCandidatePairs(tBalanced(s, dir, "documents"), "doc_id",
         "text", shingleK = 5, numHashes = 64, bands = 16)
@@ -773,6 +781,8 @@ object SparkEntry {
     // ---- similarity: IVF top-k recall gate (driver-checkable) ----
     "sim_recall_ivf" -> ((s, dir) =>
       recallGate(benchOnly("sim_topk_ivf")(s, dir), s, dir)),
+    "sim_recall_ivfpq" -> ((s, dir) =>
+      recallGate(benchOnly("sim_topk_ivfpq")(s, dir), s, dir)),
 
     // ---- multimodal: binary payload + stub decode metadata -------
     // Edge rows unioned in: non-ASCII (bytes ≠ chars — the decode
@@ -1719,6 +1729,12 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "sim_recall_ivf" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(count(*) * 5 AS BIGINT) AS n_possible,
+        |  true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "sim_recall_ivfpq" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  CAST(count(*) * 5 AS BIGINT) AS n_possible,
         |  true AS recall_ok

@@ -176,6 +176,111 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Per-subspace PQ codebooks trained on a bounded sample: split each
+    * D-dim vector into `m` contiguous D/m-dim subvectors and run
+    * [[KMeansLite]] independently per subspace (FAISS trains PQ the
+    * same way — subspace k-means on a few thousand vectors). Seeded
+    * per subspace → deterministic. Returns `[m][ksub][D/m]`. */
+  private[ops] def trainPqCodebooks(sample: Array[Array[Double]], m: Int,
+                                    ksub: Int, seed: Long = 42L)
+      : Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "empty PQ training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"PQ subspaces must divide dim: $dim % $m != 0")
+    val dsub = dim / m
+    Array.tabulate(m) { sub =>
+      val subSample = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+      KMeansLite.fit(subSample, ksub, iters = 25, seed = seed + sub)
+    }
+  }
+
+  /** Approximate top-k via IVF-PQ with exact re-rank — the 100 TB
+    * shape ([[ivfTopK]]'s coarse partitioning plus product-quantized
+    * candidate scoring):
+    *
+    *  1. coarse: corpus vectors assigned to their nearest of `nlist`
+    *     centroids; queries probe the `nprobe` nearest lists (same as
+    *     [[ivfTopK]]).
+    *  2. PQ candidate scan: the probed join carries `m` CODE BYTES per
+    *     corpus vector, not the 8·D-byte vector — at D=64/m=8 a 64×
+    *     smaller shuffle/scan payload, the difference between an ANN
+    *     pass that fits in cluster memory at 100 TB and one that
+    *     doesn't. Scoring is ADC: each query precomputes its
+    *     m·ksub lookup table once; per candidate it's m lookups+adds.
+    *  3. exact re-rank: the top `rerank` ADC candidates per query
+    *     (rerank ≫ k absorbs quantization error) join back to the
+    *     corpus full vectors — touching only Q·rerank rows — and the
+    *     true cosine picks the final top-k.
+    *
+    * Codebooks quantize the normalized vectors directly (no residual
+    * encoding — FAISS's `IVFPQ` encodes v − centroid; at nlist small
+    * enough to probe most lists the residual rotation buys little and
+    * costs a second codebook pass, so this keeps the simpler form).
+    *
+    * Output schema matches [[bruteForceTopK]]: (query_id, neighbor_id,
+    * cosine, rank) with the exact re-ranked cosine. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                idCol: String, embCol: String, k: Int,
+                nlist: Int = 8, nprobe: Int = 7,
+                m: Int = 16, ksub: Int = 16, rerank: Int = 128,
+                queryIdOut: String = "query_id"): DataFrame = {
+    import graft.expressions.NearestCentroids.nearest_centroids
+    import graft.expressions.ProductQuantizer._
+
+    val c = withNormalized(
+      corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
+      "_e", "v_c").select(col("neighbor_id"), col("v_c"))
+    val q = withNormalized(
+      queries.select(col(idCol).as(queryIdOut), col(embCol).as("_e")),
+      "_e", "v_q").select(col(queryIdOut), col("v_q"))
+
+    val trainSample = 2048
+    val sample = c.orderBy("neighbor_id").limit(trainSample)
+      .select("v_c").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centroids = KMeansLite.fit(sample, nlist, iters = 25, seed = 42L)
+    val codebooks = trainPqCodebooks(sample, m, ksub)
+
+    // Corpus candidate side: (neighbor_id, list_id, m-byte code) ONLY.
+    // The full vectors stay behind in `c` for the re-rank join.
+    val cCoded = c.select(col("neighbor_id"),
+      element_at(nearest_centroids(col("v_c"), centroids, 1), 1)
+        .as("list_id"),
+      pq_encode(col("v_c"), codebooks).as("pq_code"))
+
+    // Query side: ADC table computed once per query, THEN the probe
+    // fan-out (the exploded copies share the computed table).
+    val qProbed = q
+      .withColumn("adc_table", pq_adc_table(col("v_q"), codebooks))
+      .withColumn("list_id",
+        explode(nearest_centroids(col("v_q"), centroids, nprobe)))
+      .select(col(queryIdOut), col("adc_table"), col("list_id"))
+
+    val adcTop = cCoded.join(broadcast(qProbed), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col(queryIdOut))
+      .select(col(queryIdOut), col("neighbor_id"),
+        pq_adc_score(col("pq_code"), col("adc_table")).as("adc"))
+    val wAdc = Window.partitionBy(queryIdOut)
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val candidates = adcTop.withColumn("_r", row_number().over(wAdc))
+      .filter(col("_r") <= rerank)
+      .select(col(queryIdOut), col("neighbor_id"))
+
+    // Exact re-rank over Q·rerank rows: full vectors re-attached by
+    // id (corpus side shuffles only the surviving candidates), query
+    // vectors broadcast.
+    val reranked = candidates
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq(queryIdOut))
+      .select(col(queryIdOut), col("neighbor_id"),
+        dot(col("v_q"), col("v_c")).as("cosine"))
+    val w = Window.partitionBy(queryIdOut)
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** All masks over `planes` bits with popcount ≤ maxFlips — the
     * multi-probe neighborhood of a signature. */
   private[ops] def probeMasks(planes: Int, maxFlips: Int): Seq[Long] =

@@ -293,6 +293,47 @@ class OpsSpec extends AnyFunSuite {
       s"LSH recall too low: ${(brute & lsh).size / 50.0}")
   }
 
+  test("PQ kernels: encode/table/score against hand-built codebooks") {
+    import graft.expressions.ProductQuantizer._
+    // 4-dim vectors, m=2 subspaces × 2 dims, ksub=2 codes per subspace
+    val codebooks: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),   // subspace 0
+      Array(Array(0.5, 0.5), Array(-1.0, 0.0)))  // subspace 1
+    val df = Seq((0L, Array(0.9, 0.1, -0.75, 0.25)))
+      .toDF("id", "v")
+    val row = df.select(
+      pq_encode(col("v"), codebooks).as("code"),
+      pq_adc_table(col("v"), codebooks).as("table"),
+      pq_adc_score(pq_encode(col("v"), codebooks),
+        pq_adc_table(col("v"), codebooks)).as("score")).head()
+    // subvector (0.9, 0.1) → centroid 0; (-0.75, 0.25) → centroid 1
+    assert(row.getAs[Array[Byte]]("code").toSeq == Seq[Byte](0, 1))
+    // table = [dot(q0,cb00), dot(q0,cb01), dot(q1,cb10), dot(q1,cb11)]
+    // (cb/vec values chosen exactly representable in binary FP)
+    assert(row.getSeq[Double](1) == Seq(0.9, 0.1, -0.25, 0.75))
+    // score = table[0*2+0] + table[1*2+1] = dot against the
+    // RECONSTRUCTED (quantized) vector (1, 0, -1, 0)
+    assert(row.getAs[Double]("score") == 0.9 + 0.75)
+    // dimension mismatch → null, not garbage
+    val bad = Seq((0L, Array(1.0, 2.0, 3.0))).toDF("id", "v")
+      .select(pq_encode(col("v"), codebooks).as("c")).head()
+    assert(bad.isNullAt(0))
+  }
+
+  test("ANN recall floor on real embeddings: IVF-PQ with exact re-rank") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5))
+    // PQ distorts ranks (m=16/ksub=16 over 64 dims is a 32× payload
+    // squeeze); the rerank=128 exact pass has to win recall back.
+    val pq = pairs(Similarity.ivfPqTopK(e, q, "vec_id", "embedding", 5))
+    assert((brute & pq).size.toDouble / brute.size >= 0.9,
+      s"IVF-PQ recall too low: ${(brute & pq).size / brute.size.toDouble}")
+  }
+
   test("Similarity: zero vector yields cosine 0, no NaN") {
     val vecs = Seq(
       (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
