@@ -445,6 +445,30 @@ object SparkEntry {
       Dedup.byFingerprint(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // ---- line-level boilerplate removal (CCNet-style) ------------
+    // The corpus has no newlines, so lines are synthesized the same
+    // way on both sides (replace ' value ' with \n — left-to-right
+    // non-overlapping in Spark and DuckDB alike); unioned edge docs
+    // pin the semantics: shared banner/footer lines removed in order,
+    // an all-boilerplate doc emptied (not dropped), NULL text → NULL.
+    "dedup_boilerplate" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Seq(
+        (-6L, Some("cookie banner\nreal prose one\nfooter text")),
+        (-5L, Some("cookie banner\nreal prose two\nfooter text")),
+        (-4L, Some("cookie banner\nunique thought\nfooter text")),
+        (-3L, Some("cookie banner")),
+        (-2L, Option.empty[String]),
+        (-1L, Some("fully original text"))).toDF("doc_id", "text")
+      val src = t(s, dir, "documents")
+        .select(col("doc_id"),
+          replace(col("text"), lit(" value "), lit("\n")).as("text"))
+        .unionByName(edges)
+      Dedup.removeBoilerplateLines(src, "doc_id", "text", minDocs = 3)
+        .select("doc_id", "clean_text", "n_lines_removed")
+        .orderBy("doc_id")
+    }),
+
     // ---- SimHash near-dup pairs (exact oracle) -------------------
     // maxHamming=3 with chunks=4 keeps the pigeonhole guarantee
     // (chunks > maxHamming), so the chunk-bucketed join finds EVERY
@@ -1248,6 +1272,43 @@ object SparkEntry {
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint,
         |  min(doc_id) AS doc_id, count(*) AS n_dupes
         |FROM documents GROUP BY fingerprint ORDER BY doc_id""".stripMargin,
+
+    // Line synthesis (replace ' value ' with \n) mirrored, then the
+    // boilerplate set = lines in ≥3 distinct docs, removal via a list
+    // comprehension that preserves order; string_agg over an empty
+    // kept-list is NULL → coalesce to '' like array_join of [].
+    "dedup_boilerplate" ->
+      """WITH src AS (
+        |  SELECT doc_id, replace(text, ' value ', chr(10)) AS text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(-6 AS BIGINT), 'cookie banner' || chr(10) || 'real prose one' || chr(10) || 'footer text'),
+        |    (CAST(-5 AS BIGINT), 'cookie banner' || chr(10) || 'real prose two' || chr(10) || 'footer text'),
+        |    (CAST(-4 AS BIGINT), 'cookie banner' || chr(10) || 'unique thought' || chr(10) || 'footer text'),
+        |    (CAST(-3 AS BIGINT), 'cookie banner'),
+        |    (CAST(-2 AS BIGINT), CAST(NULL AS VARCHAR)),
+        |    (CAST(-1 AS BIGINT), 'fully original text')) v(doc_id, text)
+        |), ex AS (
+        |  SELECT doc_id, line FROM (
+        |    SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        |    FROM src WHERE text IS NOT NULL)
+        |), bl AS (
+        |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM ex)
+        |  GROUP BY line HAVING count(*) >= 3
+        |), blist AS (
+        |  SELECT coalesce(list(line), []) AS ls FROM bl
+        |)
+        |SELECT s.doc_id,
+        |  CASE WHEN s.text IS NULL THEN NULL
+        |    ELSE coalesce(list_aggr(
+        |      [l FOR l IN string_split(s.text, chr(10)) IF NOT list_contains(b.ls, l)],
+        |      'string_agg', chr(10)), '') END AS clean_text,
+        |  CASE WHEN s.text IS NULL THEN NULL
+        |    ELSE CAST(len(string_split(s.text, chr(10))) -
+        |      len([l FOR l IN string_split(s.text, chr(10)) IF NOT list_contains(b.ls, l)]) AS BIGINT)
+        |    END AS n_lines_removed
+        |FROM src s CROSS JOIN blist b
+        |ORDER BY s.doc_id""".stripMargin,
 
     // Full quadratic recomputation of the SimHash pipeline in SQL:
     // same normalization, same md5-first-8-bytes token hash (the

@@ -435,4 +435,65 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .groupBy("id_a", "id_b").agg(max("cosine").as("cosine"))
   }
+
+  // ------------------------------------------------- line-level boilerplate
+
+  /** Lines occurring in ≥ `minDocs` DISTINCT documents — the CCNet /
+    * RefinedWeb boilerplate signal (nav menus, cookie banners, footers
+    * repeat verbatim across a site's pages; real prose doesn't).
+    * Matching is on the exact line (no normalization — boilerplate
+    * repeats byte-identically; callers can pre-normalize).
+    *
+    * Scale shape: explode to (line, doc) then count-distinct-doc per
+    * line — ONE shuffle with map-side partial aggregation on the line
+    * key; never materializes a per-doc line set. Returns
+    * (line, n_docs). */
+  def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                       minDocs: Int = 3): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_doc"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .groupBy("line")
+      .agg(count_distinct(col("_doc")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Remove boilerplate lines (per [[boilerplateLines]]) from every
+    * document, preserving the order of surviving lines. A document
+    * whose every line is boilerplate keeps an empty string; NULL text
+    * passes through NULL.
+    *
+    * Scale shape: the boilerplate line set is grouped small relative
+    * to the corpus (repeated lines collapse to one row each) but NOT
+    * guaranteed broadcastable at 100 TB, so the removal join is a
+    * plain left-anti equi-join on the line — AQE picks broadcast vs
+    * shuffle from the measured size. Reassembly is one groupBy over
+    * (doc, pos) pairs. Adds `n_lines_removed` per doc. */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             minDocs: Int = 3): DataFrame = {
+    val bl = boilerplateLines(df, idCol, textCol, minDocs)
+      .select(col("line"), lit(1).as("_bl"))
+    val exploded = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("_pos", "line")))
+    // one membership join + one per-doc aggregation: collect_list
+    // drops the null entries the `when` produces for boilerplate
+    // lines, so kept text and removed count come from the same pass
+    val agg = exploded.join(bl, Seq("line"), "left")
+      .groupBy(idCol)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("_bl").isNull,
+            struct(col("_pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("_kept"),
+        sum(when(col("_bl").isNotNull, 1L).otherwise(0L))
+          .as("_n_removed"))
+    df.join(agg, Seq(idCol), "left")
+      .withColumn("clean_text",
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("_kept"), lit(""))))
+      .withColumn("n_lines_removed",
+        when(col(textCol).isNull, lit(null).cast("long"))
+          .otherwise(coalesce(col("_n_removed"), lit(0L))))
+      .drop("_kept", "_n_removed")
+  }
 }

@@ -12,7 +12,7 @@ import graft.ops.{Dedup, Text}
   * dedup runs as a pipeline transform:
   *
   *   method = "exact" | "fingerprint" | "minhash" | "simhash_pairs" |
-  *            "ngram_pairs" | "embedding_pairs"
+  *            "ngram_pairs" | "embedding_pairs" | "boilerplate_lines"
   */
 class DedupPlugin(options: Map[String, Any], configDir: Path, label: String)
     extends BaseTransformPlugin(options, configDir, label) {
@@ -66,6 +66,9 @@ class DedupPlugin(options: Map[String, Any], configDir: Path, label: String)
               options.getOrElse("embedding_column", "embedding").toString,
               threshold = numOpt("threshold", 0.95),
               planes = numOpt("planes", 8).toInt)
+          case "boilerplate_lines" =>
+            Dedup.removeBoilerplateLines(df, idCol, textColumn,
+              minDocs = numOpt("min_docs", 3).toInt)
           case other => throw new PluginExecutionError(
             s"Unknown dedup method: '$other'")
         }

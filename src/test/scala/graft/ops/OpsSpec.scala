@@ -293,6 +293,29 @@ class OpsSpec extends AnyFunSuite {
       s"LSH recall too low: ${(brute & lsh).size / 50.0}")
   }
 
+  test("boilerplate lines: detected across docs, removed in order") {
+    val docs = Seq(
+      (1L, Some("cookie banner\nreal prose one\nfooter text")),
+      (2L, Some("cookie banner\nreal prose two\nfooter text")),
+      (3L, Some("cookie banner\nunique thought\nfooter text")),
+      (4L, Some("cookie banner")),        // all-boilerplate doc
+      (5L, Option.empty[String]),         // NULL text passes through
+      (6L, Some("fully original text"))).toDF("doc_id", "text")
+    val bl = Dedup.boilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bl == Map("cookie banner" -> 4L, "footer text" -> 3L))
+    val out = Dedup.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .select("doc_id", "clean_text", "n_lines_removed")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    assert(out(1L) == (Some("real prose one"), 2L))
+    assert(out(3L) == (Some("unique thought"), 2L))
+    assert(out(4L) == (Some(""), 1L))     // emptied, not dropped
+    assert(out(5L) == (None, -1L))        // NULL → NULL
+    assert(out(6L) == (Some("fully original text"), 0L))
+  }
+
   test("PQ kernels: encode/table/score against hand-built codebooks") {
     import graft.expressions.ProductQuantizer._
     // 4-dim vectors, m=2 subspaces × 2 dims, ksub=2 codes per subspace

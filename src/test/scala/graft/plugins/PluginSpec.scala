@@ -181,6 +181,20 @@ class PluginSpec extends AnyFunSuite {
     assert(bad.left.toOption.get.getMessage.contains("'rate' is required"))
   }
 
+  test("dedup plugin: boilerplate_lines method via config options") {
+    val df = Seq(
+      (1L, "promo line\nkeep me"),
+      (2L, "promo line\nkeep me too"),
+      (3L, "promo line\nthird unique")).toDF("doc_id", "text")
+    val out = new DedupPlugin(Map("method" -> "boilerplate_lines",
+        "id_column" -> "doc_id", "min_docs" -> 3), dir, "default")
+      .execute(df).fold(e => throw e, identity)
+    val rows = out.select("doc_id", "clean_text", "n_lines_removed")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rows(1L) == ("keep me", 1L))
+    assert(rows(3L) == ("third unique", 1L))
+  }
+
   test("sample plugin: mix_weights downsamples to a target mixture") {
     val df = ((0L until 100L).map(i => (i, "web")) ++
       (100L until 200L).map(i => (i, "code"))).toDF("doc_id", "src")
