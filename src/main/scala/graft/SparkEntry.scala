@@ -445,6 +445,37 @@ object SparkEntry {
       Dedup.byFingerprint(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // ---- Gopher quality-rule gates -------------------------------
+    // Published MassiveText filter rules as per-rule boolean columns.
+    // Lines synthesized like dedup_boilerplate; edge docs trip each
+    // gate on its own (short doc, symbol spam, bullet wall, dup
+    // lines, ellipsis endings) and NULL text yields NULL flags. All
+    // outputs are booleans/longs — no FP rounding in the hash gate.
+    "q_gopher_rules" -> ((s, dir) => {
+      import s.implicits._
+      val good = ("good words " * 25) +
+        "the cat and that dog have fun with all of them to be here"
+      val edges = Seq(
+        (-8L, Some("")),
+        (-7L, Some(good)),
+        (-6L, Some("too short to have the words")),
+        (-5L, Some(good + " ###### ## # # # # # # # #")),
+        (-4L, Some(good + "\n- a\n- b\n- c\n- d")),
+        (-3L, Some("same line\n" * 10 + good)),
+        (-2L, Some(good + "\nline one...\nline two...\nline three...")),
+        (-1L, Option.empty[String])).toDF("doc_id", "text")
+      val src = t(s, dir, "documents")
+        .select(col("doc_id"),
+          replace(col("text"), lit(" value "), lit("\n")).as("text"))
+        .unionByName(edges)
+      Text.withGopherFlags(src, "text")
+        .select("doc_id", "n_words", "flag_word_count", "flag_word_len",
+          "flag_symbol_ratio", "flag_bullet_lines", "flag_ellipsis_lines",
+          "flag_alpha_words", "flag_stopwords", "flag_dup_lines",
+          "gopher_pass")
+        .orderBy("doc_id")
+    }),
+
     // ---- line-level boilerplate removal (CCNet-style) ------------
     // The corpus has no newlines, so lines are synthesized the same
     // way on both sides (replace ' value ' with \n — left-to-right
@@ -1272,6 +1303,72 @@ object SparkEntry {
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint,
         |  min(doc_id) AS doc_id, count(*) AS n_dupes
         |FROM documents GROUP BY fingerprint ORDER BY doc_id""".stripMargin,
+
+    // Every Gopher gate recomputed with the same IEEE double
+    // divisions (DuckDB `/` on integers is float division like
+    // Spark's Divide); token/line splits, ltrim/rtrim, '[a-z]' and
+    // the non-overlapping replace-based symbol counts all behave
+    // identically across the engines.
+    "q_gopher_rules" ->
+      """WITH src AS (
+        |  SELECT doc_id, replace(text, ' value ', chr(10)) AS text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(-8 AS BIGINT), ''),
+        |    (CAST(-7 AS BIGINT), repeat('good words ', 25) || 'the cat and that dog have fun with all of them to be here'),
+        |    (CAST(-6 AS BIGINT), 'too short to have the words'),
+        |    (CAST(-5 AS BIGINT), repeat('good words ', 25) || 'the cat and that dog have fun with all of them to be here' || ' ###### ## # # # # # # # #'),
+        |    (CAST(-4 AS BIGINT), repeat('good words ', 25) || 'the cat and that dog have fun with all of them to be here' || chr(10) || '- a' || chr(10) || '- b' || chr(10) || '- c' || chr(10) || '- d'),
+        |    (CAST(-3 AS BIGINT), repeat('same line' || chr(10), 10) || repeat('good words ', 25) || 'the cat and that dog have fun with all of them to be here'),
+        |    (CAST(-2 AS BIGINT), repeat('good words ', 25) || 'the cat and that dog have fun with all of them to be here' || chr(10) || 'line one...' || chr(10) || 'line two...' || chr(10) || 'line three...'),
+        |    (CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR))) v(doc_id, text)
+        |), g AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM src
+        |), m AS (
+        |  SELECT doc_id, text, toks, lines,
+        |    CAST(len(toks) AS DOUBLE) AS nw,
+        |    CAST(len(lines) AS DOUBLE) AS nl,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+        |           / CAST(len(toks) AS DOUBLE) END AS meanlen,
+        |    (length(text) - length(replace(text, '#', ''))) / 1
+        |      + (length(text) - length(replace(text, '...', ''))) / 3
+        |      + (length(text) - length(replace(text, '…', ''))) / 1 AS symbols,
+        |    CAST(coalesce(list_sum(list_transform(lines, l ->
+        |      CASE WHEN starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
+        |        OR starts_with(ltrim(l), '•') THEN 1 ELSE 0 END)), 0) AS DOUBLE) AS bullets,
+        |    CAST(coalesce(list_sum(list_transform(lines, l ->
+        |      CASE WHEN rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'
+        |        THEN 1 ELSE 0 END)), 0) AS DOUBLE) AS ellip,
+        |    CAST(coalesce(list_sum(list_transform(toks, w ->
+        |      CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END)), 0) AS DOUBLE) AS alphaw,
+        |    len(list_intersect(list_distinct(toks),
+        |      ['the','be','to','of','and','that','have','with'])) AS stophits,
+        |    CASE WHEN len(lines) = 0 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+        |           / CAST(len(lines) AS DOUBLE) END AS duplf
+        |  FROM g
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN text IS NULL THEN NULL ELSE CAST(nw AS BIGINT) END AS n_words,
+        |  CASE WHEN text IS NULL THEN NULL ELSE nw >= 50 AND nw <= 100000 END AS flag_word_count,
+        |  CASE WHEN text IS NULL THEN NULL ELSE meanlen >= 3.0 AND meanlen <= 10.0 END AS flag_word_len,
+        |  CASE WHEN text IS NULL THEN NULL ELSE nw > 0 AND symbols / nw <= 0.1 END AS flag_symbol_ratio,
+        |  CASE WHEN text IS NULL THEN NULL ELSE bullets / nl <= 0.9 END AS flag_bullet_lines,
+        |  CASE WHEN text IS NULL THEN NULL ELSE ellip / nl <= 0.3 END AS flag_ellipsis_lines,
+        |  CASE WHEN text IS NULL THEN NULL ELSE nw > 0 AND alphaw / nw >= 0.8 END AS flag_alpha_words,
+        |  CASE WHEN text IS NULL THEN NULL ELSE stophits >= 2 END AS flag_stopwords,
+        |  CASE WHEN text IS NULL THEN NULL ELSE duplf <= 0.3 END AS flag_dup_lines,
+        |  CASE WHEN text IS NULL THEN NULL ELSE
+        |    (nw >= 50 AND nw <= 100000) AND (meanlen >= 3.0 AND meanlen <= 10.0)
+        |    AND (nw > 0 AND symbols / nw <= 0.1) AND (bullets / nl <= 0.9)
+        |    AND (ellip / nl <= 0.3) AND (nw > 0 AND alphaw / nw >= 0.8)
+        |    AND (stophits >= 2) AND (duplf <= 0.3) END AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // Line synthesis (replace ' value ' with \n) mirrored, then the
     // boilerplate set = lines in ≥3 distinct docs, removal via a list

@@ -65,6 +65,7 @@ object Loader {
     "sql" -> "graft.plugins.transform.SqlPlugin",
     "dedup" -> "graft.plugins.transform.DedupPlugin",
     "text_analysis" -> "graft.plugins.transform.TextAnalysisPlugin",
+    "gopher_filter" -> "graft.plugins.transform.GopherFilterPlugin",
     "sample" -> "graft.plugins.transform.SamplePlugin",
     "redact_pii" -> "graft.plugins.transform.RedactPiiPlugin",
     "contamination" -> "graft.plugins.transform.ContaminationPlugin",

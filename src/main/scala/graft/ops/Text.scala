@@ -92,6 +92,106 @@ object Text {
         .cast("double") / total)
   }
 
+  // ------------------------------------------------- Gopher-rule gates
+
+  /** Thresholds for [[withGopherFlags]] — the defaults are the
+    * published Gopher / MassiveText filter values (Rae et al. 2021,
+    * table A1): word-count and mean-word-length bounds, symbol and
+    * bullet/ellipsis line ratios, the alphabetic-word fraction, and
+    * the ≥2-required-stopwords rule; plus a duplicate-line-fraction
+    * cap from the same family of repetition gates. */
+  case class GopherThresholds(minWords: Int = 50, maxWords: Int = 100000,
+                              minMeanWordLen: Double = 3.0,
+                              maxMeanWordLen: Double = 10.0,
+                              maxSymbolRatio: Double = 0.1,
+                              maxBulletLineFrac: Double = 0.9,
+                              maxEllipsisLineFrac: Double = 0.3,
+                              minAlphaWordFrac: Double = 0.8,
+                              minStopwordHits: Int = 2,
+                              maxDupLineFrac: Double = 0.3)
+
+  /** The Gopher required-stopword list ("must contain ≥2 of ..."). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Attach one boolean column per Gopher rule plus the conjunction
+    * `gopher_pass`. NULL text yields NULL flags (filtered out by
+    * [[gopherFilter]], distinguishable from a real fail). Everything
+    * is a codegen'd per-row projection over ONE token split and ONE
+    * line split — no shuffle, no UDFs, reproducible in any engine
+    * with RE2-class regexes. */
+  def withGopherFlags(df: DataFrame, textCol: String,
+                      t: GopherThresholds = GopherThresholds()): DataFrame = {
+    val txt = col(textCol)
+    val isNullT = txt.isNull
+    def occurrences(needle: String): Column =
+      ((length(txt) - length(replace(txt, lit(needle), lit("")))) /
+        needle.length).cast("double")
+    val staged = df
+      .withColumn("_toks",
+        when(length(trim(txt)) === 0, array().cast("array<string>"))
+          .otherwise(split(lower(trim(txt)), "\\s+")))
+      .withColumn("_lines", split(txt, "\n"))
+      .withColumn("_nw", size(col("_toks")).cast("double"))
+      .withColumn("_nl", size(col("_lines")).cast("double"))
+    val nWords = col("_nw")
+    val nLines = col("_nl")
+    val meanLen = when(nWords === 0.0, lit(0.0)).otherwise(
+      aggregate(col("_toks"), lit(0L), (acc, w) => acc + length(w))
+        .cast("double") / nWords)
+    val symbols = occurrences("#") + occurrences("...") + occurrences("…")
+    val bulletLines = size(filter(col("_lines"), l => {
+      val lt = ltrim(l)
+      lt.startsWith("-") || lt.startsWith("*") || lt.startsWith("•")
+    })).cast("double")
+    val ellipsisLines = size(filter(col("_lines"), l => {
+      val rt = rtrim(l)
+      rt.endsWith("...") || rt.endsWith("…")
+    })).cast("double")
+    val alphaWords = size(filter(col("_toks"),
+      w => w.rlike("[a-z]"))).cast("double")
+    val stopHits = size(array_intersect(array_distinct(col("_toks")),
+      array(gopherStopwords.map(lit): _*)))
+    val dupLineFrac = when(nLines === 0.0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(col("_lines"))).cast("double") / nLines)
+    def gate(c: Column): Column =
+      when(isNullT, lit(null).cast("boolean")).otherwise(c)
+    val flagged = staged
+      .withColumn("n_words",
+        when(isNullT, lit(null).cast("long")).otherwise(nWords.cast("long")))
+      .withColumn("flag_word_count",
+        gate(nWords >= t.minWords && nWords <= t.maxWords))
+      .withColumn("flag_word_len",
+        gate(meanLen >= t.minMeanWordLen && meanLen <= t.maxMeanWordLen))
+      .withColumn("flag_symbol_ratio",
+        gate(nWords > 0 && symbols / nWords <= t.maxSymbolRatio))
+      .withColumn("flag_bullet_lines",
+        gate(bulletLines / nLines <= t.maxBulletLineFrac))
+      .withColumn("flag_ellipsis_lines",
+        gate(ellipsisLines / nLines <= t.maxEllipsisLineFrac))
+      .withColumn("flag_alpha_words",
+        gate(nWords > 0 && alphaWords / nWords >= t.minAlphaWordFrac))
+      .withColumn("flag_stopwords", gate(stopHits >= t.minStopwordHits))
+      .withColumn("flag_dup_lines", gate(dupLineFrac <= t.maxDupLineFrac))
+    val flags = Seq("flag_word_count", "flag_word_len", "flag_symbol_ratio",
+      "flag_bullet_lines", "flag_ellipsis_lines", "flag_alpha_words",
+      "flag_stopwords", "flag_dup_lines")
+    flagged
+      .withColumn("gopher_pass", flags.map(col).reduce(_ && _))
+      .drop("_toks", "_lines", "_nw", "_nl")
+  }
+
+  /** Keep only documents passing every Gopher rule (NULL text is
+    * dropped — `filter` discards NULL predicates). */
+  def gopherFilter(df: DataFrame, textCol: String,
+                   t: GopherThresholds = GopherThresholds()): DataFrame = {
+    val flags = Seq("n_words", "flag_word_count", "flag_word_len",
+      "flag_symbol_ratio", "flag_bullet_lines", "flag_ellipsis_lines",
+      "flag_alpha_words", "flag_stopwords", "flag_dup_lines", "gopher_pass")
+    withGopherFlags(df, textCol, t).filter(col("gopher_pass"))
+      .drop(flags: _*)
+  }
+
   // ----------------------------------------------------- PII redaction
 
   /** Engine-portable (RE2-safe: no lookaround/backrefs) PII patterns. */

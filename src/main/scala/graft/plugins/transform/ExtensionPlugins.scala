@@ -300,6 +300,55 @@ class MultimodalPlugin(options: Map[String, Any], configDir: Path, label: String
   }
 }
 
+/** Config-driven Gopher/MassiveText quality gate
+  * ([[graft.ops.Text.withGopherFlags]]):
+  *
+  *   mode = "filter" (default) — keep only passing docs, flags dropped
+  *        | "flags"            — attach the per-rule boolean columns
+  *
+  * Thresholds override the published defaults via options
+  * (min_words, max_words, min_mean_word_len, max_mean_word_len,
+  * max_symbol_ratio, max_bullet_line_frac, max_ellipsis_line_frac,
+  * min_alpha_word_frac, min_stopword_hits, max_dup_line_frac). */
+class GopherFilterPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "gopher_filter"
+
+  private def num(key: String, default: Double): Double =
+    options.get(key).map(_.toString.toDouble).getOrElse(default)
+
+  private def thresholds: Text.GopherThresholds = Text.GopherThresholds(
+    minWords = num("min_words", 50).toInt,
+    maxWords = num("max_words", 100000).toInt,
+    minMeanWordLen = num("min_mean_word_len", 3.0),
+    maxMeanWordLen = num("max_mean_word_len", 10.0),
+    maxSymbolRatio = num("max_symbol_ratio", 0.1),
+    maxBulletLineFrac = num("max_bullet_line_frac", 0.9),
+    maxEllipsisLineFrac = num("max_ellipsis_line_frac", 0.3),
+    minAlphaWordFrac = num("min_alpha_word_frac", 0.8),
+    minStopwordHits = num("min_stopword_hits", 2).toInt,
+    maxDupLineFrac = num("max_dup_line_frac", 0.3))
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    graft.core.Errors.safe {
+      val tc = options.getOrElse("text_column", "text").toString
+      options.getOrElse("mode", "filter").toString match {
+        case "flags"  => Text.withGopherFlags(df, tc, thresholds)
+        case "filter" => Text.gopherFilter(df, tc, thresholds)
+        case other => throw new PluginExecutionError(
+          s"Unknown gopher_filter mode: '$other'")
+      }
+    }
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] = {
+    val tc = options.getOrElse("text_column", "text").toString
+    if (!schema.fieldNames.contains(tc))
+      Left(new graft.core.SchemaValidationError(
+        s"Column '$tc' not found in schema"))
+    else propagateSchema(schema)(df => execute(df).fold(e => throw e, identity))
+  }
+}
+
 /** Config-driven wrapper over [[graft.ops.Text.analyze]]: attaches
   * token counts, quality metrics, language guess and fingerprint. */
 class TextAnalysisPlugin(options: Map[String, Any], configDir: Path, label: String)

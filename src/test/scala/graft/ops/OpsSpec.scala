@@ -293,6 +293,34 @@ class OpsSpec extends AnyFunSuite {
       s"LSH recall too low: ${(brute & lsh).size / 50.0}")
   }
 
+  test("Gopher rules: each gate fires on its own pathology") {
+    val good = ("good words " * 25) +
+      "the cat and that dog have fun with all of them to be here"
+    val docs = Seq(
+      (1L, Some(good)),                               // passes everything
+      (2L, Some("too short to have the words")),      // < minWords
+      (3L, Some(good + " ###### ## # # # # # # # #")),// symbol ratio
+      (4L, Some(good + "\n- a\n- b\n- c\n- d")),      // 4/5 bullet lines fail? no: 0.8 ≤ 0.9 passes
+      (5L, Some(("zzzz " * 60) + "the of and that")), // repetition tok ok, but alpha ok; stop ok; mean len ok
+      (6L, Some(Seq.fill(10)("same line").mkString("\n") + "\n" + good)), // dup lines
+      (7L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = Text.withGopherFlags(docs, "text")
+      .select("doc_id", "flag_word_count", "flag_symbol_ratio",
+        "flag_bullet_lines", "flag_dup_lines", "gopher_pass")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(5))
+    assert(!out(2L).getBoolean(1))                    // word count gate
+    assert(!out(3L).getBoolean(2))                    // symbol gate
+    assert(out(4L).getBoolean(3))                     // 0.8 bullet frac ≤ 0.9
+    assert(!out(6L).getBoolean(4) && !out(6L).getBoolean(5)) // dup lines
+    assert(out(7L).isNullAt(5))                       // NULL text → NULL pass
+    // filter keeps only full passes and drops the flag columns
+    val kept = Text.gopherFilter(docs, "text").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(7L) && !kept.contains(2L))
+  }
+
   test("boilerplate lines: detected across docs, removed in order") {
     val docs = Seq(
       (1L, Some("cookie banner\nreal prose one\nfooter text")),

@@ -181,6 +181,21 @@ class PluginSpec extends AnyFunSuite {
     assert(bad.left.toOption.get.getMessage.contains("'rate' is required"))
   }
 
+  test("gopher_filter plugin: filter and flags modes, threshold override") {
+    val long = ("all the good words go here and stay with that tone " * 8).trim
+    val df = Seq((1L, long), (2L, "tiny")).toDF("doc_id", "text")
+    val kept = new GopherFilterPlugin(
+        Map("min_words" -> 50), dir, "default")
+      .execute(df).fold(e => throw e, identity)
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(kept.columns.toSeq == Seq("doc_id", "text")) // flags dropped
+    val flags = new GopherFilterPlugin(
+        Map("mode" -> "flags", "min_words" -> 1000), dir, "default")
+      .execute(df).fold(e => throw e, identity)
+    assert(flags.columns.contains("gopher_pass"))
+    assert(flags.filter(flags("flag_word_count")).count() == 0) // raised floor
+  }
+
   test("dedup plugin: boilerplate_lines method via config options") {
     val df = Seq(
       (1L, "promo line\nkeep me"),
