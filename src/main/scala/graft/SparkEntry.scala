@@ -266,6 +266,27 @@ object SparkEntry {
           count(lit(1)).as("n_orders"))
         .orderBy("n_name")),
 
+    // ---- TPC-H Q3 shape: filtered 3-way join + top-k by revenue --
+    // Both date filters reach the parquet scans (PushedFilters); the
+    // 302-row customer side is broadcast; lineitem ⋈ orders is the
+    // one real shuffle. Top-10 selection orders by ROUNDED revenue
+    // with an id tiebreak so the FP-noise-sensitive cut is identical
+    // in both engines.
+    "q_tpch_q3" -> ((s, dir) => {
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
     // ---- fact ⋈ broadcast dimension ------------------------------
     "q_join_broadcast" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1087,6 +1108,43 @@ object SparkEntry {
         .orderBy("fingerprint")
     }),
 
+    // ---- stream-stream interval join under the oracle ------------
+    // Purchase→click attribution: each purchase joins the same user's
+    // clicks from the preceding 30 minutes. Event times truncate to
+    // whole seconds via integer `div` (the ns fixtures would flip
+    // boundary rows under a double division), and the watermark is
+    // wider than the fixture's span, so the appended inner-join set
+    // equals the batch interval join DuckDB recomputes exactly.
+    "stream_interval_join" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val work = scratch("stream_ij")
+      val inDir = work.resolve("in")
+      java.nio.file.Files.createDirectories(inDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        inDir.resolve("events.parquet"))
+      val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
+        Map("input_path" -> inDir.toString), work, "default")
+      val ev = scan.execute().fold(e => throw e, identity)
+        .withColumn("event_time", expr("ts div 1000000000").cast("timestamp"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "event_time")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "event_time")
+      val joined = graft.streaming.Streams.intervalJoin(
+          purchases, clicks, "user_id", "event_time",
+          lookback = "30 minutes", watermark = "3700 days")
+        .select(col("event_id").as("purchase_id"),
+          col("r_event_id").as("click_id"), col("user_id"),
+          col("event_time").cast("long").as("purchase_t"),
+          col("r_event_time").cast("long").as("click_t"))
+      val sink = new graft.plugins.streaming.StreamParquetWriterPlugin(
+        Map("output_path" -> work.resolve("out").toString), work, "default")
+      sink.execute(joined).fold(e => throw e, _ => ())
+      s.read.parquet(work.resolve("out").toString)
+        .orderBy("purchase_id", "click_id")
+    }),
+
     // ---- streaming sessionization under the oracle ---------------
     // flatMapGroupsWithState gap sessions on the event stream. With
     // AvailableNow the trailing session per user is still OPEN in
@@ -1188,6 +1246,18 @@ object SparkEntry {
         |  r(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  r(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q_sort" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -2067,6 +2137,24 @@ object SparkEntry {
       """SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY fingerprint""".stripMargin,
+
+    // exact batch recomputation of the streaming interval join:
+    // whole-second truncation (integer //), 30-minute lookback,
+    // inclusive bounds
+    "stream_interval_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    epoch_ns(ts) // 1000000000 AS purchase_t
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT event_id AS click_id, user_id,
+        |    epoch_ns(ts) // 1000000000 AS click_t
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT p.purchase_id, c.click_id, p.user_id, p.purchase_t, c.click_t
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.click_t >= p.purchase_t - 1800 AND c.click_t <= p.purchase_t
+        |ORDER BY p.purchase_id, c.click_id""".stripMargin,
 
     // batch sessionization minus each user's LAST session — the one
     // still open in flatMapGroupsWithState state when AvailableNow

@@ -121,6 +121,35 @@ object Streams {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Stream-stream inner join within a time interval: each left row
+    * matches right rows with the same key whose event time falls in
+    * `[left_time - lookback, left_time]` — the attribution shape
+    * (purchase ⋈ preceding clicks). Right-side columns are renamed
+    * with `rightPrefix` so self-joins of one stream are legal.
+    *
+    * Both sides carry watermarks and the join condition bounds the
+    * time range, which is what lets Spark EVICT buffered rows once
+    * they can no longer match — state is O(events inside the
+    * watermark + lookback horizon), not O(stream). A row whose match
+    * arrives later than the watermark delay is dropped, the standard
+    * streaming-join tradeoff; use a `watermark` ≥ the input's real
+    * disorder (or, for batch-driven AvailableNow runs over a bounded
+    * fixture, wider than the fixture's time span so the result is
+    * exactly the batch interval join). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   timeCol: String, rightPrefix: String = "r_",
+                   lookback: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(timeCol, watermark)
+    val renamed = right.columns.foldLeft(right)((df, c) =>
+      df.withColumnRenamed(c, s"$rightPrefix$c"))
+    val r = renamed.withWatermark(s"$rightPrefix$timeCol", watermark)
+    l.join(r,
+      col(keyCol) === col(s"$rightPrefix$keyCol") &&
+        col(s"$rightPrefix$timeCol") >= col(timeCol) - expr(s"INTERVAL $lookback") &&
+        col(s"$rightPrefix$timeCol") <= col(timeCol))
+  }
+
   /** Run a streaming frame to completion against currently-available
     * input (memory sink) and return the materialized result — the
     * batch-driven smoke harness for streaming queries. */

@@ -45,6 +45,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val ev = Streams.eventStream(spark, eventsDir)
+      .withColumn("event_time", expr("ts div 1000000000").cast("timestamp"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "event_time")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "event_time")
+    val got = Streams.runToMemory(
+      Streams.intervalJoin(purchases, clicks, "user_id", "event_time",
+        lookback = "30 minutes", watermark = "3700 days"), "ij_test")
+      .select(col("event_id"), col("r_event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("t", expr("ts div 1000000000"))
+    val p = batch.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("t").as("pt"))
+    val c = batch.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"),
+        col("t").as("ct"))
+    val want = p.join(c, col("user_id") === col("cu") &&
+        col("ct") >= col("pt") - 1800 && col("ct") <= col("pt"))
+      .select("pid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("streaming dedup keeps one doc per fingerprint within the watermark") {
     val dir = Files.createTempDirectory("docs_stream")
     // near-dup pair (same normalized text) + one distinct doc
