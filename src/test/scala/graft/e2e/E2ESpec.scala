@@ -172,7 +172,8 @@ class E2ESpec extends AnyFunSuite {
     val config = Config.loadConfig(cfg).fold(e => fail(e.getMessage), identity)
     val reg = Loader.loadPlugins(config, cfg).fold(e => fail(e.getMessage), identity)
     assert(reg.transforms.map(_.name) ==
-      Seq("redact_pii", "text_analysis", "filter", "dedup", "sample"))
+      Seq("redact_pii", "text_analysis", "gopher_filter", "filter",
+        "dedup", "sample"))
     val result = Pipeline.runPipeline(reg.inputs, reg.transforms, reg.outputs)
     assert(result.isRight, result.left.toOption.map(_.getMessage))
     val out = spark.read.parquet(tmp.resolve("out/clean_corpus.parquet").toString)

@@ -78,6 +78,30 @@ class PlanSpec extends AnyFunSuite {
       "embeddingCosinePairs")
   }
 
+  test("IVF-PQ top-k never plans an all-pairs join") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assertNoAllPairs(
+      Similarity.ivfPqTopK(e, e.filter($"vec_id" < 5),
+        "vec_id", "embedding", k = 3),
+      "ivfPqTopK")
+  }
+
+  test("Gopher flags are a shuffle-free projection") {
+    val flagged = Text.withGopherFlags(docs, "text")
+    val shuffles = nodes(flagged).collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"gopher flags should be per-row only, found ${shuffles.size} exchanges")
+  }
+
+  test("boilerplate removal never plans an all-pairs join") {
+    val lined = docs.withColumn("text",
+      org.apache.spark.sql.functions.concat($"text",
+        org.apache.spark.sql.functions.lit("\nshared footer")))
+    assertNoAllPairs(
+      Dedup.removeBoilerplateLines(lined, "doc_id", "text", minDocs = 3),
+      "removeBoilerplateLines")
+  }
+
   test("mixToWeights adds no shuffle to the kept-rows path") {
     val df = ((0L until 50L).map(i => (i, "a")) ++
       (50L until 100L).map(i => (i, "b"))).toDF("id", "src")
