@@ -66,6 +66,8 @@ object Loader {
     "dedup" -> "graft.plugins.transform.DedupPlugin",
     "text_analysis" -> "graft.plugins.transform.TextAnalysisPlugin",
     "gopher_filter" -> "graft.plugins.transform.GopherFilterPlugin",
+    "similarity" -> "graft.plugins.transform.SimilarityPlugin",
+    "percentiles" -> "graft.plugins.transform.PercentilesPlugin",
     "sample" -> "graft.plugins.transform.SamplePlugin",
     "redact_pii" -> "graft.plugins.transform.RedactPiiPlugin",
     "contamination" -> "graft.plugins.transform.ContaminationPlugin",

@@ -5,7 +5,7 @@ import java.nio.file.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types._
 
-import graft.core.PluginExecutionError
+import graft.core.{PluginExecutionError, SchemaValidationError}
 import graft.ops.{Dedup, Text}
 
 /** Config-driven wrapper over the [[graft.ops.Dedup]] family, so
@@ -298,6 +298,145 @@ class MultimodalPlugin(options: Map[String, Any], configDir: Path, label: String
         s"Column '$pc' not found in schema"))
     else propagateSchema(schema)(df => execute(df).fold(e => throw e, identity))
   }
+}
+
+/** Config-driven ANN / similarity search ([[graft.ops.Similarity]]):
+  * top-k cosine neighbors of a query stream against this stream as
+  * the corpus.
+  *
+  *   method = "brute" (default) — exact broadcast baseline
+  *          | "lsh"   — hyperplane multi-probe (planes, probe_bits)
+  *          | "ivf"   — inverted-file probing (nlist, nprobe)
+  *          | "ivfpq" — IVF + product-quantized candidate scan with
+  *                      exact re-rank (nlist, nprobe, m, ksub, rerank)
+  *
+  * `queries_label` names the labeled stream carrying the query rows
+  * (same id/embedding columns as the corpus). Output: (query_id,
+  * neighbor_id, cosine, rank). */
+class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label)
+    with graft.core.MultiStreamTransformPlugin {
+  def name: String = "similarity"
+
+  private def num(key: String, default: Double): Double =
+    options.get(key).map(_.toString.toDouble).getOrElse(default)
+
+  def executeWith(df: DataFrame,
+                  streams: Map[String, Either[Throwable, DataFrame]])
+      : Either[Throwable, DataFrame] =
+    for {
+      idCol <- requiredString("id_column")
+      ql <- requiredString("queries_label")
+      queries <- streams.getOrElse(ql, Left(new NoSuchElementException(
+        s"No input data with label '$ql' for similarity plugin")))
+      out <- graft.core.Errors.safe {
+        val embCol = options.getOrElse("embedding_column", "embedding").toString
+        val k = num("k", 10).toInt
+        options.getOrElse("method", "brute").toString match {
+          case "brute" =>
+            graft.ops.Similarity.bruteForceTopK(df, queries, idCol, embCol, k)
+          case "lsh" =>
+            graft.ops.Similarity.lshTopK(df, queries, idCol, embCol, k,
+              planes = num("planes", 4).toInt,
+              probeBits = num("probe_bits", 3).toInt)
+          case "ivf" =>
+            graft.ops.Similarity.ivfTopK(df, queries, idCol, embCol, k,
+              nlist = num("nlist", 8).toInt, nprobe = num("nprobe", 7).toInt)
+          case "ivfpq" =>
+            graft.ops.Similarity.ivfPqTopK(df, queries, idCol, embCol, k,
+              nlist = num("nlist", 8).toInt, nprobe = num("nprobe", 7).toInt,
+              m = num("m", 16).toInt, ksub = num("ksub", 16).toInt,
+              rerank = num("rerank", 128).toInt)
+          case other => throw new PluginExecutionError(
+            s"Unknown similarity method: '$other'")
+        }
+      }
+    } yield out
+
+  /** IVF/IVF-PQ training collects a corpus sample at plan-build time,
+    * so the generic propagate-through-empty-frame dry-run would fail
+    * on zero rows; the output schema is static, declare it directly. */
+  def dryRunWith(schema: StructType,
+                 schemas: Map[String, Either[Throwable, StructType]])
+      : Either[Throwable, StructType] =
+    for {
+      idCol <- requiredString("id_column")
+      ql <- requiredString("queries_label")
+      qs <- schemas.getOrElse(ql, Left(new NoSuchElementException(
+        s"No input data with label '$ql' for similarity plugin")))
+      out <- {
+        val embCol = options.getOrElse("embedding_column", "embedding").toString
+        if (!schema.fieldNames.contains(idCol))
+          Left(new SchemaValidationError(
+            s"Column '$idCol' not found in schema"))
+        else if (!schema.fieldNames.contains(embCol))
+          Left(new SchemaValidationError(
+            s"Column '$embCol' not found in schema"))
+        else if (!qs.fieldNames.contains(idCol) || !qs.fieldNames.contains(embCol))
+          Left(new SchemaValidationError(
+            s"Columns '$idCol'/'$embCol' not found in '$ql' schema"))
+        else Right(StructType(Seq(
+          StructField("query_id", qs(idCol).dataType),
+          StructField("neighbor_id", schema(idCol).dataType),
+          StructField("cosine", DoubleType),
+          StructField("rank", IntegerType, nullable = false))))
+      }
+    } yield out
+}
+
+/** Config-driven exact percentiles ([[graft.ops.Percentiles]]):
+  *
+  *   group_by = ["k1", ...], value_column = "v",
+  *   percentiles = [0.25, 0.5, 0.75]   (labels p25/p50/p75; 0.975 → p97_5)
+  *   method = "window" (default) | "selection" (distributed selection,
+  *            for low-cardinality groups at scale)
+  */
+class PercentilesPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "percentiles"
+
+  private def ps: Either[Throwable, Seq[(String, Double)]] =
+    required("percentiles").flatMap {
+      case xs: Seq[_] => graft.core.Errors.safe(xs.map { x =>
+        val p = x.toString.toDouble
+        require(p >= 0.0 && p <= 1.0, s"percentile out of [0,1]: $p")
+        val lbl = "p" + BigDecimal(p * 100).underlying.stripTrailingZeros
+          .toPlainString.replace(".", "_")
+        lbl -> p
+      })
+      case other => Left(new PluginExecutionError(
+        s"Option 'percentiles' must be a list of numbers, got: $other"))
+    }
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      keys <- stringList("group_by")
+      valueCol <- requiredString("value_column")
+      pcts <- ps
+      out <- graft.core.Errors.safe {
+        options.getOrElse("method", "window").toString match {
+          case "window" =>
+            graft.ops.Percentiles.exactInterpolated(df, keys, valueCol, pcts)
+          case "selection" =>
+            graft.ops.Percentiles.exactInterpolatedBySelection(
+              df, keys, valueCol, pcts)
+          case other => throw new PluginExecutionError(
+            s"Unknown percentiles method: '$other'")
+        }
+      }
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    for {
+      keys <- stringList("group_by")
+      valueCol <- requiredString("value_column")
+      _ <- (keys :+ valueCol).find(c => !schema.fieldNames.contains(c))
+        .map(c => Left(new SchemaValidationError(
+          s"Column '$c' not found in schema"))).getOrElse(Right(()))
+      out <- ps.map(pcts => StructType(
+        keys.map(schema(_)) ++
+          pcts.map { case (lbl, _) => StructField(lbl, DoubleType) }))
+    } yield out
 }
 
 /** Config-driven Gopher/MassiveText quality gate

@@ -181,6 +181,55 @@ class PluginSpec extends AnyFunSuite {
     assert(bad.left.toOption.get.getMessage.contains("'rate' is required"))
   }
 
+  test("similarity plugin: labeled query stream, all four methods, dry run") {
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 3)
+    val streams = Map("queries" -> (Right(queries): Either[Throwable, org.apache.spark.sql.DataFrame]))
+    def run(method: String) = new SimilarityPlugin(Map("method" -> method,
+        "id_column" -> "vec_id", "queries_label" -> "queries", "k" -> 2,
+        "nlist" -> 2, "nprobe" -> 2, "m" -> 4, "ksub" -> 4), dir, "default")
+      .executeWith(emb, streams).fold(e => throw e, identity)
+    val brute = run("brute").collect()
+    assert(brute.length == 6) // 3 queries × k=2
+    Seq("lsh", "ivf", "ivfpq").foreach { m =>
+      val got = run(m)
+      assert(got.columns.toSeq == Seq("query_id", "neighbor_id", "cosine", "rank"),
+        s"method $m")
+    }
+    // dry run declares the static output schema without collecting
+    val dry = new SimilarityPlugin(Map("method" -> "ivfpq",
+        "id_column" -> "vec_id", "queries_label" -> "queries"), dir, "default")
+      .dryRunWith(emb.schema, Map("queries" -> Right(queries.schema)))
+      .fold(e => throw e, identity)
+    assert(dry.fieldNames.toSeq == Seq("query_id", "neighbor_id", "cosine", "rank"))
+    val missing = new SimilarityPlugin(Map("method" -> "brute",
+        "id_column" -> "vec_id", "queries_label" -> "nope"), dir, "default")
+      .executeWith(emb, streams)
+    assert(missing.left.toOption.get.getMessage.contains("label 'nope'"))
+  }
+
+  test("percentiles plugin: window/selection methods agree; labels derived") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0)).toDF("g", "v")
+    def run(method: String) = new PercentilesPlugin(Map(
+        "group_by" -> Seq("g"), "value_column" -> "v", "method" -> method,
+        "percentiles" -> Seq(0.25, 0.5, 0.975)), dir, "default")
+      .execute(df).fold(e => throw e, identity)
+    val win = run("window")
+    assert(win.columns.toSeq == Seq("g", "p25", "p50", "p97_5"))
+    val a = win.filter($"g" === "a").head()
+    assert(a.getDouble(1) == 1.75 && a.getDouble(2) == 2.5)
+    val sel = run("selection")
+    assert(sel.orderBy("g").collect().map(_.toSeq).toSeq ==
+      win.orderBy("g").collect().map(_.toSeq).toSeq)
+    val dry = new PercentilesPlugin(Map("group_by" -> Seq("g"),
+        "value_column" -> "v", "percentiles" -> Seq(0.5)), dir, "default")
+      .dryRun(df.schema).fold(e => throw e, identity)
+    assert(dry.fieldNames.toSeq == Seq("g", "p50"))
+  }
+
   test("gopher_filter plugin: filter and flags modes, threshold override") {
     val long = ("all the good words go here and stay with that tone " * 8).trim
     val df = Seq((1L, long), (2L, "tiny")).toDF("doc_id", "text")
