@@ -860,6 +860,27 @@ object SparkEntry {
     "sim_recall_ivfpq" -> ((s, dir) =>
       recallGate(benchOnly("sim_topk_ivfpq")(s, dir), s, dir)),
 
+    // ---- per-group embedding centroids ---------------------------
+    // Element-wise mean vector per label; edge rows pin NULL-ignore
+    // and ragged-prefix semantics. The centroid is exploded to
+    // (label, pos, m) rows — the driver compare sorts column VALUES
+    // and array cells aren't sortable — rounded to 6dp on both sides
+    // (partial-agg summation order vs DuckDB sequential).
+    "sim_centroids" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Seq(
+        (-2L, Option.empty[Array[Float]], -1),
+        (-1L, Some(Array(1.0f, 2.0f)), -1))
+        .toDF("vec_id", "embedding", "label")
+      val src = t(s, dir, "embeddings").unionByName(edges)
+      Similarity.groupCentroids(src, Seq("label"), "embedding")
+        .select(col("label"), col("n_vectors"),
+          posexplode(col("centroid")).as(Seq("pos", "m")))
+        .select(col("label"), col("pos"), r(col("m"), 6).as("m"),
+          col("n_vectors"))
+        .orderBy("label", "pos")
+    }),
+
     // ---- multimodal: binary payload + stub decode metadata -------
     // Edge rows unioned in: non-ASCII (bytes ≠ chars — the decode
     // stub sums UTF-8 BYTES and the oracle now does too), empty
@@ -1967,6 +1988,25 @@ object SparkEntry {
         |  CAST(count(*) * 5 AS BIGINT) AS n_possible,
         |  true AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "sim_centroids" ->
+      """WITH src AS (
+        |  SELECT label, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(-1 AS INTEGER), CAST(NULL AS FLOAT[])),
+        |    (CAST(-1 AS INTEGER), CAST([1.0, 2.0] AS FLOAT[]))) v(label, embedding)
+        |), ex AS (
+        |  SELECT label, u.p - 1 AS pos, CAST(embedding[u.p] AS DOUBLE) AS x
+        |  FROM src, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS p) u
+        |  WHERE embedding IS NOT NULL
+        |), m AS (
+        |  SELECT label, pos, avg(x) AS mval, count(*) AS n
+        |  FROM ex GROUP BY label, pos
+        |)
+        |SELECT label, CAST(pos AS INTEGER) AS pos, r(mval, 6) AS m,
+        |  CAST(max(n) OVER (PARTITION BY label) AS BIGINT) AS n_vectors
+        |FROM m ORDER BY label, pos""".stripMargin,
 
     // Byte-exact recomputation of the decode stub: n_bytes counts
     // UTF-8 BYTES (octet_length of the encoded payload, not chars)

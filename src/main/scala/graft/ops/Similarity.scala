@@ -281,6 +281,35 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Per-group mean embedding (centroid) + member count — the
+    * standard corpus summary for drift monitoring, per-source
+    * quality probes, and seeding coarse quantizers.
+    *
+    * Declarative shape: posexplode to (group, dim_pos, x) and
+    * average per (group, pos) — Catalyst runs partial aggregation
+    * map-side, so the shuffle carries `groups × dim` partial sums,
+    * never vectors. Reassembly is a per-group sort+collect of `dim`
+    * rows. NULL embeddings are ignored (don't drag the mean);
+    * ragged dimensions within a group produce a centroid as long as
+    * the longest member (short members contribute to their prefix
+    * positions only — document, don't mask, mixed-dim corruption). */
+  def groupCentroids(df: DataFrame, groupCols: Seq[String],
+                     embCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val exploded = df.filter(col(embCol).isNotNull)
+      .select(g :+ posexplode(col(embCol).cast("array<double>"))
+        .as(Seq("_pos", "_x")): _*)
+    exploded
+      .groupBy(g :+ col("_pos"): _*)
+      .agg(avg(col("_x")).as("_m"),
+        count(lit(1)).as("_n"))
+      .groupBy(g: _*)
+      .agg(
+        transform(array_sort(collect_list(struct(col("_pos"), col("_m")))),
+          s => s.getField("_m")).as("centroid"),
+        max(col("_n")).as("n_vectors"))
+  }
+
   /** All masks over `planes` bits with popcount ≤ maxFlips — the
     * multi-probe neighborhood of a signature. */
   private[ops] def probeMasks(planes: Int, maxFlips: Int): Seq[Long] =

@@ -309,6 +309,8 @@ class MultimodalPlugin(options: Map[String, Any], configDir: Path, label: String
   *          | "ivf"   — inverted-file probing (nlist, nprobe)
   *          | "ivfpq" — IVF + product-quantized candidate scan with
   *                      exact re-rank (nlist, nprobe, m, ksub, rerank)
+  *          | "centroids" — per-group mean embedding (group_by; no
+  *                      query stream)
   *
   * `queries_label` names the labeled stream carrying the query rows
   * (same id/embedding columns as the corpus). Output: (query_id,
@@ -323,14 +325,21 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
 
   def executeWith(df: DataFrame,
                   streams: Map[String, Either[Throwable, DataFrame]])
-      : Either[Throwable, DataFrame] =
+      : Either[Throwable, DataFrame] = {
+    val embCol0 = options.getOrElse("embedding_column", "embedding").toString
+    if (options.getOrElse("method", "brute").toString == "centroids")
+      return for {
+        groups <- stringList("group_by")
+        out <- graft.core.Errors.safe(
+          graft.ops.Similarity.groupCentroids(df, groups, embCol0))
+      } yield out
     for {
       idCol <- requiredString("id_column")
       ql <- requiredString("queries_label")
       queries <- streams.getOrElse(ql, Left(new NoSuchElementException(
         s"No input data with label '$ql' for similarity plugin")))
       out <- graft.core.Errors.safe {
-        val embCol = options.getOrElse("embedding_column", "embedding").toString
+        val embCol = embCol0
         val k = num("k", 10).toInt
         options.getOrElse("method", "brute").toString match {
           case "brute" =>
@@ -352,13 +361,25 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
         }
       }
     } yield out
+  }
 
   /** IVF/IVF-PQ training collects a corpus sample at plan-build time,
     * so the generic propagate-through-empty-frame dry-run would fail
     * on zero rows; the output schema is static, declare it directly. */
   def dryRunWith(schema: StructType,
                  schemas: Map[String, Either[Throwable, StructType]])
-      : Either[Throwable, StructType] =
+      : Either[Throwable, StructType] = {
+    val embCol0 = options.getOrElse("embedding_column", "embedding").toString
+    if (options.getOrElse("method", "brute").toString == "centroids")
+      return stringList("group_by").flatMap { groups =>
+        (groups :+ embCol0).find(c => !schema.fieldNames.contains(c))
+          .map(c => Left(new SchemaValidationError(
+            s"Column '$c' not found in schema")): Either[Throwable, StructType])
+          .getOrElse(Right(StructType(
+            groups.map(schema(_)) ++ Seq(
+              StructField("centroid", ArrayType(DoubleType)),
+              StructField("n_vectors", LongType, nullable = false)))))
+      }
     for {
       idCol <- requiredString("id_column")
       ql <- requiredString("queries_label")
@@ -382,6 +403,7 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
           StructField("rank", IntegerType, nullable = false))))
       }
     } yield out
+  }
 }
 
 /** Config-driven exact percentiles ([[graft.ops.Percentiles]]):

@@ -293,6 +293,20 @@ class OpsSpec extends AnyFunSuite {
       s"LSH recall too low: ${(brute & lsh).size / 50.0}")
   }
 
+  test("groupCentroids averages element-wise, ignores NULLs, ragged-safe") {
+    val df = Seq(
+      (1L, "a", Some(Array(1.0f, 2.0f))),
+      (2L, "a", Some(Array(3.0f, 6.0f))),
+      (3L, "a", Option.empty[Array[Float]]),   // ignored
+      (4L, "b", Some(Array(10.0f))))           // shorter vector
+      .toDF("id", "src", "embedding")
+    val out = Similarity.groupCentroids(df, Seq("src"), "embedding")
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getLong(2))).toMap
+    assert(out("a") == (Seq(2.0, 4.0), 2L))    // NULL row not in n_vectors
+    assert(out("b") == (Seq(10.0), 1L))
+  }
+
   test("Gopher rules: each gate fires on its own pathology") {
     val good = ("good words " * 25) +
       "the cat and that dog have fun with all of them to be here"

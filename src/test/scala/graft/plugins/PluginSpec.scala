@@ -208,6 +208,16 @@ class PluginSpec extends AnyFunSuite {
         "id_column" -> "vec_id", "queries_label" -> "nope"), dir, "default")
       .executeWith(emb, streams)
     assert(missing.left.toOption.get.getMessage.contains("label 'nope'"))
+    // centroids mode needs no query stream
+    val cents = new SimilarityPlugin(Map("method" -> "centroids",
+        "group_by" -> Seq("vec_id")), dir, "default")
+      .execute(emb.withColumn("vec_id", $"vec_id" % 2))
+      .fold(e => throw e, identity)
+    assert(cents.count() == 2)
+    val cdry = new SimilarityPlugin(Map("method" -> "centroids",
+        "group_by" -> Seq("vec_id")), dir, "default")
+      .dryRun(emb.schema).fold(e => throw e, identity)
+    assert(cdry.fieldNames.toSeq == Seq("vec_id", "centroid", "n_vectors"))
   }
 
   test("percentiles plugin: window/selection methods agree; labels derived") {
