@@ -64,8 +64,27 @@ class ParquetWriterPlugin(options: Map[String, Any], configDir: Path, label: Str
     outputPath().flatMap { p =>
       Errors.safe {
         ensureParent(p)
-        val out = if (singleFile) df.coalesce(1) else df
+        val sized = if (singleFile) df.coalesce(1) else df
+        // Row-group clustering: sorting within partitions tightens
+        // parquet min/max column stats so readers prune row groups —
+        // the cheap (no-shuffle) half of write-time data layout.
+        val out = options.get("sort_within_partitions") match {
+          case Some(xs: Seq[_]) =>
+            sized.sortWithinPartitions(xs.map(_.toString).map(
+              org.apache.spark.sql.functions.col): _*)
+          case Some(s) => sized.sortWithinPartitions(s.toString)
+          case None => sized
+        }
         var writer = out.write.mode(mode)
+        // zstd trades ~10% write CPU for ~30% smaller files than the
+        // snappy default — usually the right call at 100 TB.
+        options.get("compression").foreach(c =>
+          writer = writer.option("compression", c.toString))
+        // Bound output file sizes (splittable units for downstream
+        // readers) without a repartition shuffle.
+        options.get("max_records_per_file").foreach(n =>
+          writer = writer.option("maxRecordsPerFile",
+            n.toString.toDouble.toLong.toString))
         // Data-lake layout at scale: hive-style partition directories
         // enable partition pruning on read (scan only matching dirs).
         options.get("partition_by").foreach {

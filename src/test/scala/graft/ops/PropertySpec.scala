@@ -112,6 +112,67 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate removal is idempotent and reference-equal on random docs") {
+    import spark.implicits._
+    // small vocab + short lines → real cross-doc line collisions
+    val genDoc = Gen.listOfN(4,
+      Gen.listOfN(2, Gen.oneOf("aa", "bb", "cc")).map(_.mkString(" ")))
+      .map(_.mkString("\n"))
+    val docs = samples(genDoc, 24).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(df, "doc_id", "text", minDocs = 3)
+      .select("doc_id", "clean_text", "n_lines_removed").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // reference computation in plain Scala
+    val lineDocs = docs.flatMap { case (id, t) =>
+      t.split("\n", -1).distinct.map(_ -> id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val bl = lineDocs.filter(_._2 >= 3).keySet
+    docs.foreach { case (id, t) =>
+      val lines = t.split("\n", -1)
+      val kept = lines.filterNot(bl)
+      assert(out(id) == (kept.mkString("\n"), (lines.length - kept.length).toLong),
+        s"doc $id mismatch")
+    }
+    // idempotence: a second pass over cleaned docs removes nothing new —
+    // every surviving line was in < 3 docs, and removal only shrinks
+    // line-to-doc counts. (Fully-emptied docs are excluded: their ""
+    // IS a line, and 3+ emptied docs legitimately make "" boilerplate.)
+    val cleaned = out.toSeq.collect {
+      case (id, (t, _)) if t.nonEmpty => (id, t)
+    }.toDF("doc_id", "text")
+    val second = Dedup.removeBoilerplateLines(cleaned, "doc_id", "text", minDocs = 3)
+    assert(second.agg(coalesce(sum("n_lines_removed"), lit(0L)))
+      .head().getLong(0) == 0L)
+  }
+
+  test("PQ ADC score equals dot(query, reconstructed vector) on random input") {
+    import spark.implicits._
+    import graft.expressions.ProductQuantizer._
+    val dim = 8; val m = 4; val ksub = 3
+    val genVec = Gen.listOfN(dim, Gen.choose(-4, 4).map(_.toDouble / 4))
+      .map(_.toArray)
+    val train = samples(genVec, 24).toArray
+    val cb = Similarity.trainPqCodebooks(train, m, ksub)
+    val vecs = samples(genVec, 12).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val rows = vecs.toDF("id", "v")
+      .select(col("id"), col("v"),
+        pq_encode(col("v"), cb).as("code"),
+        pq_adc_score(pq_encode(col("v"), cb),
+          pq_adc_table(col("v"), cb)).as("adc"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val code = r.getAs[Array[Byte]]("code")
+      // reconstruct from codes and dot with the ORIGINAL vector
+      val recon = code.zipWithIndex.flatMap { case (c, sub) => cb(sub)(c & 0xff) }
+      val dot = v.zip(recon).map { case (a, b) => a * b }.sum
+      assert(math.abs(r.getAs[Double]("adc") - dot) < 1e-9,
+        s"ADC ${r.getAs[Double]("adc")} != reconstructed dot $dot")
+    }
+  }
+
   test("probeMasks covers exactly the Hamming ball") {
     for (planes <- 1 to 6; bits <- 0 to planes) {
       val masks = Similarity.probeMasks(planes, bits)

@@ -40,6 +40,37 @@ class RobustnessSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardPairs(withNulls, "doc_id", "text", 3, 0.1).count() >= 0)
   }
 
+  test("PQ misconfiguration fails loudly; mismatched vectors go NULL") {
+    import spark.implicits._
+    val emb = (0L until 20L).map(i =>
+      (i, Array.tabulate(6)(j => math.sin(i * 6 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    // m=4 does not divide dim=6 → training must throw a clear message
+    val e = intercept[Exception] {
+      Similarity.ivfPqTopK(emb, emb.limit(2), "vec_id", "embedding",
+        k = 2, m = 4, ksub = 4)
+    }
+    assert(e.getMessage.contains("PQ subspaces must divide dim"))
+    // a vector of the wrong length encodes to NULL, not garbage
+    val cb = Similarity.trainPqCodebooks(
+      Array(Array(1.0, 2.0), Array(3.0, 4.0)), m = 2, ksub = 2)
+    val bad = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("id", "v")
+      .select(graft.expressions.ProductQuantizer.pq_encode($"v", cb).as("c"))
+      .head()
+    assert(bad.isNullAt(0))
+  }
+
+  test("boilerplate removal of all-null and empty corpora") {
+    import spark.implicits._
+    val allNull = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(allNull, "doc_id", "text")
+      .select("clean_text", "n_lines_removed").collect()
+    assert(out.length == 2 && out.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+    val empty = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.removeBoilerplateLines(empty, "doc_id", "text").count() == 0)
+  }
+
   test("empty input tables flow through pipelines and ops") {
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),

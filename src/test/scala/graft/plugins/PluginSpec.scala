@@ -125,6 +125,30 @@ class PluginSpec extends AnyFunSuite {
       .contains("Option 'output_path' is required"))
   }
 
+  test("parquet writer: compression, file sizing, and sort clustering options") {
+    val out = Files.createTempDirectory("wropt").resolve("o.parquet")
+    val df = spark.range(1000).toDF("id")
+      .withColumn("k", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("id"), org.apache.spark.sql.functions.lit(7L)))
+      .repartition(2)
+    val plug = new ParquetWriterPlugin(Map(
+      "output_path" -> out.toString,
+      "compression" -> "zstd",
+      "max_records_per_file" -> 200,
+      "sort_within_partitions" -> Seq("k")), dir, "default")
+    assert(plug.execute(df).isRight)
+    val parts = Files.list(out).iterator()
+    val files = scala.jdk.CollectionConverters.IteratorHasAsScala(parts)
+      .asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    assert(files.length >= 5, s"maxRecordsPerFile ignored: ${files.length} files")
+    assert(files.forall(_.getFileName.toString.contains("zstd")))
+    // rows inside each file are clustered by k (non-decreasing)
+    val ks = spark.read.parquet(files.head.toString)
+      .select("k").collect().map(_.getLong(0)).toSeq
+    assert(ks == ks.sorted, "sort_within_partitions not applied")
+    assert(spark.read.parquet(out.toString).count() == 1000)
+  }
+
   test("arrow IPC roundtrip: write then scan preserves values and schema") {
     val df = Seq((100L, "a", 1.5, true), (200L, "b", 2.5, false))
       .toDF("amount", "item", "ratio", "flag")
