@@ -62,6 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "char_shingles(text, k) - distinct character k-shingles")(
       args => CharShingles(args.head, intArg(args(1), "char_shingles", 1)))
 
+    inject("top_ngram_coverage", 2,
+      "top_ngram_coverage(text, n) - char coverage of the dominant word n-gram")(
+      args => TopNgramCoverage(args.head, intArg(args(1), "top_ngram_coverage", 1)))
+
     inject("sorted_long_jaccard", 2,
       "sorted_long_jaccard(a, b) - exact Jaccard of two SORTED array<long>")(
       args => SortedLongJaccard(args.head, args(1)))

@@ -661,7 +661,11 @@ object SparkEntry {
       base.unionByName(edges)
         .select(col("doc_id"),
           r(Text.tokenRepetitionRatio(col("text")), 4).as("tok_rep"),
-          r(Text.charNgramRepetitionRatio(col("text"), 3), 4).as("gram_rep"))
+          r(Text.charNgramRepetitionRatio(col("text"), 3), 4).as("gram_rep"),
+          // count×chars over total chars — exceeds 1.0 on overlapping
+          // repeats ('spam'×5 → 1.5), like the published top-n-gram
+          // implementations; the signal saturates, stays deterministic
+          r(Text.topNgramCoverage(col("text"), 2), 4).as("top2_cov"))
         .orderBy("doc_id")
     }),
 
@@ -1799,8 +1803,18 @@ object SparkEntry {
         |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
         |    trim(regexp_replace(regexp_replace(lower(text),
         |      '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
-        |  FROM src)
-        |SELECT doc_id,
+        |  FROM src
+        |), grams AS (
+        |  SELECT doc_id, toks[u.i] || ' ' || toks[u.i + 1] AS gram
+        |  FROM d, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+        |  WHERE trim(text) <> '' AND len(toks) >= 2
+        |), cov AS (
+        |  SELECT doc_id, max(cnt * length(gram)) AS best
+        |  FROM (SELECT doc_id, gram, count(*) AS cnt
+        |        FROM grams GROUP BY doc_id, gram)
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
         |  r(CASE WHEN trim(text) = '' THEN 0.0
         |    ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
         |    END, 4) AS tok_rep,
@@ -1808,8 +1822,14 @@ object SparkEntry {
         |    ELSE 1.0 - CAST(len(list_distinct(
         |      [substr(t, g, 3) for g in range(1, greatest(length(t) - 1, 2))]))
         |      AS DOUBLE) / greatest(length(t) - 2, 1)
-        |    END, 4) AS gram_rep
-        |FROM d ORDER BY doc_id""".stripMargin,
+        |    END, 4) AS gram_rep,
+        |  r(CASE WHEN trim(text) = '' OR len(toks) < 2 OR cov.best IS NULL
+        |      THEN 0.0
+        |    ELSE CAST(cov.best AS DOUBLE)
+        |      / length(list_aggr(toks, 'string_agg', ' '))
+        |    END, 4) AS top2_cov
+        |FROM d LEFT JOIN cov ON d.doc_id = cov.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_redact_pii" ->
       """WITH src AS (

@@ -92,6 +92,13 @@ object Text {
         .cast("double") / total)
   }
 
+  /** Character-coverage of the dominant word n-gram (Gopher "top
+    * n-gram fraction"): max over grams of count·chars / total chars
+    * of the space-joined token list. 0.0 for blank or < n tokens.
+    * One per-row kernel pass ([[graft.expressions.TopNgramCoverage]]). */
+  def topNgramCoverage(text: Column, n: Int): Column =
+    graft.expressions.TopNgramCoverage.top_ngram_coverage(text, n)
+
   // ------------------------------------------------- Gopher-rule gates
 
   /** Thresholds for [[withGopherFlags]] — the defaults are the

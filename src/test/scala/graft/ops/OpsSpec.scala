@@ -293,6 +293,28 @@ class OpsSpec extends AnyFunSuite {
       s"LSH recall too low: ${(brute & lsh).size / 50.0}")
   }
 
+  test("topNgramCoverage: dominant 2-gram coverage, saturation, edges") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam"),   // 'spam spam' ×4 ×9 / 24 = 1.5
+      (2L, "a b a b a b"),                // 'a b' ×3 ×3 / 11
+      (3L, "all distinct words here"),    // every 2-gram once
+      (4L, "single"),                     // < n tokens
+      (5L, "   ")).toDF("id", "text")
+    val got = df.select(col("id"),
+        Text.topNgramCoverage(col("text"), 2).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 36.0 / 24)
+    assert(got(2L) == 9.0 / 11)
+    assert(got(3L) == 14.0 / 23)          // widest once-only gram: "distinct words"
+    assert(got(4L) == 0.0 && got(5L) == 0.0)
+    // registered as a SQL function too
+    df.createOrReplaceTempView("tncov_docs")
+    val viaSql = spark.sql(
+      "SELECT top_ngram_coverage(text, 2) FROM tncov_docs WHERE id = 2")
+      .head().getDouble(0)
+    assert(viaSql == 9.0 / 11)
+  }
+
   test("groupCentroids averages element-wise, ignores NULLs, ragged-safe") {
     val df = Seq(
       (1L, "a", Some(Array(1.0f, 2.0f))),
