@@ -699,6 +699,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- decontamination: drop any-overlap docs ------------------
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = tBalanced(s, dir, "documents")
+      Contamination.removeContaminated(
+          docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 5), "doc_id", "text", n = 8)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // ---- deterministic hash sampling -----------------------------
     "q_sample_hash" -> ((s, dir) =>
       Sampling.sampleByHash(t(s, dir, "documents"), "doc_id", rate = 0.1)
@@ -1876,6 +1886,31 @@ object SparkEntry {
         |  count(DISTINCT bench_id) AS n_bench_docs
         |FROM docg JOIN bench USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'),
+        |    '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[g:g+7], ' ')
+        |                             for g in range(1, len(toks) - 6)])
+        |    END AS gs
+        |  FROM d
+        |), bench AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(gs) AS g FROM grams WHERE doc_id < 5)
+        |), hit AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, unnest(gs) AS g FROM grams) dg
+        |  JOIN bench USING (g)
+        |)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT doc_id, lang FROM documents

@@ -44,4 +44,20 @@ object Contamination {
       .agg(count(lit(1)).as("n_overlap"),
         count_distinct(col("_bench_id")).as("n_bench_docs"))
   }
+
+  /** Decontamination: drop every corpus doc whose benchmark n-gram
+    * overlap reaches `minOverlap` (1 = any shared n-gram, the strict
+    * standard). The flagged id set is tiny relative to the corpus —
+    * a left-anti join on the id, broadcast-able; the corpus rows
+    * never reshuffle. */
+  def removeContaminated(corpus: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchIdCol: String,
+                         benchTextCol: String, n: Int = 8,
+                         minOverlap: Long = 1L): DataFrame = {
+    val flagged = ngramOverlap(corpus, idCol, textCol,
+        bench, benchIdCol, benchTextCol, n)
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col(idCol))
+    corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
 }

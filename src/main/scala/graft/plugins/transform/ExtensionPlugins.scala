@@ -189,9 +189,19 @@ class ContaminationPlugin(options: Map[String, Any], configDir: Path, label: Str
       out <- graft.core.Errors.safe {
         val tc = options.getOrElse("text_column", "text").toString
         val btc = options.getOrElse("bench_text_column", tc).toString
-        graft.ops.Contamination.ngramOverlap(df, idCol, tc,
-          bench, benchId, btc,
-          n = options.get("n").map(_.toString.toDouble.toInt).getOrElse(8))
+        val n = options.get("n").map(_.toString.toDouble.toInt).getOrElse(8)
+        options.getOrElse("mode", "flag").toString match {
+          case "flag" =>
+            graft.ops.Contamination.ngramOverlap(df, idCol, tc,
+              bench, benchId, btc, n)
+          case "remove" =>
+            graft.ops.Contamination.removeContaminated(df, idCol, tc,
+              bench, benchId, btc, n,
+              minOverlap = options.get("min_overlap")
+                .map(_.toString.toDouble.toLong).getOrElse(1L))
+          case other => throw new PluginExecutionError(
+            s"Unknown contamination mode: '$other'")
+        }
       }
     } yield out
 
@@ -207,9 +217,12 @@ class ContaminationPlugin(options: Map[String, Any], configDir: Path, label: Str
         val idField = schema.fields.find(_.name == idCol).getOrElse(
           throw new graft.core.SchemaValidationError(
             s"Column '$idCol' not found in schema"))
-        StructType(Seq(idField,
-          StructField("n_overlap", LongType, nullable = false),
-          StructField("n_bench_docs", LongType, nullable = false)))
+        if (options.getOrElse("mode", "flag").toString == "remove")
+          schema // anti-join keeps the corpus schema unchanged
+        else
+          StructType(Seq(idField,
+            StructField("n_overlap", LongType, nullable = false),
+            StructField("n_bench_docs", LongType, nullable = false)))
       }
     } yield out
 }

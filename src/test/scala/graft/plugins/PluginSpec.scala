@@ -387,6 +387,18 @@ class PluginSpec extends AnyFunSuite {
     assert(schema.fieldNames.toSeq == Seq("doc_id", "n_overlap", "n_bench_docs"))
     // missing bench label short-circuits
     assert(plug.executeWith(corpus, Map.empty).isLeft)
+    // remove mode drops the contaminated doc, keeps the corpus schema
+    val removed = new ContaminationPlugin(Map("bench_label" -> "bench",
+        "id_column" -> "doc_id", "mode" -> "remove"), dir, "default")
+      .executeWith(corpus, Map("bench" -> Right(bench)))
+      .fold(e => throw e, identity)
+    assert(removed.columns.toSeq == corpus.columns.toSeq)
+    assert(removed.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    val rmSchema = new ContaminationPlugin(Map("bench_label" -> "bench",
+        "id_column" -> "doc_id", "mode" -> "remove"), dir, "default")
+      .dryRunWith(corpus.schema, Map("bench" -> Right(bench.schema)))
+      .toOption.get
+    assert(rmSchema == corpus.schema)
   }
 
   test("loader: aliases resolve, unknown module fails, disabled skipped, kind checked") {
