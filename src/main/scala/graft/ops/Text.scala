@@ -123,49 +123,33 @@ object Text {
 
   /** Attach one boolean column per Gopher rule plus the conjunction
     * `gopher_pass`. NULL text yields NULL flags (filtered out by
-    * [[gopherFilter]], distinguishable from a real fail). Everything
-    * is a codegen'd per-row projection over ONE token split and ONE
-    * line split — no shuffle, no UDFs, reproducible in any engine
-    * with RE2-class regexes. */
+    * [[gopherFilter]], distinguishable from a real fail). All raw
+    * metrics come from ONE per-row kernel pass
+    * ([[graft.expressions.GopherMetrics]] — the interpreted
+    * HOF formulation it replaces measured ~5 ms/doc); the gates stay
+    * cheap codegen'd comparisons so thresholds remain configurable. */
   def withGopherFlags(df: DataFrame, textCol: String,
                       t: GopherThresholds = GopherThresholds()): DataFrame = {
     val txt = col(textCol)
     val isNullT = txt.isNull
-    def occurrences(needle: String): Column =
-      ((length(txt) - length(replace(txt, lit(needle), lit("")))) /
-        needle.length).cast("double")
-    val staged = df
-      .withColumn("_toks",
-        when(length(trim(txt)) === 0, array().cast("array<string>"))
-          .otherwise(split(lower(trim(txt)), "\\s+")))
-      .withColumn("_lines", split(txt, "\n"))
-      .withColumn("_nw", size(col("_toks")).cast("double"))
-      .withColumn("_nl", size(col("_lines")).cast("double"))
-    val nWords = col("_nw")
-    val nLines = col("_nl")
-    val meanLen = when(nWords === 0.0, lit(0.0)).otherwise(
-      aggregate(col("_toks"), lit(0L), (acc, w) => acc + length(w))
-        .cast("double") / nWords)
-    val symbols = occurrences("#") + occurrences("...") + occurrences("…")
-    val bulletLines = size(filter(col("_lines"), l => {
-      val lt = ltrim(l)
-      lt.startsWith("-") || lt.startsWith("*") || lt.startsWith("•")
-    })).cast("double")
-    val ellipsisLines = size(filter(col("_lines"), l => {
-      val rt = rtrim(l)
-      rt.endsWith("...") || rt.endsWith("…")
-    })).cast("double")
-    val alphaWords = size(filter(col("_toks"),
-      w => w.rlike("[a-z]"))).cast("double")
-    val stopHits = size(array_intersect(array_distinct(col("_toks")),
-      array(gopherStopwords.map(lit): _*)))
-    val dupLineFrac = when(nLines === 0.0, lit(0.0)).otherwise(
-      lit(1.0) - size(array_distinct(col("_lines"))).cast("double") / nLines)
+    val staged = df.withColumn("_gm",
+      graft.expressions.GopherMetrics.gopher_metrics(txt))
+    val m = col("_gm")
+    val nWords = m.getField("n_words").cast("double")
+    val nLines = m.getField("n_lines")
+    val meanLen = m.getField("mean_word_len")
+    val symbols = m.getField("symbols")
+    val bulletLines = m.getField("bullet_lines")
+    val ellipsisLines = m.getField("ellipsis_lines")
+    val alphaWords = m.getField("alpha_words")
+    val stopHits = m.getField("stop_hits")
+    val dupLineFrac = m.getField("dup_line_frac")
     def gate(c: Column): Column =
       when(isNullT, lit(null).cast("boolean")).otherwise(c)
     val flagged = staged
       .withColumn("n_words",
-        when(isNullT, lit(null).cast("long")).otherwise(nWords.cast("long")))
+        when(isNullT, lit(null).cast("long"))
+          .otherwise(m.getField("n_words")))
       .withColumn("flag_word_count",
         gate(nWords >= t.minWords && nWords <= t.maxWords))
       .withColumn("flag_word_len",
@@ -185,7 +169,7 @@ object Text {
       "flag_stopwords", "flag_dup_lines")
     flagged
       .withColumn("gopher_pass", flags.map(col).reduce(_ && _))
-      .drop("_toks", "_lines", "_nw", "_nl")
+      .drop("_gm")
   }
 
   /** Keep only documents passing every Gopher rule (NULL text is
