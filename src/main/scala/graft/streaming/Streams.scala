@@ -56,12 +56,17 @@ object Streams {
     * operator scales with distinct active users, not event volume.
     *
     * `timeout`: ProcessingTimeTimeout (default) flushes idle sessions
-    * in continuous operation. Pass NoTimeout for batch-driven runs
-    * (Trigger.AvailableNow) — a registered processing-time timer
-    * keeps the query alive waiting for the timer to fire, so
-    * AvailableNow would never terminate; with NoTimeout the trailing
-    * session per user simply stays in state, which is exactly the
-    * append-mode semantics the oracle encodes. */
+    * in continuous operation — but ties session closing to WALL-CLOCK
+    * time, so results depend on batch pacing. EventTimeTimeout closes
+    * a session when the WATERMARK passes `session_end + gap` —
+    * deterministic under replay, the production-correct choice (the
+    * input must carry a watermark on the event-time column). Pass
+    * NoTimeout for batch-driven runs (Trigger.AvailableNow) where a
+    * processing-time timer would keep the query alive forever; with
+    * NoTimeout the trailing session per user simply stays in state,
+    * which is exactly the append-mode semantics the oracle encodes
+    * (with EventTimeTimeout, trailing sessions whose timeout
+    * precedes the final watermark ARE flushed). */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
                  timeout: GroupStateTimeout =
                    GroupStateTimeout.ProcessingTimeTimeout)(
@@ -97,6 +102,8 @@ object Streams {
               state.update(s)
               if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
                 state.setTimeoutDuration(gapSeconds * 1000)
+              else if (timeout == GroupStateTimeout.EventTimeTimeout)
+                state.setTimeoutTimestamp((s.end + gapSeconds) * 1000)
             }
             closed.reverseIterator
           }

@@ -155,6 +155,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(dry.toOption.get.fieldNames.contains("event_type"))
   }
 
+  test("event-time timeout flushes sessions the watermark has passed") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import Streams.Event
+    val dir = Files.createTempDirectory("ev_ett")
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("p.parquet"))
+    val delay = "1 hour"
+    val gap = 1800L
+    val ev = Streams.eventStream(spark, dir.toString)
+      .withWatermark("event_time", delay)
+      .select(col("user_id"), col("event_time"), col("event_type"), col("value"))
+      .as[Event]
+    val got = Streams.runToMemory(
+      Streams.sessionize(ev, gap, GroupStateTimeout.EventTimeTimeout)
+        .toDF(), "ett_sessions")
+      .select("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // expectation from batch: every non-last session per user, PLUS
+    // trailing sessions whose (end + gap) precedes the final
+    // watermark (max event second - delay)
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("t", expr("ts div 1000000000"))
+      .select("user_id", "t").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxT = batch.map(_._2).max
+    val horizon = maxT - 3600L
+    // .toSeq first: flatMap on the Map would re-key by uid and keep
+    // one session per user
+    val want = batch.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val ts = rows.map(_._2).sorted
+      val sessions = ts.foldLeft(List.empty[(Long, Long)]) {
+        case (Nil, t) => List((t, t))
+        case ((s, e) :: rest, t) =>
+          if (t - e <= gap) (s, t) :: rest else (t, t) :: (s, e) :: rest
+      }.reverse
+      val closed = sessions.dropRight(1) ++
+        sessions.lastOption.filter { case (_, e) => e + gap <= horizon }
+      closed.map { case (s, _) => (uid, s) }
+    }.toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("sessionize groups events within the gap into one session") {
     import Streams.{Event, SessionSummary}
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
