@@ -64,7 +64,20 @@ class ParquetWriterPlugin(options: Map[String, Any], configDir: Path, label: Str
     outputPath().flatMap { p =>
       Errors.safe {
         ensureParent(p)
-        val sized = if (singleFile) df.coalesce(1) else df
+        val sized0 = if (singleFile) df.coalesce(1) else df
+        // Align task partitioning with the hive partition columns:
+        // without this, every task writes a file into every partition
+        // directory (tasks × partitions small files at scale); with
+        // it, each partition's rows land in few tasks. The one
+        // shuffle this adds is usually the cheapest part of a big
+        // partitioned write.
+        val sized = options.get("repartition_by") match {
+          case Some(xs: Seq[_]) => sized0.repartition(
+            xs.map(x => org.apache.spark.sql.functions.col(x.toString)): _*)
+          case Some(s) => sized0.repartition(
+            org.apache.spark.sql.functions.col(s.toString))
+          case None => sized0
+        }
         // Row-group clustering: sorting within partitions tightens
         // parquet min/max column stats so readers prune row groups —
         // the cheap (no-shuffle) half of write-time data layout.

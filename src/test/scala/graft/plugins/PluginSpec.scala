@@ -149,6 +149,27 @@ class PluginSpec extends AnyFunSuite {
     assert(spark.read.parquet(out.toString).count() == 1000)
   }
 
+  test("parquet writer: repartition_by aligns files with partition dirs") {
+    val out = Files.createTempDirectory("wrpart").resolve("p.parquet")
+    val df = spark.range(400).toDF("id")
+      .withColumn("lang", org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("id") % 2 === 0, "en").otherwise("fr"))
+      .repartition(8)
+    val plug = new ParquetWriterPlugin(Map(
+      "output_path" -> out.toString,
+      "partition_by" -> Seq("lang"),
+      "repartition_by" -> Seq("lang")), dir, "default")
+    assert(plug.execute(df).isRight)
+    // aligned: each partition dir holds ONE data file, not 8
+    Seq("en", "fr").foreach { l =>
+      val files = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        Files.list(out.resolve(s"lang=$l")).iterator()).asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+      assert(files.length == 1, s"lang=$l has ${files.length} files")
+    }
+    assert(spark.read.parquet(out.toString).count() == 400)
+  }
+
   test("arrow IPC roundtrip: write then scan preserves values and schema") {
     val df = Seq((100L, "a", 1.5, true), (200L, "b", 2.5, false))
       .toDF("amount", "item", "ratio", "flag")
