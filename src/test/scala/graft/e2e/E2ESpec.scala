@@ -187,6 +187,21 @@ class E2ESpec extends AnyFunSuite {
     assert(sources.subsetOf(Set("src0", "src1", "src2")) && sources.nonEmpty)
   }
 
+  test("examples/ann_search.toml: labeled query stream through IVF-PQ") {
+    val src = java.nio.file.Paths.get("examples/ann_search.toml")
+    assume(java.nio.file.Files.exists(src))
+    val tmp = java.nio.file.Files.createTempDirectory("anncfg")
+    val cfg = tmp.resolve("ann_search.toml")
+    java.nio.file.Files.copy(src, cfg)
+    val config = Config.loadConfig(cfg).fold(e => fail(e.getMessage), identity)
+    val reg = Loader.loadPlugins(config, cfg).fold(e => fail(e.getMessage), identity)
+    val result = Pipeline.runPipeline(reg.inputs, reg.transforms, reg.outputs)
+    assert(result.isRight, result.left.toOption.map(_.getMessage))
+    val out = spark.read.parquet(tmp.resolve("out/neighbors.parquet").toString)
+    assert(out.columns.toSeq == Seq("query_id", "neighbor_id", "cosine", "rank"))
+    assert(out.count() == 50) // 10 queries × k=5
+  }
+
   test("the reference's own examples/config.toml runs unmodified") {
     val refDir = java.nio.file.Paths.get("/root/reference/examples")
     assume(java.nio.file.Files.exists(refDir.resolve("config.toml")))
