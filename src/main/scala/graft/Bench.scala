@@ -25,11 +25,13 @@ object Bench {
     "q_having", "q_union", "q_distinct", "q_when_then", "events_window",
     "events_sessionize", "q_range_join", "q_approx_sketch",
     "q_pipeline_e2e", "q_asof_join", "q_rollup", "q_cube", "q_percentile",
-    "q_tpch_q3",
+    "q_tpch_q3", "q_zorder",
     "q_array_funcs",
-    "dedup_exact", "dedup_fingerprint", "dedup_minhash_pairs",
+    "dedup_exact", "dedup_fingerprint", "dedup_incremental",
+    "dedup_minhash_pairs",
     "dedup_simhash_pairs", "dedup_embedding_lsh", "dedup_boilerplate",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
+    "q_chunk_windows",
     "q_gopher_rules",
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivfpq",
     "multimodal_meta")

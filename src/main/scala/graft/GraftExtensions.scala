@@ -86,5 +86,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("vec_l2_normalize", 1,
       "vec_l2_normalize(a) - L2-normalized copy of an array<double>")(
       args => VectorKernels.L2NormalizeDouble(args.head))
+
+    inject("zorder_code", 2,
+      "zorder_code(dims, bits) - Morton interleave of array<int> bucket indices")(
+      args => ZOrderCode(args.head, args(1)))
+
+    inject("sorted_bucket", 2,
+      "sorted_bucket(v, boundaries) - equi-depth bucket of v against sorted array<double>")(
+      args => SortedBucket(args.head, args(1)))
   }
 }

@@ -56,6 +56,15 @@ object SparkEntry {
   private def tBalanced(s: SparkSession, dir: String, name: String): DataFrame =
     t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
 
+  /** Morton-interleave of two `bits`-bit dims as explicit DuckDB
+    * shift/mask terms — the SQL twin of
+    * [[graft.expressions.ZOrderCode]] (bit i of dim c → output bit
+    * i*2 + c). */
+  private def mortonTerms(aCol: String, bCol: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($aCol >> $i) & 1) << ${2 * i})",
+      s"((($bCol >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
   /** Engine-agnostic fixed-point rounding:
     * floor(x*10^p + 0.5 + 1e-6)/10^p. Spark round() (BigDecimal
     * HALF_UP on the exact binary expansion) and DuckDB round()
@@ -287,6 +296,22 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- write-layout: Z-order (Morton) interleave kernel --------
+    // Deterministic variant for the oracle: dimensions are modular
+    // buckets, not sampled quantiles (approxQuantile boundaries are
+    // engine/seed-specific; the interleave kernel is the part DuckDB
+    // can recompute exactly, as 16 explicit shift/mask terms). The
+    // full equi-depth path — sampled boundaries, SortedBucket,
+    // range-shuffle write via the cluster_by option — is pinned by
+    // ZOrderSpec's file-spread assertions.
+    "q_zorder" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          graft.expressions.ZOrderCode.zorder_code(
+            array((col("l_orderkey") % 256).cast("int"),
+              (col("l_partkey") % 256).cast("int")), 8).as("zcode"))
+        .orderBy("l_orderkey", "l_partkey", "zcode")),
+
     // ---- fact ⋈ broadcast dimension ------------------------------
     "q_join_broadcast" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -465,6 +490,22 @@ object SparkEntry {
     "dedup_fingerprint" -> ((s, dir) =>
       Dedup.byFingerprint(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // ---- incremental dedup: batch vs corpus via Bloom gate -------
+    // doc_id % 3 splits documents into a fixed "reference corpus"
+    // (2/3) and a "new batch" (1/3); the batch keeps only fingerprints
+    // unseen in the reference. Routed through the broadcast Bloom
+    // filter + exact-verify path, whose result is exactly the
+    // anti-join — which is what the oracle recomputes (NOT EXISTS, so
+    // NULL fingerprints stay kept on both engines).
+    "dedup_incremental" -> ((s, dir) => {
+      val fp = graft.ops.Text.fingerprint(col("text"))
+      val docs = t(s, dir, "documents").withColumn("fingerprint", fp)
+      val reference = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+      graft.ops.IncrementalDedup.cleaned(batch, reference, "fingerprint")
+        .select("doc_id", "fingerprint").orderBy("doc_id")
+    }),
 
     // ---- Gopher quality-rule gates -------------------------------
     // Published MassiveText filter rules as per-rule boolean columns.
@@ -781,6 +822,15 @@ object SparkEntry {
     }),
 
     // ---- sequence packing (concat-and-chunk, per-shard) ----------
+    // ---- sliding-window chunking (context-length windows) --------
+    // size 16 / stride 8 = 50% overlap; whitespace tokens so the
+    // window arithmetic is exactly reproducible in the oracle.
+    "q_chunk_windows" -> ((s, dir) =>
+      graft.ops.Chunking.slidingWindow(
+          tBalanced(s, dir, "documents"), "doc_id", "text",
+          size = 16, stride = 8)
+        .orderBy("doc_id", "chunk_id")),
+
     "q_pack_sequences" -> ((s, dir) =>
       graft.ops.Packing.packChunks(
           tBalanced(s, dir, "documents")
@@ -1298,6 +1348,15 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
+    "q_zorder" ->
+      s"""WITH m AS (
+        |  SELECT l_orderkey, l_partkey,
+        |    l_orderkey % 256 AS a, l_partkey % 256 AS b
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_partkey,
+        |  CAST((${mortonTerms("a", "b", 8)}) AS BIGINT) AS zcode
+        |FROM m ORDER BY l_orderkey, l_partkey, zcode""".stripMargin,
+
     "q_when_then" ->
       """SELECT o_orderpriority,
         |  CASE WHEN o_totalprice > 200000 THEN 'big'
@@ -1408,6 +1467,17 @@ object SparkEntry {
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint,
         |  min(doc_id) AS doc_id, count(*) AS n_dupes
         |FROM documents GROUP BY fingerprint ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH f AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+        |  FROM documents)
+        |SELECT doc_id, fingerprint FROM f b
+        |WHERE doc_id % 3 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM f r
+        |    WHERE r.doc_id % 3 <> 0 AND r.fingerprint = b.fingerprint)
+        |ORDER BY doc_id""".stripMargin,
 
     // Every Gopher gate recomputed with the same IEEE double
     // divisions (DuckDB `/` on integers is float division like
@@ -1731,6 +1801,17 @@ object SparkEntry {
 
     // Concat-and-chunk packing: per-lang running token count → chunk
     // id/offset, replicated with a window cumsum.
+    "q_chunk_windows" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        |), st AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 8)) AS s FROM tk)
+        |SELECT doc_id, CAST(s // 8 AS BIGINT) AS chunk_id,
+        |  CAST(len(toks[s+1:s+16]) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(toks[s+1:s+16], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
     "q_pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

@@ -73,6 +73,7 @@ object Loader {
     "contamination" -> "graft.plugins.transform.ContaminationPlugin",
     "multimodal" -> "graft.plugins.transform.MultimodalPlugin",
     "sessionize" -> "graft.plugins.transform.SessionizePlugin",
+    "chunk" -> "graft.plugins.transform.ChunkPlugin",
     "parquet_stream_scan" -> "graft.plugins.streaming.ParquetStreamScanPlugin",
     "stream_parquet_writer" -> "graft.plugins.streaming.StreamParquetWriterPlugin",
     "parquet_writer" -> "graft.plugins.output.ParquetWriterPlugin",

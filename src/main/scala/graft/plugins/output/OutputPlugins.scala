@@ -64,7 +64,24 @@ class ParquetWriterPlugin(options: Map[String, Any], configDir: Path, label: Str
     outputPath().flatMap { p =>
       Errors.safe {
         ensureParent(p)
-        val sized0 = if (singleFile) df.coalesce(1) else df
+        val sized00 = if (singleFile) df.coalesce(1) else df
+        // Multi-dimensional clustering: Z-order the frame on the named
+        // columns so min/max row-group skipping works for predicates
+        // on ANY of them, not just a leading sort column. This IS the
+        // layout shuffle (range partition on the code), so it replaces
+        // repartition_by/sort_within_partitions rather than stacking
+        // a second exchange on top.
+        val sized0 = options.get("cluster_by") match {
+          case Some(by) =>
+            val cols = by match {
+              case xs: Seq[_] => xs.map(_.toString)
+              case s => Seq(s.toString)
+            }
+            val bits = options.get("cluster_bits").map(_.toString.toInt).getOrElse(8)
+            val files = options.get("cluster_files").map(_.toString.toInt).getOrElse(0)
+            graft.ops.ZOrder.clustered(sized00, cols, bits, files)
+          case None => sized00
+        }
         // Align task partitioning with the hive partition columns:
         // without this, every task writes a file into every partition
         // directory (tasks × partitions small files at scale); with

@@ -69,6 +69,19 @@ class DedupPlugin(options: Map[String, Any], configDir: Path, label: String)
           case "boilerplate_lines" =>
             Dedup.removeBoilerplateLines(df, idCol, textColumn,
               minDocs = numOpt("min_docs", 3).toInt)
+          case "incremental" =>
+            // batch-vs-stored-corpus dedup: the reference is a table
+            // on disk (yesterday's corpus), not a second stream
+            val refPath = options.get("reference_path") match {
+              case Some(p) => resolvePath(p.toString)
+              case None => throw new PluginExecutionError(
+                "Option 'reference_path' is required for method 'incremental'")
+            }
+            val key = options.getOrElse("key_column", "fingerprint").toString
+            graft.ops.IncrementalDedup.cleaned(df,
+              df.sparkSession.read.parquet(refPath.toString), key,
+              expectedItems = numOpt("expected_items", 0).toLong,
+              fpp = numOpt("fpp", 0.01))
           case other => throw new PluginExecutionError(
             s"Unknown dedup method: '$other'")
         }
@@ -264,6 +277,33 @@ class SessionizePlugin(options: Map[String, Any], configDir: Path, label: String
         .getOrElse(propagateSchema(schema)(df =>
           execute(df).fold(e => throw e, identity)))
     } yield out
+}
+
+/** Config-driven sliding-window chunking ([[graft.ops.Chunking]]):
+  * long documents → overlapping context-length token windows.
+  * Options: id_column (req), text_column (default text), size
+  * (default 1024), stride (default size), min_tokens (default 1). */
+class ChunkPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "chunk"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      idCol <- requiredString("id_column")
+      out <- graft.core.Errors.safe {
+        val size = options.get("size").map(_.toString.toInt).getOrElse(1024)
+        graft.ops.Chunking.slidingWindow(df, idCol,
+          options.getOrElse("text_column", "text").toString,
+          size = size,
+          stride = options.get("stride").map(_.toString.toInt).getOrElse(size),
+          minTokens = options.get("min_tokens").map(_.toString.toInt).getOrElse(1))
+      }
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    requiredString("id_column").flatMap { _ =>
+      propagateSchema(schema)(df => execute(df).fold(e => throw e, identity))
+    }
 }
 
 /** Config-driven multimodal column processing
