@@ -507,6 +507,15 @@ object SparkEntry {
         .select("doc_id", "fingerprint").orderBy("doc_id")
     }),
 
+    // ---- corpus profile (one-pass ANALYZE) -----------------------
+    // exact=true so count_distinct matches DuckDB's COUNT(DISTINCT);
+    // the scale default is the HLL sketch variant (no Expand), which
+    // ProfilingSpec pins within tolerance and PlanSpec pins plan-wise.
+    "q_profile" -> ((s, dir) =>
+      graft.ops.Profiling.columnStats(t(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars"), exact = true)
+        .orderBy("col_name")),
+
     // ---- Gopher quality-rule gates -------------------------------
     // Published MassiveText filter rules as per-rule boolean columns.
     // Lines synthesized like dedup_boilerplate; edge docs trip each
@@ -1478,6 +1487,27 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM f r
         |    WHERE r.doc_id % 3 <> 0 AND r.fingerprint = b.fingerprint)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_profile" ->
+      """WITH s AS (
+        |  SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+        |    count(*) - count(doc_id) AS n_nulls,
+        |    count(DISTINCT doc_id) AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |    CAST(max(doc_id) AS VARCHAR) AS max_value FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*), count(*) - count(lang),
+        |    count(DISTINCT lang), CAST(min(lang) AS VARCHAR),
+        |    CAST(max(lang) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*), count(*) - count(source),
+        |    count(DISTINCT source), CAST(min(source) AS VARCHAR),
+        |    CAST(max(source) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |    count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+        |    CAST(max(n_chars) AS VARCHAR) FROM documents)
+        |SELECT * FROM s ORDER BY col_name""".stripMargin,
 
     // Every Gopher gate recomputed with the same IEEE double
     // divisions (DuckDB `/` on integers is float division like

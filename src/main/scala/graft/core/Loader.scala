@@ -74,6 +74,7 @@ object Loader {
     "multimodal" -> "graft.plugins.transform.MultimodalPlugin",
     "sessionize" -> "graft.plugins.transform.SessionizePlugin",
     "chunk" -> "graft.plugins.transform.ChunkPlugin",
+    "profile" -> "graft.plugins.transform.ProfilePlugin",
     "parquet_stream_scan" -> "graft.plugins.streaming.ParquetStreamScanPlugin",
     "stream_parquet_writer" -> "graft.plugins.streaming.StreamParquetWriterPlugin",
     "parquet_writer" -> "graft.plugins.output.ParquetWriterPlugin",

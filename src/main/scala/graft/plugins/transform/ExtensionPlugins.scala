@@ -306,6 +306,32 @@ class ChunkPlugin(options: Map[String, Any], configDir: Path, label: String)
     }
 }
 
+/** Config-driven corpus profiling ([[graft.ops.Profiling]]): one-pass
+  * per-column stats (rows, nulls, distinct, min/max). Options:
+  * columns (req, list), exact (default false — HLL distinct counts at
+  * scale, exact via Expand when true). */
+class ProfilePlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "profile"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      cols <- options.get("columns") match {
+        case Some(xs: Seq[_]) => Right(xs.map(_.toString))
+        case Some(s) => Right(Seq(s.toString))
+        case None => Left(new PluginExecutionError(
+          "Option 'columns' is required"))
+      }
+      out <- graft.core.Errors.safe {
+        graft.ops.Profiling.columnStats(df, cols,
+          exact = options.get("exact").exists(_.toString.toBoolean))
+      }
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    propagateSchema(schema)(df => execute(df).fold(e => throw e, identity))
+}
+
 /** Config-driven multimodal column processing
   * ([[graft.ops.Multimodal]]) over an opaque binary payload column:
   *

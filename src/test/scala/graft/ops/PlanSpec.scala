@@ -111,4 +111,49 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles.isEmpty,
       s"mix filter should be a single stage, found ${shuffles.size} exchanges")
   }
+
+  test("sliding-window chunking is shuffle-free") {
+    val chunked = Chunking.slidingWindow(docs, "doc_id", "text", 4, 2)
+    val shuffles = nodes(chunked).collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"chunking should be per-row explode only, found ${shuffles.size} exchanges")
+  }
+
+  test("Z-order clustered layout plans exactly one (range) exchange") {
+    val df = (0L until 100L).map(i => (i, i * 7 % 100)).toDF("x", "y")
+    val shuffles = nodes(ZOrder.clustered(df, Seq("x", "y"), bits = 4))
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1,
+      s"clustered write should pay ONE layout shuffle, found ${shuffles.size}")
+    assert(shuffles.head.outputPartitioning.getClass.getSimpleName
+      .contains("RangePartitioning"))
+  }
+
+  test("approx profile plans one aggregate pass with no Expand") {
+    val profiled = Profiling.columnStats(docs, Seq("doc_id", "text"))
+    val expands = nodes(profiled).collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }
+    assert(expands.isEmpty,
+      "HLL profile must not multiply rows via Expand (that is the exact path)")
+    val shuffles = nodes(profiled).collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1,
+      s"profile is one global aggregate, found ${shuffles.size} exchanges")
+  }
+
+  test("incremental dedup's bloom-negative fast path is shuffle-free") {
+    val ref = (0L until 50L).map(i => (i, s"k$i")).toDF("id", "k")
+    val batch = (0L until 80L).map(i => (i, s"k${i * 3}")).toDF("id", "k")
+    val cleaned = IncrementalDedup.cleaned(batch, ref, "k")
+    // the union has two branches: the bloom-negative filter must not
+    // shuffle batch rows; only the candidate anti-join may exchange.
+    val shuffles = nodes(cleaned).collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2,
+      s"only the candidate verify join may shuffle, found ${shuffles.size}")
+    val allPairs = nodes(cleaned).filter {
+      case _: CartesianProductExec => true
+      case _ => false
+    }
+    assert(allPairs.isEmpty)
+  }
 }
