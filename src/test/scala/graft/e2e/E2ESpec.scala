@@ -202,6 +202,36 @@ class E2ESpec extends AnyFunSuite {
     assert(out.count() == 50) // 10 queries × k=5
   }
 
+  test("examples/pretrain_shard.toml: chunk -> clustered shards + stats") {
+    val src = java.nio.file.Paths.get("examples/pretrain_shard.toml")
+    assume(java.nio.file.Files.exists(src))
+    val tmp = java.nio.file.Files.createTempDirectory("shardcfg")
+    val cfg = tmp.resolve("pretrain_shard.toml")
+    java.nio.file.Files.copy(src, cfg)
+    val config = Config.loadConfig(cfg).fold(e => fail(e.getMessage), identity)
+    val reg = Loader.loadPlugins(config, cfg).fold(e => fail(e.getMessage), identity)
+    val result = Pipeline.runPipeline(reg.inputs, reg.transforms, reg.outputs)
+    assert(result.isRight, result.left.toOption.map(_.getMessage))
+
+    val shards = spark.read.parquet(tmp.resolve("out/shards").toString)
+    assert(shards.columns.toSeq ==
+      Seq("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text"))
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(shards.count() > docs, "windows should outnumber documents")
+    // clustered into the configured number of files
+    val nFiles = java.nio.file.Files.list(tmp.resolve("out/shards"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(nFiles == 4, s"expected 4 clustered shard files, got $nFiles")
+
+    val stats = spark.read
+      .parquet(tmp.resolve("out/corpus_stats.parquet").toString)
+    assert(stats.count() == 4) // one row per profiled column
+    val byCol = stats.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCol.keySet == Set("doc_id", "lang", "source", "n_chars"))
+    assert(byCol("doc_id") == docs)
+  }
+
   test("the reference's own examples/config.toml runs unmodified") {
     val refDir = java.nio.file.Paths.get("/root/reference/examples")
     assume(java.nio.file.Files.exists(refDir.resolve("config.toml")))
