@@ -91,6 +91,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "zorder_code(dims, bits) - Morton interleave of array<int> bucket indices")(
       args => ZOrderCode(args.head, args(1)))
 
+    inject("char_entropy", 1,
+      "char_entropy(text) - Shannon entropy (bits/char) of the char distribution")(
+      args => CharEntropy(args.head))
+
     inject("sorted_bucket", 2,
       "sorted_bucket(v, boundaries) - equi-depth bucket of v against sorted array<double>")(
       args => SortedBucket(args.head, args(1)))

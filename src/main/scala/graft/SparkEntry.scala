@@ -907,6 +907,37 @@ object SparkEntry {
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // ---- char-entropy quality signal (one-pass kernel) -----------
+    // Edge rows pin the degenerate cases: empty → 0.0, single
+    // repeated char → 0.0, uniform 4-char block → 2.0 exactly.
+    // BMP-only parity: the kernel counts UTF-16 units, the oracle
+    // code points — identical below U+10000, and the fixtures stay
+    // there.
+    "text_entropy" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Seq((-3L, ""), (-2L, "aaaaaaaa"), (-1L, "abcdabcd"))
+        .toDF("doc_id", "text")
+      t(s, dir, "documents").select("doc_id", "text").unionByName(edges)
+        .select(col("doc_id"),
+          r(graft.expressions.CharEntropy.char_entropy(col("text")), 4)
+            .as("char_entropy"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- corpus vocabulary: top-50 tokens ------------------------
+    // Explode → partial-agg count → TakeOrdered: the shuffle moves
+    // (token, partial count) pairs, never raw text; the top-k cut is
+    // map-side bounded. The (count DESC, token ASC) tiebreak makes
+    // the result set deterministic across engines.
+    "text_vocab" -> ((s, dir) =>
+      tBalanced(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(50)),
+
     // ---- similarity: brute-force cosine top-k --------------------
     "sim_topk_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1734,6 +1765,42 @@ object SparkEntry {
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Entropy recomputed the long way: explode to one row per char
+    // position, frequency-count, -Σ p·ln(p)/ln(2). NULL text → NULL
+    // (LATERAL drops the row, left join restores it), empty/uniform
+    // strings → 0.0 via the edge rows.
+    "text_entropy" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (CAST(-3 AS BIGINT), ''), (CAST(-2 AS BIGINT), 'aaaaaaaa'),
+        |    (CAST(-1 AS BIGINT), 'abcdabcd')) v(doc_id, text)
+        |), chars AS (
+        |  SELECT doc_id, substr(text, CAST(u.g AS INTEGER), 1) AS ch
+        |  FROM src, LATERAL (SELECT unnest(range(1, len(text) + 1)) AS g) u
+        |  WHERE text IS NOT NULL
+        |), freq AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+        |  FROM chars GROUP BY doc_id, ch
+        |), ent AS (
+        |  SELECT doc_id,
+        |    sum(-(c / n) * (ln(c / n) / ln(2))) AS h
+        |  FROM (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n
+        |        FROM freq)
+        |  GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CASE WHEN s.text IS NULL THEN NULL
+        |       ELSE r(coalesce(ent.h, 0.0), 4) END AS char_entropy
+        |FROM src s LEFT JOIN ent ON s.doc_id = ent.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
+    "text_vocab" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        |SELECT token, count(*) AS n FROM toks WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
 
     "sim_topk_brute" ->
       """WITH e AS (

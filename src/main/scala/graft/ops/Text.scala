@@ -334,6 +334,8 @@ object Text {
       .withColumn("stopword_ratio", round(col("_sraw"), 4))
       .withColumn("mean_word_len", round(col("_mraw"), 4))
       .withColumn("quality", round(qualityFromMetrics, 4))
+      .withColumn("char_entropy",
+        round(graft.expressions.CharEntropy.char_entropy(t), 4))
       .withColumn("fingerprint", fingerprint(t))
       .drop("_len", "_praw", "_sraw", "_mraw")
   }
