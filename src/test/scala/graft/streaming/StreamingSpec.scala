@@ -105,6 +105,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(col("event_type") =!= "click").count() == 0)
   }
 
+  test("chunking composes onto streaming frames (stateless explode)") {
+    // a stream of arriving documents → stream of context windows; the
+    // operator is per-row only (PlanSpec pins zero exchanges), so it
+    // lifts to streaming with no state and no watermark
+    val landing = Files.createTempDirectory("chunkstream")
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      landing.resolve("batch1.parquet"))
+    val docsDir = landing.toString
+    val schema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+    val chunked = graft.ops.Chunking.slidingWindow(
+      stream, "doc_id", "text", size = 16, stride = 8)
+    assert(chunked.isStreaming)
+    val got = Streams.runToMemory(chunked, "chunk_stream")
+    val batch = graft.ops.Chunking.slidingWindow(
+      spark.read.parquet(docsDir), "doc_id", "text", 16, 8)
+    assert(got.count() == batch.count())
+  }
+
   test("config-driven streaming pipeline: stream scan -> filter -> stream write, incremental") {
     import graft.core.{Config, Loader, Pipeline}
     val tmp = Files.createTempDirectory("streamcfg")
