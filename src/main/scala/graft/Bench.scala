@@ -31,7 +31,7 @@ object Bench {
     "dedup_minhash_pairs",
     "dedup_simhash_pairs", "dedup_embedding_lsh", "dedup_boilerplate",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
-    "text_entropy", "text_vocab",
+    "text_entropy", "text_vocab", "q_vocab_encode", "q_split",
     "q_chunk_windows", "q_profile",
     "q_gopher_rules",
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivfpq",

@@ -765,6 +765,16 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // ---- deterministic train/val/test split ----------------------
+    // 90/5/5 by md5 key-hash bands: a re-ingested row keeps its
+    // split across reruns — no eval leakage on corpus rebuilds.
+    "q_split" -> ((s, dir) =>
+      Sampling.assignSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy("split")),
+
     "q_sample_cap" -> ((s, dir) =>
       Sampling.stratifiedCap(t(s, dir, "documents"),
           Seq("lang"), "doc_id", cap = 20)
@@ -922,6 +932,21 @@ object SparkEntry {
           r(graft.expressions.CharEntropy.char_entropy(col("text")), 4)
             .as("char_entropy"))
         .orderBy("doc_id")
+    }),
+
+    // ---- vocab-id encoding (token_ids sequences) -----------------
+    // Top-100 vocab built from the corpus itself (bounded driver
+    // collect), broadcast, then a shuffle-free per-row encode; the
+    // output is exploded to (doc_id, pos, tid) because the driver
+    // compare cannot sort array cells. OOV → -1.
+    "q_vocab_encode" -> ((s, dir) => {
+      val docs = tBalanced(s, dir, "documents")
+      val vocab = graft.ops.Vocab.topTokens(docs, "text", 100)
+      graft.ops.Vocab.encode(docs, "text", vocab)
+        .select(col("doc_id"), posexplode(col("token_ids")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("tid"))
+        .orderBy("doc_id", "pos")
     }),
 
     // ---- corpus vocabulary: top-50 tokens ------------------------
@@ -1795,6 +1820,28 @@ object SparkEntry {
         |FROM src s LEFT JOIN ent ON s.doc_id = ent.doc_id
         |ORDER BY s.doc_id""".stripMargin,
 
+    "q_vocab_encode" ->
+      """WITH vocab AS (
+        |  SELECT token, row_number() OVER (ORDER BY n DESC, token ASC) - 1
+        |    AS tid
+        |  FROM (
+        |    SELECT token, count(*) AS n FROM (
+        |      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |        AS token
+        |      FROM documents WHERE text IS NOT NULL AND trim(text) <> '') u
+        |    WHERE token <> ''
+        |    GROUP BY token ORDER BY n DESC, token ASC LIMIT 100) top
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        |), pos AS (
+        |  SELECT doc_id, tk[CAST(u.p AS INTEGER)] AS token, u.p AS p
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS p) u)
+        |SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+        |  coalesce(v.tid, CAST(-1 AS BIGINT)) AS tid
+        |FROM pos LEFT JOIN vocab v USING (token)
+        |ORDER BY doc_id, pos""".stripMargin,
+
     "text_vocab" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
@@ -2095,6 +2142,19 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |  < 429496729
         |ORDER BY doc_id""".stripMargin,
+
+    // band bounds are the Scala-side (cumulative-double * 2^32).toLong
+    // constants — hardcoded so both engines cut at the identical hash
+    "q_split" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+        |  FROM documents)
+        |SELECT CASE WHEN hv < 3865470566 THEN 'train'
+        |            WHEN hv < 4080218931 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n, min(doc_id) AS min_id
+        |FROM h GROUP BY split ORDER BY split""".stripMargin,
 
     "q_quality_gate" ->
       """WITH d AS (

@@ -75,6 +75,7 @@ object Loader {
     "sessionize" -> "graft.plugins.transform.SessionizePlugin",
     "chunk" -> "graft.plugins.transform.ChunkPlugin",
     "profile" -> "graft.plugins.transform.ProfilePlugin",
+    "vocab_encode" -> "graft.plugins.transform.VocabEncodePlugin",
     "parquet_stream_scan" -> "graft.plugins.streaming.ParquetStreamScanPlugin",
     "stream_parquet_writer" -> "graft.plugins.streaming.StreamParquetWriterPlugin",
     "parquet_writer" -> "graft.plugins.output.ParquetWriterPlugin",

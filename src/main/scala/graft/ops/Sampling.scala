@@ -28,6 +28,33 @@ object Sampling {
   def sampleByHash(df: DataFrame, keyCol: String, rate: Double): DataFrame =
     df.filter(keyHash(col(keyCol)) < lit((rate * 4294967296.0).toLong))
 
+  /** Deterministic train/val/test assignment: partition the [0, 2^32)
+    * key-hash space into consecutive bands proportional to the split
+    * fractions and name each row's band — the standard holdout split,
+    * made reproducible across engines, reruns and backfills (a
+    * re-ingested row keeps its split, so no eval-set leakage when the
+    * corpus is rebuilt). Fractions must sum to ~1; the last split
+    * absorbs the rounding remainder. Per-row expression, no shuffle.
+    */
+  def assignSplit(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Double)],
+                  outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "split fractions must be positive")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $total")
+    val bounds = splits.init
+      .scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(f => (f * 4294967296.0).toLong)
+    val h = keyHash(col(keyCol))
+    val assigned = splits.init.zip(bounds).reverse
+      .foldLeft(lit(splits.last._1): Column) { case (acc, ((name, _), hi)) =>
+        when(h < hi, name).otherwise(acc)
+      }
+    df.withColumn(outCol, assigned)
+  }
+
   /** Cap every group at `cap` rows, choosing a deterministic uniform
     * subset: rank rows within the group by key hash and keep rank ≤
     * cap. The per-group sort is the same shuffle any groupBy pays;

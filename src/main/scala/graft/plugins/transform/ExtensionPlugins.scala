@@ -127,6 +127,20 @@ class SamplePlugin(options: Map[String, Any], configDir: Path, label: String)
               graft.ops.Sampling.stratifiedCap(df, groups, keyCol,
                 cap.toString.toDouble.toInt))
           } yield out
+        case "split" =>
+          // parallel lists (not a table): band order defines the hash
+          // bounds, and TOML tables do not preserve key order
+          for {
+            names <- stringList("split_names")
+            fracs <- stringList("split_fracs")
+            out <- graft.core.Errors.safe {
+              require(names.size == fracs.size,
+                "split_names and split_fracs must align")
+              graft.ops.Sampling.assignSplit(df, keyCol,
+                names.zip(fracs.map(_.toDouble)),
+                outCol = options.getOrElse("output_column", "split").toString)
+            }
+          } yield out
         case "mix_weights" =>
           for {
             groupCol <- requiredString("group_column")
@@ -304,6 +318,39 @@ class ChunkPlugin(options: Map[String, Any], configDir: Path, label: String)
     requiredString("id_column").flatMap { _ =>
       propagateSchema(schema)(df => execute(df).fold(e => throw e, identity))
     }
+}
+
+/** Config-driven vocab-id encoding ([[graft.ops.Vocab]]): build the
+  * top-`vocab_size` token table from the incoming frame (bounded
+  * driver collect — an EAGER action over the upstream plan, like
+  * mix_weights' counts) and attach `output_column` = array<bigint>
+  * token ids via the broadcast encode kernel. Options: text_column
+  * (default text), vocab_size (default 65536), oov_id (default -1),
+  * output_column (default token_ids). */
+class VocabEncodePlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "vocab_encode"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    graft.core.Errors.safe {
+      val tc = options.getOrElse("text_column", "text").toString
+      val vocab = graft.ops.Vocab.topTokens(df, tc,
+        options.get("vocab_size").map(_.toString.toInt).getOrElse(65536))
+      graft.ops.Vocab.encode(df, tc, vocab,
+        oovId = options.get("oov_id").map(_.toString.toLong).getOrElse(-1L),
+        outCol = options.getOrElse("output_column", "token_ids").toString)
+    }
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] = {
+    val tc = options.getOrElse("text_column", "text").toString
+    if (!schema.fieldNames.contains(tc))
+      Left(new graft.core.SchemaValidationError(
+        s"Column '$tc' not found in schema"))
+    else propagateSchema(schema)(df =>
+      // schema-only: an empty vocab keeps the dry run actionless
+      graft.ops.Vocab.encode(df, tc, Seq.empty,
+        outCol = options.getOrElse("output_column", "token_ids").toString))
+  }
 }
 
 /** Config-driven corpus profiling ([[graft.ops.Profiling]]): one-pass
