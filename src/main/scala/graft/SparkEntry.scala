@@ -685,6 +685,26 @@ object SparkEntry {
       casted.select(base.schema.fieldNames.map(col): _*).orderBy("c_custkey")
     }),
 
+    // ---- JSONL source/sink roundtrip under the oracle ------------
+    // json_writer → json_scan with an EXPLICIT schema (the scale
+    // path: no inference pass, no type drift) must reproduce the
+    // documents table exactly — JSON string escaping must survive
+    // newlines/unicode in text, and absent fields must come back as
+    // NULLs.
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val base = t(s, dir, "documents")
+      val work = scratch("jsonl_rt")
+      new graft.plugins.output.JsonWriterPlugin(
+        Map("output_path" -> work.resolve("out").toString), work, "default")
+        .execute(base).fold(e => throw e, _ => ())
+      val back = new graft.plugins.input.JsonScanPlugin(
+        Map("input_path" -> work.resolve("out").toString,
+          "schema_ddl" -> base.schema.toDDL), work, "default")
+        .execute().fold(e => throw e, identity)
+      back.select(base.schema.fieldNames.map(col).toSeq: _*).orderBy("doc_id")
+    }),
+
     // ---- Arrow IPC source/sink roundtrip under the oracle --------
     // Same gate for the Arrow-Java bridge: ipc_writer → ipc_scan
     // must reproduce the table bit-for-bit (types preserved, no
@@ -2026,6 +2046,9 @@ object SparkEntry {
 
     "q_ipc_roundtrip" ->
       "SELECT * FROM customer ORDER BY c_custkey",
+
+    "q_jsonl_roundtrip" ->
+      "SELECT * FROM documents ORDER BY doc_id",
 
     "text_repetition" ->
       """WITH src AS (

@@ -47,6 +47,7 @@ object Loader {
   val builtinAliases: Map[String, String] = Map(
     "parquet_scan" -> "graft.plugins.input.ParquetScanPlugin",
     "csv_scan" -> "graft.plugins.input.CsvScanPlugin",
+    "json_scan" -> "graft.plugins.input.JsonScanPlugin",
     "ipc_scan" -> "graft.plugins.input.IpcScanPlugin",
     "column_multiplier" -> "graft.plugins.transform.ColumnMultiplierPlugin",
     "filter" -> "graft.plugins.transform.FilterPlugin",
@@ -80,6 +81,7 @@ object Loader {
     "stream_parquet_writer" -> "graft.plugins.streaming.StreamParquetWriterPlugin",
     "parquet_writer" -> "graft.plugins.output.ParquetWriterPlugin",
     "csv_writer" -> "graft.plugins.output.CsvWriterPlugin",
+    "json_writer" -> "graft.plugins.output.JsonWriterPlugin",
     "ipc_writer" -> "graft.plugins.output.IpcWriterPlugin",
     // Compat aliases for the reference's shipped module paths (the
     // complete cryoflow_plugin_collections surface), so an existing

@@ -69,6 +69,34 @@ class CsvScanPlugin(options: Map[String, Any], configDir: Path, label: String)
     inputPath().flatMap(p => Errors.safe(reader(spark).csv(p.toString).schema))
 }
 
+/** JSONL source (newline-delimited JSON — the interchange format of
+  * LLM data drops). Schema: explicit via the `schema_ddl` option
+  * ("doc_id BIGINT, text STRING, ..." — the scale path: inference
+  * reads the data twice and types drift batch-to-batch) or inferred
+  * when absent. `multiline = true` switches to one-JSON-document
+  * files (not splittable — avoid at scale). */
+class JsonScanPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends FileInputPlugin(options, configDir, label) {
+  def name: String = "json_scan"
+
+  private def reader(spark: SparkSession) = {
+    val base = spark.read
+      .option("multiLine",
+        options.get("multiline").exists(_.toString.toBoolean))
+    options.get("schema_ddl") match {
+      case Some(ddl) => base.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(ddl.toString))
+      case None => base
+    }
+  }
+
+  def execute()(implicit spark: SparkSession): Either[Throwable, DataFrame] =
+    inputPath().flatMap(p => Errors.safe(reader(spark).json(p.toString)))
+
+  def dryRun()(implicit spark: SparkSession): Either[Throwable, StructType] =
+    inputPath().flatMap(p => Errors.safe(reader(spark).json(p.toString).schema))
+}
+
 /** A4 — Arrow IPC (Feather) source
   * (ref /root/reference/.../input/ipc_scan.py:20-52).
   *

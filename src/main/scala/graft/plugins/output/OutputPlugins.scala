@@ -163,6 +163,28 @@ class CsvWriterPlugin(options: Map[String, Any], configDir: Path, label: String)
     }
 }
 
+/** JSONL sink (newline-delimited JSON): one JSON object per row,
+  * written in parallel per task like the parquet sink — the standard
+  * hand-off format when the consumer is a tokenizer/trainer that
+  * doesn't read parquet. `compression` (e.g. `gzip`, `zstd`) keeps
+  * the text format's 3-5x size penalty in check. */
+class JsonWriterPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends FileOutputPlugin(options, configDir, label) {
+  def name: String = "json_writer"
+
+  def execute(df: DataFrame): Either[Throwable, Unit] =
+    outputPath().flatMap { p =>
+      Errors.safe {
+        ensureParent(p)
+        val out = if (singleFile) df.coalesce(1) else df
+        var writer = out.write.mode(mode)
+        options.get("compression").foreach(c =>
+          writer = writer.option("compression", c.toString))
+        writer.json(p.toString)
+      }
+    }
+}
+
 /** Arrow IPC sink, mirror of `write_ipc`
   * (docs/plugin_development.md:1239-1242). Driver-side single-file
   * write via the Arrow-Java bridge — parity-scale only (the reference's

@@ -449,4 +449,34 @@ class PluginSpec extends AnyFunSuite {
     assert(plug.resolvePath("/abs/../x.parquet").toString == "/x.parquet")
     assert(plug.label == "default")
   }
+
+  test("jsonl writer/scan: roundtrip with explicit schema; escaping survives") {
+    val tmp = Files.createTempDirectory("jsonl")
+    val df = Seq(
+      (1L, "line one\nline two"), (2L, "quote \" and \\ backslash"),
+      (3L, "héllo — ünicode"), (4L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val out = tmp.resolve("out").toString
+    new graft.plugins.output.JsonWriterPlugin(
+      Map("output_path" -> out, "compression" -> "gzip"), tmp, "default")
+      .execute(df).fold(e => fail(e.getMessage), identity)
+    val back = new graft.plugins.input.JsonScanPlugin(
+      Map("input_path" -> out, "schema_ddl" -> "id BIGINT, text STRING"),
+      tmp, "default")
+      .execute().fold(e => fail(e.getMessage), identity)
+    assert(back.schema.map(_.dataType.simpleString) == Seq("bigint", "string"))
+    val got = back.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(got == Seq(
+      (1L, Some("line one\nline two")), (2L, Some("quote \" and \\ backslash")),
+      (3L, Some("héllo — ünicode")), (4L, None)))
+    // gzip actually applied (part files carry the codec suffix)
+    assert(Files.list(Paths.get(out)).toArray.map(_.toString)
+      .exists(_.endsWith(".json.gz")))
+    // dry_run: explicit schema without touching data types drift
+    val schema = new graft.plugins.input.JsonScanPlugin(
+      Map("input_path" -> out, "schema_ddl" -> "id BIGINT, text STRING"),
+      tmp, "default").dryRun().fold(e => fail(e.getMessage), identity)
+    assert(schema.fieldNames.toSeq == Seq("id", "text"))
+  }
 }
