@@ -141,6 +141,31 @@ class PlanSpec extends AnyFunSuite {
       s"profile is one global aggregate, found ${shuffles.size} exchanges")
   }
 
+  test("vocab encoding is a shuffle-free projection") {
+    val vocab = Seq("doc" -> 0L, "number" -> 1L)
+    val encoded = Vocab.encode(docs, "text", vocab)
+    val shuffles = nodes(encoded).collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"broadcast-map encode must not shuffle, found ${shuffles.size}")
+  }
+
+  test("hive-partitioned write prunes directories on a partition filter") {
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    ((0L until 200L).map(i => (i, s"t${i % 4}")))
+      .toDF("id", "kind").write.mode("overwrite").partitionBy("kind").parquet(dir)
+    val filtered = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("kind") === "t1")
+    val scans = nodes(filtered).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // the partition filter must reach the scan's partition pruning,
+    // not run as a post-scan row filter over all 4 directories
+    assert(scans.head.partitionFilters.nonEmpty,
+      "kind = 't1' should prune partition directories at planning time")
+    assert(filtered.count() == 50L)
+  }
+
   test("incremental dedup's bloom-negative fast path is shuffle-free") {
     val ref = (0L until 50L).map(i => (i, s"k$i")).toDF("id", "k")
     val batch = (0L until 80L).map(i => (i, s"k${i * 3}")).toDF("id", "k")
