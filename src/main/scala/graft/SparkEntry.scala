@@ -296,6 +296,32 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- TPC-H Q5 shape: 6-table join, local-supplier revenue ----
+    // The multi-join stress test: region/nation broadcast by hint,
+    // the fact-side joins left to Catalyst/AQE (broadcast at this SF,
+    // sort-merge on the keys at cluster scale). The c_nationkey =
+    // s_nationkey constraint rides the supplier join.
+    "q_tpch_q5" -> ((s, dir) => {
+      // no date band: the canonical Q5 year filter leaves ZERO rows
+      // at sf0.001 (the local-supplier constraint is already ~1/25
+      // selective there), and an empty result is a vacuous oracle gate
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      val ord = t(s, dir, "orders")
+      t(s, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // ---- write-layout: Z-order (Morton) interleave kernel --------
     // Deterministic variant for the oracle: dimensions are modular
     // buckets, not sampled quantiles (approxQuantile boundaries are
@@ -1432,6 +1458,19 @@ object SparkEntry {
     "q_sort" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  r(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN customer ON o_custkey = c_custkey
+        |  AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q_zorder" ->
       s"""WITH m AS (
