@@ -118,8 +118,11 @@ object SparkEntry {
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship: the composed corpus-cleaning pipeline (language +
+    * quality gates, exact dedup, deterministic sample) — the
+    * end-to-end shape the engine exists for; 90 rows at sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_groupby_agg")(spark, "/root/testdata/sf0.001")
+    queries("pipeline_clean_corpus")(spark, "/root/testdata/sf0.001")
 
   /** Bench-only raw ANN top-k queries, kept under their historical
     * names so BENCH_r{N}.json stays comparable round-over-round. Not
