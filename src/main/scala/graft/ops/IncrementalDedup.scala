@@ -36,25 +36,37 @@ import graft.expressions.BloomMightContain
   */
 object IncrementalDedup {
 
-  /** Serialized one-pass Bloom summary of `reference[keyCol]`.
+  /** Serialized one-pass Bloom summary of `reference[keyCol]`, or
+    * None for an empty/all-NULL reference (Spark's `bloomFilter`
+    * aggregate yields a null buffer there — SPARK NPEs on readFrom).
     * `expectedItems` sizes the bit array; pass the known corpus
     * cardinality to avoid the sizing `count()` pass. */
   def buildFilter(reference: DataFrame, keyCol: String,
-                  expectedItems: Long = 0L, fpp: Double = 0.01): Array[Byte] = {
+                  expectedItems: Long = 0L,
+                  fpp: Double = 0.01): Option[Array[Byte]] = {
     val items =
       if (expectedItems > 0) expectedItems
-      else math.max(reference.select(keyCol).count(), 1L)
-    val bloom = reference.stat.bloomFilter(keyCol, items, fpp)
-    val out = new ByteArrayOutputStream()
-    bloom.writeTo(out)
-    out.toByteArray
+      else reference.select(keyCol).count()
+    if (items == 0) return None
+    try {
+      val bloom = reference.stat.bloomFilter(keyCol, items, fpp)
+      val out = new ByteArrayOutputStream()
+      bloom.writeTo(out)
+      Some(out.toByteArray)
+    } catch {
+      // expectedItems > 0 but the frame was actually empty/all-NULL
+      case _: NullPointerException => None
+    }
   }
 
   /** Rows of `batch` whose `keyCol` is NOT in `reference` (exact;
     * NULL keys are always kept, as in a left-anti join). */
   def cleaned(batch: DataFrame, reference: DataFrame, keyCol: String,
               expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
-    val bytes = buildFilter(reference, keyCol, expectedItems, fpp)
+    val bytes = buildFilter(reference, keyCol, expectedItems, fpp) match {
+      case None => return batch // nothing to dedup against
+      case Some(b) => b
+    }
     val bcast = batch.sparkSession.sparkContext.broadcast(bytes)
     val might = BloomMightContain.might_contain(col(keyCol), bcast)
     val definitelyNew = batch.filter(!might)

@@ -15,7 +15,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // keep a duplicate. Probe every inserted key.
     val keys = (1 to 2000).map(i => s"key_$i%07d")
     val ref = keys.toDF("k")
-    val bytes = IncrementalDedup.buildFilter(ref, "k", expectedItems = 2000)
+    val bytes = IncrementalDedup.buildFilter(ref, "k", expectedItems = 2000).get
     val bcast = spark.sparkContext.broadcast(bytes)
     val misses = ref
       .filter(!BloomMightContain.might_contain($"k", bcast))
@@ -25,7 +25,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
 
   test("probe has ZERO false negatives for long keys") {
     val ref = (1L to 2000L).map(_ * 2654435761L).toDF("k")
-    val bytes = IncrementalDedup.buildFilter(ref, "k", expectedItems = 2000)
+    val bytes = IncrementalDedup.buildFilter(ref, "k", expectedItems = 2000).get
     val bcast = spark.sparkContext.broadcast(bytes)
     val misses = ref
       .filter(!BloomMightContain.might_contain($"k", bcast)).count()
@@ -35,7 +35,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
   test("fpp is honored within reason on non-members") {
     val ref = (1 to 5000).map(i => s"in_$i").toDF("k")
     val bytes = IncrementalDedup.buildFilter(ref, "k",
-      expectedItems = 5000, fpp = 0.01)
+      expectedItems = 5000, fpp = 0.01).get
     val bcast = spark.sparkContext.broadcast(bytes)
     val fp = (1 to 5000).map(i => s"out_$i").toDF("k")
       .filter(BloomMightContain.might_contain($"k", bcast)).count()

@@ -183,4 +183,40 @@ class PropertySpec extends AnyFunSuite {
       assert(masks.distinct.size == masks.size)
     }
   }
+
+  test("chunking conserves tokens and reconstructs documents") {
+    import spark.implicits._
+    val genDoc = for {
+      n <- Gen.choose(0, 60)
+      toks <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "x9"))
+    } yield toks
+    val genCfg = for {
+      size <- Gen.choose(1, 12)
+      stride <- Gen.choose(1, size)
+    } yield (size, stride)
+
+    samples(genCfg, 5).foreach { case (size, stride) =>
+      val docs = samples(genDoc, 12).zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+      val df = docs.toDF("doc_id", "text")
+      val chunks = Chunking.slidingWindow(df, "doc_id", "text", size, stride)
+        .select("doc_id", "chunk_id", "chunk_text")
+        .as[(Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+        if (toks.isEmpty) assert(!chunks.contains(id))
+        else {
+          val got = chunks(id)
+          // expected windows from a scalar reference
+          val want = (0 until toks.size by stride)
+            .map(s => toks.slice(s, s + size).mkString(" "))
+          assert(got == want, s"size=$size stride=$stride doc=$id")
+          // stride == size ⇒ chunks partition the token stream exactly
+          if (stride == size)
+            assert(got.flatMap(_.split(" ")).filter(_.nonEmpty) == toks)
+        }
+      }
+    }
+  }
 }

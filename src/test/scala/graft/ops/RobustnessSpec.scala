@@ -96,4 +96,42 @@ class RobustnessSpec extends AnyFunSuite {
       joinType = "left").count() == 1)
     assert(RangeJoin.within(l, rEmpty, Seq("k"), "t", "t2", 10L).count() == 0)
   }
+
+  test("round-6 ops over empty and degenerate inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Chunking.slidingWindow(empty, "doc_id", "text", 8, 4).count() == 0)
+    assert(Vocab.topTokens(empty, "text", 10).isEmpty)
+    assert(Vocab.encode(empty, "text", Seq.empty).count() == 0)
+    assert(IncrementalDedup.cleaned(empty, empty, "text").count() == 0)
+    // empty reference: everything in the batch is new
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(IncrementalDedup.cleaned(batch, empty, "text").count() == 2)
+    // profiling an all-null column: 0 distinct, NULL min/max
+    val nulls = Seq.fill(3)(Tuple1(Option.empty[String])).toDF("c")
+    val st = Profiling.columnStats(nulls, Seq("c"), exact = true).collect()(0)
+    assert(st.getLong(1) == 3L && st.getLong(2) == 3L && st.getLong(3) == 0L)
+    assert(st.isNullAt(4) && st.isNullAt(5))
+    // z-order on a constant column degenerates to one bucket, no crash
+    val const = Seq.fill(20)((1L, 5L)).toDF("x", "y")
+    assert(ZOrder.clustered(const, Seq("x", "y"), bits = 4).count() == 20)
+  }
+
+  test("round-6 plugins fail loudly on missing required options") {
+    val tmp = java.nio.file.Files.createTempDirectory("robust")
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    import graft.plugins.transform._
+    assert(new ChunkPlugin(Map.empty, tmp, "default")
+      .execute(df).left.exists(_.getMessage.contains("id_column")))
+    assert(new ProfilePlugin(Map.empty, tmp, "default")
+      .execute(df).left.exists(_.getMessage.contains("columns")))
+    assert(new DedupPlugin(Map("method" -> "incremental",
+        "id_column" -> "doc_id"), tmp, "default")
+      .execute(df).left.exists(_.getMessage.contains("reference_path")))
+    assert(new SamplePlugin(Map("method" -> "split", "key_column" -> "doc_id",
+        "split_names" -> Seq("a", "b"), "split_fracs" -> Seq("1.0")),
+        tmp, "default")
+      .execute(df).left.exists(_.getMessage.contains("align")))
+    assert(new graft.plugins.input.JsonScanPlugin(Map.empty, tmp, "default")
+      .execute()(spark).left.exists(_.getMessage.contains("input_path")))
+  }
 }
