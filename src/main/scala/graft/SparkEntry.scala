@@ -299,6 +299,27 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- pivot: long → wide with an explicit category list -------
+    // Explicit values make the output schema static (no extra
+    // distinct-scan job, deterministic column order — the only sane
+    // form at scale) and keep the oracle a portable CASE aggregation.
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .pivot("lang", Seq("en", "de", "fr", "es", "und"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("source")),
+
+    // ---- unpivot/melt: wide → long -------------------------------
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "part")
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice").cast("double").as("p_retailprice"),
+            col("p_size").cast("double").as("p_size")),
+          "measure", "value")
+        .orderBy("p_partkey", "measure")),
+
     // ---- TPC-H Q5 shape: 6-table join, local-supplier revenue ----
     // The multi-join stress test: region/nation broadcast by hint,
     // the fact-side joins left to Catalyst/AQE (broadcast at this SF,
@@ -1461,6 +1482,22 @@ object SparkEntry {
     "q_sort" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT source,
+        |  CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS en,
+        |  CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS de,
+        |  CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+        |  CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS es,
+        |  CAST(count(*) FILTER (lang = 'und') AS BIGINT) AS und
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT p_partkey, 'p_retailprice' AS measure,
+        |  CAST(p_retailprice AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+        |ORDER BY p_partkey, measure""".stripMargin,
 
     "q_tpch_q5" ->
       """SELECT n_name,

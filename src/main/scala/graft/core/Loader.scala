@@ -77,6 +77,8 @@ object Loader {
     "chunk" -> "graft.plugins.transform.ChunkPlugin",
     "profile" -> "graft.plugins.transform.ProfilePlugin",
     "vocab_encode" -> "graft.plugins.transform.VocabEncodePlugin",
+    "pivot" -> "graft.plugins.transform.PivotPlugin",
+    "unpivot" -> "graft.plugins.transform.UnpivotPlugin",
     "parquet_stream_scan" -> "graft.plugins.streaming.ParquetStreamScanPlugin",
     "stream_parquet_writer" -> "graft.plugins.streaming.StreamParquetWriterPlugin",
     "parquet_writer" -> "graft.plugins.output.ParquetWriterPlugin",

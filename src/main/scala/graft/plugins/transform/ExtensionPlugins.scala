@@ -320,6 +320,67 @@ class ChunkPlugin(options: Map[String, Any], configDir: Path, label: String)
     }
 }
 
+/** Config-driven pivot (long → wide): group_by (req, list),
+  * pivot_column (req), values (req, list — explicit categories keep
+  * the schema static and skip the distinct-scan job), aggregation
+  * (SQL agg expr, default "count(*)"), fill (numeric, fills the
+  * null cells of absent combinations). */
+class PivotPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "pivot"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      groups <- stringList("group_by")
+      pivotCol <- requiredString("pivot_column")
+      values <- stringList("values")
+      out <- graft.core.Errors.safe {
+        val agg = org.apache.spark.sql.functions.expr(
+          options.getOrElse("aggregation", "count(*)").toString)
+        val wide = df.groupBy(groups.map(org.apache.spark.sql.functions.col): _*)
+          .pivot(pivotCol, values).agg(agg)
+        options.get("fill") match {
+          case Some(v) => wide.na.fill(v.toString.toDouble)
+          case None => wide
+        }
+      }
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    requiredString("pivot_column").flatMap { _ =>
+      propagateSchema(schema)(df => execute(df).fold(e => throw e, identity))
+    }
+}
+
+/** Config-driven unpivot/melt (wide → long): id_columns (req, list),
+  * value_columns (req, list — cast to double), variable_column
+  * (default "measure"), value_column (default "value"). */
+class UnpivotPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "unpivot"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      ids <- stringList("id_columns")
+      vals <- stringList("value_columns")
+      out <- graft.core.Errors.safe {
+        import org.apache.spark.sql.functions.col
+        df.unpivot(ids.map(col).toArray,
+          vals.map(c => col(c).cast("double").as(c)).toArray,
+          options.getOrElse("variable_column", "measure").toString,
+          options.getOrElse("value_column", "value").toString)
+      }
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    for {
+      _ <- stringList("id_columns")
+      _ <- stringList("value_columns")
+      out <- propagateSchema(schema)(df =>
+        execute(df).fold(e => throw e, identity))
+    } yield out
+}
+
 /** Config-driven vocab-id encoding ([[graft.ops.Vocab]]): build the
   * top-`vocab_size` token table from the incoming frame (bounded
   * driver collect — an EAGER action over the upstream plan, like

@@ -450,6 +450,29 @@ class PluginSpec extends AnyFunSuite {
     assert(plug.label == "default")
   }
 
+  test("pivot/unpivot plugins: wide<->long with explicit categories") {
+    val tmp = Files.createTempDirectory("pivot")
+    val df = Seq(("s1", "en", 10.0), ("s1", "de", 20.0), ("s2", "en", 5.0))
+      .toDF("src", "lang", "v")
+    val wide = new PivotPlugin(Map("group_by" -> Seq("src"),
+        "pivot_column" -> "lang", "values" -> Seq("en", "de"),
+        "aggregation" -> "sum(v)", "fill" -> 0), tmp, "default")
+      .execute(df).fold(e => fail(e.getMessage), identity)
+    assert(wide.columns.toSeq == Seq("src", "en", "de"))
+    val rows = wide.orderBy("src").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("s1", 10.0, 20.0), ("s2", 5.0, 0.0)))
+
+    val long = new UnpivotPlugin(Map("id_columns" -> Seq("src"),
+        "value_columns" -> Seq("en", "de")), tmp, "default")
+      .execute(wide).fold(e => fail(e.getMessage), identity)
+    assert(long.columns.toSeq == Seq("src", "measure", "value"))
+    assert(long.count() == 4)
+    // missing option errors are clean
+    assert(new PivotPlugin(Map("group_by" -> Seq("src")), tmp, "default")
+      .execute(df).left.exists(_.getMessage.contains("pivot_column")))
+  }
+
   test("jsonl writer/scan: roundtrip with explicit schema; escaping survives") {
     val tmp = Files.createTempDirectory("jsonl")
     val df = Seq(
