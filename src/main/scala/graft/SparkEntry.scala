@@ -887,6 +887,25 @@ object SparkEntry {
         .execute(docs).fold(e => throw e, identity)
     }),
 
+    // ---- SQL-function surface, round-6 kernels -------------------
+    // char_entropy and zorder_code driven through the free-form sql
+    // plugin, proving the SessionExtensions registration end-to-end
+    // (not just the Column API); the oracle recomputes both the long
+    // way (char explode / shift-mask terms).
+    "q_sql_kernels2" -> ((s, dir) => {
+      val docs = tBalanced(s, dir, "documents")
+        .select("doc_id", "text", "n_chars")
+      new graft.plugins.transform.SqlPlugin(
+        Map("query" ->
+          ("SELECT doc_id, " +
+            "floor(char_entropy(text) * 10000 + 0.5 + 1e-6) / 10000 AS h, " +
+            "zorder_code(array(CAST(doc_id % 16 AS INT), " +
+            "CAST(n_chars % 16 AS INT)), 4) AS z " +
+            "FROM input WHERE text IS NOT NULL ORDER BY doc_id")),
+        java.nio.file.Paths.get("/tmp"), "default")
+        .execute(docs).fold(e => throw e, identity)
+    }),
+
     // ---- domain mixing: downsample to target source weights ------
     // src0 binds (rate 1.0), src1/src2 are hash-sampled to 0.6/0.4 —
     // the oracle recomputes counts, rates, and bands in SQL with the
@@ -1498,6 +1517,27 @@ object SparkEntry {
         |UNION ALL
         |SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
         |ORDER BY p_partkey, measure""".stripMargin,
+
+    "q_sql_kernels2" ->
+      s"""WITH chars AS (
+        |  SELECT doc_id, substr(text, CAST(u.g AS INTEGER), 1) AS ch
+        |  FROM documents, LATERAL (SELECT unnest(range(1, len(text) + 1)) AS g) u
+        |  WHERE text IS NOT NULL
+        |), freq AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+        |  FROM chars GROUP BY doc_id, ch
+        |), ent AS (
+        |  SELECT doc_id, sum(-(c / n) * (ln(c / n) / ln(2))) AS h
+        |  FROM (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n
+        |        FROM freq)
+        |  GROUP BY doc_id
+        |), m AS (
+        |  SELECT doc_id, doc_id % 16 AS a, n_chars % 16 AS b
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT m.doc_id, r(coalesce(ent.h, 0.0), 4) AS h,
+        |  CAST((${mortonTerms("a", "b", 4)}) AS BIGINT) AS z
+        |FROM m LEFT JOIN ent ON m.doc_id = ent.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
 
     "q_tpch_q5" ->
       """SELECT n_name,
