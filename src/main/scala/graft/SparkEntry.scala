@@ -1078,6 +1078,18 @@ object SparkEntry {
     "sim_recall_ivfpq" -> ((s, dir) =>
       recallGate(benchOnly("sim_topk_ivfpq")(s, dir), s, dir)),
 
+    // ---- int8 embedding quantization -----------------------------
+    // Exploded to (vec_id, pos, q) — every quantized cell under the
+    // hash oracle; the floats (q_min/q_scale) stay implicit via q.
+    "sim_quantize_int8" -> ((s, dir) =>
+      graft.ops.Similarity.quantizeInt8(
+          t(s, dir, "embeddings").filter(col("embedding").isNotNull),
+          "embedding")
+        .select(col("vec_id"), posexplode(col("emb_q")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("col").as("q"))
+        .orderBy("vec_id", "pos")),
+
     // ---- per-group embedding centroids ---------------------------
     // Element-wise mean vector per label; edge rows pin NULL-ignore
     // and ragged-prefix semantics. The centroid is exploded to
@@ -2423,6 +2435,21 @@ object SparkEntry {
         |  CAST(count(*) * 5 AS BIGINT) AS n_possible,
         |  true AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "sim_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |), s AS (
+        |  SELECT vec_id, v, list_aggregate(v, 'min') AS mn,
+        |    (list_aggregate(v, 'max') - list_aggregate(v, 'min')) / 255.0 AS sc
+        |  FROM e)
+        |SELECT vec_id, CAST(u.p - 1 AS BIGINT) AS pos,
+        |  CAST(CASE WHEN sc = 0 THEN -128
+        |    ELSE CAST(floor((v[CAST(u.p AS INTEGER)] - mn) / sc + 0.5 + 1e-6)
+        |      AS BIGINT) - 128 END AS INTEGER) AS q
+        |FROM s, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS p) u
+        |ORDER BY vec_id, pos""".stripMargin,
 
     "sim_centroids" ->
       """WITH src AS (

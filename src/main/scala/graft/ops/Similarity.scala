@@ -310,6 +310,36 @@ object Similarity {
         max(col("_n")).as("n_vectors"))
   }
 
+  /** Per-vector int8 quantization: each embedding is rescaled to its
+    * own [min, max] range and stored as `emb_q` array<int8-valued
+    * int> plus the two floats needed to dequantize (`q_min`,
+    * `q_scale`) — the standard 4x storage/shuffle compression for an
+    * embedding corpus whose consumers tolerate ≤ scale/2 absolute
+    * error (ANN candidate generation does; exact re-rank stays on
+    * the fp vectors). Shuffle-free per-row projection; all arithmetic
+    * in double with the engine-portable floor(x + 0.5 + 1e-6)
+    * rounding, so the oracle reproduces every cell bit-for-bit.
+    * Degenerate constant vectors (scale 0) map to -128 (dequantize
+    * back to the constant). NULL embeddings stay NULL. */
+  def quantizeInt8(df: DataFrame, embCol: String): DataFrame = {
+    val embD = col(embCol).cast("array<double>")
+    df.withColumn("_e", embD)
+      .withColumn("_mn", array_min(col("_e")))
+      .withColumn("_s", (array_max(col("_e")) - col("_mn")) / 255.0)
+      .withColumn("emb_q",
+        transform(col("_e"), x =>
+          when(col("_s") === 0.0, lit(-128))
+            .otherwise((floor((x - col("_mn")) / col("_s") + 0.5 + 1e-6)
+              - 128).cast("int"))))
+      .withColumn("q_min", col("_mn"))
+      .withColumn("q_scale", col("_s"))
+      .drop("_e", "_mn", "_s")
+  }
+
+  /** Inverse of [[quantizeInt8]]: mn + (q + 128) · scale. */
+  def dequantizeInt8(qCol: Column, mnCol: Column, sCol: Column): Column =
+    transform(qCol, q => mnCol + (q + lit(128)).cast("double") * sCol)
+
   /** All masks over `planes` bits with popcount ≤ maxFlips — the
     * multi-probe neighborhood of a signature. */
   private[ops] def probeMasks(planes: Int, maxFlips: Int): Seq[Long] =

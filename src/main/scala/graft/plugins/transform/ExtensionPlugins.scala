@@ -520,6 +520,9 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
         out <- graft.core.Errors.safe(
           graft.ops.Similarity.groupCentroids(df, groups, embCol0))
       } yield out
+    if (options.getOrElse("method", "brute").toString == "quantize_int8")
+      return graft.core.Errors.safe(
+        graft.ops.Similarity.quantizeInt8(df, embCol0))
     for {
       idCol <- requiredString("id_column")
       ql <- requiredString("queries_label")

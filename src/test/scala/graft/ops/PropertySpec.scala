@@ -184,6 +184,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: dequantization error bounded by scale/2") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val genVec = for {
+      d <- Gen.choose(1, 24)
+      xs <- Gen.listOfN(d, Gen.choose(-100.0, 100.0))
+    } yield xs.map(_.toFloat)
+    val vecs = samples(genVec, 30) :+ Seq.fill(8)(3.5f) // constant edge
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "embedding")
+    val err = q.select(col("vec_id"), col("q_scale"),
+        zip_with(col("embedding").cast("array<double>"),
+          Similarity.dequantizeInt8(col("emb_q"), col("q_min"), col("q_scale")),
+          (a, b) => abs(a - b)).as("errs"))
+      .select(col("q_scale"), array_max(col("errs")).as("maxerr"))
+      .as[(Double, Double)].collect()
+    err.foreach { case (scale, maxerr) =>
+      assert(maxerr <= scale / 2 + 1e-9, s"err $maxerr > half-step ${scale / 2}")
+    }
+    // int8 range respected
+    val bounds = q.select(explode(col("emb_q"))).as[Int].collect()
+    assert(bounds.forall(v => v >= -128 && v <= 127))
+  }
+
   test("chunking conserves tokens and reconstructs documents") {
     import spark.implicits._
     val genDoc = for {
