@@ -1023,6 +1023,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- blocklist gate (UT1-style bad-word filtering) -----------
+    // Four common corpus tokens stand in for a real blocklist; the
+    // stage shape (broadcast hash map, shuffle-free projection) is
+    // what carries a 10k-term list at 100 TB.
+    "text_blocklist" -> ((s, dir) =>
+      Text.withBlocklistStats(tBalanced(s, dir, "documents"), "text",
+          Seq("the", "and", "data", "of"))
+        .select(col("doc_id"), col("n_tokens_blocked"),
+          r(col("blocked_ratio"), 4).as("blocked_ratio"))
+        .orderBy("doc_id")),
+
     // ---- vocab-id encoding (token_ids sequences) -----------------
     // Top-100 vocab built from the corpus itself (bounded driver
     // collect), broadcast, then a shuffle-free per-row encode; the
@@ -1970,6 +1981,23 @@ object SparkEntry {
         |       ELSE r(coalesce(ent.h, 0.0), 4) END AS char_entropy
         |FROM src s LEFT JOIN ent ON s.doc_id = ent.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    "text_blocklist" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR trim(text) = ''
+        |      THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, toks,
+        |    len(list_filter(toks,
+        |      x -> list_contains(['the', 'and', 'data', 'of'], x))) AS hits
+        |  FROM t)
+        |SELECT doc_id, CAST(hits AS BIGINT) AS n_tokens_blocked,
+        |  r(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(hits AS DOUBLE) / len(toks) END, 4) AS blocked_ratio
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q_vocab_encode" ->
       """WITH vocab AS (

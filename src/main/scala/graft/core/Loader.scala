@@ -78,6 +78,7 @@ object Loader {
     "profile" -> "graft.plugins.transform.ProfilePlugin",
     "vocab_encode" -> "graft.plugins.transform.VocabEncodePlugin",
     "pivot" -> "graft.plugins.transform.PivotPlugin",
+    "blocklist" -> "graft.plugins.transform.BlocklistPlugin",
     "unpivot" -> "graft.plugins.transform.UnpivotPlugin",
     "parquet_stream_scan" -> "graft.plugins.streaming.ParquetStreamScanPlugin",
     "stream_parquet_writer" -> "graft.plugins.streaming.StreamParquetWriterPlugin",

@@ -324,6 +324,41 @@ object Text {
   }
 
   /** Convenience: attach the full analysis column set (staged). */
+  /** Blocklist stats: `n_tokens_blocked` (total occurrences of
+    * blocklisted tokens, lowercased whitespace tokenization) and
+    * `blocked_ratio` — the UT1-style bad-word gate every web-corpus
+    * cleaning recipe applies. The blocklist rides as a BROADCAST hash
+    * map via the [[graft.expressions.VocabEncode]] kernel (real
+    * blocklists run to tens of thousands of terms — a literal
+    * `isin`/array would be O(tokens × terms) interpreted work per
+    * row), so the whole stage is a shuffle-free projection. */
+  def withBlocklistStats(df: DataFrame, textCol: String,
+                         blocklist: Seq[String]): DataFrame = {
+    val m = new java.util.HashMap[String, java.lang.Long](blocklist.size * 2)
+    blocklist.foreach(w => m.put(w.toLowerCase, 0L))
+    val bcast = df.sparkSession.sparkContext.broadcast(m)
+    val toks = when(trim(col(textCol)) === "" || col(textCol).isNull,
+        array().cast("array<string>"))
+      .otherwise(split(lower(trim(col(textCol))), "\\s+"))
+    val ids = graft.expressions.VocabEncode.vocab_encode(toks, bcast, -1L)
+    df.withColumn("_bl_hits", size(filter(ids, x => x >= 0)))
+      .withColumn("n_tokens_blocked", col("_bl_hits").cast("long"))
+      .withColumn("blocked_ratio",
+        when(size(ids) === 0, 0.0)
+          .otherwise(col("_bl_hits").cast("double") /
+            size(ids).cast("double")))
+      .drop("_bl_hits")
+  }
+
+  /** Keep documents whose blocklisted-token ratio stays under
+    * `maxRatio` (strictly-less; 0.0 drops any doc with a hit). */
+  def filterBlocklisted(df: DataFrame, textCol: String,
+                        blocklist: Seq[String],
+                        maxRatio: Double = 0.0): DataFrame =
+    withBlocklistStats(df, textCol, blocklist)
+      .filter(col("blocked_ratio") <= maxRatio)
+      .drop("n_tokens_blocked", "blocked_ratio")
+
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val staged = withLangId(withQualityMetrics(df, textCol), textCol)

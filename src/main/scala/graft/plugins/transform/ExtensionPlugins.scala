@@ -320,6 +320,35 @@ class ChunkPlugin(options: Map[String, Any], configDir: Path, label: String)
     }
 }
 
+/** Config-driven blocklist gate ([[graft.ops.Text]], UT1-style):
+  * words (req, list), text_column (default text), mode: "flags"
+  * (attach n_tokens_blocked/blocked_ratio) or "filter" (default —
+  * keep docs with blocked_ratio <= max_ratio, default 0.0). */
+class BlocklistPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "blocklist"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      words <- stringList("words")
+      out <- graft.core.Errors.safe {
+        val tc = options.getOrElse("text_column", "text").toString
+        options.getOrElse("mode", "filter").toString match {
+          case "flags" => graft.ops.Text.withBlocklistStats(df, tc, words)
+          case "filter" => graft.ops.Text.filterBlocklisted(df, tc, words,
+            options.get("max_ratio").map(_.toString.toDouble).getOrElse(0.0))
+          case other => throw new PluginExecutionError(
+            s"Unknown blocklist mode: '$other'")
+        }
+      }
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    stringList("words").flatMap { _ =>
+      propagateSchema(schema)(df => execute(df).fold(e => throw e, identity))
+    }
+}
+
 /** Config-driven pivot (long → wide): group_by (req, list),
   * pivot_column (req), values (req, list — explicit categories keep
   * the schema static and skip the distinct-scan job), aggregation
