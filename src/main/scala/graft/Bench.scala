@@ -34,8 +34,10 @@ object Bench {
     "text_entropy", "text_vocab", "q_vocab_encode", "q_split",
     "q_chunk_windows", "q_profile",
     "q_gopher_rules",
+    "text_blocklist",
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivfpq",
-    "multimodal_meta")
+    "sim_quantize_raw",
+    "multimodal_meta", "q_pivot", "q_unpivot")
 
   /** Full query inventory: oracled queries + bench-only raw ANN
     * top-k (kept under their historical names). */

@@ -130,6 +130,12 @@ object SparkEntry {
     * quality is gated by the oracled `sim_recall_*` queries below and
     * the ≥0.9 ScalaTest floors (OpsSpec). */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the quantize OPERATOR (shuffle-free projection); the oracled
+    // sim_quantize_int8 spelling explodes/sorts millions of cells for
+    // the hash compare, which would benchmark the oracle, not the op
+    "sim_quantize_raw" -> ((s, dir) =>
+      graft.ops.Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding")
+        .select("vec_id", "emb_q", "q_min", "q_scale")),
     "sim_topk_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
