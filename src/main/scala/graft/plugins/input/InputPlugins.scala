@@ -155,7 +155,10 @@ object ArrowIpc {
       if (f.getPrecision == FloatingPointPrecision.SINGLE) FloatType else DoubleType
     case _: ArrowType.Bool => BooleanType
     case _: ArrowType.Date => DateType
-    case _: ArrowType.Timestamp => TimestampType
+    // tz-less Arrow timestamps are wall-clock values — Spark's NTZ
+    // type, matching how its parquet reader infers naive timestamps
+    case t: ArrowType.Timestamp =>
+      if (t.getTimezone == null) TimestampNTZType else TimestampType
     case _: ArrowType.Binary | _: ArrowType.LargeBinary |
          _: ArrowType.BinaryView => BinaryType
     case other => throw new IllegalArgumentException(s"Unsupported Arrow type: $other")
@@ -199,15 +202,35 @@ object ArrowIpc {
       case x: BitVector => x.get(i) == 1
       case x: DateDayVector => java.sql.Date.valueOf(
         java.time.LocalDate.ofEpochDay(x.get(i).toLong))
+      // tz-less vectors surface as LocalDateTime (Spark NTZ external
+      // type); tz-aware ones as java.sql.Timestamp (TimestampType)
       case x: TimeStampMicroVector =>
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(x.get(i), 1000000L),
+          (Math.floorMod(x.get(i), 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case x: TimeStampMicroTZVector =>
         java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(
           x.get(i), java.time.temporal.ChronoUnit.MICROS))
       case x: TimeStampMilliVector =>
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(x.get(i), 1000L),
+          (Math.floorMod(x.get(i), 1000L) * 1000000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case x: TimeStampMilliTZVector =>
         new java.sql.Timestamp(x.get(i))
       case x: TimeStampNanoVector =>
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(x.get(i), 1000000000L),
+          Math.floorMod(x.get(i), 1000000000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case x: TimeStampNanoTZVector =>
         java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(
           x.get(i), java.time.temporal.ChronoUnit.NANOS))
       case x: TimeStampSecVector =>
+        java.time.LocalDateTime.ofEpochSecond(x.get(i), 0,
+          java.time.ZoneOffset.UTC)
+      case x: TimeStampSecTZVector =>
         new java.sql.Timestamp(x.get(i) * 1000L)
       case x: VarBinaryVector => x.get(i)
       case other =>
@@ -239,36 +262,49 @@ object ArrowIpc {
     } finally { ch.close(); alloc.close() }
   }
 
-  /** Write a (small, driver-collected) DataFrame as one Arrow IPC file.
-    * Mirror of the reference's `write_ipc` surface
+  /** Spark → Arrow field mapping for the write paths (driver-side
+    * [[writeFile]] and the distributed [[graft.sources.ArrowIpcWriter]]).
+    * Covers the reference's `write_ipc` type surface
     * (docs/plugin_development.md:1239-1242). */
-  def writeFile(df: DataFrame, path: Path, batchRows: Int = Int.MaxValue): Unit = {
-    import org.apache.arrow.vector.types.pojo.{Schema => ASchema, FieldType}
-    import scala.jdk.CollectionConverters._
-
-    def toArrowField(f: StructField): AField = {
-      val t: ArrowType = f.dataType match {
-        case StringType => ArrowType.Utf8.INSTANCE
-        case ByteType => new ArrowType.Int(8, true)
-        case ShortType => new ArrowType.Int(16, true)
-        case IntegerType => new ArrowType.Int(32, true)
-        case LongType => new ArrowType.Int(64, true)
-        case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
-        case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
-        case BooleanType => ArrowType.Bool.INSTANCE
-        case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
-        case TimestampType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, "UTC")
-        case BinaryType => ArrowType.Binary.INSTANCE
-        case other => throw new IllegalArgumentException(
-          s"Unsupported Spark type for IPC write: $other")
-      }
-      new AField(f.name, new FieldType(f.nullable, t, null), null)
+  def toArrowField(f: StructField): AField = {
+    import org.apache.arrow.vector.types.pojo.FieldType
+    val t: ArrowType = f.dataType match {
+      case StringType => ArrowType.Utf8.INSTANCE
+      case ByteType => new ArrowType.Int(8, true)
+      case ShortType => new ArrowType.Int(16, true)
+      case IntegerType => new ArrowType.Int(32, true)
+      case LongType => new ArrowType.Int(64, true)
+      case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+      case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case BooleanType => ArrowType.Bool.INSTANCE
+      case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
+      case TimestampType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, "UTC")
+      case TimestampNTZType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, null)
+      case BinaryType => ArrowType.Binary.INSTANCE
+      case other => throw new IllegalArgumentException(
+        s"Unsupported Spark type for IPC write: $other")
     }
+    new AField(f.name, new FieldType(f.nullable, t, null), null)
+  }
+
+  def toArrowSchema(schema: StructType): org.apache.arrow.vector.types.pojo.Schema = {
+    import scala.jdk.CollectionConverters._
+    new org.apache.arrow.vector.types.pojo.Schema(
+      schema.fields.map(toArrowField).toList.asJava)
+  }
+
+  /** Write a (small, driver-collected) DataFrame as one Arrow IPC file.
+    * Reference implementation the distributed
+    * [[graft.sources.ArrowIpcWriter]] is tested against; the product
+    * sink ([[graft.plugins.output.IpcWriterPlugin]]) uses the DSv2
+    * path — this stays for tests and tools only. */
+  def writeFile(df: DataFrame, path: Path, batchRows: Int = Int.MaxValue): Unit = {
+    import scala.jdk.CollectionConverters._
 
     val rows = df.collect()
     val schema = df.schema
     val alloc = new RootAllocator()
-    val aschema = new ASchema(schema.fields.map(toArrowField).toList.asJava)
+    val aschema = toArrowSchema(schema)
     val root = VectorSchemaRoot.create(aschema, alloc)
     val out = Files.newOutputStream(path)
     try {
@@ -297,6 +333,10 @@ object ArrowIpc {
               case (v: TimeStampMicroTZVector, _) =>
                 val ts = row.getTimestamp(j).toInstant
                 v.setSafe(i, ts.getEpochSecond * 1000000L + ts.getNano / 1000L)
+              case (v: TimeStampMicroVector, _) =>
+                val ldt = row.getAs[java.time.LocalDateTime](j)
+                v.setSafe(i, ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+                  ldt.getNano / 1000L)
               case (v: VarBinaryVector, _) => v.setSafe(i, row.getAs[Array[Byte]](j))
               case (v, t) => throw new IllegalArgumentException(
                 s"Unsupported vector/type for IPC write: ${v.getClass.getSimpleName}/$t")

@@ -186,9 +186,18 @@ class JsonWriterPlugin(options: Map[String, Any], configDir: Path, label: String
 }
 
 /** Arrow IPC sink, mirror of `write_ipc`
-  * (docs/plugin_development.md:1239-1242). Driver-side single-file
-  * write via the Arrow-Java bridge — parity-scale only (the reference's
-  * IPC fixtures are KB-sized); parquet is the scale sink. */
+  * (docs/plugin_development.md:1239-1242). Distributed by default:
+  * the arrow-ipc DataSourceV2 write streams each partition into its
+  * own part file (record batches of `batch_rows` rows), so nothing
+  * materializes on the driver and a frame of any size writes in
+  * parallel — the mirror of the read side's batch-per-task split.
+  *
+  * `single_file = true` restores the reference's exact one-FILE shape:
+  * the frame is coalesced to one task, written through the same DSv2
+  * path into a staging directory, and the lone part file is renamed to
+  * `output_path` — still zero rows through the driver (the coalesce
+  * serializes the write onto one executor core, as with the other
+  * single_file sinks). */
 class IpcWriterPlugin(options: Map[String, Any], configDir: Path, label: String)
     extends FileOutputPlugin(options, configDir, label) {
   def name: String = "ipc_writer"
@@ -197,7 +206,25 @@ class IpcWriterPlugin(options: Map[String, Any], configDir: Path, label: String)
     outputPath().flatMap { p =>
       Errors.safe {
         ensureParent(p)
-        graft.plugins.input.ArrowIpc.writeFile(df, p)
+        var writer = df.write.format("arrow-ipc")
+        options.get("batch_rows").foreach(n =>
+          writer = writer.option("batch_rows", n.toString))
+        if (singleFile) {
+          val staging = p.resolveSibling(p.getFileName.toString + ".staging")
+          df.coalesce(1).write.format("arrow-ipc").mode("overwrite")
+            .options(options.get("batch_rows")
+              .map(n => Map("batch_rows" -> n.toString)).getOrElse(Map.empty))
+            .save(staging.toString)
+          val parts = graft.sources.ArrowIpcSource.resolvePaths(staging.toString)
+          require(parts.size == 1,
+            s"single_file ipc write produced ${parts.size} part files")
+          Files.deleteIfExists(p)
+          Files.move(java.nio.file.Paths.get(parts.head), p,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          Files.delete(staging)
+        } else {
+          writer.mode(mode).save(p.toString)
+        }
       }
     }
 }

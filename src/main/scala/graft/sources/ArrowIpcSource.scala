@@ -47,9 +47,15 @@ class ArrowIpcSource extends TableProvider with DataSourceRegister {
       java.nio.file.Paths.get(paths(options).head))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new IpcTable(schema,
-      paths(new CaseInsensitiveStringMap(properties)))
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val raw = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException("arrow-ipc: 'path' is required"))
+    // keep the raw path: for writes the target may not exist yet, so
+    // file resolution is deferred to scan-building time
+    new IpcTable(schema, raw,
+      Option(opts.get("batch_rows")).map(_.toInt).getOrElse(1 << 16))
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -78,14 +84,22 @@ object ArrowIpcSource {
   }
 }
 
-private[sources] class IpcTable(schema: StructType, files: Seq[String])
-    extends Table with SupportsRead {
-  override def name(): String = s"arrow-ipc(${files.mkString(",")})"
+private[sources] class IpcTable(schema: StructType, rawPath: String,
+                                batchRows: Int)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  override def name(): String = s"arrow-ipc($rawPath)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new IpcScanBuilder(schema, files)
+    new IpcScanBuilder(schema, ArrowIpcSource.resolvePaths(rawPath))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new IpcWriteBuilder(info.schema(), rawPath,
+      Option(info.options.get("batch_rows")).map(_.toInt).getOrElse(batchRows))
 }
 
 private[sources] class IpcScanBuilder(fullSchema: StructType, files: Seq[String])
