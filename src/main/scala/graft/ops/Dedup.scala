@@ -118,10 +118,14 @@ object Dedup {
     *    (members similar to each other but not to the hub lose their
     *    direct edge) — that is the price of never going quadratic.
     *
-    * Plan-cost note: the signature/banding subtree feeds several
-    * consumers (bucket counts, the capped self-join, and in star mode
-    * the over-cap branch); identical shuffle exchanges are deduped by
-    * Spark's ReuseExchange, but callers running this over an
+    * Plan-cost note — the signature/banding subtree feeds several
+    * consumers (bucket counts, both self-join sides, the star branch,
+    * and the per-side re-attach joins); their canonically-identical
+    * shuffle exchanges are collapsed at runtime by AQE's
+    * ReuseExchange, and the one-hash affine kernel makes any
+    * remaining recompute ~0.1 s per million docs per core — pair
+    * volume, not signature passes, dominates (A/B evidence in
+    * [[graft.tools.AbMinhash]]). Callers running this over an
     * EXPENSIVE upstream chain should persist their input — and at
     * petabyte scale run [[byFingerprint]] first so identical docs
     * (the main flood source) collapse before any signature work.
@@ -144,10 +148,17 @@ object Dedup {
         .as("bucket"))
       .select(col(idCol), col("bucket.band").as("band"), col("bucket.bh").as("bh"))
 
-    // Cap pathological buckets (boilerplate floods) before the self-join.
-    val bucketCounts = banded.groupBy("band", "bh").count()
+    // Cap pathological buckets (boilerplate floods) before the
+    // self-join. Hash-aggregated counts + equi-join — no sort, no
+    // per-bucket materialization (a window/collect_list spelling would
+    // put a whole flood bucket in one buffer, the OOM this cap
+    // exists to prevent). The repeated banded subtrees below share
+    // canonically-equal exchanges, which AQE's ReuseExchange collapses
+    // at runtime.
+    val bucketCounts = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("_n"), min(col(idCol)).as("_hub"))
     val keepBuckets = bucketCounts
-      .filter(col("count") <= maxBucket).drop("count")
+      .filter(col("_n") <= maxBucket).select("band", "bh")
     val capped = banded.join(keepBuckets, Seq("band", "bh"))
 
     val cliquePairs = capped.select(col("band"), col("bh"), col(idCol).as("id_a"))
@@ -157,18 +168,22 @@ object Dedup {
       .select("id_a", "id_b")
 
     val pairs = (if (overCap == "star") {
-      val over = banded.join(
-        bucketCounts.filter(col("count") > maxBucket).drop("count"),
-        Seq("band", "bh"))
-      // hub = min id per over-cap bucket; one shuffle on (band, bh),
-      // O(bucket) edges out
-      val hubs = over.groupBy("band", "bh").agg(min(col(idCol)).as("_hub"))
-      val starPairs = over.join(hubs, Seq("band", "bh"))
+      // hub-spoke edges for over-cap buckets: O(bucket) rows out of
+      // one join against the same counts aggregate (hub = min id)
+      val starPairs = banded.join(
+        bucketCounts.filter(col("_n") > maxBucket).select("band", "bh", "_hub"),
+          Seq("band", "bh"))
         .filter(col(idCol) =!= col("_hub"))
         .select(col("_hub").as("id_a"), col(idCol).as("id_b"))
       cliquePairs.unionByName(starPairs)
     } else cliquePairs).distinct()
 
+    // Re-attach signatures per side. Two equi-joins, NOT a melt +
+    // group: with the one-hash affine kernel a full corpus signature
+    // pass is ~0.1 s per million docs per core, while a melt spelling
+    // pays a SortAggregate over 2×pairs wide array rows — and
+    // candidate pairs outnumber docs on any near-dup-dense corpus
+    // (A/B'd in tools/AbMinhash: melt 2.8 s vs joins 1.8 s at sf0.1).
     pairs
       .join(sig.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sig.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -390,9 +405,19 @@ object Dedup {
       .select(col(idCol), shinglesOfNormalized(col("_t"), n).as("_sh"))
       .select(col(idCol),
         array_sort(transform(col("_sh"), s => xxhash64(s))).as("sh"))
+    // melt + single join: the corpus-wide shingle/sort projection runs
+    // once, not once per pair side (same shape as the signature
+    // re-attach in minhashCandidatePairs)
     candidates
-      .join(withSh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(withSh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        explode(array(col("id_a"), col("id_b"))).as("_id"))
+      .join(withSh.select(col(idCol).as("_id"), col("sh")), Seq("_id"))
+      .groupBy("id_a", "id_b")
+      .agg(
+        first(when(col("_id") === col("id_a"), col("sh")), ignoreNulls = true)
+          .as("sh_a"),
+        first(when(col("_id") === col("id_b"), col("sh")), ignoreNulls = true)
+          .as("sh_b"))
       .select(col("id_a"), col("id_b"),
         graft.expressions.SortedLongJaccard.sorted_long_jaccard(
           col("sh_a"), col("sh_b")).as("jaccard"))

@@ -12,9 +12,10 @@ object Explain {
       else Seq("q_filter", "q_groupby_agg", "q_join", "q_join_broadcast",
         "q_semi_join", "q_sort", "dedup_minhash_pairs", "sim_topk_brute")
     val spark = graft.core.Session.getOrCreate("graft-explain")
+    val inventory = SparkEntry.queries ++ SparkEntry.benchOnly
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      inventory(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }
