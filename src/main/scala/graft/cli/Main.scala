@@ -107,7 +107,9 @@ object Main {
             try {
               if (cli.command == "run")
                 Pipeline.runPipeline(registry.inputs, registry.transforms,
-                  registry.outputs) match {
+                  registry.outputs,
+                  persistMultiOutput = config.pipelineOptions
+                    .get("persist_multi_output").exists(_.toString.toBoolean)) match {
                   case Right(_) =>
                     println("[SUCCESS] Pipeline completed successfully"); 0
                   case Left(e) =>

@@ -32,7 +32,11 @@ final case class PluginConfig(
 final case class GraftConfig(
     inputPlugins: Seq[PluginConfig] = Seq.empty,
     transformPlugins: Seq[PluginConfig] = Seq.empty,
-    outputPlugins: Seq[PluginConfig] = Seq.empty)
+    outputPlugins: Seq[PluginConfig] = Seq.empty,
+    // Engine options beyond the reference's surface (an optional
+    // `[pipeline]` table; absent in every reference config, so parity
+    // configs parse unchanged). Known keys: persist_multi_output.
+    pipelineOptions: Map[String, Any] = Map.empty)
 
 object Config {
 
@@ -103,7 +107,13 @@ object Config {
       GraftConfig(
         inputPlugins = pluginList("input_plugins"),
         transformPlugins = pluginList("transform_plugins"),
-        outputPlugins = pluginList("output_plugins"))
+        outputPlugins = pluginList("output_plugins"),
+        pipelineOptions = tree.get("pipeline") match {
+          case Some(o: Map[_, _]) => o.asInstanceOf[Map[String, Any]]
+          case Some(other) => throw new ConfigLoadError(
+            s"pipeline must be a table, got: $other")
+          case None => Map.empty
+        })
     }
 }
 

@@ -119,12 +119,28 @@ object Pipeline {
     }
 
   /** A15 — labeled output routing (pipeline.py:165-186): missing label
-    * ⇒ IMMEDIATE failure return (short-circuit, unlike A14). */
+    * ⇒ IMMEDIATE failure return (short-circuit, unlike A14).
+    *
+    * `persistMultiOutput` caches each stream that MORE THAN ONE sink
+    * consumes, for the duration of the fan-out: without it every sink
+    * re-executes the whole upstream plan (reference parity — Polars
+    * re-optimizes per `sink_*` call), which doubles a 100 TB dedup
+    * chain for the price of a second copy of its OUTPUT. Labels with a
+    * single sink are never cached (caching would only cost memory).
+    */
   def executeLabeledOutput(dataMap: LabeledDataMap,
-                           outputs: Seq[OutputPlugin]): Either[Throwable, Unit] = {
-    outputs.foldLeft[Either[Throwable, Unit]](Right(())) { (acc, p) =>
+                           outputs: Seq[OutputPlugin],
+                           persistMultiOutput: Boolean = false): Either[Throwable, Unit] = {
+    val multi: Set[String] =
+      if (persistMultiOutput)
+        outputs.groupBy(_.label).filter(_._2.size > 1).keySet
+      else Set.empty
+    val effective: LabeledDataMap = dataMap.map { case (l, e) =>
+      l -> (if (multi(l)) e.map(_.persist()) else e)
+    }
+    val result = outputs.foldLeft[Either[Throwable, Unit]](Right(())) { (acc, p) =>
       acc.flatMap { _ =>
-        dataMap.get(p.label) match {
+        effective.get(p.label) match {
           case Some(entry) =>
             log.info(s"Executing output: ${p.name} (label: ${p.label})")
             entry.flatMap(p.execute)
@@ -134,6 +150,10 @@ object Pipeline {
         }
       }
     }
+    effective.foreach { case (l, e) =>
+      if (multi(l)) e.foreach(df => Errors.safe(df.unpersist()))
+    }
+    result
   }
 
   /** A16 — full pipeline (pipeline.py:188-212): inputs build the
@@ -143,14 +163,15 @@ object Pipeline {
     */
   def runPipeline(inputs: Seq[InputPlugin],
                   transforms: Seq[TransformPlugin],
-                  outputs: Seq[OutputPlugin])(
+                  outputs: Seq[OutputPlugin],
+                  persistMultiOutput: Boolean = false)(
       implicit spark: SparkSession): Either[Throwable, Unit] = {
     val dataMap: LabeledDataMap = inputs.map { p =>
       log.info(s"Executing input: ${p.name} (label: ${p.label})")
       p.label -> p.execute()
     }.toMap
     val transformed = executeLabeledTransformChain(dataMap, transforms)
-    executeLabeledOutput(transformed, outputs)
+    executeLabeledOutput(transformed, outputs, persistMultiOutput)
   }
 
   /** A17 — full dry-run pipeline (pipeline.py:215-238): build the

@@ -91,14 +91,18 @@ object Sampling {
     * NOTE the count is an EAGER action over the upstream plan: if
     * this sits at the end of an expensive unpersisted chain (dedup,
     * analysis), that chain executes once for the counts and again for
-    * the downstream sink — persist/checkpoint the input first in
-    * such pipelines.
+    * the downstream sink. Pass `persistInput = true` to cache the
+    * input across both (the returned frame reads the cache; the
+    * caller owns the eventual `df.unpersist()` once the sink has
+    * run), or persist/checkpoint upstream yourself.
     */
   def mixToWeights(df: DataFrame, groupCol: String, keyCol: String,
-                   weights: Map[String, Double]): DataFrame = {
+                   weights: Map[String, Double],
+                   persistInput: Boolean = false): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be positive")
-    val counts = df.filter(col(groupCol).isin(weights.keys.toSeq: _*))
+    val src = if (persistInput) df.persist() else df
+    val counts = src.filter(col(groupCol).isin(weights.keys.toSeq: _*))
       .groupBy(groupCol).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
@@ -118,6 +122,6 @@ object Sampling {
     val bandCol = bands.foldLeft(lit(-1L)) { case (acc, (s, b)) =>
       when(col(groupCol) === lit(s), lit(b)).otherwise(acc)
     }
-    df.filter(keyHash(col(keyCol)) < bandCol)
+    src.filter(keyHash(col(keyCol)) < bandCol)
   }
 }

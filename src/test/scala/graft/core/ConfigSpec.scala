@@ -95,6 +95,19 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.inputPlugins.isEmpty && cfg.outputPlugins.isEmpty)
   }
 
+  test("optional [pipeline] table carries engine options; absent means empty") {
+    val tmp = Files.createTempFile("popts", ".toml")
+    Files.writeString(tmp, valid +
+      "\n[pipeline]\npersist_multi_output = true\n")
+    val cfg = Config.loadConfig(tmp).fold(e => fail(e.getMessage), identity)
+    assert(cfg.pipelineOptions("persist_multi_output") == true)
+
+    val plain = Files.createTempFile("noopts", ".toml")
+    Files.writeString(plain, valid)
+    val cfg2 = Config.loadConfig(plain).fold(e => fail(e.getMessage), identity)
+    assert(cfg2.pipelineOptions.isEmpty)
+  }
+
   test("TOML subset: scalars, arrays, comments, quoted strings") {
     val tree = parse(
       """a = 1

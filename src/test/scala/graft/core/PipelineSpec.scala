@@ -155,4 +155,40 @@ class PipelineSpec extends AnyFunSuite {
       Seq(sink("o1", fail = true), sink("o2")))
     assert(bad.isLeft && seen == List("o1"))
   }
+
+  test("persistMultiOutput runs the upstream plan once across fan-out sinks") {
+    import spark.implicits._
+    // the accumulator counts how many times upstream rows materialize:
+    // each full execution of the plan adds 100
+    val acc = spark.sparkContext.longAccumulator("upstream-rows")
+    def upstream: DataFrame =
+      spark.range(0, 100).as[Long].map { x => acc.add(1); x }.toDF("a")
+    def sink(n: String): OutputPlugin = new OutputPlugin {
+      val name = n; val options: Map[String, Any] = Map.empty
+      val configDir: Path = dir
+      def execute(df: DataFrame): Either[Throwable, Unit] =
+        Errors.safe { df.count(); () }
+      def dryRun(s: StructType): Either[Throwable, StructType] = Right(s)
+    }
+    val outs = Seq(sink("o1"), sink("o2"), sink("o3"))
+
+    acc.reset()
+    assert(Pipeline.executeLabeledOutput(
+      Map("default" -> Right(upstream)), outs, persistMultiOutput = true).isRight)
+    assert(acc.value == 100L,
+      s"persisted fan-out should execute upstream once, saw ${acc.value / 100} runs")
+
+    // reference-parity default: every sink re-executes the plan
+    acc.reset()
+    assert(Pipeline.executeLabeledOutput(
+      Map("default" -> Right(upstream)), outs).isRight)
+    assert(acc.value == 300L)
+
+    // a single-sink label is never cached, even with the option on
+    acc.reset()
+    assert(Pipeline.executeLabeledOutput(
+      Map("default" -> Right(upstream)), Seq(sink("only")),
+      persistMultiOutput = true).isRight)
+    assert(acc.value == 100L)
+  }
 }

@@ -174,6 +174,31 @@ class OpsSpec extends AnyFunSuite {
     assert(again == out.select("id").as[Long].collect().toSet)
   }
 
+  test("mixToWeights persistInput runs the upstream plan once (count + sink)") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("mix-upstream")
+    def upstream = spark.range(0, 100)
+      .map { i => acc.add(1); (i, if (i < 60) "a" else "b") }
+      .toDF("id", "src")
+
+    acc.reset()
+    val mixed = Sampling.mixToWeights(upstream, "src", "id",
+      Map("a" -> 0.5, "b" -> 0.5), persistInput = true)
+    assert(acc.value == 100L) // the eager count materialized the cache
+    mixed.count()             // sink action reads the cache
+    assert(acc.value == 100L,
+      s"sink re-executed the upstream plan (${acc.value / 100} runs)")
+    spark.catalog.clearCache() // release the test cache before phase 2
+
+    // default: count + sink each execute the plan (documented behavior)
+    acc.reset()
+    val plain = Sampling.mixToWeights(upstream, "src", "id",
+      Map("a" -> 0.5, "b" -> 0.5))
+    assert(acc.value == 100L)
+    plain.count()
+    assert(acc.value == 200L)
+  }
+
   test("clusterPairs: transitive chain collapses to one component/survivor") {
     import spark.implicits._
     // chain: 10~11, 11~12 (10 and 12 NOT directly paired); isolated 13
