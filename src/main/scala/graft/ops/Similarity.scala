@@ -152,10 +152,7 @@ object Similarity {
     // driver, local Lloyd's, centroids broadcast as literals. No
     // per-iteration cluster jobs (MLlib KMeans paid ~40 s of job
     // overhead for 2000 vectors).
-    val trainSample = 2048
-    val sample = c.orderBy("neighbor_id").limit(trainSample)
-      .select("v_c").collect()
-      .map(_.getSeq[Double](0).toArray)
+    val sample = trainingSample(c, "neighbor_id", "v_c")
     val centroids = KMeansLite.fit(sample, nlist, iters = 25, seed = 42L)
 
     // Assignment/probe via a custom expression carrying the centroid
@@ -175,6 +172,19 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Bounded deterministic UNBIASED training sample: order by the
+    * xxhash64 of the id (id tiebreak), take `n`. Plans as
+    * TakeOrderedAndProject — a per-partition top-n then a driver merge
+    * of `partitions × n` rows, no global sort — and hash order makes
+    * the sample uniform over the corpus, where plain id order would
+    * train centroids on whatever the lowest ids happen to be
+    * (ingestion batches, one source's prefix). */
+  private def trainingSample(c: DataFrame, idCol: String, vecCol: String,
+                             n: Int = 2048): Array[Array[Double]] =
+    c.orderBy(xxhash64(col(idCol)), col(idCol)).limit(n)
+      .select(vecCol).collect()
+      .map(_.getSeq[Double](0).toArray)
 
   /** Per-subspace PQ codebooks trained on a bounded sample: split each
     * D-dim vector into `m` contiguous D/m-dim subvectors and run
@@ -235,10 +245,7 @@ object Similarity {
       queries.select(col(idCol).as(queryIdOut), col(embCol).as("_e")),
       "_e", "v_q").select(col(queryIdOut), col("v_q"))
 
-    val trainSample = 2048
-    val sample = c.orderBy("neighbor_id").limit(trainSample)
-      .select("v_c").collect()
-      .map(_.getSeq[Double](0).toArray)
+    val sample = trainingSample(c, "neighbor_id", "v_c")
     val centroids = KMeansLite.fit(sample, nlist, iters = 25, seed = 42L)
     val codebooks = trainPqCodebooks(sample, m, ksub)
 
