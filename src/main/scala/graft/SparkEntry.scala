@@ -378,6 +378,39 @@ object SparkEntry {
           .as("revenue"))
         .orderBy("p_brand")),
 
+    // ---- co-bucketed fact ⋈ fact (zero-shuffle join) -------------
+    // Both sides are written bucketed on the join key (the writer's
+    // bucket_by surface), so the join plans with NO Exchange on
+    // either side — write-time layout paying for every subsequent
+    // join, THE repeated-join answer at 100 TB. BucketingSpec pins
+    // the zero-exchange plan; this row pins result parity: bucketed
+    // layout must not change a single aggregated value vs the oracle
+    // joining the plain tables.
+    "q_bucket_join" -> ((s, dir) => {
+      val work = scratch("bucketjoin")
+      def writeBucketed(df: DataFrame, tbl: String, key: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        new graft.plugins.output.ParquetWriterPlugin(Map(
+          "output_path" -> work.resolve(tbl).toString,
+          "bucket_by" -> Seq(key), "buckets" -> 8, "table" -> tbl),
+          work, "default")
+          .execute(df).fold(e => throw e, identity)
+      }
+      writeBucketed(t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+        "gb_orders", "o_custkey")
+      writeBucketed(t(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment"),
+        "gb_customer", "c_custkey")
+      s.table("gb_orders")
+        .join(s.table("gb_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          r(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- sort + limit (global top-k: TakeOrderedAndProject) ------
     "q_sort" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -1514,6 +1547,14 @@ object SparkEntry {
         |  r(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // Bucketed layout must not change results: the oracle joins the
+    // plain parquet tables.
+    "q_bucket_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  r(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
