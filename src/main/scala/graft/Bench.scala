@@ -32,7 +32,7 @@ object Bench {
     "dedup_minhash_pairs",
     "dedup_simhash_pairs", "dedup_embedding_lsh", "dedup_boilerplate",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
-    "text_entropy", "text_vocab", "q_vocab_encode", "q_split",
+    "text_entropy", "text_vocab", "q_vocab_encode", "q_bpe_encode", "q_split",
     "q_chunk_windows", "q_profile",
     "q_gopher_rules",
     "text_blocklist",

@@ -81,6 +81,16 @@ object SparkEntry {
     floor(c * f + 0.5 + 1e-6) / f
   }
 
+  /** Fixed BPE merge table for `q_bpe_encode` — shared literal-for-
+    * literal with its oracle's VALUES list (rank = position + 1).
+    * Chosen to exercise multi-level merges on the fixture vocabulary
+    * ("window" chains i+n → in+d → ind+ow) and non-leftmost best-rank
+    * selection ("order": e+r at rank 4 fires before o+r at rank 5). */
+  private[graft] val bpeFixedMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "o" -> "r",
+    "a" -> "n", "s" -> "t", "a" -> "t", "in" -> "d", "o" -> "w",
+    "ind" -> "ow", "l" -> "e")
+
   /** Expand `r(X, p)` occurrences in oracle SQL into
     * `(floor((X) * 10^p + 0.5) / 10^p)` — the exact same IEEE ops the
     * Spark-side helper emits. */
@@ -1088,6 +1098,26 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    // ---- BPE subword tokenization --------------------------------
+    // The distributed encode kernel under a FIXED merge table shared
+    // literal-for-literal with the oracle, which re-implements the
+    // merge walk (lowest-rank pair, leftmost occurrence, repeat) as a
+    // recursive CTE over boundary-safe '|'-separated symbol strings.
+    // Training (graft.ops.Bpe.train) is sequential-by-nature and
+    // driver-side on a bounded sample — pinned by BpeSpec, not
+    // oracle-able as static SQL. Edge rows pin blank → 0 tokens and
+    // NULL → NULL.
+    "q_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      val base = tBalanced(s, dir, "documents").select(col("doc_id"), col("text"))
+      val edges = Seq((-2L, null: String), (-1L, "   ")).toDF("doc_id", "text")
+      graft.ops.Bpe.encode(base.unionByName(edges), "text", bpeFixedMerges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          array_join(col("tokens"), " ").as("token_str"))
+        .orderBy("doc_id")
+    }),
+
     // ---- corpus vocabulary: top-50 tokens ------------------------
     // Explode → partial-agg count → TakeOrdered: the shuffle moves
     // (token, partial count) pairs, never raw text; the top-k cut is
@@ -2074,6 +2104,66 @@ object SparkEntry {
         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
         |SELECT token, count(*) AS n FROM toks WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+
+    // The BPE merge walk re-implemented from scratch: words become
+    // boundary-safe '|'-separated symbol strings; each recursion step
+    // applies the lowest-rank merge pair present (correlated min over
+    // the merge table) at its LEFTMOST occurrence (position()); a word
+    // stops recursing when no pair applies, and arg_max(s, it) picks
+    // its terminal state. Merge VALUES = SparkEntry.bpeFixedMerges.
+    "q_bpe_encode" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) END AS t
+        |  FROM (SELECT doc_id, text FROM documents
+        |        UNION ALL SELECT CAST(-2 AS BIGINT), CAST(NULL AS VARCHAR)
+        |        UNION ALL SELECT CAST(-1 AS BIGINT), '   ') src
+        |), merges(rank, a, b) AS (
+        |  SELECT * FROM (VALUES
+        |    (1,'t','h'),(2,'th','e'),(3,'i','n'),(4,'e','r'),(5,'o','r'),
+        |    (6,'a','n'),(7,'s','t'),(8,'a','t'),(9,'in','d'),(10,'o','w'),
+        |    (11,'ind','ow'),(12,'l','e')) m(rank, a, b)
+        |), words AS (
+        |  SELECT doc_id, u.p AS ord, wlist[CAST(u.p AS INTEGER)] AS w
+        |  FROM (SELECT doc_id, regexp_split_to_array(t, ' ') AS wlist
+        |        FROM d WHERE t IS NOT NULL AND t <> '') x,
+        |       LATERAL (SELECT unnest(range(1, len(wlist) + 1)) AS p) u
+        |), dw AS (SELECT DISTINCT w FROM words
+        |), init AS (
+        |  SELECT w, '|' || array_to_string(
+        |    [substr(w, g, 1) for g in range(1, length(w) + 1)], '|') || '|' AS s
+        |  FROM dw
+        |), enc(w, s, it) AS (
+        |  SELECT w, s, 0 FROM init
+        |  UNION ALL
+        |  SELECT e.w,
+        |    substr(e.s, 1, position(('|' || m.a || '|' || m.b || '|') IN e.s) - 1)
+        |      || '|' || m.a || m.b || '|' ||
+        |      substr(e.s, position(('|' || m.a || '|' || m.b || '|') IN e.s)
+        |        + length('|' || m.a || '|' || m.b || '|')),
+        |    e.it + 1
+        |  FROM enc e JOIN merges m ON m.rank = (
+        |    SELECT min(m2.rank) FROM merges m2
+        |    WHERE position(('|' || m2.a || '|' || m2.b || '|') IN e.s) > 0)
+        |), fin AS (
+        |  SELECT w, arg_max(s, it) AS s FROM enc GROUP BY w
+        |), wtok AS (
+        |  SELECT w, replace(trim(s, '|'), '|', ' ') AS tok,
+        |    CAST(len(string_split(trim(s, '|'), '|')) AS BIGINT) AS ntok
+        |  FROM fin
+        |), perdoc AS (
+        |  SELECT wo.doc_id, CAST(sum(wt.ntok) AS BIGINT) AS n_tokens,
+        |    string_agg(wt.tok, ' ' ORDER BY wo.ord) AS token_str
+        |  FROM words wo JOIN wtok wt USING (w)
+        |  GROUP BY wo.doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.t IS NULL THEN NULL
+        |       ELSE coalesce(p.n_tokens, 0) END AS n_tokens,
+        |  CASE WHEN d.t IS NULL THEN NULL
+        |       ELSE coalesce(p.token_str, '') END AS token_str
+        |FROM d LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "sim_topk_brute" ->
       """WITH e AS (
