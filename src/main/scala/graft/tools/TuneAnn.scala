@@ -47,6 +47,11 @@ object TuneAnn {
           planes = planes, probeBits = pb))
         report(s"LSH planes=$planes probeBits=$pb", got)
       }
+      for ((nlist, nprobe) <- Seq((8, 7), (16, 6), (16, 8), (32, 12))) {
+        val got = pairs(Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k,
+          nlist = nlist, nprobe = nprobe))
+        report(s"IVFPQ nlist=$nlist nprobe=$nprobe", got)
+      }
     }
     spark.stop()
   }
