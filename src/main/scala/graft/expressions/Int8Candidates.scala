@@ -1,0 +1,131 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Int8-compressed candidate payloads for the LSH/IVF ANN scans: the
+  * candidate join ships D CODE BYTES + two doubles per corpus vector
+  * instead of 8·D vector bytes (8× smaller shuffle/broadcast-probe
+  * payload at D=64), and the approximate score prunes candidates to a
+  * small re-rank set that alone touches the full fp vectors.
+  *
+  * Quantization arithmetic is EXACTLY [[graft.ops.Similarity.quantizeInt8]]
+  * (per-vector [min, max] range, engine-portable floor(x+0.5+1e-6)
+  * rounding, degenerate constant vectors → -128) — the oracled
+  * `sim_quantize_int8` pins every cell of that scheme, and these
+  * kernels are its packed-binary twin.
+  */
+object Int8Candidates {
+
+  /** array<double> → struct(code: binary(D), mn: double, scale: double).
+    * Null input or null element → null. */
+  case class Int8Code(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("code", BinaryType, nullable = false),
+      StructField("mn", DoubleType, nullable = false),
+      StructField("scale", DoubleType, nullable = false)))
+    override def prettyName: String = "int8_code"
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"int8_code requires array<double>, got ${other.simpleString}")
+      }
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      var i = 0
+      var mn = Double.MaxValue
+      var mx = Double.MinValue
+      while (i < n) {
+        if (v.isNullAt(i)) return null
+        val x = v.getDouble(i)
+        if (x < mn) mn = x
+        if (x > mx) mx = x
+        i += 1
+      }
+      if (n == 0) return InternalRow(Array.emptyByteArray, 0.0, 0.0)
+      val s = (mx - mn) / 255.0
+      val code = new Array[Byte](n)
+      i = 0
+      while (i < n) {
+        code(i) =
+          if (s == 0.0) (-128).toByte
+          else (math.floor((v.getDouble(i) - mn) / s + 0.5 + 1e-6) - 128).toByte
+        i += 1
+      }
+      InternalRow(code, mn, s)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Int8Code =
+      copy(child = newChild)
+  }
+
+  /** Approximate dot(q, dequant(code)) = mn·Σq_i + scale·Σ q_i·(c_i+128)
+    * — one loop over the code bytes, no dequantized array materialized.
+    * Length mismatch or null element → null. */
+  case class Int8Dot(first: Expression, second: Expression,
+                     third: Expression, fourth: Expression)
+      extends QuaternaryExpression with CodegenFallback {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "int8_dot"
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+        case (ArrayType(DoubleType, _), BinaryType, DoubleType, DoubleType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"int8_dot requires (array<double>, binary, double, double), got $other")
+      }
+
+    override def nullSafeEval(qAny: Any, codeAny: Any, mnAny: Any,
+                              scaleAny: Any): Any = {
+      val q = qAny.asInstanceOf[ArrayData]
+      val code = codeAny.asInstanceOf[Array[Byte]]
+      val mn = mnAny.asInstanceOf[Double]
+      val scale = scaleAny.asInstanceOf[Double]
+      val n = code.length
+      if (q.numElements() != n) return null
+      var sumQ = 0.0
+      var sumQC = 0.0
+      var i = 0
+      while (i < n) {
+        if (q.isNullAt(i)) return null
+        val qi = q.getDouble(i)
+        sumQ += qi
+        // stored + 128 = quantization level in [0, 255]; flipping the
+        // sign bit of the unsigned byte view computes it exactly
+        sumQC += qi * (((code(i) & 0xff) ^ 0x80).toDouble)
+        i += 1
+      }
+      mn * sumQ + scale * sumQC
+    }
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression,
+        newThird: Expression, newFourth: Expression): Int8Dot =
+      copy(first = newFirst, second = newSecond,
+        third = newThird, fourth = newFourth)
+  }
+
+  def int8_code(vec: Column): Column =
+    ColumnShim.column(Int8Code(ColumnShim.expression(vec)))
+
+  def int8_dot(q: Column, code: Column, mn: Column, scale: Column): Column =
+    ColumnShim.column(Int8Dot(ColumnShim.expression(q),
+      ColumnShim.expression(code), ColumnShim.expression(mn),
+      ColumnShim.expression(scale)))
+}

@@ -129,7 +129,14 @@ object Similarity {
     * Scale shape: training runs on a bounded sample; centroids are a
     * tiny broadcast; assignment is one scan. The probe join is
     * (query × nprobe) rows against centroid-keyed corpus lists — a
-    * co-partitioned equi-join, never all-pairs.
+    * co-partitioned equi-join, never all-pairs. With `rerank > 0`
+    * (default) the corpus side of that join carries int8-PACKED
+    * vectors (D code bytes + 2 doubles vs 8·D — see
+    * [[graft.expressions.Int8Candidates]]); the approximate score
+    * keeps the top `rerank` per query and only those re-attach full
+    * fp vectors for the exact final ranking. `rerank = 0` selects the
+    * uncompressed exact-scoring scan (every candidate pays a fp dot
+    * and the vectors ride the join).
     *
     * Default nlist/nprobe hold recall@5 ≥ 0.9 on the ISOTROPIC
     * synthetic fixtures, where recall ≈ fraction of lists probed (no
@@ -139,7 +146,7 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, embCol: String, k: Int,
-              nlist: Int = 8, nprobe: Int = 7,
+              nlist: Int = 8, nprobe: Int = 7, rerank: Int = 64,
               queryIdOut: String = "query_id"): DataFrame = {
     val c = withNormalized(
       corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
@@ -163,13 +170,68 @@ object Similarity {
     val qProbed = q.withColumn("list_id",
       explode(nearest_centroids(col("v_q"), centroids, nprobe)))
 
-    val scored = cAssigned.join(broadcast(qProbed), Seq("list_id"))
+    if (rerank > 0) {
+      val approx = int8CandidateScan(cAssigned, qProbed, "list_id", queryIdOut)
+      exactRerank(topRerank(approx, queryIdOut, rerank), c, q, queryIdOut, k)
+    } else {
+      // exact-scoring variant: every candidate pays the full fp dot
+      // and the full vectors ride the candidate join
+      val scored = cAssigned.join(broadcast(qProbed), Seq("list_id"))
+        .filter(col("neighbor_id") =!= col(queryIdOut))
+        .select(col(queryIdOut), col("neighbor_id"),
+          dot(col("v_q"), col("v_c")).as("cosine"))
+      val w = Window.partitionBy(queryIdOut)
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+  }
+
+  /** Candidate scan with the int8-compressed corpus payload: the
+    * corpus side of the bucket/list join carries (id, key, D code
+    * bytes + two doubles) — 8× less than fp64 vectors at D=64 — and
+    * scoring dequantizes inside one loop ([[graft.expressions
+    * .Int8Candidates.Int8Dot]]), never materializing a vector.
+    * Returns (queryIdOut, neighbor_id, approx) rows. */
+  private[graft] def int8CandidateScan(cSide: DataFrame, probeSide: DataFrame,
+                                       key: String, queryIdOut: String): DataFrame = {
+    import graft.expressions.Int8Candidates._
+    val cCand = cSide
+      .select(col("neighbor_id"), col(key), int8_code(col("v_c")).as("_q8"))
+      .select(col("neighbor_id"), col(key),
+        col("_q8.code").as("_code"), col("_q8.mn").as("_mn"),
+        col("_q8.scale").as("_scale"))
+    cCand.join(broadcast(probeSide.select(col(queryIdOut), col(key), col("v_q"))),
+        Seq(key))
       .filter(col("neighbor_id") =!= col(queryIdOut))
+      .select(col(queryIdOut), col("neighbor_id"),
+        int8_dot(col("v_q"), col("_code"), col("_mn"), col("_scale"))
+          .as("approx"))
+  }
+
+  /** Top-`rerank` approx-scored candidates per query. */
+  private def topRerank(approx: DataFrame, queryIdOut: String,
+                        rerank: Int): DataFrame = {
+    val w = Window.partitionBy(queryIdOut)
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    approx.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= rerank)
+      .select(col(queryIdOut), col("neighbor_id"))
+  }
+
+  /** Exact re-rank tail shared by the quantized scans: only the
+    * surviving candidates re-attach full fp vectors; query vectors
+    * broadcast. */
+  private def exactRerank(candidates: DataFrame, c: DataFrame, q: DataFrame,
+                          queryIdOut: String, k: Int): DataFrame = {
+    val reranked = candidates
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq(queryIdOut))
       .select(col(queryIdOut), col("neighbor_id"),
         dot(col("v_q"), col("v_c")).as("cosine"))
     val w = Window.partitionBy(queryIdOut)
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    reranked.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 
@@ -411,6 +473,10 @@ object Similarity {
     * bigger buckets; deeper probes multiply candidate coverage by
     * Σ C(planes, i≤probeBits) at the cost of that many probe rows —
     * still tiny, it's the query side that fans out, never the corpus.
+    * The candidate payload/re-rank knob is the same as [[ivfTopK]]:
+    * `rerank > 0` (default) streams int8 codes through the bucket
+    * join and re-ranks the survivors on fp vectors; `rerank = 0`
+    * scores every candidate exactly in the join.
     *
     * Recall vs coverage note: on ISOTROPIC (unclustered) vectors the
     * top-k neighbors sit barely above the cosine noise floor, so any
@@ -421,28 +487,36 @@ object Similarity {
     * shallower probing. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, embCol: String, k: Int,
-              planes: Int = 4, probeBits: Int = 3,
+              planes: Int = 4, probeBits: Int = 3, rerank: Int = 64,
               queryIdOut: String = "query_id"): DataFrame = {
     val c = withNormalized(
       corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
       "_e", "v_c").select("neighbor_id", "v_c")
+    val cBucketed = c
       .withColumn("bucket", hyperplaneSignature(col("v_c"), planes))
-    val qSig = withNormalized(
+    val qPlain = withNormalized(
       queries.select(col(idCol).as(queryIdOut), col(embCol).as("_e")),
       "_e", "v_q").select(queryIdOut, "v_q")
+    val qSig = qPlain
       .withColumn("_sig", hyperplaneSignature(col("v_q"), planes))
     val probes = array(probeMasks(planes, probeBits).map(lit): _*)
     val q = qSig
       .withColumn("bucket",
         explode(transform(probes, m => col("_sig").bitwiseXOR(m))))
       .drop("_sig")
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("neighbor_id") =!= col(queryIdOut))
-      .select(col(queryIdOut), col("neighbor_id"),
-        dot(col("v_q"), col("v_c")).as("cosine"))
-    val w = Window.partitionBy(queryIdOut)
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    if (rerank > 0) {
+      val approx = int8CandidateScan(cBucketed, q, "bucket", queryIdOut)
+      exactRerank(topRerank(approx, queryIdOut, rerank), c, qPlain,
+        queryIdOut, k)
+    } else {
+      val scored = cBucketed.join(broadcast(q), Seq("bucket"))
+        .filter(col("neighbor_id") =!= col(queryIdOut))
+        .select(col(queryIdOut), col("neighbor_id"),
+          dot(col("v_q"), col("v_c")).as("cosine"))
+      val w = Window.partitionBy(queryIdOut)
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
   }
 }

@@ -166,6 +166,35 @@ class PlanSpec extends AnyFunSuite {
     assert(filtered.count() == 50L)
   }
 
+  test("ANN candidate joins stream int8 codes, never fp vectors") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def checkCandidateJoin(df: DataFrame, what: String): Unit = {
+      val joins = nodes(df).collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      def streamedOut(j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec) =
+        (if (j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight)
+          j.left else j.right).output
+      // the candidate join is the one streaming the packed code column
+      val cand = joins.filter(j => streamedOut(j).exists(_.name == "_code"))
+      assert(cand.nonEmpty, s"$what: no int8 candidate join found")
+      cand.foreach { j =>
+        val streamed = streamedOut(j)
+        assert(streamed.exists(a =>
+          a.name == "_code" && a.dataType == org.apache.spark.sql.types.BinaryType),
+          s"$what: candidate payload is not binary codes")
+        assert(!streamed.exists(_.dataType.isInstanceOf[
+            org.apache.spark.sql.types.ArrayType]),
+          s"$what: fp vector array leaked into the candidate-side payload: " +
+            streamed.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
+      }
+    }
+    checkCandidateJoin(Similarity.ivfTopK(e, e.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 3), "ivfTopK")
+    checkCandidateJoin(Similarity.lshTopK(e, e.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 3), "lshTopK")
+  }
+
   test("incremental dedup's bloom-negative fast path is shuffle-free") {
     val ref = (0L until 50L).map(i => (i, s"k$i")).toDF("id", "k")
     val batch = (0L until 80L).map(i => (i, s"k${i * 3}")).toDF("id", "k")
