@@ -59,11 +59,17 @@ object SparkEntry {
   /** Morton-interleave of two `bits`-bit dims as explicit DuckDB
     * shift/mask terms — the SQL twin of
     * [[graft.expressions.ZOrderCode]] (bit i of dim c → output bit
-    * i*2 + c). */
-  private def mortonTerms(aCol: String, bCol: String, bits: Int): String =
+    * i*2 + c). Inputs are coalesce-wrapped to mirror the kernel's
+    * NULL-element-as-bucket-0 semantics: the raw OR chain would
+    * propagate a NULL dim to a NULL code, silently diverging the
+    * moment a fixture gains a nullable dimension. */
+  private def mortonTerms(aCol: String, bCol: String, bits: Int): String = {
+    val a = s"coalesce($aCol, 0)"
+    val b = s"coalesce($bCol, 0)"
     (0 until bits).flatMap(i => Seq(
-      s"((($aCol >> $i) & 1) << ${2 * i})",
-      s"((($bCol >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"((($a >> $i) & 1) << ${2 * i})",
+      s"((($b >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+  }
 
   /** Engine-agnostic fixed-point rounding:
     * floor(x*10^p + 0.5 + 1e-6)/10^p. Spark round() (BigDecimal

@@ -60,7 +60,17 @@ object IncrementalDedup {
   }
 
   /** Rows of `batch` whose `keyCol` is NOT in `reference` (exact;
-    * NULL keys are always kept, as in a left-anti join). */
+    * NULL keys are always kept, as in a left-anti join).
+    *
+    * REQUIRES a deterministic `batch` plan: the bloom-negative and
+    * bloom-positive branches are complementary filters over the same
+    * upstream, each executed independently (and [[buildFilter]] may
+    * additionally run an eager sizing count at construction time) —
+    * a nondeterministic upstream (`rand`, `sample`, fresh
+    * `monotonically_increasing_id`) can drop or duplicate rows
+    * relative to the single-pass anti-join this equals. Persist or
+    * checkpoint such a batch first (same caveat family as
+    * [[Sampling.mixToWeights]]). */
   def cleaned(batch: DataFrame, reference: DataFrame, keyCol: String,
               expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
     val bytes = buildFilter(reference, keyCol, expectedItems, fpp) match {

@@ -30,14 +30,25 @@ object Profiling {
     cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
     def ndv(c: Column): Column =
       if (exact) count_distinct(c) else approx_count_distinct(c)
-    val aggs: Seq[Column] = count(lit(1)).as("_total") +: cols.flatMap { c =>
-      Seq(count(col(c)).as(s"_cnt_$c"), ndv(col(c)).as(s"_ndv_$c"),
-        min(col(c)).cast("string").as(s"_min_$c"),
-        max(col(c)).cast("string").as(s"_max_$c"))
-    }
+    // helper aggregates are named by POSITION, and the profiled name
+    // enters the stack() string only as an escaped literal — a column
+    // named `weird col.name'` profiles fine, because no user-supplied
+    // text is ever parsed as an identifier
+    // backtick-quote for resolution too: bare col("a.b") would parse
+    // the dot as struct-field access
+    def qcol(c: String): Column = col(s"`${c.replace("`", "``")}`")
+    val aggs: Seq[Column] = count(lit(1)).as("_total") +:
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(count(qcol(c)).as(s"_cnt_$i"), ndv(qcol(c)).as(s"_ndv_$i"),
+          min(qcol(c)).cast("string").as(s"_min_$i"),
+          max(qcol(c)).cast("string").as(s"_max_$i"))
+      }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols
-      .map(c => s"'$c', _cnt_$c, _ndv_$c, _min_$c, _max_$c")
+    val stacked = cols.zipWithIndex
+      .map { case (c, i) =>
+        val lit = c.replace("\\", "\\\\").replace("'", "\\'")
+        s"'$lit', _cnt_$i, _ndv_$i, _min_$i, _max_$i"
+      }
       .mkString(", ")
     one.select(col("_total"),
         expr(s"stack(${cols.size}, $stacked) AS " +

@@ -350,8 +350,9 @@ object Text {
       .drop("_bl_hits")
   }
 
-  /** Keep documents whose blocklisted-token ratio stays under
-    * `maxRatio` (strictly-less; 0.0 drops any doc with a hit). */
+  /** Keep documents whose blocklisted-token ratio is AT MOST
+    * `maxRatio` (the default 0.0 drops any doc with a hit; a nonzero
+    * bound keeps docs sitting exactly on it). */
   def filterBlocklisted(df: DataFrame, textCol: String,
                         blocklist: Seq[String],
                         maxRatio: Double = 0.0): DataFrame =

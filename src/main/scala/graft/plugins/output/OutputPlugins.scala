@@ -82,13 +82,24 @@ class ParquetWriterPlugin(options: Map[String, Any], configDir: Path, label: Str
             graft.ops.ZOrder.clustered(sized00, cols, bits, files)
           case None => sized00
         }
+        // cluster_by IS the layout shuffle: stacking repartition_by /
+        // sort_within_partitions on top would silently destroy the
+        // Z-order the previous exchange just paid for — ignore them
+        // with a warning rather than write a falsely-clustered table.
+        val layoutConflicts = Seq("repartition_by", "sort_within_partitions")
+          .filter(options.contains)
+        val clusterWins = options.contains("cluster_by") && layoutConflicts.nonEmpty
+        if (clusterWins)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"cluster_by already defines the write layout; ignoring " +
+              layoutConflicts.mkString(", "))
         // Align task partitioning with the hive partition columns:
         // without this, every task writes a file into every partition
         // directory (tasks × partitions small files at scale); with
         // it, each partition's rows land in few tasks. The one
         // shuffle this adds is usually the cheapest part of a big
         // partitioned write.
-        val sized = options.get("repartition_by") match {
+        val sized = (if (clusterWins) None else options.get("repartition_by")) match {
           case Some(xs: Seq[_]) => sized0.repartition(
             xs.map(x => org.apache.spark.sql.functions.col(x.toString)): _*)
           case Some(s) => sized0.repartition(
@@ -98,7 +109,8 @@ class ParquetWriterPlugin(options: Map[String, Any], configDir: Path, label: Str
         // Row-group clustering: sorting within partitions tightens
         // parquet min/max column stats so readers prune row groups —
         // the cheap (no-shuffle) half of write-time data layout.
-        val out = options.get("sort_within_partitions") match {
+        val out = (if (clusterWins) None
+                   else options.get("sort_within_partitions")) match {
           case Some(xs: Seq[_]) =>
             sized.sortWithinPartitions(xs.map(_.toString).map(
               org.apache.spark.sql.functions.col): _*)

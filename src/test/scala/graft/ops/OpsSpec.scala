@@ -550,6 +550,23 @@ class OpsSpec extends AnyFunSuite {
     assert(!scanned.contains("g=y") || scanned.contains("g=x"))
   }
 
+  test("cluster_by write ignores conflicting repartition/sort layout options") {
+    // stacking repartition_by on a cluster_by write would destroy the
+    // Z-order layout; the writer must warn-and-ignore, and the
+    // clustered write must still succeed with correct data
+    val tmp = java.nio.file.Files.createTempDirectory("zconf")
+    val out = tmp.resolve("clustered").toString
+    val plug = new graft.plugins.output.ParquetWriterPlugin(
+      Map("output_path" -> out,
+        "cluster_by" -> Seq("x", "y"), "cluster_bits" -> 4,
+        "repartition_by" -> Seq("y"),
+        "sort_within_partitions" -> Seq("y")),
+      tmp, "default")
+    val df = (0L until 256L).map(i => (i, i * 7 % 16, i % 16)).toDF("id", "x", "y")
+    assert(plug.execute(df).isRight)
+    assert(spark.read.parquet(out).count() == 256L)
+  }
+
   test("HyperplaneSignature64 expression matches the HOF reference bit-for-bit") {
     // real embeddings (including negatives and varied magnitudes) plus
     // degenerate shapes: zero vector, single dim

@@ -38,4 +38,17 @@ class ProfilingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Profiling.columnStats(df, Seq("nope")))
   }
+
+  test("hostile column names (spaces, dots, quotes) profile safely") {
+    val odd = df
+      .withColumnRenamed("id", "weird col.name")
+      .withColumnRenamed("tag", "it's quoted")
+    val got = Profiling.columnStats(odd,
+        Seq("weird col.name", "it's quoted"), exact = true)
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("it's quoted", 5L, 1L, 3L, "a", "c"),
+      ("weird col.name", 5L, 1L, 3L, "1", "9")))
+  }
 }
