@@ -30,7 +30,8 @@ object Bench {
     "q_array_funcs",
     "dedup_exact", "dedup_fingerprint", "dedup_incremental",
     "dedup_minhash_pairs",
-    "dedup_simhash_pairs", "dedup_embedding_lsh", "dedup_boilerplate",
+    "dedup_simhash_pairs", "dedup_embedding_lsh", "dedup_semantic_kmeans",
+    "dedup_boilerplate",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_entropy", "text_vocab", "q_vocab_encode", "q_bpe_encode", "q_split",
     "q_chunk_windows", "q_profile",

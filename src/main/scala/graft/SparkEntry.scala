@@ -186,6 +186,13 @@ object SparkEntry {
         "embedding", threshold = 0.3, planes = 4, probeBits = 3)
         .withColumn("cosine", r(col("cosine"), 6))
         .orderBy("id_a", "id_b")),
+    // the production SemDeDup path (kmeans + multi-enrollment); the
+    // oracled dedup_semantic runs the hash-cluster harness mode
+    "dedup_semantic_kmeans" -> ((s, dir) =>
+      Dedup.semDeDup(tBalanced(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4, nClusters = 8, assign = "kmeans",
+        nAssign = 2)
+        .select("vec_id").orderBy("vec_id")),
     // Raw sketches only — the oracled q_approx_sketch adds exact
     // count_distinct + exact percentiles to gate the approximations,
     // which would triple the benched cost of the sketch itself.
@@ -766,6 +773,49 @@ object SparkEntry {
           count(lit(1)).as("n_pairs"),
           (sum(coalesce(col("_hit"), lit(0))) >=
             ceil(count(lit(1)) * 0.9)).as("recall_ok"))
+    }),
+
+    // ---- SemDeDup survivors (hash-cluster mode, full oracle) -----
+    // assign="hash" replays the md5 bucket map in DuckDB, so the
+    // whole survivor set hash-verifies; the kmeans production mode is
+    // gated by dedup_semantic_recall below plus the OpsSpec
+    // soundness/recall spec.
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semDeDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, nClusters = 16, assign = "hash")
+        .select("vec_id").orderBy("vec_id")),
+
+    // ---- SemDeDup kmeans gate (driver-checkable) -----------------
+    // kmeans cluster boundaries are not SQL-replayable, so the oracle
+    // verifies the exact global count plus the two claims that ARE
+    // engine-independent: every drop is a true duplicate (soundness)
+    // and the op catches ≥ 75% of globally-droppable rows. The
+    // fixtures are isotropic with near-dups planted at cosine
+    // 0.3-0.6 — the adversarial regime for any cluster blocking —
+    // and nAssign=2 (IVF-style multi-enrollment) lifts measured
+    // recall at nClusters=8 from 0.36-0.59 to 0.826-0.868 across
+    // sf0.001-0.1 (tools/TuneSemDeDup).
+    "dedup_semantic_recall" -> ((s, dir) => {
+      val e = tBalanced(s, dir, "embeddings")
+      val norm = Similarity.withNormalized(e, "embedding", "v")
+        .select(col("vec_id"), col("v"))
+      val a = norm.select(col("vec_id").as("id_a"), col("v").as("v_a"))
+      val b = norm.select(col("vec_id").as("id_b"), col("v").as("v_b"))
+      val droppable = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .filter(Similarity.dot(col("v_a"), col("v_b")) >= 0.4)
+        .select(col("id_b").as("vec_id")).distinct()
+      val dropped = e.select("vec_id").join(
+        Dedup.semDeDup(e, "vec_id", "embedding", threshold = 0.4,
+          nClusters = 8, assign = "kmeans", nAssign = 2).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      droppable.withColumn("_p", lit(1))
+        .join(dropped.withColumn("_d", lit(1)), Seq("vec_id"), "full_outer")
+        .agg(
+          sum(coalesce(col("_p"), lit(0))).cast("long").as("n_droppable"),
+          (sum(when(col("_d") === 1 && col("_p").isNull, 1).otherwise(0))
+            === 0).as("drops_sound"),
+          (sum(when(col("_d") === 1 && col("_p") === 1, 1).otherwise(0)) >=
+            ceil(sum(coalesce(col("_p"), lit(0))) * 0.75)).as("recall_ok"))
     }),
 
     // ---- CSV source/sink roundtrip under the oracle --------------
@@ -2581,6 +2631,48 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_pairs, true AS recall_ok
         |FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
         |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) >= 0.3""".stripMargin,
+
+    // SemDeDup hash-cluster mode: DuckDB replays the identical md5
+    // bucket map and the NOT EXISTS min-id survivor rule, so the full
+    // survivor set hash-verifies row for row.
+    "dedup_semantic" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id,
+        |    CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0 THEN v
+        |         ELSE list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
+        |    END AS v
+        |  FROM e
+        |), cl AS (
+        |  SELECT vec_id, v,
+        |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS c
+        |  FROM nrm)
+        |SELECT b.vec_id FROM cl b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM cl a
+        |  WHERE a.c = b.c AND a.vec_id < b.vec_id
+        |    AND list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) >= 0.4)
+        |ORDER BY vec_id""".stripMargin,
+
+    // kmeans-mode gate: the oracle pins the exact global droppable
+    // count; soundness and the recall floor are engine-independent
+    // booleans the Spark side must prove true.
+    "dedup_semantic_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id,
+        |    CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0 THEN v
+        |         ELSE list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
+        |    END AS v
+        |  FROM e)
+        |SELECT CAST(count(DISTINCT b.vec_id) AS BIGINT) AS n_droppable,
+        |  true AS drops_sound, true AS recall_ok
+        |FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) >= 0.4""".stripMargin,
 
     "q_approx_sketch" ->
       """SELECT l_returnflag,

@@ -461,6 +461,79 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(max("cosine").as("cosine"))
   }
 
+  /** SemDeDup [Abbas et al. 2023, arXiv:2303.09540]: partition the
+    * corpus into embedding clusters, then within each cluster drop
+    * every row that has a semantic duplicate (cosine ≥ `threshold`)
+    * with a smaller id. Returns the SURVIVING rows of `df`, all
+    * original columns intact.
+    *
+    * The paper's construction exactly: pairwise similarity is only
+    * ever computed INSIDE a cluster, so the join is a cluster-key
+    * equi-join and the quadratic term is bounded by cluster size —
+    * at 100 TB, `nClusters` scales with the corpus (the paper runs
+    * 50k clusters over LAION) so rows-per-cluster stays flat and no
+    * all-pairs block ever exists. Survivor choice diverges from the
+    * paper's random-keep deliberately: min-id is deterministic across
+    * reruns/backfills (same rationale as [[exact]]), where a random
+    * keep would reshuffle the corpus every rebuild.
+    *
+    * `assign` picks the cluster map:
+    *  - `"kmeans"` (default, the paper's semantics): centroids from a
+    *    bounded hash-ordered sample via [[KMeansLite]], assignment as
+    *    one broadcast-literal expression — no per-iteration cluster
+    *    jobs, no MLlib dependency. Cross-cluster duplicates are the
+    *    accepted approximation (the paper's too); the ScalaTest gate
+    *    pins soundness (no false drop) and a recall floor vs the
+    *    global-exact pair set.
+    *  - `"hash"`: md5 key-hash buckets ([[Sampling.keyHash]] mod
+    *    `nClusters`), engine-portable — the DuckDB oracle replays the
+    *    identical clustering, making the full survivor set
+    *    hash-verifiable. No semantic locality, so it only catches
+    *    same-bucket dups — an oracle harness, not a production path.
+    *
+    * `nAssign` (kmeans only) enrolls each vector in its `nAssign`
+    * nearest clusters for PAIR GENERATION — IVF's nprobe move applied
+    * to dedup: a duplicate pair straddling a cluster boundary meets in
+    * the runner-up cluster. Linear cost (`nAssign ×` rows into the
+    * join, duplicate pair hits collapsed by the distinct), large
+    * recall win on weakly-clustered corpora — measured on the
+    * isotropic fixtures, the adversarial case: see
+    * `tools/TuneSemDeDup` and the dedup_semantic_recall gate.
+    */
+  def semDeDup(df: DataFrame, idCol: String, embCol: String,
+               threshold: Double = 0.95, nClusters: Int = 16,
+               assign: String = "kmeans", nAssign: Int = 1): DataFrame = {
+    require(nAssign >= 1 && nAssign <= nClusters,
+      s"nAssign must be in [1, nClusters], got $nAssign")
+    val norm = Similarity.withNormalized(
+      df.select(col(idCol), col(embCol).as("_e")), "_e", "v")
+      .select(col(idCol), col("v"))
+    val clustered = assign match {
+      case "hash" =>
+        require(nAssign == 1, "multi-assign needs centroid geometry")
+        norm.withColumn("_cl",
+          Sampling.keyHash(col(idCol)) % lit(nClusters.toLong))
+      case "kmeans" =>
+        val sample = Similarity.trainingSample(norm, idCol, "v")
+        val centroids = KMeansLite.fit(sample, nClusters, iters = 25,
+          seed = 42L)
+        import graft.expressions.NearestCentroids.nearest_centroids
+        norm.withColumn("_cl",
+          explode(nearest_centroids(col("v"), centroids, nAssign)))
+      case other => throw new IllegalArgumentException(
+        s"assign must be kmeans or hash, got: $other")
+    }
+    val a = clustered
+      .select(col("_cl"), col(idCol).as("_id_a"), col("v").as("_v_a"))
+    val b = clustered
+      .select(col("_cl"), col(idCol).as("_id_b"), col("v").as("_v_b"))
+    val dropped = a.join(b, Seq("_cl"))
+      .filter(col("_id_a") < col("_id_b"))
+      .filter(Similarity.dot(col("_v_a"), col("_v_b")) >= threshold)
+      .select(col("_id_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------- line-level boilerplate
 
   /** Lines occurring in ≥ `minDocs` DISTINCT documents — the CCNet /

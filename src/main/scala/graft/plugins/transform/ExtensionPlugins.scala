@@ -12,7 +12,8 @@ import graft.ops.{Dedup, Text}
   * dedup runs as a pipeline transform:
   *
   *   method = "exact" | "fingerprint" | "minhash" | "simhash_pairs" |
-  *            "ngram_pairs" | "embedding_pairs" | "boilerplate_lines"
+  *            "ngram_pairs" | "embedding_pairs" | "boilerplate_lines" |
+  *            "semantic" (SemDeDup over an embedding column)
   */
 class DedupPlugin(options: Map[String, Any], configDir: Path, label: String)
     extends BaseTransformPlugin(options, configDir, label) {
@@ -69,6 +70,13 @@ class DedupPlugin(options: Map[String, Any], configDir: Path, label: String)
           case "boilerplate_lines" =>
             Dedup.removeBoilerplateLines(df, idCol, textColumn,
               minDocs = numOpt("min_docs", 3).toInt)
+          case "semantic" =>
+            Dedup.semDeDup(df, idCol,
+              options.getOrElse("embedding_column", "embedding").toString,
+              threshold = numOpt("threshold", 0.95),
+              nClusters = numOpt("n_clusters", 16).toInt,
+              assign = options.getOrElse("assign", "kmeans").toString,
+              nAssign = numOpt("n_assign", 1).toInt)
           case "incremental" =>
             // batch-vs-stored-corpus dedup: the reference is a table
             // on disk (yesterday's corpus), not a second stream

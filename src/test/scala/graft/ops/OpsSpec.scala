@@ -550,6 +550,64 @@ class OpsSpec extends AnyFunSuite {
     assert(!scanned.contains("g=y") || scanned.contains("g=x"))
   }
 
+  test("semDeDup: nClusters=1 equals global min-id dedup; kmeans is sound with high recall") {
+    // 40 random base vectors + near-identical copies of the first 10
+    // (tiny jitter, cosine ≈ 1): every copy must be dropped, nothing
+    // else may be.
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Double] = Array.fill(16)(rnd.nextGaussian())
+    val base = (0L until 40L).map(i => (i, vec()))
+    val copies = base.take(10).map { case (i, v) =>
+      (100L + i, v.map(_ + rnd.nextGaussian() * 1e-3))
+    }
+    val all = base ++ copies
+    val df = all.map { case (i, v) => (i, v.toSeq) }.toDF("id", "emb")
+
+    // brute-force global droppable set (min-id survivor rule)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      a.zip(b).map { case (x, y) => x * y }.sum / (na * nb)
+    }
+    val droppable = (for {
+      (i, vi) <- all; (j, vj) <- all
+      if i < j && cos(vi, vj) >= 0.95
+    } yield j).toSet
+    assert(droppable == copies.map(_._1).toSet) // fixture sanity
+
+    // one cluster (either mode) = exact global semantics
+    for (mode <- Seq("hash", "kmeans")) {
+      val survivors = Dedup.semDeDup(df, "id", "emb", threshold = 0.95,
+        nClusters = 1, assign = mode)
+        .select("id").as[Long].collect().toSet
+      assert(survivors == all.map(_._1).toSet -- droppable, s"mode=$mode")
+    }
+
+    // kmeans with real clusters: near-identical vectors always share a
+    // nearest centroid, so recall on cosine≈1 dups is total; soundness
+    // (no false drop) must be exact
+    val survivors4 = Dedup.semDeDup(df, "id", "emb", threshold = 0.95,
+      nClusters = 4, assign = "kmeans")
+      .select("id").as[Long].collect().toSet
+    val dropped4 = all.map(_._1).toSet -- survivors4
+    assert(dropped4.subsetOf(droppable))          // sound
+    assert(dropped4 == droppable)                 // full recall here
+
+    // multi-enrollment only ever ADDS candidate pairs: still sound,
+    // recall can't shrink
+    val survivors42 = Dedup.semDeDup(df, "id", "emb", threshold = 0.95,
+      nClusters = 4, assign = "kmeans", nAssign = 2)
+      .select("id").as[Long].collect().toSet
+    assert(all.map(_._1).toSet -- survivors42 == droppable)
+
+    intercept[IllegalArgumentException](
+      Dedup.semDeDup(df, "id", "emb", assign = "nope"))
+    intercept[IllegalArgumentException](
+      Dedup.semDeDup(df, "id", "emb", nClusters = 4, nAssign = 5))
+    intercept[IllegalArgumentException](
+      Dedup.semDeDup(df, "id", "emb", assign = "hash", nAssign = 2))
+  }
+
   test("cluster_by write ignores conflicting repartition/sort layout options") {
     // stacking repartition_by on a cluster_by write would destroy the
     // Z-order layout; the writer must warn-and-ignore, and the

@@ -78,6 +78,17 @@ class PlanSpec extends AnyFunSuite {
       "embeddingCosinePairs")
   }
 
+  test("SemDeDup never plans an all-pairs join (both assign modes)") {
+    val emb = (0L until 30L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    for (mode <- Seq("kmeans", "hash"))
+      assertNoAllPairs(
+        Dedup.semDeDup(emb, "vec_id", "embedding", threshold = 0.4,
+          nClusters = 4, assign = mode),
+        s"semDeDup($mode)")
+  }
+
   test("IVF-PQ top-k never plans an all-pairs join") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     assertNoAllPairs(
