@@ -7,7 +7,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Pipeline
-import graft.ops.{Contamination, Dedup, Multimodal, Sampling, Similarity, Text}
+import graft.ops.{Contamination, Dedup, DupSpans, Graph, Multimodal,
+  Sampling, Scd, Similarity, Text, Tfidf}
 import graft.plugins.input.ParquetScanPlugin
 import graft.plugins.transform.{FilterPlugin, SelectPlugin, SortPlugin}
 
@@ -1541,6 +1542,71 @@ object SparkEntry {
     // max-session_id row per user from the batch sessionization.
     // Timestamps truncate to whole seconds on both sides (integer
     // division, no float path).
+    // ---- cross-doc duplicated-span coverage (Lee et al. 2022) ----
+    // The suffix-array "repeated substring" signal as a sharded
+    // k-token rolling-window pipeline: narrow (id, pos, md5) rows →
+    // corpus-wide count → coverage on the dup subset only. Ratios are
+    // small-integer IEEE divisions — bit-identical cross-engine, no
+    // rounding needed.
+    "dedup_span_stats" -> ((s, dir) =>
+      DupSpans.spanStats(t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc_id")),
+
+    // ---- PageRank over the customer–supplier trade graph ---------
+    // 5 fixed power-method iterations, d=0.85, on the symmetrized
+    // distinct (cust ↔ supp) edge set; the oracle unrolls the same 5
+    // iterations as chained CTEs. Ranks are emitted ×N (uniform = 1)
+    // and rounded: 5 rounds of per-group double sums accumulate
+    // last-bit drift between engines.
+    "q_pagerank" -> ((s, dir) => {
+      val e0 = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val e = e0.union(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val ranks = Graph.pagerank(e, "src", "dst",
+        iterations = 5, damping = 0.85)
+      val n = ranks.agg(count(lit(1)).as("_n"))
+      ranks.crossJoin(n)
+        .select(col("node"),
+          r(col("rank") * col("_n"), 6).as("rank_n"))
+        .orderBy("node")
+    }),
+
+    // ---- SCD2 versioned dimension from a change stream -----------
+    // Consecutive equal-status runs per customer collapse into
+    // half-open validity intervals; the whole construction is three
+    // window passes over ONE exchange on o_custkey.
+    "q_scd2" -> ((s, dir) =>
+      Scd.scd2(t(s, dir, "orders"),
+          keyCols = Seq("o_custkey"), attrCols = Seq("o_orderstatus"),
+          orderCols = Seq("o_orderdate", "o_orderkey"),
+          validFromCol = "o_orderdate")
+        .orderBy("o_custkey", "version")),
+
+    // ---- per-doc top-k TF-IDF terms ------------------------------
+    // Rank order is the exact-rational tf/df key (see Tfidf scaladoc
+    // for why ln is display-only), so both engines select identical
+    // winners; the smoothed-log score is rounded for the hash.
+    "text_tfidf" -> ((s, dir) =>
+      Tfidf.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .withColumn("tfidf", r(col("tfidf"), 4))
+        .orderBy("doc_id", "rank")),
+
+    // ---- weighted sample (Efraimidis–Spirakis top-k) -------------
+    // u from the md5 key-hash (never an RNG), srk = u^(1/n_chars);
+    // global top-100 plans as TakeOrderedAndProject. srk is rounded:
+    // cross-engine pow may differ in the last ulp.
+    "q_sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(t(s, dir, "documents"),
+          "doc_id", "n_chars", k = 100)
+        .select(col("doc_id"), col("lang"), col("source"),
+          r(col("_srk"), 6).as("srk"))
+        .orderBy("doc_id")),
+
     "stream_sessionize" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       import s.implicits._
@@ -2920,6 +2986,175 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.click_t >= p.purchase_t - 1800 AND c.click_t <= p.purchase_t
         |ORDER BY p.purchase_id, c.click_id""".stripMargin,
+
+    // k=8 token windows, md5-keyed; dup = ≥2 occurrences anywhere.
+    // range(1, len-6) is end-exclusive = positions 1..len-7 = the
+    // len-k+1 windows; list slice toks[i:i+7] is inclusive = k tokens.
+    "dedup_span_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), dt AS (
+        |  SELECT doc_id, CASE WHEN length(t) = 0 THEN []
+        |    ELSE regexp_split_to_array(t, ' ') END AS toks
+        |  FROM d
+        |), g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    md5(array_to_string(toks[i:i+7], ' ')) AS h
+        |  FROM dt, unnest(CASE WHEN len(toks) >= 8
+        |    THEN range(1, len(toks) - 6) ELSE [] END) u(i)
+        |), dup AS (
+        |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+        |), gf AS (
+        |  SELECT g.doc_id, g.pos, (dup.h IS NOT NULL) AS isdup
+        |  FROM g LEFT JOIN dup ON g.h = dup.h
+        |), st AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_grams
+        |  FROM gf GROUP BY doc_id
+        |), cov AS (
+        |  SELECT doc_id, count(DISTINCT tok) AS covered
+        |  FROM gf, unnest(range(pos, pos + 8)) u(tok)
+        |  WHERE isdup GROUP BY doc_id
+        |), nt AS (
+        |  SELECT doc_id, CAST(CASE WHEN length(t) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(t, ' ')) END AS BIGINT)
+        |    AS n_tokens
+        |  FROM d)
+        |SELECT nt.doc_id, nt.n_tokens,
+        |  coalesce(st.n_grams, 0) AS n_grams,
+        |  coalesce(st.n_dup_grams, 0) AS n_dup_grams,
+        |  coalesce(cov.covered, 0) AS covered_tokens,
+        |  CASE WHEN coalesce(st.n_grams, 0) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(st.n_dup_grams AS DOUBLE) / st.n_grams END
+        |    AS dup_gram_ratio,
+        |  CASE WHEN nt.n_tokens = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(coalesce(cov.covered, 0) AS DOUBLE) / nt.n_tokens END
+        |    AS coverage_ratio
+        |FROM nt LEFT JOIN st USING (doc_id) LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // 5 unrolled power-method iterations over the symmetrized
+    // customer–supplier edge set; no dangling term needed (every node
+    // of a symmetric graph has out-degree ≥ 1, and the Spark side's
+    // dangling aggregate is exactly 0 there too).
+    "q_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), e AS (
+        |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+        |), nodes AS (SELECT DISTINCT src AS node FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
+        |        FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
+        |       FROM nodes, nn),
+        |r1 AS (SELECT nodes.node,
+        |    (1 - 0.85) / nn.n + 0.85 * coalesce(c.s, 0) AS rank
+        |  FROM nodes CROSS JOIN nn LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r0.rank / deg.d) AS s
+        |    FROM e JOIN deg ON e.src = deg.src JOIN r0 ON e.src = r0.node
+        |    GROUP BY e.dst) c ON nodes.node = c.node),
+        |r2 AS (SELECT nodes.node,
+        |    (1 - 0.85) / nn.n + 0.85 * coalesce(c.s, 0) AS rank
+        |  FROM nodes CROSS JOIN nn LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r1.rank / deg.d) AS s
+        |    FROM e JOIN deg ON e.src = deg.src JOIN r1 ON e.src = r1.node
+        |    GROUP BY e.dst) c ON nodes.node = c.node),
+        |r3 AS (SELECT nodes.node,
+        |    (1 - 0.85) / nn.n + 0.85 * coalesce(c.s, 0) AS rank
+        |  FROM nodes CROSS JOIN nn LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r2.rank / deg.d) AS s
+        |    FROM e JOIN deg ON e.src = deg.src JOIN r2 ON e.src = r2.node
+        |    GROUP BY e.dst) c ON nodes.node = c.node),
+        |r4 AS (SELECT nodes.node,
+        |    (1 - 0.85) / nn.n + 0.85 * coalesce(c.s, 0) AS rank
+        |  FROM nodes CROSS JOIN nn LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r3.rank / deg.d) AS s
+        |    FROM e JOIN deg ON e.src = deg.src JOIN r3 ON e.src = r3.node
+        |    GROUP BY e.dst) c ON nodes.node = c.node),
+        |r5 AS (SELECT nodes.node,
+        |    (1 - 0.85) / nn.n + 0.85 * coalesce(c.s, 0) AS rank
+        |  FROM nodes CROSS JOIN nn LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r4.rank / deg.d) AS s
+        |    FROM e JOIN deg ON e.src = deg.src JOIN r4 ON e.src = r4.node
+        |    GROUP BY e.dst) c ON nodes.node = c.node)
+        |SELECT node, r(rank * nn.n, 6) AS rank_n
+        |FROM r5, nn ORDER BY node""".stripMargin,
+
+    // run-collapse + interval close; IS DISTINCT FROM mirrors the
+    // Spark side's null-safe <=> change detection.
+    "q_scd2" ->
+      """WITH w1 AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    CASE WHEN row_number() OVER w = 1 THEN 1
+        |         WHEN o_orderstatus IS DISTINCT FROM
+        |              lag(o_orderstatus) OVER w THEN 1
+        |         ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)
+        |), runs0 AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS run
+        |  FROM w1
+        |), runs AS (
+        |  SELECT o_custkey, run AS version,
+        |    min(o_orderstatus) AS o_orderstatus,
+        |    min(o_orderdate) AS valid_from, count(*) AS n_events
+        |  FROM runs0 GROUP BY o_custkey, run)
+        |SELECT o_custkey, version, o_orderstatus, valid_from,
+        |  lead(valid_from) OVER wv AS valid_to,
+        |  (lead(valid_from) OVER wv IS NULL) AS is_current,
+        |  n_events
+        |FROM runs
+        |WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
+        |ORDER BY o_custkey, version""".stripMargin,
+
+    // rank by the exact-rational tf/df key (ln is display-only; see
+    // the Spark-side comment), smoothed-log score rounded to 4.
+    "text_tfidf" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(t, ' ')) AS term
+        |  FROM d WHERE length(t) > 0
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM toks GROUP BY doc_id, term
+        |), dfq AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+        |), n AS (SELECT count(*) AS nn FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |    tf.tf * (ln(CAST(1 + nn AS DOUBLE) /
+        |      CAST(1 + dfq.df AS DOUBLE)) + 1) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) / dfq.df DESC, tf.term)
+        |      AS rank
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        |SELECT doc_id, rank, term, tf, df, r(tfidf, 4) AS tfidf
+        |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // Efraimidis–Spirakis with the md5 key-hash as u; top-100 by raw
+    // srk (cross-engine pow agrees far beyond the selection margins),
+    // emitted rounded.
+    "q_sample_weighted" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, source,
+        |    pow(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |          ::BIGINT + 1 AS DOUBLE) / 4294967296.0,
+        |        CAST(1 AS DOUBLE) / n_chars) AS srk
+        |  FROM documents)
+        |SELECT doc_id, lang, source, r(srk, 6) AS srk FROM (
+        |  SELECT * FROM h ORDER BY srk DESC, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
 
     // batch sessionization minus each user's LAST session — the one
     // still open in flatMapGroupsWithState state when AvailableNow

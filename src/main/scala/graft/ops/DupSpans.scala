@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-document duplicated-span detection: the corpus-level
+  * "repeated substring" signal of Lee et al., *Deduplicating Training
+  * Data Makes Language Models Better* (ACL 2022) — there built with a
+  * suffix array on one machine; here re-expressed as the
+  * shuffle-friendly k-token rolling-window form.
+  *
+  * A span-gram is the k-token window starting at token position `p`
+  * (1-based) of a document's normalized text. A span-gram is
+  * DUPLICATED when the identical k tokens occur at ≥ `minOccurrences`
+  * positions anywhere in the corpus (within-document repeats count —
+  * a doc that repeats its own boilerplate is just as contaminated).
+  * Per document we report how much of it is made of duplicated
+  * spans: the gram-level ratio and the token-coverage ratio (fraction
+  * of token positions lying under at least one duplicated window) —
+  * the number used to gate or trim documents in RefinedWeb-style
+  * curation.
+  *
+  * Scale shape (the suffix-array construction cannot shard; this
+  * can):
+  *  1. one projection tokenizes and windows each doc — narrow
+  *     `(id, pos, h)` rows where `h` is `md5` of the joined window
+  *     (md5, not xxhash64, so DuckDB reproduces it; the 32-hex-char
+  *     payload is what rides the shuffle, never the window text);
+  *  2. one hash aggregation counts occurrences per `h`;
+  *  3. occurrences join back to the ≥min counts on `h` — both sides
+  *     hash-partitioned on `h`, AQE free to broadcast the dup set
+  *     when it is small;
+  *  4. coverage is a bounded ×k explode of the *duplicated* positions
+  *     only, then a per-doc distinct count — never quadratic, and
+  *     proportional to the duplication actually present.
+  * No step holds a document's full token array across a shuffle
+  * boundary and no step compares documents pairwise, so the plan
+  * survives a corpus where a million docs share one boilerplate
+  * family (that family is one `h` group — a count, not a clique).
+  */
+object DupSpans {
+
+  /** Narrow span-gram occurrence rows `(idCol, pos, h)`, pos 1-based.
+    * Docs with fewer than `k` tokens (or no tokens) emit none. */
+  def spanGramOccurrences(df: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame = {
+    require(k >= 2, s"span width k must be >= 2, got $k")
+    val toks = when(length(col("_t")) === 0, array())
+      .otherwise(split(col("_t"), " "))
+    df.select(col(idCol), Text.normalize(col(textCol)).as("_t"))
+      .select(col(idCol), toks.as("_toks"))
+      .select(col(idCol), posexplode(
+        when(size(col("_toks")) < k, array()).otherwise(
+          transform(sequence(lit(1), size(col("_toks")) - (k - 1)),
+            i => md5(array_join(slice(col("_toks"), i, lit(k)), " ")
+              .cast("binary"))))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
+  }
+
+  /** Per-document duplicated-span statistics:
+    * `(idCol, n_tokens, n_grams, n_dup_grams, covered_tokens,
+    * dup_gram_ratio, coverage_ratio)` — one row per input document
+    * (zero stats for docs too short to window). Ratios are plain
+    * doubles of small-integer divisions, so they reproduce exactly
+    * cross-engine. */
+  def spanStats(df: DataFrame, idCol: String, textCol: String,
+                k: Int, minOccurrences: Int = 2): DataFrame = {
+    require(minOccurrences >= 2,
+      s"minOccurrences must be >= 2, got $minOccurrences")
+    val occ = spanGramOccurrences(df, idCol, textCol, k)
+    // Corpus-wide occurrence counts; only the ≥min hashes survive.
+    val dup = occ.groupBy("h").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= minOccurrences)
+      .select("h")
+    val flagged = occ.join(dup.withColumn("_isdup", lit(true)),
+      Seq("h"), "left")
+    val gramStats = flagged.groupBy(idCol).agg(
+      count(lit(1)).as("n_grams"),
+      sum(when(col("_isdup"), 1L).otherwise(0L)).as("n_dup_grams"))
+    // Token coverage: explode duplicated windows to token positions
+    // (bounded ×k on the dup subset only), distinct per doc.
+    val covered = flagged.filter(col("_isdup"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("_tok"))
+      .groupBy(idCol).agg(countDistinct(col("_tok")).as("covered_tokens"))
+    val nTokens = df
+      .select(col(idCol), Text.normalize(col(textCol)).as("_t"))
+      .select(col(idCol),
+        when(length(col("_t")) === 0, 0L)
+          .otherwise(size(split(col("_t"), " ")).cast("long"))
+          .as("n_tokens"))
+    nTokens
+      .join(gramStats, Seq(idCol), "left")
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("dup_gram_ratio",
+        when(col("n_grams") === 0, lit(0.0)).otherwise(
+          col("n_dup_grams").cast("double") / col("n_grams")))
+      .withColumn("coverage_ratio",
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          col("covered_tokens").cast("double") / col("n_tokens")))
+  }
+
+  /** Gate: keep documents whose duplicated-span token coverage stays
+    * UNDER `maxCoverage` (strictly-less; a doc sitting exactly on the
+    * bound is dropped — the conservative direction for a
+    * contamination gate). */
+  def filterByCoverage(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, maxCoverage: Double,
+                       minOccurrences: Int = 2): DataFrame = {
+    val stats = spanStats(df, idCol, textCol, k, minOccurrences)
+      .select(col(idCol), col("coverage_ratio"))
+    df.join(stats, Seq(idCol), "left")
+      .filter(coalesce(col("coverage_ratio"), lit(0.0)) < maxCoverage)
+      .drop("coverage_ratio")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics over edge DataFrames — the power-method
+  * PageRank the GraphX docs describe, re-expressed as plain
+  * relational iterations so it runs on any `(src, dst)` edge table
+  * with no special graph runtime.
+  *
+  * Scale shape per iteration:
+  *  - one shuffle join (edges ⋈ ranks on `src`, both sides
+  *    hash-partitioned on the same key — the partitioning is reused
+  *    across iterations since the edge side is persisted pre-hashed),
+  *  - partial-aggregated `sum` of contributions on `dst`,
+  *  - the dangling-mass term is a single-row aggregate cross-joined
+  *    in (a 1-row broadcast, never a collect),
+  *  - the new rank frame is persisted and counted — the count
+  *    truncates lineage so iteration N+1 reads materialized ranks,
+  *    not an N-deep join tree (same flat-lineage discipline as
+  *    [[Dedup.clusterPairs]]) — and the previous iteration is
+  *    unpersisted.
+  * Driver state is O(1): iteration index and nothing else. At 100 TB
+  * the edge table is the big side; it is persisted once (deserialized
+  * columnar), and every iteration's shuffle moves only `(node, rank)`
+  * pairs — 16 bytes of payload per node, not edges.
+  */
+object Graph {
+
+  /** PageRank over a directed edge list with uniform teleport and
+    * dangling-mass redistribution:
+    *
+    * `rank'(v) = (1-d)/N + d * (Σ_{u→v} rank(u)/outdeg(u) + D/N)`
+    *
+    * where `D` is the total rank mass sitting on dangling nodes
+    * (no outgoing edges). Nodes = distinct endpoints of `edges`.
+    * Returns `(node, rank)`; ranks sum to 1 at every iteration.
+    *
+    * Runs `iterations` fixed steps (deterministic — matches an
+    * unrolled SQL oracle), each materialized via persist+count.
+    */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1,
+      s"damping must be in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("_src").as("node"))
+      .union(e.select(col("_dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // one setup action; O(1) driver result
+    val outdeg = e.groupBy("_src").agg(count(lit(1)).as("_deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    outdeg.count()
+
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+    var it = 0
+    while (it < iterations) {
+      val contrib = e
+        .join(outdeg, Seq("_src"))
+        .join(ranks.withColumnRenamed("node", "_src"), Seq("_src"))
+        .groupBy(col("_dst").as("node"))
+        .agg(sum(col("rank") / col("_deg")).as("_c"))
+      // Mass on dangling nodes (no out-edges): 1-row aggregate,
+      // broadcast via crossJoin — no driver-side collect.
+      val dangling = ranks.join(
+          outdeg.select(col("_src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dm"))
+      val next = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(dangling)
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("_c"), lit(0.0)) + col("_dm") / n)).as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize: flat lineage for the next round
+      ranks.unpersist(blocking = false)
+      ranks = next
+      it += 1
+    }
+    e.unpersist(blocking = false)
+    outdeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    ranks
+  }
+
+  /** Per-node degree summary of a directed edge list: out-degree,
+    * in-degree, total — the profile pass run before choosing a
+    * partitioning/skew strategy for any iterative algorithm. One
+    * aggregation per direction, outer-merged on node. */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val out = edges.groupBy(col(srcCol).as("node"))
+      .agg(count(lit(1)).as("out_degree"))
+    val in = edges.groupBy(col(dstCol).as("node"))
+      .agg(count(lit(1)).as("in_degree"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .withColumn("degree", col("out_degree") + col("in_degree"))
+  }
+}

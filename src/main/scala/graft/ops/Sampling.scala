@@ -124,4 +124,34 @@ object Sampling {
     }
     src.filter(keyHash(col(keyCol)) < bandCol)
   }
+
+  /** Weighted sampling without replacement, Efraimidis–Spirakis
+    * (IPL 2006): each row draws `u ∈ (0,1]` and scores
+    * `srk = u^(1/w)`; the global top-`k` by `srk` is a weighted
+    * sample — heavier rows hold proportionally higher odds, yet every
+    * row keeps a chance.
+    *
+    * Determinism: `u` comes from the same md5 key-hash as
+    * [[sampleByHash]] (`(hash+1)/2^32`, so `u` is never 0 and
+    * `pow` never sees a 0 base), not an RNG — the selected set is
+    * reproducible across engines, reruns and backfills. The hash
+    * ordering means this composes with [[stratifiedCap]] and
+    * [[assignSplit]] without correlation (different hash inputs).
+    *
+    * Scale shape: one per-row projection, then global top-k — which
+    * Catalyst plans as `TakeOrderedAndProject` (per-partition heaps of
+    * k, merged on the driver; no global sort, no full shuffle). `k`
+    * rows must fit on the driver, which is the contract of "give me
+    * a k-row sample". Callers hash-oracling the result should round
+    * `srk` before comparing (cross-engine `pow` may differ in the
+    * last ulp).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (keyHash(col(keyCol)) + 1L).cast("double") / 4294967296.0
+    df.withColumn("_srk", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("_srk").desc, col(keyCol))
+      .limit(k)
+  }
 }

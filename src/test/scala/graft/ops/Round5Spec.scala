@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Round-5 operators: duplicated-span coverage, PageRank, SCD2,
+  * TF-IDF, weighted sampling — semantics pinned on hand-computable
+  * frames. */
+class Round5Spec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SharedSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------ DupSpans
+
+  private val spanDocs = Seq(
+    // docs 0 and 1 share the 8-token prefix "a b c d e f g h"
+    (0L, "a b c d e f g h unique zero tail"),
+    (1L, "a b c d e f g h other one ending"),
+    (2L, "totally different words in this document here now extra"),
+    (3L, "short doc"), // < k tokens -> no grams
+    (4L, "")           // empty -> no tokens
+  ).toDF("doc_id", "text")
+
+  test("DupSpans.spanGramOccurrences windows and positions") {
+    val occ = DupSpans.spanGramOccurrences(spanDocs, "doc_id", "text", k = 8)
+      .collect()
+    // doc0: 11 tokens -> 4 windows; doc1: 11 -> 4; doc2: 10 -> 3
+    assert(occ.count(_.getLong(0) == 0L) == 4)
+    assert(occ.count(_.getLong(0) == 1L) == 4)
+    assert(occ.count(_.getLong(0) == 2L) == 3)
+    assert(!occ.exists(r => r.getLong(0) == 3L || r.getLong(0) == 4L))
+    assert(occ.filter(_.getLong(0) == 0L).map(_.getLong(1)).sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("DupSpans.spanStats: shared prefix flagged, coverage counted") {
+    val st = DupSpans.spanStats(spanDocs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(st.size == 5)
+    // only the pos-1 window ("a b c d e f g h") is shared
+    val d0 = st(0L)
+    assert(d0.getLong(1) == 11L)        // n_tokens
+    assert(d0.getLong(2) == 4L)         // n_grams
+    assert(d0.getLong(3) == 1L)         // n_dup_grams
+    assert(d0.getLong(4) == 8L)         // covered: tokens 1..8
+    assert(math.abs(d0.getDouble(5) - 0.25) < 1e-15)
+    assert(math.abs(d0.getDouble(6) - 8.0 / 11) < 1e-15)
+    val d2 = st(2L)
+    assert(d2.getLong(3) == 0L && d2.getLong(4) == 0L)
+    val d3 = st(3L)
+    assert(d3.getLong(1) == 2L && d3.getLong(2) == 0L
+      && d3.getDouble(5) == 0.0)
+    val d4 = st(4L)
+    assert(d4.getLong(1) == 0L && d4.getDouble(6) == 0.0)
+  }
+
+  test("DupSpans: overlapping dup windows merge in coverage") {
+    // 9-token shared run -> two overlapping 8-windows covering 9 tokens
+    val docs = Seq(
+      (0L, "a b c d e f g h i x"),
+      (1L, "a b c d e f g h i y")
+    ).toDF("doc_id", "text")
+    val st = DupSpans.spanStats(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(st(0L).getLong(3) == 2L)  // both windows duplicated
+    assert(st(0L).getLong(4) == 9L)  // union of [1,8] and [2,9]
+  }
+
+  test("DupSpans.filterByCoverage gates on the bound (strict <)") {
+    val kept = DupSpans.filterByCoverage(spanDocs, "doc_id", "text",
+      k = 8, maxCoverage = 8.0 / 11).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // docs 0,1 sit exactly ON the bound -> dropped; 2,3,4 kept
+    assert(kept == Seq(2L, 3L, 4L))
+  }
+
+  // --------------------------------------------------------------- Graph
+
+  test("Graph.pagerank: uniform on a symmetric cycle, sums to 1") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("b", "a"), ("c", "b"), ("a", "c")).toDF("src", "dst")
+    val r = Graph.pagerank(edges, "src", "dst", iterations = 3)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.size == 3)
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+    assert(math.abs(r.values.sum - 1.0) < 1e-12)
+  }
+
+  test("Graph.pagerank: dangling mass redistributed, hub outranks leaf") {
+    // star into a sink: a->c, b->c; c dangles
+    val edges = Seq(("a", "c"), ("b", "c")).toDF("src", "dst")
+    val r = Graph.pagerank(edges, "src", "dst", iterations = 10)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9) // mass conserved
+    assert(r("c") > r("a"))
+    assert(math.abs(r("a") - r("b")) < 1e-12)   // symmetric leaves
+  }
+
+  test("Graph.degrees") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("s", "d")
+    val deg = Graph.degrees(edges, "s", "d")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(deg("a") == (2L, 0L, 2L))
+    assert(deg("b") == (1L, 1L, 2L))
+    assert(deg("c") == (0L, 2L, 2L))
+  }
+
+  // ----------------------------------------------------------------- Scd
+
+  test("Scd.scd2 collapses runs and closes intervals") {
+    val events = Seq(
+      (1L, "O", "2024-01-01", 10L),
+      (1L, "O", "2024-01-05", 11L),  // same status -> same run
+      (1L, "F", "2024-02-01", 12L),  // change -> version 2
+      (1L, "O", "2024-03-01", 13L),  // change back -> version 3
+      (2L, "P", "2024-01-15", 20L)
+    ).toDF("k", "status", "dt", "id")
+      .withColumn("dt", to_date(col("dt")))
+    val out = Scd.scd2(events, Seq("k"), Seq("status"), Seq("dt", "id"), "dt")
+      .orderBy("k", "version").collect()
+    assert(out.length == 4)
+    val v1 = out(0)
+    assert(v1.getLong(1) == 1L && v1.getString(2) == "O"
+      && v1.getLong(7) == 2L) // n_events
+    assert(v1.getDate(3).toString == "2024-01-01"
+      && v1.getDate(4).toString == "2024-02-01"
+      && !v1.getBoolean(5).asInstanceOf[Boolean])
+    val v3 = out(2)
+    assert(v3.getLong(1) == 3L && v3.getString(2) == "O"
+      && v3.isNullAt(4) && v3.getBoolean(5))
+    val k2 = out(3)
+    assert(k2.getLong(0) == 2L && k2.getLong(1) == 1L && k2.getBoolean(5))
+  }
+
+  test("Scd.scd2 null-safe change detection; Scd.asOf point lookup") {
+    val events = Seq(
+      (1L, Option.empty[String], "2024-01-01", 1L),
+      (1L, Some("A"), "2024-02-01", 2L),   // NULL -> A is a change
+      (1L, Option.empty[String], "2024-03-01", 3L) // A -> NULL is a change
+    ).toDF("k", "status", "dt", "id")
+      .withColumn("dt", to_date(col("dt")))
+    val scd = Scd.scd2(events, Seq("k"), Seq("status"), Seq("dt", "id"), "dt")
+    assert(scd.count() == 3)
+    val at = Scd.asOf(scd, to_date(lit("2024-02-15"))).collect()
+    assert(at.length == 1 && at(0).getString(2) == "A")
+  }
+
+  // --------------------------------------------------------------- Tfidf
+
+  test("Tfidf.topTerms ranks by tf/df with term tie-break") {
+    val docs = Seq(
+      (0L, "apple apple banana cherry"),
+      (1L, "banana cherry cherry date"),
+      (2L, "date date date elderberry")
+    ).toDF("doc_id", "text")
+    val top = Tfidf.topTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+    assert(top.length == 6)
+    // doc0: apple tf=2 df=1 -> 2.0 wins; banana/cherry tf=1 df=2 tie
+    //       -> banana by term order
+    assert(top(0).getString(2) == "apple" && top(0).getLong(3) == 2L
+      && top(0).getLong(4) == 1L)
+    assert(top(1).getString(2) == "banana")
+    // doc2: date tf=3 df=2 -> 1.5 beats elderberry 1/1
+    assert(top(4).getString(2) == "date")
+    assert(top(5).getString(2) == "elderberry")
+    // display score: tf * (ln((1+N)/(1+df)) + 1)
+    val expected = 2.0 * (math.log(4.0 / 2.0) + 1)
+    assert(math.abs(top(0).getDouble(5) - expected) < 1e-12)
+  }
+
+  test("Tfidf: empty docs emit no rows; k bounds output") {
+    val docs = Seq((0L, "a b c"), (1L, "")).toDF("doc_id", "text")
+    val top = Tfidf.topTerms(docs, "doc_id", "text", k = 5).collect()
+    assert(top.forall(_.getLong(0) == 0L))
+    assert(top.length == 3)
+  }
+
+  // ------------------------------------------------------ weightedSample
+
+  test("Sampling.weightedSample: deterministic, k-bounded, weight-biased") {
+    val rows = (1L to 400L).map(i =>
+      (i, if (i <= 200) 1.0 else 100.0)).toDF("id", "w")
+    val s1 = Sampling.weightedSample(rows, "id", "w", k = 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.weightedSample(rows, "id", "w", k = 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.size == 50) // reproducible, exactly k
+    // 100x weight -> heavy ids dominate the sample
+    val heavy = s1.count(_ > 200L)
+    assert(heavy > 40, s"expected heavy-weight dominance, got $heavy/50")
+  }
+
+  test("Sampling.weightedSample: equal weights approximate uniform") {
+    val rows = (1L to 1000L).map(i => (i, 5.0)).toDF("id", "w")
+    val s = Sampling.weightedSample(rows, "id", "w", k = 100)
+      .select("id").collect().map(_.getLong(0))
+    assert(s.length == 100)
+    // md5-hash order has no id bias: both halves represented
+    assert(s.count(_ <= 500L) > 20 && s.count(_ > 500L) > 20)
+  }
+}
