@@ -204,9 +204,15 @@ object Dedup {
     * clusters are small and dense (boilerplate families), so this
     * converges in a handful of rounds; `maxIter` bounds pathology.
     * Each round is one (edges ⋈ labels) shuffle + a map-side min;
-    * intermediate labels are persisted and the previous round
-    * unpersisted so lineage stays flat. The convergence check is one
-    * count per round — a driver-side SCALAR, not collected data.
+    * each round's labels are `localCheckpoint(eager = true)`d — the
+    * checkpoint truncates the analyzed LOGICAL plan (persist alone
+    * does not), which matters because `labels` is referenced twice
+    * per round (neighbor-min join + change-count join): with lineage
+    * intact the plan doubles per round, so a high-diameter component
+    * would OOM the driver on plan bookkeeping alone. Superseded
+    * rounds' blocks are reclaimed by the ContextCleaner. The
+    * convergence check is one count per round — a driver-side SCALAR,
+    * not collected data.
     *
     * Returns (idCol, cluster_id) for EVERY node (singletons keep
     * their own id as cluster).
@@ -218,7 +224,7 @@ object Dedup {
       .union(pairs.select(col("id_b").as("_src"), col("id_a").as("_dst")))
       .persist()
     var labels = nodes.select(col(idCol).as("_id"))
-      .withColumn("cluster_id", col("_id")).persist()
+      .withColumn("cluster_id", col("_id")).localCheckpoint(eager = true)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxIter) {
@@ -231,12 +237,13 @@ object Dedup {
         .select(col("_id"),
           least(col("cluster_id"),
             coalesce(col("_nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .persist()
+        // checkpoint, not persist: truncates the logical plan so the
+        // tree stays O(1) per round (labels is referenced twice)
+        .localCheckpoint(eager = true)
       changed = next
         .join(labels.select(col("_id"), col("cluster_id").as("_prev")), Seq("_id"))
         .filter(col("cluster_id") =!= col("_prev")).count()
-      labels.unpersist()
-      labels = next
+      labels = next // prior round's blocks: freed by ContextCleaner
       round += 1
     }
     edges.unpersist()

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Cross-document duplicated-span detection: the corpus-level
   * "repeated substring" signal of Lee et al., *Deduplicating Training
@@ -22,11 +23,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (the suffix-array construction cannot shard; this
   * can):
-  *  1. one projection tokenizes and windows each doc — narrow
-  *     `(id, pos, h)` rows where `h` is `md5` of the joined window
-  *     (md5, not xxhash64, so DuckDB reproduces it; the 32-hex-char
-  *     payload is what rides the shuffle, never the window text);
-  *  2. one hash aggregation counts occurrences per `h`;
+  *  1. ONE projection tokenizes and windows each doc — narrow
+  *     `(id, n_tokens, pos, h)` rows where `h` is `md5` of the joined
+  *     window (md5, not xxhash64, so DuckDB reproduces it; the
+  *     32-hex-char payload is what rides the shuffle, never the
+  *     window text). `n_tokens` rides along and docs too short to
+  *     window emit one null-gram row (`posexplode_outer`), so the
+  *     per-doc token count needs NO second scan of the corpus text.
+  *     The frame is persisted (deserialized, disk-spillable) because
+  *     two consumers read it — the corpus-wide count and the
+  *     flag-back join — and re-tokenizing 100 TB of text twice costs
+  *     more than caching the ~48 B/token narrow rows once;
   *  3. occurrences join back to the ≥min counts on `h` — both sides
   *     hash-partitioned on `h`, AQE free to broadcast the dup set
   *     when it is small;
@@ -43,19 +50,32 @@ object DupSpans {
   /** Narrow span-gram occurrence rows `(idCol, pos, h)`, pos 1-based.
     * Docs with fewer than `k` tokens (or no tokens) emit none. */
   def spanGramOccurrences(df: DataFrame, idCol: String, textCol: String,
-                          k: Int): DataFrame = {
+                          k: Int): DataFrame =
+    occurrencesWithTokens(df, idCol, textCol, k)
+      .filter(col("h").isNotNull)
+      .select(col(idCol), col("pos"), col("h"))
+
+  /** The single tokenize+window pass: `(idCol, n_tokens, pos, h)`.
+    * One row per span-gram occurrence, plus one `(pos, h) = NULL` row
+    * for each doc too short to window (`posexplode_outer`), so the
+    * per-doc token count is carried by the same projection instead of
+    * a second scan of the corpus text. */
+  private def occurrencesWithTokens(df: DataFrame, idCol: String,
+                                    textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"span width k must be >= 2, got $k")
     val toks = when(length(col("_t")) === 0, array())
       .otherwise(split(col("_t"), " "))
     df.select(col(idCol), Text.normalize(col(textCol)).as("_t"))
       .select(col(idCol), toks.as("_toks"))
-      .select(col(idCol), posexplode(
-        when(size(col("_toks")) < k, array()).otherwise(
-          transform(sequence(lit(1), size(col("_toks")) - (k - 1)),
-            i => md5(array_join(slice(col("_toks"), i, lit(k)), " ")
-              .cast("binary"))))))
-      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("h"))
+      .select(col(idCol), size(col("_toks")).cast("long").as("n_tokens"),
+        posexplode_outer(
+          when(size(col("_toks")) < k, array().cast("array<string>"))
+            .otherwise(
+              transform(sequence(lit(1), size(col("_toks")) - (k - 1)),
+                i => md5(array_join(slice(col("_toks"), i, lit(k)), " ")
+                  .cast("binary"))))))
+      .select(col(idCol), col("n_tokens"),
+        (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
   }
 
   /** Per-document duplicated-span statistics:
@@ -68,15 +88,23 @@ object DupSpans {
                 k: Int, minOccurrences: Int = 2): DataFrame = {
     require(minOccurrences >= 2,
       s"minOccurrences must be >= 2, got $minOccurrences")
-    val occ = spanGramOccurrences(df, idCol, textCol, k)
+    // Persist the narrow rows: the dup-count branch and the flag-back
+    // join both read them, and one cached pass beats tokenizing the
+    // corpus text twice. Blocks are reclaimed by the ContextCleaner
+    // once the returned frame is dropped.
+    val occ = occurrencesWithTokens(df, idCol, textCol, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Corpus-wide occurrence counts; only the ≥min hashes survive.
-    val dup = occ.groupBy("h").agg(count(lit(1)).as("_n"))
+    val dup = occ.filter(col("h").isNotNull)
+      .groupBy("h").agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= minOccurrences)
       .select("h")
+    // Null h (short docs) never matches — their row survives unflagged.
     val flagged = occ.join(dup.withColumn("_isdup", lit(true)),
       Seq("h"), "left")
     val gramStats = flagged.groupBy(idCol).agg(
-      count(lit(1)).as("n_grams"),
+      first(col("n_tokens")).as("n_tokens"),
+      count(col("h")).as("n_grams"), // count(h) skips the null-gram rows
       sum(when(col("_isdup"), 1L).otherwise(0L)).as("n_dup_grams"))
     // Token coverage: explode duplicated windows to token positions
     // (bounded ×k on the dup subset only), distinct per doc.
@@ -84,17 +112,10 @@ object DupSpans {
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("_tok"))
       .groupBy(idCol).agg(countDistinct(col("_tok")).as("covered_tokens"))
-    val nTokens = df
-      .select(col(idCol), Text.normalize(col(textCol)).as("_t"))
-      .select(col(idCol),
-        when(length(col("_t")) === 0, 0L)
-          .otherwise(size(split(col("_t"), " ")).cast("long"))
-          .as("n_tokens"))
-    nTokens
-      .join(gramStats, Seq(idCol), "left")
+    gramStats
       .join(covered, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("n_grams"),
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
       .withColumn("dup_gram_ratio",

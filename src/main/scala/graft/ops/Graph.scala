@@ -16,11 +16,17 @@ import org.apache.spark.storage.StorageLevel
   *  - partial-aggregated `sum` of contributions on `dst`,
   *  - the dangling-mass term is a single-row aggregate cross-joined
   *    in (a 1-row broadcast, never a collect),
-  *  - the new rank frame is persisted and counted — the count
-  *    truncates lineage so iteration N+1 reads materialized ranks,
-  *    not an N-deep join tree (same flat-lineage discipline as
-  *    [[Dedup.clusterPairs]]) — and the previous iteration is
-  *    unpersisted.
+  *  - the new rank frame is `localCheckpoint(eager = true)`d — unlike
+  *    persist+count, a local checkpoint truncates the analyzed
+  *    LOGICAL plan (the new frame is a `LogicalRDD` leaf), which
+  *    matters because each iteration references `ranks` twice
+  *    (contribution join + dangling anti-join): with lineage intact
+  *    the plan tree doubles per iteration (~2^n nodes) and the driver
+  *    dies building plan strings long before any data moves. The
+  *    checkpoint keeps driver plan state O(1) per iteration (same
+  *    flat-lineage discipline as [[Dedup.clusterPairs]]); the previous
+  *    iteration's blocks are released by the ContextCleaner once the
+  *    superseded frame is dropped.
   * Driver state is O(1): iteration index and nothing else. At 100 TB
   * the edge table is the big side; it is persisted once (deserialized
   * columnar), and every iteration's shuffle moves only `(node, rank)`
@@ -38,7 +44,14 @@ object Graph {
     * Returns `(node, rank)`; ranks sum to 1 at every iteration.
     *
     * Runs `iterations` fixed steps (deterministic — matches an
-    * unrolled SQL oracle), each materialized via persist+count.
+    * unrolled SQL oracle), each materialized via an eager local
+    * checkpoint so the logical plan stays constant-size regardless of
+    * `iterations`. (On a cluster that trades lineage-based recovery
+    * for bounded driver state — the right trade for an iterative
+    * algorithm whose recompute-from-scratch cost dwarfs a rerun.)
+    * The returned frame is checkpoint-backed; its blocks are
+    * reclaimed by the ContextCleaner when the frame is GC'd — no
+    * unpersist obligation on the caller.
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 5, damping: Double = 0.85): DataFrame = {
@@ -57,8 +70,7 @@ object Graph {
     outdeg.count()
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    ranks.count()
+      .localCheckpoint(eager = true)
     var it = 0
     while (it < iterations) {
       val contrib = e
@@ -77,10 +89,11 @@ object Graph {
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("_c"), lit(0.0)) + col("_dm") / n)).as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize: flat lineage for the next round
-      ranks.unpersist(blocking = false)
-      ranks = next
+        // Materialize AND truncate the logical plan: `ranks` appears
+        // twice above, so without a checkpoint the analyzed tree
+        // doubles per iteration and OOMs the driver by ~n=10.
+        .localCheckpoint(eager = true)
+      ranks = next // prior iteration's blocks: freed by ContextCleaner
       it += 1
     }
     e.unpersist(blocking = false)

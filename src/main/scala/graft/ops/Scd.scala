@@ -46,7 +46,12 @@ object Scd {
     // null-safe compare says "changed" only when the attr is non-null;
     // force it — the first event always opens version 1.
     val isFirst = row_number().over(w) === 1
-    val runId = sum(when(isFirst || changed, 1).otherwise(0)).over(w)
+    // ROWS frame, not Spark's default RANGE frame: if orderCols ever
+    // tie, RANGE would give peer rows the same cumulative sum and
+    // silently merge/renumber runs, diverging from the oracle's
+    // ROWS UNBOUNDED PRECEDING semantics.
+    val runId = sum(when(isFirst || changed, 1).otherwise(0))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val staged = df.select(
       (keyCols ++ attrCols).map(col) :+ col(validFromCol) :+
         runId.as("_run"): _*)

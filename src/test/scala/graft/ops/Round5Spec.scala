@@ -27,10 +27,10 @@ class Round5Spec extends AnyFunSuite {
   test("DupSpans.spanGramOccurrences windows and positions") {
     val occ = DupSpans.spanGramOccurrences(spanDocs, "doc_id", "text", k = 8)
       .collect()
-    // doc0: 11 tokens -> 4 windows; doc1: 11 -> 4; doc2: 10 -> 3
+    // doc0: 11 tokens -> 4 windows; doc1: 11 -> 4; doc2: 9 -> 2
     assert(occ.count(_.getLong(0) == 0L) == 4)
     assert(occ.count(_.getLong(0) == 1L) == 4)
-    assert(occ.count(_.getLong(0) == 2L) == 3)
+    assert(occ.count(_.getLong(0) == 2L) == 2)
     assert(!occ.exists(r => r.getLong(0) == 3L || r.getLong(0) == 4L))
     assert(occ.filter(_.getLong(0) == 0L).map(_.getLong(1)).sorted.toSeq
       == Seq(1L, 2L, 3L, 4L))
@@ -90,13 +90,36 @@ class Round5Spec extends AnyFunSuite {
   }
 
   test("Graph.pagerank: dangling mass redistributed, hub outranks leaf") {
-    // star into a sink: a->c, b->c; c dangles
+    // star into a sink: a->c, b->c; c dangles. iterations=25 is the
+    // regression guard for the r5 lineage blowup: with persist-only
+    // materialization the analyzed plan doubled per iteration (~2^n)
+    // and the driver OOMed by n=10 building plan strings.
     val edges = Seq(("a", "c"), ("b", "c")).toDF("src", "dst")
-    val r = Graph.pagerank(edges, "src", "dst", iterations = 10)
-      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val ranks = Graph.pagerank(edges, "src", "dst", iterations = 25)
+    // flat lineage: the result must be a checkpoint-backed leaf, not
+    // a 25-deep join tree — its analyzed plan stays tiny
+    assert(ranks.queryExecution.analyzed.treeString.length < 4000,
+      "pagerank result plan grew with iteration count")
+    val r = ranks.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
     assert(math.abs(r.values.sum - 1.0) < 1e-9) // mass conserved
     assert(r("c") > r("a"))
     assert(math.abs(r("a") - r("b")) < 1e-12)   // symmetric leaves
+  }
+
+  test("Dedup.clusterPairs: high-diameter path converges, plan bounded") {
+    // a 30-node path has diameter 29 — the min-label propagates one
+    // hop per round, so this walks ~15 rounds (label drops via both
+    // directions) and would OOM the driver under the old persist-only
+    // loop (plan doubled per round). maxIter=40 covers convergence.
+    val n = 30
+    val nodes = (0L until n.toLong).toDF("id")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("id_a", "id_b")
+    val out = Dedup.clusterPairs(nodes, "id", pairs, maxIter = 40)
+    assert(out.queryExecution.analyzed.treeString.length < 4000,
+      "clusterPairs result plan grew with round count")
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n && labels.values.forall(_ == 0L))
   }
 
   test("Graph.degrees") {
@@ -125,7 +148,7 @@ class Round5Spec extends AnyFunSuite {
     assert(out.length == 4)
     val v1 = out(0)
     assert(v1.getLong(1) == 1L && v1.getString(2) == "O"
-      && v1.getLong(7) == 2L) // n_events
+      && v1.getAs[Long]("n_events") == 2L)
     assert(v1.getDate(3).toString == "2024-01-01"
       && v1.getDate(4).toString == "2024-02-01"
       && !v1.getBoolean(5).asInstanceOf[Boolean])
