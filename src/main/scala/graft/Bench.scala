@@ -39,7 +39,9 @@ object Bench {
     "text_blocklist",
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivfpq",
     "sim_quantize_raw",
-    "multimodal_meta", "q_pivot", "q_unpivot")
+    "multimodal_meta", "q_pivot", "q_unpivot",
+    "dedup_span_stats", "q_pagerank", "q_scd2", "text_tfidf",
+    "q_sample_weighted")
 
   /** Full query inventory: oracled queries + bench-only raw ANN
     * top-k (kept under their historical names). */

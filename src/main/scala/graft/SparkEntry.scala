@@ -26,8 +26,20 @@ import graft.plugins.transform.{FilterPlugin, SelectPlugin, SortPlugin}
   */
 object SparkEntry {
 
+  /** Opt-in input caching for [[Verify]]: 100 queries re-reading the
+    * same ten tables pay the parquet scan each time, so Verify flips
+    * this on and the first read of each table persists it
+    * (deserialized, disk-spillable). OFF for Bench — a cached scan
+    * would measure memory, not the engine's scan path. */
+  @volatile private[graft] var cacheInputs: Boolean = false
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    if (!cacheInputs) s.read.parquet(s"$dir/$name.parquet")
+    else tableCache.computeIfAbsent(s"$dir/$name",
+      _ => s.read.parquet(s"$dir/$name.parquet")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Per-process scratch root for roundtrip/streaming queries, wiped
     * by a shutdown hook — repeated bench/verify runs previously
@@ -47,6 +59,24 @@ object SparkEntry {
 
   private def scratch(prefix: String): java.nio.file.Path =
     java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
+
+  /** One shared READ-ONLY streaming landing dir per (sfDir, table),
+    * holding a single copy of `$dir/$name.parquet` — the four
+    * streaming queries used to each copy their own (4 table copies
+    * per Verify run); the source side of a streaming query never
+    * writes, so one copy serves them all, concurrently. Sinks and
+    * checkpoints stay per-query. */
+  private val landingDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def sharedLanding(dir: String, name: String): java.nio.file.Path =
+    landingDirs.computeIfAbsent(s"$dir/$name", _ => {
+      val d = scratch(s"land_$name")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/$name.parquet"),
+        d.resolve(s"$name.parquet"))
+      d
+    })
 
   /** Rebalance a (possibly single-split) input across the cluster
     * before a CPU-heavy per-row stage. Small tables arrive as one
@@ -1443,11 +1473,7 @@ object SparkEntry {
     "stream_events_window" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       val work = scratch("stream_ew")
-      val inDir = work.resolve("in")
-      java.nio.file.Files.createDirectories(inDir)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        inDir.resolve("events.parquet"))
+      val inDir = sharedLanding(dir, "events")
       val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
         Map("input_path" -> inDir.toString), work, "default")
       val events = scan.execute().fold(e => throw e, identity)
@@ -1474,11 +1500,7 @@ object SparkEntry {
     "stream_dedup_fingerprint" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       val work = scratch("stream_dd")
-      val inDir = work.resolve("in")
-      java.nio.file.Files.createDirectories(inDir)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/documents.parquet"),
-        inDir.resolve("documents.parquet"))
+      val inDir = sharedLanding(dir, "documents")
       val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
         Map("input_path" -> inDir.toString), work, "default")
       val docs = scan.execute().fold(e => throw e, identity)
@@ -1506,11 +1528,7 @@ object SparkEntry {
     "stream_interval_join" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       val work = scratch("stream_ij")
-      val inDir = work.resolve("in")
-      java.nio.file.Files.createDirectories(inDir)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        inDir.resolve("events.parquet"))
+      val inDir = sharedLanding(dir, "events")
       val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
         Map("input_path" -> inDir.toString), work, "default")
       val ev = scan.execute().fold(e => throw e, identity)
@@ -1533,15 +1551,6 @@ object SparkEntry {
         .orderBy("purchase_id", "click_id")
     }),
 
-    // ---- streaming sessionization under the oracle ---------------
-    // flatMapGroupsWithState gap sessions on the event stream. With
-    // AvailableNow the trailing session per user is still OPEN in
-    // state when input drains (its timeout never fires), so the
-    // emitted rows are exactly "every session except each user's
-    // last" — which the DuckDB oracle replicates by dropping the
-    // max-session_id row per user from the batch sessionization.
-    // Timestamps truncate to whole seconds on both sides (integer
-    // division, no float path).
     // ---- cross-doc duplicated-span coverage (Lee et al. 2022) ----
     // The suffix-array "repeated substring" signal as a sharded
     // k-token rolling-window pipeline: narrow (id, pos, md5) rows →
@@ -1602,20 +1611,25 @@ object SparkEntry {
     // cross-engine pow may differ in the last ulp.
     "q_sample_weighted" -> ((s, dir) =>
       Sampling.weightedSample(t(s, dir, "documents"),
-          "doc_id", "n_chars", k = 100)
+          "doc_id", "n_chars", k = 100, scoreCol = Some("srk"))
         .select(col("doc_id"), col("lang"), col("source"),
-          r(col("_srk"), 6).as("srk"))
+          r(col("srk"), 6).as("srk"))
         .orderBy("doc_id")),
 
+    // ---- streaming sessionization under the oracle ---------------
+    // flatMapGroupsWithState gap sessions on the event stream. With
+    // AvailableNow the trailing session per user is still OPEN in
+    // state when input drains (its timeout never fires), so the
+    // emitted rows are exactly "every session except each user's
+    // last" — which the DuckDB oracle replicates by dropping the
+    // max-session_id row per user from the batch sessionization.
+    // Timestamps truncate to whole seconds on both sides (integer
+    // division, no float path).
     "stream_sessionize" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       import s.implicits._
       val work = scratch("stream_sess")
-      val inDir = work.resolve("in")
-      java.nio.file.Files.createDirectories(inDir)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        inDir.resolve("events.parquet"))
+      val inDir = sharedLanding(dir, "events")
       val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
         Map("input_path" -> inDir.toString), work, "default")
       val events = scan.execute().fold(e => throw e, identity)

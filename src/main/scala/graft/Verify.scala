@@ -2,7 +2,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Wall-clock hardening (a contended sandbox once timed the driver's
+  * gate out to `{}`): input tables are read once and cached
+  * ([[SparkEntry.cacheInputs]]), the streaming queries share one
+  * landing copy per source table, and independent queries run on a
+  * small thread pool — Spark's scheduler interleaves their jobs, so
+  * the wall time is bounded by work, not by 100 sequential
+  * latency-bound query setups. */
 object Verify {
   def main(args: Array[String]): Unit = {
     // args: SFDIR OUTDIR [queryName...] — extra args restrict the run
@@ -22,15 +30,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    SparkEntry.cacheInputs = true
+    val names = SparkEntry.queries.keys
+      .filter(name => only.isEmpty || only(name)).toSeq.sorted
+    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "6").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val done = new java.util.concurrent.CountDownLatch(names.size)
+    names.foreach { name =>
+      pool.execute { () =>
+        try SparkEntry.queries(name)(spark, sfDir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        } finally done.countDown()
       }
     }
+    done.await()
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -78,6 +78,10 @@ object Loader {
     "profile" -> "graft.plugins.transform.ProfilePlugin",
     "vocab_encode" -> "graft.plugins.transform.VocabEncodePlugin",
     "pivot" -> "graft.plugins.transform.PivotPlugin",
+    "dup_spans" -> "graft.plugins.transform.DupSpansPlugin",
+    "tfidf" -> "graft.plugins.transform.TfidfPlugin",
+    "scd2" -> "graft.plugins.transform.ScdPlugin",
+    "graph" -> "graft.plugins.transform.GraphPlugin",
     "blocklist" -> "graft.plugins.transform.BlocklistPlugin",
     "unpivot" -> "graft.plugins.transform.UnpivotPlugin",
     "parquet_stream_scan" -> "graft.plugins.streaming.ParquetStreamScanPlugin",

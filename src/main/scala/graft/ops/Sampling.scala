@@ -142,16 +142,22 @@ object Sampling {
     * Catalyst plans as `TakeOrderedAndProject` (per-partition heaps of
     * k, merged on the driver; no global sort, no full shuffle). `k`
     * rows must fit on the driver, which is the contract of "give me
-    * a k-row sample". Callers hash-oracling the result should round
-    * `srk` before comparing (cross-engine `pow` may differ in the
-    * last ulp).
+    * a k-row sample". Pass `scoreCol` to expose the selection key as
+    * a column (callers hash-oracling it should round first —
+    * cross-engine `pow` may differ in the last ulp); by default the
+    * output schema is the input schema.
     */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
-                     k: Int): DataFrame = {
+                     k: Int, scoreCol: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val u = (keyHash(col(keyCol)) + 1L).cast("double") / 4294967296.0
-    df.withColumn("_srk", pow(u, lit(1.0) / col(weightCol).cast("double")))
+    val ranked = df
+      .withColumn("_srk", pow(u, lit(1.0) / col(weightCol).cast("double")))
       .orderBy(col("_srk").desc, col(keyCol))
       .limit(k)
+    scoreCol match {
+      case Some(name) => ranked.withColumnRenamed("_srk", name)
+      case None => ranked.drop("_srk")
+    }
   }
 }

@@ -149,6 +149,16 @@ class SamplePlugin(options: Map[String, Any], configDir: Path, label: String)
                 outCol = options.getOrElse("output_column", "split").toString)
             }
           } yield out
+        case "weighted" =>
+          // Efraimidis–Spirakis weighted reservoir: exactly k rows,
+          // deterministic (md5-keyed), heavier weights favored
+          for {
+            weightCol <- requiredString("weight_column")
+            kv <- required("k")
+            out <- graft.core.Errors.safe(
+              graft.ops.Sampling.weightedSample(df, keyCol, weightCol,
+                kv.toString.toDouble.toInt))
+          } yield out
         case "mix_weights" =>
           for {
             groupCol <- requiredString("group_column")
@@ -735,6 +745,211 @@ class GopherFilterPlugin(options: Map[String, Any], configDir: Path, label: Stri
         s"Column '$tc' not found in schema"))
     else propagateSchema(schema)(df => execute(df).fold(e => throw e, identity))
   }
+}
+
+/** Config-driven duplicated-span analysis ([[graft.ops.DupSpans]],
+  * Lee et al. 2022 re-expressed relationally):
+  *
+  *   mode = "stats"  (default) — per-doc span-duplication statistics
+  *        | "filter" — keep docs whose duplicated-token coverage is
+  *                     strictly under `max_coverage`
+  *
+  * Options: id_column (req), text_column (default text), k (window
+  * width in tokens, default 8), min_occurrences (default 2),
+  * max_coverage (req for mode = filter). */
+class DupSpansPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "dup_spans"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      idCol <- requiredString("id_column")
+      out <- graft.core.Errors.safe {
+        val tc = options.getOrElse("text_column", "text").toString
+        val k = options.get("k").map(_.toString.toDouble.toInt).getOrElse(8)
+        val minOcc = options.get("min_occurrences")
+          .map(_.toString.toDouble.toInt).getOrElse(2)
+        options.getOrElse("mode", "stats").toString match {
+          case "stats" =>
+            graft.ops.DupSpans.spanStats(df, idCol, tc, k, minOcc)
+          case "filter" =>
+            val maxCov = options.get("max_coverage") match {
+              case Some(v) => v.toString.toDouble
+              case None => throw new PluginExecutionError(
+                "Option 'max_coverage' is required for mode 'filter'")
+            }
+            graft.ops.DupSpans.filterByCoverage(df, idCol, tc, k, maxCov, minOcc)
+          case other => throw new PluginExecutionError(
+            s"Unknown dup_spans mode: '$other'")
+        }
+      }
+    } yield out
+
+  /** Static schema: spanStats persists an intermediate frame, so the
+    * propagate-through-empty-frame dry-run would leave a stray cache
+    * registration per `check` invocation. */
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    for {
+      idCol <- requiredString("id_column")
+      out <- {
+        val tc = options.getOrElse("text_column", "text").toString
+        if (!schema.fieldNames.contains(idCol))
+          Left(new SchemaValidationError(
+            s"Column '$idCol' not found in schema"))
+        else if (!schema.fieldNames.contains(tc))
+          Left(new SchemaValidationError(
+            s"Column '$tc' not found in schema"))
+        else if (options.getOrElse("mode", "stats").toString == "filter")
+          Right(schema) // gate keeps the corpus schema unchanged
+        else Right(StructType(Seq(schema(idCol),
+          StructField("n_tokens", LongType),
+          StructField("n_grams", LongType, nullable = false),
+          StructField("n_dup_grams", LongType, nullable = false),
+          StructField("covered_tokens", LongType, nullable = false),
+          StructField("dup_gram_ratio", DoubleType),
+          StructField("coverage_ratio", DoubleType))))
+      }
+    } yield out
+}
+
+/** Config-driven TF-IDF keyword extraction ([[graft.ops.Tfidf]]):
+  * per-document top-`k` terms by tf × rarity, deterministic
+  * cross-engine rank key (tf/df, term tie-break). Options: id_column
+  * (req), text_column (default text), k (default 10). */
+class TfidfPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "tfidf"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      idCol <- requiredString("id_column")
+      out <- graft.core.Errors.safe(
+        graft.ops.Tfidf.topTerms(df, idCol,
+          options.getOrElse("text_column", "text").toString,
+          k = options.get("k").map(_.toString.toDouble.toInt).getOrElse(10)))
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    requiredString("id_column").flatMap { idCol =>
+      val tc = options.getOrElse("text_column", "text").toString
+      if (!schema.fieldNames.contains(idCol))
+        Left(new SchemaValidationError(s"Column '$idCol' not found in schema"))
+      else if (!schema.fieldNames.contains(tc))
+        Left(new SchemaValidationError(s"Column '$tc' not found in schema"))
+      else propagateSchema(schema)(df => execute(df).fold(e => throw e, identity))
+    }
+}
+
+/** Config-driven SCD type-2 construction ([[graft.ops.Scd]]): collapse
+  * a change-event stream into versioned validity intervals; optionally
+  * follow with a point-in-time `as_of` lookup (ISO date/timestamp
+  * string) so a config can serve "state of the world at T" directly.
+  * Options: key_columns, attr_columns, order_columns (req, lists —
+  * order_columns must totally order events within a key),
+  * valid_from_column (req), as_of (optional). */
+class ScdPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "scd2"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      keys <- stringList("key_columns")
+      attrs <- stringList("attr_columns")
+      order <- stringList("order_columns")
+      validFrom <- requiredString("valid_from_column")
+      out <- graft.core.Errors.safe {
+        val scd = graft.ops.Scd.scd2(df, keys, attrs, order, validFrom)
+        options.get("as_of") match {
+          case Some(t) => graft.ops.Scd.asOf(scd,
+            org.apache.spark.sql.functions.lit(t.toString)
+              .cast(scd.schema("valid_from").dataType))
+          case None => scd
+        }
+      }
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    for {
+      keys <- stringList("key_columns")
+      attrs <- stringList("attr_columns")
+      order <- stringList("order_columns")
+      validFrom <- requiredString("valid_from_column")
+      _ <- (keys ++ attrs ++ order :+ validFrom)
+        .find(c => !schema.fieldNames.contains(c))
+        .map(c => Left(new SchemaValidationError(
+          s"Column '$c' not found in schema"))).getOrElse(Right(()))
+      out <- propagateSchema(schema)(df =>
+        execute(df).fold(e => throw e, identity))
+    } yield out
+}
+
+/** Config-driven graph analytics over an edge-list stream
+  * ([[graft.ops.Graph]]):
+  *
+  *   method = "pagerank" — power iteration with dangling-mass
+  *            redistribution (iterations, damping). EAGER: each
+  *            iteration materializes via an eager local checkpoint
+  *            (like vocab_encode's driver-side vocabulary build, this
+  *            plugin runs jobs at execute time, not sink time).
+  *          | "degrees"  — per-node out/in/total degree (lazy)
+  *
+  * Options: src_column, dst_column (req). */
+class GraphPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "graph"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      method <- requiredString("method")
+      src <- requiredString("src_column")
+      dst <- requiredString("dst_column")
+      out <- graft.core.Errors.safe {
+        method match {
+          case "pagerank" =>
+            graft.ops.Graph.pagerank(df, src, dst,
+              iterations = options.get("iterations")
+                .map(_.toString.toDouble.toInt).getOrElse(5),
+              damping = options.get("damping")
+                .map(_.toString.toDouble).getOrElse(0.85))
+          case "degrees" => graft.ops.Graph.degrees(df, src, dst)
+          case other => throw new PluginExecutionError(
+            s"Unknown graph method: '$other'")
+        }
+      }
+    } yield out
+
+  /** Static schema: pagerank runs jobs eagerly, so the generic
+    * propagate-through-empty-frame dry-run would execute (and divide
+    * rank mass by a zero node count). */
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    for {
+      method <- requiredString("method")
+      src <- requiredString("src_column")
+      dst <- requiredString("dst_column")
+      out <- {
+        if (!schema.fieldNames.contains(src))
+          Left(new SchemaValidationError(s"Column '$src' not found in schema"))
+        else if (!schema.fieldNames.contains(dst))
+          Left(new SchemaValidationError(s"Column '$dst' not found in schema"))
+        else if (schema(src).dataType != schema(dst).dataType)
+          Left(new SchemaValidationError(
+            s"Columns '$src' and '$dst' must share a type, got " +
+              s"${schema(src).dataType.simpleString} vs " +
+              s"${schema(dst).dataType.simpleString}"))
+        else method match {
+          case "pagerank" => Right(StructType(Seq(
+            StructField("node", schema(src).dataType),
+            StructField("rank", DoubleType))))
+          case "degrees" => Right(StructType(Seq(
+            StructField("node", schema(src).dataType),
+            StructField("out_degree", LongType, nullable = false),
+            StructField("in_degree", LongType, nullable = false),
+            StructField("degree", LongType, nullable = false))))
+          case other => Left(new PluginExecutionError(
+            s"Unknown graph method: '$other'"))
+        }
+      }
+    } yield out
 }
 
 /** Config-driven wrapper over [[graft.ops.Text.analyze]]: attaches

@@ -1,0 +1,321 @@
+package graft.plugins
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.core.{Config, Loader, Pipeline}
+import graft.plugins.transform._
+
+/** Round-6 plugins: the round-5 operator families exposed to TOML
+  * configs (the reference's model — everything reachable from config,
+  * ref config.py:24-29) — dup_spans, tfidf, scd2, graph, and the
+  * sample plugin's weighted method. Each gets execute + dry-run
+  * checks and a config-driven end-to-end run. */
+class Round6PluginSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SharedSpark.spark
+  import spark.implicits._
+  private val dir = Paths.get("/tmp")
+
+  private val docs = Seq(
+    (0L, "a b c d e f g h unique zero tail"),
+    (1L, "a b c d e f g h other one ending"),
+    (2L, "totally different words in this document here now extra")
+  ).toDF("doc_id", "text")
+
+  // ------------------------------------------------------------ dup_spans
+
+  test("dup_spans plugin: stats and filter modes, dry-run schemas") {
+    val stats = new DupSpansPlugin(
+      Map("id_column" -> "doc_id", "k" -> 8), dir, "default")
+    val st = stats.execute(docs).fold(e => fail(e.getMessage), identity)
+    assert(st.columns.toSeq == Seq("doc_id", "n_tokens", "n_grams",
+      "n_dup_grams", "covered_tokens", "dup_gram_ratio", "coverage_ratio"))
+    val byId = st.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(0L).getLong(3) == 1L && byId(2L).getLong(3) == 0L)
+    // dry-run matches execute's names and types without running a job
+    val dry = stats.dryRun(docs.schema).fold(e => fail(e.getMessage), identity)
+    assert(dry.fields.map(f => (f.name, f.dataType)).toSeq
+      == st.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+
+    val gate = new DupSpansPlugin(Map("id_column" -> "doc_id", "k" -> 8,
+      "mode" -> "filter", "max_coverage" -> 0.5), dir, "default")
+    val kept = gate.execute(docs).fold(e => fail(e.getMessage), identity)
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    assert(gate.dryRun(docs.schema).toOption.get == docs.schema)
+
+    assert(new DupSpansPlugin(Map("id_column" -> "doc_id", "mode" -> "filter"),
+      dir, "default").execute(docs).left.toOption.get.getMessage
+      .contains("'max_coverage' is required"))
+    assert(stats.dryRun(StructType(Seq(StructField("doc_id", LongType))))
+      .left.toOption.get.getMessage.contains("Column 'text' not found"))
+  }
+
+  // ---------------------------------------------------------------- tfidf
+
+  test("tfidf plugin: top-k terms, dry-run schema") {
+    val tf = Seq((0L, "apple apple banana"), (1L, "banana cherry"))
+      .toDF("doc_id", "text")
+    val plug = new TfidfPlugin(Map("id_column" -> "doc_id", "k" -> 1),
+      dir, "default")
+    val top = plug.execute(tf).fold(e => fail(e.getMessage), identity)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(top(0L) == "apple") // tf=2 df=1 dominates
+    val dry = plug.dryRun(tf.schema).fold(e => fail(e.getMessage), identity)
+    assert(dry.fieldNames.toSeq
+      == Seq("doc_id", "rank", "term", "tf", "df", "tfidf"))
+    assert(plug.dryRun(StructType(Seq(StructField("x", LongType))))
+      .left.toOption.get.getMessage.contains("not found"))
+  }
+
+  // ----------------------------------------------------------------- scd2
+
+  private val events = Seq(
+    (1L, "O", "2024-01-01", 10L),
+    (1L, "F", "2024-02-01", 11L),
+    (1L, "O", "2024-03-01", 12L)
+  ).toDF("k", "status", "dt", "id")
+    .withColumn("dt", org.apache.spark.sql.functions.to_date(
+      org.apache.spark.sql.functions.col("dt")))
+
+  test("scd2 plugin: build, as_of lookup, dry-run column checks") {
+    val base = Map[String, Any]("key_columns" -> Seq("k"),
+      "attr_columns" -> Seq("status"), "order_columns" -> Seq("dt", "id"),
+      "valid_from_column" -> "dt")
+    val plug = new ScdPlugin(base, dir, "default")
+    val out = plug.execute(events).fold(e => fail(e.getMessage), identity)
+    assert(out.count() == 3)
+    assert(out.columns.toSeq == Seq("k", "version", "status",
+      "valid_from", "valid_to", "is_current", "n_events"))
+
+    val at = new ScdPlugin(base + ("as_of" -> "2024-02-15"), dir, "default")
+      .execute(events).fold(e => fail(e.getMessage), identity).collect()
+    assert(at.length == 1 && at(0).getAs[String]("status") == "F")
+
+    val dry = plug.dryRun(events.schema).fold(e => fail(e.getMessage), identity)
+    assert(dry.fieldNames.toSeq == out.columns.toSeq)
+    assert(plug.dryRun(StructType(Seq(StructField("k", LongType))))
+      .left.toOption.get.getMessage.contains("not found"))
+  }
+
+  // ---------------------------------------------------------------- graph
+
+  test("graph plugin: pagerank and degrees, static dry-run schemas") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("b", "a"), ("c", "b"), ("a", "c")).toDF("src", "dst")
+    val pr = new GraphPlugin(Map("method" -> "pagerank",
+      "src_column" -> "src", "dst_column" -> "dst", "iterations" -> 3),
+      dir, "default")
+    val ranks = pr.execute(edges).fold(e => fail(e.getMessage), identity)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-12)
+    val dry = pr.dryRun(edges.schema).fold(e => fail(e.getMessage), identity)
+    assert(dry.fieldNames.toSeq == Seq("node", "rank"))
+    assert(dry("rank").dataType == DoubleType)
+
+    val deg = new GraphPlugin(Map("method" -> "degrees",
+      "src_column" -> "src", "dst_column" -> "dst"), dir, "default")
+    val d = deg.execute(edges).fold(e => fail(e.getMessage), identity)
+    assert(d.columns.toSeq == Seq("node", "out_degree", "in_degree", "degree"))
+    assert(deg.dryRun(edges.schema).toOption.get.fieldNames.toSeq
+      == d.columns.toSeq)
+
+    // src/dst type mismatch caught at dry-run time
+    val bad = StructType(Seq(StructField("src", StringType),
+      StructField("dst", LongType)))
+    assert(pr.dryRun(bad).left.toOption.get.getMessage
+      .contains("must share a type"))
+  }
+
+  // ------------------------------------------------------- sample weighted
+
+  test("sample plugin: weighted method via config options") {
+    val rows = (1L to 100L).map(i => (i, if (i <= 50) 1.0 else 50.0))
+      .toDF("id", "w")
+    val plug = new SamplePlugin(Map("method" -> "weighted",
+      "key_column" -> "id", "weight_column" -> "w", "k" -> 10),
+      dir, "default")
+    val s = plug.execute(rows).fold(e => fail(e.getMessage), identity)
+      .select("id").as[Long].collect()
+    assert(s.length == 10 && s.count(_ > 50L) >= 8)
+    assert(plug.dryRun(rows.schema).toOption.get.fieldNames.toSeq
+      == rows.schema.fieldNames.toSeq)
+    assert(new SamplePlugin(Map("method" -> "weighted", "key_column" -> "id"),
+      dir, "default").execute(rows).left.toOption.get.getMessage
+      .contains("'weight_column' is required"))
+  }
+
+  // --------------------------------------------------- config-driven e2e
+
+  /** Run a TOML config end-to-end (load → plugins → pipeline) and read
+    * the parquet it wrote. Also dry-runs the same registry. */
+  private def runConfig(toml: String, cfgDir: java.nio.file.Path,
+                        outRel: String): org.apache.spark.sql.DataFrame = {
+    val cfg = cfgDir.resolve("config.toml")
+    Files.writeString(cfg, toml)
+    val config = Config.loadConfig(cfg).fold(e => fail(e.getMessage), identity)
+    val reg = Loader.loadPlugins(config, cfg).fold(e => fail(e.getMessage), identity)
+    val dry = Pipeline.runDryRunPipeline(reg.inputs, reg.transforms, reg.outputs)
+    assert(dry.isRight, dry.left.toOption.map(_.getMessage))
+    val result = Pipeline.runPipeline(reg.inputs, reg.transforms, reg.outputs)
+    assert(result.isRight, result.left.toOption.map(_.getMessage))
+    spark.read.parquet(cfgDir.resolve(outRel).toString)
+  }
+
+  test("e2e TOML: dup_spans filter gates a parquet corpus") {
+    val tmp = Files.createTempDirectory("r6spans")
+    docs.coalesce(1).write.parquet(tmp.resolve("docs.parquet").toString)
+    val out = runConfig(
+      s"""
+         |[[input_plugins]]
+         |name = "scan"
+         |module = "parquet_scan"
+         |[input_plugins.options]
+         |input_path = "docs.parquet"
+         |
+         |[[transform_plugins]]
+         |name = "span-gate"
+         |module = "dup_spans"
+         |[transform_plugins.options]
+         |id_column = "doc_id"
+         |k = 8
+         |mode = "filter"
+         |max_coverage = 0.5
+         |
+         |[[output_plugins]]
+         |name = "sink"
+         |module = "parquet_writer"
+         |[output_plugins.options]
+         |output_path = "out/kept.parquet"
+         |""".stripMargin, tmp, "out/kept.parquet")
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("e2e TOML: tfidf keywords from a parquet corpus") {
+    val tmp = Files.createTempDirectory("r6tfidf")
+    Seq((0L, "apple apple banana"), (1L, "banana cherry"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(tmp.resolve("docs.parquet").toString)
+    val out = runConfig(
+      s"""
+         |[[input_plugins]]
+         |name = "scan"
+         |module = "parquet_scan"
+         |[input_plugins.options]
+         |input_path = "docs.parquet"
+         |
+         |[[transform_plugins]]
+         |name = "keywords"
+         |module = "tfidf"
+         |[transform_plugins.options]
+         |id_column = "doc_id"
+         |k = 1
+         |
+         |[[output_plugins]]
+         |name = "sink"
+         |module = "parquet_writer"
+         |[output_plugins.options]
+         |output_path = "out/terms.parquet"
+         |""".stripMargin, tmp, "out/terms.parquet")
+    val top = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("term")).toMap
+    assert(top(0L) == "apple")
+  }
+
+  test("e2e TOML: scd2 as_of point-in-time state") {
+    val tmp = Files.createTempDirectory("r6scd")
+    events.coalesce(1).write.parquet(tmp.resolve("events.parquet").toString)
+    val out = runConfig(
+      s"""
+         |[[input_plugins]]
+         |name = "scan"
+         |module = "parquet_scan"
+         |[input_plugins.options]
+         |input_path = "events.parquet"
+         |
+         |[[transform_plugins]]
+         |name = "history"
+         |module = "scd2"
+         |[transform_plugins.options]
+         |key_columns = ["k"]
+         |attr_columns = ["status"]
+         |order_columns = ["dt", "id"]
+         |valid_from_column = "dt"
+         |as_of = "2024-02-15"
+         |
+         |[[output_plugins]]
+         |name = "sink"
+         |module = "parquet_writer"
+         |[output_plugins.options]
+         |output_path = "out/state.parquet"
+         |""".stripMargin, tmp, "out/state.parquet")
+    val rows = out.collect()
+    assert(rows.length == 1 && rows(0).getAs[String]("status") == "F")
+  }
+
+  test("e2e TOML: graph pagerank over an edge list") {
+    val tmp = Files.createTempDirectory("r6graph")
+    Seq(("a", "c"), ("b", "c")).toDF("src", "dst").coalesce(1)
+      .write.parquet(tmp.resolve("edges.parquet").toString)
+    val out = runConfig(
+      s"""
+         |[[input_plugins]]
+         |name = "scan"
+         |module = "parquet_scan"
+         |[input_plugins.options]
+         |input_path = "edges.parquet"
+         |
+         |[[transform_plugins]]
+         |name = "rank"
+         |module = "graph"
+         |[transform_plugins.options]
+         |method = "pagerank"
+         |src_column = "src"
+         |dst_column = "dst"
+         |iterations = 5
+         |
+         |[[output_plugins]]
+         |name = "sink"
+         |module = "parquet_writer"
+         |[output_plugins.options]
+         |output_path = "out/ranks.parquet"
+         |""".stripMargin, tmp, "out/ranks.parquet")
+    val ranks = out.collect().map(r =>
+      r.getAs[String]("node") -> r.getAs[Double]("rank")).toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
+    assert(ranks("c") > ranks("a"))
+  }
+
+  test("e2e TOML: weighted sample picks exactly k rows") {
+    val tmp = Files.createTempDirectory("r6wsample")
+    (1L to 100L).map(i => (i, if (i <= 50) 1.0 else 50.0)).toDF("id", "w")
+      .coalesce(1).write.parquet(tmp.resolve("rows.parquet").toString)
+    val out = runConfig(
+      s"""
+         |[[input_plugins]]
+         |name = "scan"
+         |module = "parquet_scan"
+         |[input_plugins.options]
+         |input_path = "rows.parquet"
+         |
+         |[[transform_plugins]]
+         |name = "pick"
+         |module = "sample"
+         |[transform_plugins.options]
+         |method = "weighted"
+         |key_column = "id"
+         |weight_column = "w"
+         |k = 10
+         |
+         |[[output_plugins]]
+         |name = "sink"
+         |module = "parquet_writer"
+         |[output_plugins.options]
+         |output_path = "out/sample.parquet"
+         |""".stripMargin, tmp, "out/sample.parquet")
+    assert(out.count() == 10)
+  }
+}
