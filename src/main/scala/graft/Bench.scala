@@ -41,7 +41,9 @@ object Bench {
     "sim_quantize_raw",
     "multimodal_meta", "q_pivot", "q_unpivot",
     "dedup_span_stats", "q_pagerank", "q_scd2", "text_tfidf",
-    "q_sample_weighted")
+    "q_sample_weighted",
+    "q_scd1_latest", "q_components", "text_c4", "text_lm_score",
+    "q_orc_roundtrip")
 
   /** Full query inventory: oracled queries + bench-only raw ANN
     * top-k (kept under their historical names). */

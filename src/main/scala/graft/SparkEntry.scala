@@ -7,8 +7,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Pipeline
-import graft.ops.{Contamination, Dedup, DupSpans, Graph, Multimodal,
-  Sampling, Scd, Similarity, Text, Tfidf}
+import graft.ops.{Contamination, Dedup, DupSpans, Graph, LmScore,
+  Multimodal, Sampling, Scd, Similarity, Text, Tfidf}
 import graft.plugins.input.ParquetScanPlugin
 import graft.plugins.transform.{FilterPlugin, SelectPlugin, SortPlugin}
 
@@ -1647,6 +1647,101 @@ object SparkEntry {
           col("n_events").cast("long").as("n_events"),
           r(col("sum_value"), 2).as("sum_value"))
         .orderBy("user_id", "session_start")
+    }),
+
+    // ---- SCD1 latest snapshot (CDC compaction) -------------------
+    // The most recent order per customer; row_number()=1 plans as
+    // WindowGroupLimit, so the exchange carries ~one row per key.
+    "q_scd1_latest" -> ((s, dir) =>
+      Scd.latest(t(s, dir, "orders"),
+          keyCols = Seq("o_custkey"),
+          orderCols = Seq("o_orderdate", "o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate"))
+        .orderBy("o_custkey")),
+
+    // ---- connected components over a derived org graph -----------
+    // Two-level star: every customer links to its nation's min
+    // custkey, every nation hub to its region's min — so components
+    // are regions and min-label propagation needs exactly 2 hops.
+    // Exercises clusterPairs (checkpointed label propagation) under
+    // the oracle, which computes the fixpoint directly as the
+    // per-region min.
+    "q_components" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val nhub = cust.groupBy("c_nationkey")
+        .agg(min("c_custkey").as("hub"))
+      val e1 = cust.join(nhub, Seq("c_nationkey"))
+        .select(col("c_custkey").as("id_a"), col("hub").as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      val nh = nhub.join(nation, col("c_nationkey") === col("n_nationkey"))
+      val rhub = nh.groupBy("n_regionkey").agg(min("hub").as("rhub"))
+      val e2 = nh.join(rhub, Seq("n_regionkey"))
+        .select(col("hub").as("id_a"), col("rhub").as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      Dedup.clusterPairs(cust.select(col("c_custkey")), "c_custkey",
+          e1.union(e2))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- C4 line-level cleaning rules (Raffel et al. 2020) -------
+    // Terminal-punctuation + min-words-per-line retention, javascript
+    // line drop, lorem-ipsum/brace/min-sentences page gates. The
+    // corpus text is punctuation-free word salad (every line drops),
+    // so crafted VALUES docs pin each rule's positive path.
+    "text_c4" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Seq(
+        (-15L, "The first sentence has exactly seven words.\n" +
+          "The second sentence also has seven words.\n" +
+          "The third sentence completes the three required."),
+        (-14L, null.asInstanceOf[String]),
+        (-13L, "Enable javascript to view this site properly.\n" +
+          "A perfectly good retained sentence sits here.\n" +
+          "Another good retained sentence follows it here.\n" +
+          "A third good sentence closes out the page."),
+        (-12L, "function f() { return 1; }\n" +
+          "Some good sentence with many words here."),
+        (-11L, "Lorem ipsum dolor sit amet, consectetur adipiscing sed.\n" +
+          "A good line that would otherwise be retained here."),
+        (-10L, "This line has six words total.\nshort line.\n" +
+          "Another good line with plenty of words!\n" +
+          "no punctuation line here at all")
+      ).toDF("doc_id", "text")
+      Text.withC4Flags(
+          t(s, dir, "documents").select(col("doc_id"), col("text"))
+            .unionByName(edges), "text")
+        .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
+          col("n_sentences"), col("c4_pass"), col("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- corpus bigram LM quality score (CCNet-style) ------------
+    // Add-one smoothed bigram logprob per doc, model trained on the
+    // corpus itself; both model tables are vocabulary-sized and the
+    // score is rounded (cross-engine ln differs in the last ulp).
+    "text_lm_score" -> ((s, dir) =>
+      LmScore.scoreDocs(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("avg_logprob", r(col("avg_logprob"), 6))
+        .orderBy("doc_id")),
+
+    // ---- ORC roundtrip through the plugin pair -------------------
+    "q_orc_roundtrip" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val base = t(s, dir, "customer")
+      val work = scratch("orc_rt")
+      new graft.plugins.output.OrcWriterPlugin(
+        Map("output_path" -> work.resolve("out").toString,
+          "compression" -> "zstd"), work, "default")
+        .execute(base).fold(e => throw e, _ => ())
+      new graft.plugins.input.OrcScanPlugin(
+        Map("input_path" -> work.resolve("out").toString), work, "default")
+        .execute().fold(e => throw e, identity)
+        .select(base.schema.fieldNames.map(col): _*)
+        .orderBy("c_custkey")
     })
   )
 
@@ -3198,6 +3293,108 @@ object SparkEntry {
         |FROM summ
         |WHERE session_id < (SELECT max(s2.session_id) FROM summ s2
         |                    WHERE s2.user_id = summ.user_id)
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_scd1_latest" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    // the two-level star's fixpoint has a closed form: every
+    // customer's component label is the min custkey of its REGION
+    "q_components" ->
+      """WITH nm AS (
+        |  SELECT c_nationkey, min(c_custkey) AS hub
+        |  FROM customer GROUP BY c_nationkey
+        |), rm AS (
+        |  SELECT n_regionkey, min(hub) AS rhub
+        |  FROM nm JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_regionkey)
+        |SELECT c.c_custkey, rm.rhub AS cluster_id
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN rm ON n.n_regionkey = rm.n_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "text_c4" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(-15 AS BIGINT), 'The first sentence has exactly seven words.'
+        |      || chr(10) || 'The second sentence also has seven words.'
+        |      || chr(10) || 'The third sentence completes the three required.'),
+        |    (CAST(-14 AS BIGINT), CAST(NULL AS VARCHAR)),
+        |    (CAST(-13 AS BIGINT), 'Enable javascript to view this site properly.'
+        |      || chr(10) || 'A perfectly good retained sentence sits here.'
+        |      || chr(10) || 'Another good retained sentence follows it here.'
+        |      || chr(10) || 'A third good sentence closes out the page.'),
+        |    (CAST(-12 AS BIGINT), 'function f() { return 1; }'
+        |      || chr(10) || 'Some good sentence with many words here.'),
+        |    (CAST(-11 AS BIGINT), 'Lorem ipsum dolor sit amet, consectetur adipiscing sed.'
+        |      || chr(10) || 'A good line that would otherwise be retained here.'),
+        |    (CAST(-10 AS BIGINT), 'This line has six words total.'
+        |      || chr(10) || 'short line.'
+        |      || chr(10) || 'Another good line with plenty of words!'
+        |      || chr(10) || 'no punctuation line here at all')
+        |  ) v(doc_id, text)
+        |), k AS (
+        |  SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      len(regexp_split_to_array(trim(l), '\s+')) >= 5
+        |      AND regexp_matches(trim(l), '[.!?"]$')
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM src
+        |), c AS (
+        |  -- array_to_string([]) is NULL in DuckDB where Spark's
+        |  -- array_join is ''; coalesce only when text itself is real
+        |  SELECT doc_id, text, ls, kept,
+        |    CASE WHEN text IS NULL THEN NULL
+        |      ELSE coalesce(array_to_string(kept, chr(10)), '') END AS clean
+        |  FROM k)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |  CAST(length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g'))
+        |    AS BIGINT) AS n_sentences,
+        |  (NOT contains(lower(text), 'lorem ipsum')
+        |   AND NOT contains(text, '{')
+        |   AND length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g')) >= 3)
+        |    AS c4_pass,
+        |  clean AS clean_text
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, regexp_split_to_array(t, ' ') AS toks
+        |  FROM d WHERE length(t) > 0
+        |), bg AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM tok, unnest(CASE WHEN len(toks) >= 2
+        |    THEN range(1, len(toks)) ELSE [] END) u(i)
+        |), c12 AS (
+        |  SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY w1, w2
+        |), c1 AS (
+        |  SELECT w1, count(*) AS n1 FROM bg GROUP BY w1
+        |), v AS (
+        |  SELECT count(DISTINCT term) AS nv
+        |  FROM (SELECT unnest(toks) AS term FROM tok)
+        |), sc AS (
+        |  SELECT bg.doc_id, count(*) AS n_bigrams,
+        |    avg(ln((c12.n12 + 1.0) / (c1.n1 + v.nv * 1.0))) AS avg_logprob
+        |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |  GROUP BY bg.doc_id)
+        |SELECT doc_id, n_bigrams, r(avg_logprob, 6) AS avg_logprob
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      "SELECT * FROM customer ORDER BY c_custkey"
   )
 }

@@ -49,6 +49,8 @@ object Loader {
     "csv_scan" -> "graft.plugins.input.CsvScanPlugin",
     "json_scan" -> "graft.plugins.input.JsonScanPlugin",
     "ipc_scan" -> "graft.plugins.input.IpcScanPlugin",
+    "orc_scan" -> "graft.plugins.input.OrcScanPlugin",
+    "orc_writer" -> "graft.plugins.output.OrcWriterPlugin",
     "column_multiplier" -> "graft.plugins.transform.ColumnMultiplierPlugin",
     "filter" -> "graft.plugins.transform.FilterPlugin",
     "select" -> "graft.plugins.transform.SelectPlugin",
@@ -82,6 +84,8 @@ object Loader {
     "tfidf" -> "graft.plugins.transform.TfidfPlugin",
     "scd2" -> "graft.plugins.transform.ScdPlugin",
     "graph" -> "graft.plugins.transform.GraphPlugin",
+    "c4_filter" -> "graft.plugins.transform.C4Plugin",
+    "lm_score" -> "graft.plugins.transform.LmScorePlugin",
     "blocklist" -> "graft.plugins.transform.BlocklistPlugin",
     "unpivot" -> "graft.plugins.transform.UnpivotPlugin",
     "parquet_stream_scan" -> "graft.plugins.streaming.ParquetStreamScanPlugin",

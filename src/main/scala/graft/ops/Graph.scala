@@ -58,13 +58,21 @@ object Graph {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1,
       s"damping must be in (0,1), got $damping")
+    // Persist the edge table PRE-HASHED on the join key: a cached
+    // frame keeps its outputPartitioning, so every iteration's
+    // edges ⋈ ranks join reuses this one layout instead of
+    // re-shuffling the (big) edge side per iteration — at scale the
+    // per-iteration shuffle then moves only (node, rank) pairs.
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .repartition(col("_src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("_src").as("node"))
       .union(e.select(col("_dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // one setup action; O(1) driver result
+    // groupBy on e's own partitioning key: no exchange, and the
+    // result is co-partitioned with e for the per-iteration join.
     val outdeg = e.groupBy("_src").agg(count(lit(1)).as("_deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     outdeg.count()

@@ -78,4 +78,25 @@ object Scd {
   def asOf(scd: DataFrame, asOfExpr: Column): DataFrame =
     scd.filter(col("valid_from") <= asOfExpr &&
       (col("valid_to").isNull || col("valid_to") > asOfExpr))
+
+  /** SCD type-1 / latest-snapshot: the most recent event per key by
+    * `orderCols` (which must totally order events within a key —
+    * include a unique tie-break). The CDC-compaction shape: a change
+    * stream collapses to current state. Keeps the input schema.
+    *
+    * Scale shape: one exchange on the key + per-partition sort, and
+    * the `row_number() = 1` predicate plans as `WindowGroupLimit` —
+    * Spark prunes to each group's top row map-side BEFORE the
+    * shuffle, so at 100 TB the exchange carries ~one row per key,
+    * not the full history. */
+  def latest(df: DataFrame, keyCols: Seq[String],
+             orderCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty,
+      "keyCols and orderCols must be non-empty")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
 }

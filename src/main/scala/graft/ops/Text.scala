@@ -183,6 +183,61 @@ object Text {
       .drop(flags: _*)
   }
 
+  // ------------------------------------------------- C4-rule cleaning
+
+  /** Thresholds for [[withC4Flags]] — defaults are the published C4
+    * cleaning rules (Raffel et al. 2020, §2.2): keep only lines that
+    * end in terminal punctuation AND have ≥ 5 words AND don't mention
+    * javascript; drop whole pages that contain "lorem ipsum" or a
+    * curly brace, or whose retained text has < 3 sentences. */
+  case class C4Thresholds(minLineWords: Int = 5, minSentences: Int = 3)
+
+  /** Attach the C4 line-cleaning results per document:
+    * `clean_text` (retained lines re-joined), `n_lines`,
+    * `n_lines_kept`, `n_sentences` (terminal-punctuation marks in the
+    * retained text), and the page gate `c4_pass`. NULL text yields
+    * NULL outputs. Pure per-row array/regex expressions — shuffle-free
+    * and reproducible in any engine with RE2-class regexes and list
+    * lambdas (the oracle runs the identical rules in DuckDB). */
+  def withC4Flags(df: DataFrame, textCol: String,
+                  t: C4Thresholds = C4Thresholds()): DataFrame = {
+    val txt = col(textCol)
+    val isNullT = txt.isNull
+    val lines = split(txt, "\n")
+    val keepLine = (l: Column) =>
+      size(split(trim(l), "\\s+")) >= t.minLineWords &&
+        trim(l).rlike("[.!?\"]$") &&
+        !lower(l).contains("javascript")
+    val staged = df.withColumn("_kept", filter(lines, keepLine))
+      .withColumn("_clean", array_join(col("_kept"), "\n"))
+    val clean = col("_clean")
+    val nSentences =
+      (length(clean) - length(regexp_replace(clean, "[.!?]", ""))).cast("long")
+    def gate(c: Column, t: String = "boolean"): Column =
+      when(isNullT, lit(null).cast(t)).otherwise(c)
+    staged
+      .withColumn("clean_text", when(isNullT, lit(null).cast("string"))
+        .otherwise(clean))
+      .withColumn("n_lines", gate(size(lines).cast("long"), "long"))
+      .withColumn("n_lines_kept", gate(size(col("_kept")).cast("long"), "long"))
+      .withColumn("n_sentences", gate(nSentences, "long"))
+      .withColumn("c4_pass", gate(
+        !lower(txt).contains("lorem ipsum") &&
+          !txt.contains("{") &&
+          nSentences >= t.minSentences))
+      .drop("_kept", "_clean")
+  }
+
+  /** C4 page filter: keep passing pages with `textCol` REPLACED by the
+    * retained lines (the paper keeps the cleaned page, not the raw
+    * one). NULL text is dropped. */
+  def c4Clean(df: DataFrame, textCol: String,
+              t: C4Thresholds = C4Thresholds()): DataFrame =
+    withC4Flags(df, textCol, t)
+      .filter(col("c4_pass"))
+      .withColumn(textCol, col("clean_text"))
+      .drop("clean_text", "n_lines", "n_lines_kept", "n_sentences", "c4_pass")
+
   // ----------------------------------------------------- PII redaction
 
   /** Engine-portable (RE2-safe: no lookaround/backrefs) PII patterns. */

@@ -97,6 +97,23 @@ class JsonScanPlugin(options: Map[String, Any], configDir: Path, label: String)
     inputPath().flatMap(p => Errors.safe(reader(spark).json(p.toString).schema))
 }
 
+/** ORC source (beyond-reference, same tier as `json_scan`): the other
+  * mainstream columnar warehouse format, read through Spark's
+  * vectorized ORC reader — predicate pushdown, column pruning and
+  * partition discovery behave exactly as for parquet, so a pipeline
+  * can consume ORC-lake tables without a conversion pass. */
+class OrcScanPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends FileInputPlugin(options, configDir, label) {
+  def name: String = "orc_scan"
+
+  def execute()(implicit spark: SparkSession): Either[Throwable, DataFrame] =
+    inputPath().flatMap(p => Errors.safe(spark.read.orc(p.toString)))
+
+  /** Footer-only schema read; no Spark job touches row data. */
+  def dryRun()(implicit spark: SparkSession): Either[Throwable, StructType] =
+    inputPath().flatMap(p => Errors.safe(spark.read.orc(p.toString).schema))
+}
+
 /** A4 — Arrow IPC (Feather) source
   * (ref /root/reference/.../input/ipc_scan.py:20-52).
   *

@@ -197,6 +197,26 @@ class JsonWriterPlugin(options: Map[String, Any], configDir: Path, label: String
     }
 }
 
+/** ORC sink (beyond-reference, pairs with `orc_scan`): parallel
+  * per-task writes like the parquet sink; `compression` defaults to
+  * Spark's zlib (`zstd`/`snappy`/`lzo` accepted). */
+class OrcWriterPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends FileOutputPlugin(options, configDir, label) {
+  def name: String = "orc_writer"
+
+  def execute(df: DataFrame): Either[Throwable, Unit] =
+    outputPath().flatMap { p =>
+      Errors.safe {
+        ensureParent(p)
+        val out = if (singleFile) df.coalesce(1) else df
+        var writer = out.write.mode(mode)
+        options.get("compression").foreach(c =>
+          writer = writer.option("compression", c.toString))
+        writer.orc(p.toString)
+      }
+    }
+}
+
 /** Arrow IPC sink, mirror of `write_ipc`
   * (docs/plugin_development.md:1239-1242). Distributed by default:
   * the arrow-ipc DataSourceV2 write streams each partition into its

@@ -812,6 +812,99 @@ class DupSpansPlugin(options: Map[String, Any], configDir: Path, label: String)
     } yield out
 }
 
+/** Config-driven C4 line-level cleaning ([[graft.ops.Text.withC4Flags]],
+  * Raffel et al. 2020 §2.2):
+  *
+  *   mode = "filter" (default) — keep passing pages with text_column
+  *          REPLACED by the retained lines (the paper's semantics)
+  *        | "flags"  — attach clean_text/n_lines/n_lines_kept/
+  *                     n_sentences/c4_pass
+  *
+  * Options: text_column (default text), min_line_words (default 5),
+  * min_sentences (default 3). */
+class C4Plugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "c4_filter"
+
+  private def thresholds: Text.C4Thresholds = Text.C4Thresholds(
+    minLineWords = options.get("min_line_words")
+      .map(_.toString.toDouble.toInt).getOrElse(5),
+    minSentences = options.get("min_sentences")
+      .map(_.toString.toDouble.toInt).getOrElse(3))
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    graft.core.Errors.safe {
+      val tc = options.getOrElse("text_column", "text").toString
+      options.getOrElse("mode", "filter").toString match {
+        case "flags"  => Text.withC4Flags(df, tc, thresholds)
+        case "filter" => Text.c4Clean(df, tc, thresholds)
+        case other => throw new PluginExecutionError(
+          s"Unknown c4_filter mode: '$other'")
+      }
+    }
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] = {
+    val tc = options.getOrElse("text_column", "text").toString
+    if (!schema.fieldNames.contains(tc))
+      Left(new SchemaValidationError(s"Column '$tc' not found in schema"))
+    else propagateSchema(schema)(df => execute(df).fold(e => throw e, identity))
+  }
+}
+
+/** Config-driven corpus bigram-LM scoring ([[graft.ops.LmScore]],
+  * the CCNet-style LM-fit quality signal):
+  *
+  *   mode = "score"  (default) — (id_column, n_bigrams, avg_logprob)
+  *        | "filter" — keep docs with avg_logprob >= min_avg_logprob
+  *                     (docs with < 2 tokens drop: no evidence)
+  *
+  * Options: id_column (req), text_column (default text), add_k
+  * (default 1.0), min_avg_logprob (req for filter). */
+class LmScorePlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "lm_score"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      idCol <- requiredString("id_column")
+      out <- graft.core.Errors.safe {
+        val tc = options.getOrElse("text_column", "text").toString
+        val addK = options.get("add_k").map(_.toString.toDouble).getOrElse(1.0)
+        options.getOrElse("mode", "score").toString match {
+          case "score" => graft.ops.LmScore.scoreDocs(df, idCol, tc, addK)
+          case "filter" =>
+            val minLp = options.get("min_avg_logprob") match {
+              case Some(v) => v.toString.toDouble
+              case None => throw new PluginExecutionError(
+                "Option 'min_avg_logprob' is required for mode 'filter'")
+            }
+            graft.ops.LmScore.filterByScore(df, idCol, tc, minLp, addK)
+          case other => throw new PluginExecutionError(
+            s"Unknown lm_score mode: '$other'")
+        }
+      }
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    for {
+      idCol <- requiredString("id_column")
+      out <- {
+        val tc = options.getOrElse("text_column", "text").toString
+        if (!schema.fieldNames.contains(idCol))
+          Left(new SchemaValidationError(
+            s"Column '$idCol' not found in schema"))
+        else if (!schema.fieldNames.contains(tc))
+          Left(new SchemaValidationError(
+            s"Column '$tc' not found in schema"))
+        else if (options.getOrElse("mode", "score").toString == "filter")
+          Right(schema) // semi-join keeps the corpus schema unchanged
+        else Right(StructType(Seq(schema(idCol),
+          StructField("n_bigrams", LongType, nullable = false),
+          StructField("avg_logprob", DoubleType))))
+      }
+    } yield out
+}
+
 /** Config-driven TF-IDF keyword extraction ([[graft.ops.Tfidf]]):
   * per-document top-`k` terms by tf × rarity, deterministic
   * cross-engine rank key (tf/df, term tie-break). Options: id_column
@@ -844,8 +937,10 @@ class TfidfPlugin(options: Map[String, Any], configDir: Path, label: String)
   * a change-event stream into versioned validity intervals; optionally
   * follow with a point-in-time `as_of` lookup (ISO date/timestamp
   * string) so a config can serve "state of the world at T" directly.
-  * Options: key_columns, attr_columns, order_columns (req, lists —
-  * order_columns must totally order events within a key),
+  * Options: mode = "scd2" (default) | "latest" (SCD type-1 snapshot:
+  * most recent event per key, input schema kept); key_columns,
+  * order_columns (req, lists — order_columns must totally order
+  * events within a key); for scd2 also attr_columns (req, list),
   * valid_from_column (req), as_of (optional). */
 class ScdPlugin(options: Map[String, Any], configDir: Path, label: String)
     extends BaseTransformPlugin(options, configDir, label) {
@@ -854,27 +949,41 @@ class ScdPlugin(options: Map[String, Any], configDir: Path, label: String)
   def execute(df: DataFrame): Either[Throwable, DataFrame] =
     for {
       keys <- stringList("key_columns")
-      attrs <- stringList("attr_columns")
       order <- stringList("order_columns")
-      validFrom <- requiredString("valid_from_column")
-      out <- graft.core.Errors.safe {
-        val scd = graft.ops.Scd.scd2(df, keys, attrs, order, validFrom)
-        options.get("as_of") match {
-          case Some(t) => graft.ops.Scd.asOf(scd,
-            org.apache.spark.sql.functions.lit(t.toString)
-              .cast(scd.schema("valid_from").dataType))
-          case None => scd
-        }
+      out <- options.getOrElse("mode", "scd2").toString match {
+        case "latest" => graft.core.Errors.safe(
+          graft.ops.Scd.latest(df, keys, order))
+        case "scd2" =>
+          for {
+            attrs <- stringList("attr_columns")
+            validFrom <- requiredString("valid_from_column")
+            built <- graft.core.Errors.safe {
+              val scd = graft.ops.Scd.scd2(df, keys, attrs, order, validFrom)
+              options.get("as_of") match {
+                case Some(t) => graft.ops.Scd.asOf(scd,
+                  org.apache.spark.sql.functions.lit(t.toString)
+                    .cast(scd.schema("valid_from").dataType))
+                case None => scd
+              }
+            }
+          } yield built
+        case other => Left(new PluginExecutionError(
+          s"Unknown scd2 mode: '$other'"))
       }
     } yield out
 
   def dryRun(schema: StructType): Either[Throwable, StructType] =
     for {
       keys <- stringList("key_columns")
-      attrs <- stringList("attr_columns")
       order <- stringList("order_columns")
-      validFrom <- requiredString("valid_from_column")
-      _ <- (keys ++ attrs ++ order :+ validFrom)
+      extra <-
+        if (options.getOrElse("mode", "scd2").toString == "latest")
+          Right(Seq.empty[String])
+        else for {
+          attrs <- stringList("attr_columns")
+          validFrom <- requiredString("valid_from_column")
+        } yield attrs :+ validFrom
+      _ <- (keys ++ order ++ extra)
         .find(c => !schema.fieldNames.contains(c))
         .map(c => Left(new SchemaValidationError(
           s"Column '$c' not found in schema"))).getOrElse(Right(()))
@@ -912,6 +1021,21 @@ class GraphPlugin(options: Map[String, Any], configDir: Path, label: String)
               damping = options.get("damping")
                 .map(_.toString.toDouble).getOrElse(0.85))
           case "degrees" => graft.ops.Graph.degrees(df, src, dst)
+          case "components" =>
+            // connected components of the (undirected) edge list:
+            // label-propagation to the min member id, checkpointed
+            // per round (EAGER like pagerank)
+            val nodes = df.select(org.apache.spark.sql.functions
+                .col(src).as("node"))
+              .union(df.select(org.apache.spark.sql.functions
+                .col(dst).as("node")))
+              .distinct()
+            val pairs = df.select(
+              org.apache.spark.sql.functions.col(src).as("id_a"),
+              org.apache.spark.sql.functions.col(dst).as("id_b"))
+            graft.ops.Dedup.clusterPairs(nodes, "node", pairs,
+              maxIter = options.get("max_iter")
+                .map(_.toString.toDouble.toInt).getOrElse(20))
           case other => throw new PluginExecutionError(
             s"Unknown graph method: '$other'")
         }
@@ -945,6 +1069,9 @@ class GraphPlugin(options: Map[String, Any], configDir: Path, label: String)
             StructField("out_degree", LongType, nullable = false),
             StructField("in_degree", LongType, nullable = false),
             StructField("degree", LongType, nullable = false))))
+          case "components" => Right(StructType(Seq(
+            StructField("node", schema(src).dataType),
+            StructField("cluster_id", schema(src).dataType))))
           case other => Left(new PluginExecutionError(
             s"Unknown graph method: '$other'"))
         }

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Round-6 operators: C4 line-level cleaning, corpus bigram LM
+  * scoring, SCD1 latest snapshot — semantics pinned on
+  * hand-computable frames. */
+class Round6Spec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SharedSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------------ C4
+
+  test("Text.withC4Flags: line retention, page gates, NULL text") {
+    val docs = Seq(
+      (0L, "One good sentence with enough words here.\n" +
+        "short.\nAnother good sentence with enough words there!\n" +
+        "A third fine sentence rounds out this page."),
+      (1L, "Contains lorem ipsum so the page fails.\n" +
+        "Other sentence one has the needed words.\n" +
+        "Other sentence two has the needed words.\n" +
+        "Other sentence three has the needed words."),
+      (2L, "A brace { appears so the page fails.\n" +
+        "Good sentence one carries the required words.\n" +
+        "Good sentence two carries the required words.\n" +
+        "Good sentence three carries the required words."),
+      (3L, "Enable javascript to use this site today.\n" +
+        "Real sentence one carries the required words.\n" +
+        "Real sentence two carries the required words.\n" +
+        "Real sentence three carries the required words."),
+      (4L, "Too few sentences on this page exist."),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Text.withC4Flags(docs, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val d0 = out(0L)
+    assert(d0.getAs[Long]("n_lines") == 4 &&
+      d0.getAs[Long]("n_lines_kept") == 3)
+    assert(d0.getAs[Long]("n_sentences") == 3 &&
+      d0.getAs[Boolean]("c4_pass"))
+    assert(!d0.getAs[String]("clean_text").contains("short"))
+
+    assert(!out(1L).getAs[Boolean]("c4_pass")) // lorem ipsum page gate
+    assert(!out(2L).getAs[Boolean]("c4_pass")) // curly brace page gate
+    // javascript LINE dropped but the page still passes on the rest
+    val d3 = out(3L)
+    assert(d3.getAs[Long]("n_lines_kept") == 3 &&
+      d3.getAs[Boolean]("c4_pass"))
+    assert(!d3.getAs[String]("clean_text").contains("javascript"))
+    assert(!out(4L).getAs[Boolean]("c4_pass")) // < 3 sentences
+    assert(out(5L).isNullAt(out(5L).fieldIndex("c4_pass")))
+  }
+
+  test("Text.c4Clean replaces text with retained lines, drops failures") {
+    val docs = Seq(
+      (0L, "First good sentence carries the needed words.\ndrop me\n" +
+        "Second good sentence carries the needed words.\n" +
+        "Third good sentence carries the needed words."),
+      (1L, "no sentences at all here")
+    ).toDF("doc_id", "text")
+    val kept = Text.c4Clean(docs, "text").collect()
+    assert(kept.length == 1 && kept(0).getLong(0) == 0L)
+    assert(kept(0).getString(1).linesIterator.size == 3)
+    assert(kept(0).schema.fieldNames.toSeq == Seq("doc_id", "text"))
+  }
+
+  // ------------------------------------------------------------- LmScore
+
+  test("LmScore.bigramRows emits consecutive pairs; short docs none") {
+    val docs = Seq((0L, "a b c"), (1L, "x"), (2L, "")).toDF("doc_id", "text")
+    val bg = LmScore.bigramRows(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(bg.toSet == Set((0L, "a", "b"), (0L, "b", "c")))
+  }
+
+  test("LmScore.scoreDocs: hand-computed add-one bigram logprobs") {
+    // corpus: doc0 "a b a b", doc1 "a b"  -> bigrams:
+    //   doc0: (a,b) (b,a) (a,b); doc1: (a,b)
+    // C(a,b)=3, C(b,a)=1, C(a)=3, C(b)=1 (as w1), V=2 (tokens a,b)
+    val docs = Seq((0L, "a b a b"), (1L, "a b")).toDF("doc_id", "text")
+    val out = LmScore.scoreDocs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val pAB = math.log(4.0 / 5.0) // (3+1)/(3+2)
+    val pBA = math.log(2.0 / 3.0) // (1+1)/(1+2)
+    assert(out(0L)._1 == 3L)
+    assert(math.abs(out(0L)._2 - (2 * pAB + pBA) / 3) < 1e-12)
+    assert(out(1L)._1 == 1L)
+    assert(math.abs(out(1L)._2 - pAB) < 1e-12)
+  }
+
+  test("LmScore.filterByScore keeps high-probability docs only") {
+    // "z z" uses a bigram seen nowhere else -> lowest score
+    val docs = Seq((0L, "a b a b"), (1L, "a b"), (2L, "z q"))
+      .toDF("doc_id", "text")
+    val scores = LmScore.scoreDocs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(2L) < scores(1L))
+    val cut = (scores(1L) + scores(2L)) / 2
+    val kept = LmScore.filterByScore(docs, "doc_id", "text", cut)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 1L))
+  }
+
+  // ---------------------------------------------------------- Scd.latest
+
+  test("Scd.latest keeps the most recent event per key (tie-broken)") {
+    val events = Seq(
+      (1L, "old", "2024-01-01", 10L),
+      (1L, "new", "2024-02-01", 11L),
+      (1L, "tie-lo", "2024-02-01", 12L),
+      (1L, "tie-hi", "2024-02-01", 13L), // same date, max id wins
+      (2L, "only", "2024-01-15", 20L)
+    ).toDF("k", "status", "dt", "id")
+      .withColumn("dt", to_date(col("dt")))
+    val out = Scd.latest(events, Seq("k"), Seq("dt", "id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "tie-hi", 2L -> "only"))
+    // input schema preserved, no helper columns
+    assert(Scd.latest(events, Seq("k"), Seq("dt", "id"))
+      .schema.fieldNames.toSeq == events.schema.fieldNames.toSeq)
+  }
+}

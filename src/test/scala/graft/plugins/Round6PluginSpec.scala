@@ -148,6 +148,80 @@ class Round6PluginSpec extends AnyFunSuite {
       .contains("'weight_column' is required"))
   }
 
+  // --------------------------------------------- round-6 second wave
+
+  test("c4_filter plugin: filter and flags modes, dry-run schema") {
+    val pages = Seq(
+      (0L, "First good sentence carries the needed words.\n" +
+        "Second good sentence carries the needed words.\n" +
+        "Third good sentence carries the needed words."),
+      (1L, "no sentences here at all")
+    ).toDF("doc_id", "text")
+    val filt = new C4Plugin(Map.empty, dir, "default")
+    val kept = filt.execute(pages).fold(e => fail(e.getMessage), identity)
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(0L))
+    assert(filt.dryRun(pages.schema).toOption.get.fieldNames.toSeq
+      == pages.schema.fieldNames.toSeq)
+    val flags = new C4Plugin(Map("mode" -> "flags"), dir, "default")
+    assert(flags.dryRun(pages.schema).toOption.get.fieldNames.toSeq
+      == Seq("doc_id", "text", "clean_text", "n_lines", "n_lines_kept",
+        "n_sentences", "c4_pass"))
+  }
+
+  test("lm_score plugin: score and filter modes, dry-run schemas") {
+    val docsLm = Seq((0L, "a b a b"), (1L, "a b"), (2L, "z q"))
+      .toDF("doc_id", "text")
+    val score = new LmScorePlugin(Map("id_column" -> "doc_id"), dir, "default")
+    val out = score.execute(docsLm).fold(e => fail(e.getMessage), identity)
+    assert(out.columns.toSeq == Seq("doc_id", "n_bigrams", "avg_logprob"))
+    assert(out.count() == 3)
+    assert(score.dryRun(docsLm.schema).toOption.get
+      .fields.map(f => (f.name, f.dataType)).toSeq
+      == out.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val filt = new LmScorePlugin(Map("id_column" -> "doc_id",
+      "mode" -> "filter", "min_avg_logprob" -> -1.0), dir, "default")
+    assert(filt.dryRun(docsLm.schema).toOption.get == docsLm.schema)
+    assert(new LmScorePlugin(Map("id_column" -> "doc_id", "mode" -> "filter"),
+      dir, "default").execute(docsLm).left.toOption.get.getMessage
+      .contains("'min_avg_logprob' is required"))
+  }
+
+  test("graph plugin: components method labels by min member") {
+    val edges = Seq((5L, 3L), (3L, 1L), (8L, 9L)).toDF("src", "dst")
+    val plug = new GraphPlugin(Map("method" -> "components",
+      "src_column" -> "src", "dst_column" -> "dst"), dir, "default")
+    val labels = plug.execute(edges).fold(e => fail(e.getMessage), identity)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 8L -> 8L, 9L -> 8L))
+    assert(plug.dryRun(edges.schema).toOption.get.fieldNames.toSeq
+      == Seq("node", "cluster_id"))
+  }
+
+  test("scd2 plugin: latest mode keeps one row per key, schema intact") {
+    val plug = new ScdPlugin(Map[String, Any]("mode" -> "latest",
+      "key_columns" -> Seq("k"), "order_columns" -> Seq("dt", "id")),
+      dir, "default")
+    val out = plug.execute(events).fold(e => fail(e.getMessage), identity)
+    assert(out.count() == 1)
+    assert(out.collect()(0).getAs[String]("status") == "O") // latest event
+    assert(plug.dryRun(events.schema).toOption.get == events.schema)
+  }
+
+  test("orc plugins: roundtrip preserves values; dry_run = footer schema") {
+    val tmp = Files.createTempDirectory("r6orc")
+    val data = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "s", "v")
+    val outP = tmp.resolve("t.orc").toString
+    new graft.plugins.output.OrcWriterPlugin(
+      Map("output_path" -> outP, "compression" -> "zstd"), tmp, "default")
+      .execute(data).fold(e => fail(e.getMessage), _ => ())
+    val scan = new graft.plugins.input.OrcScanPlugin(
+      Map("input_path" -> outP), tmp, "default")
+    val back = scan.execute().fold(e => fail(e.getMessage), identity)
+    assert(back.orderBy("k").collect().map(_.toSeq).toSeq
+      == data.orderBy("k").collect().map(_.toSeq).toSeq)
+    assert(scan.dryRun().toOption.get.fieldNames.toSeq == Seq("k", "s", "v"))
+  }
+
   // --------------------------------------------------- config-driven e2e
 
   /** Run a TOML config end-to-end (load → plugins → pipeline) and read
