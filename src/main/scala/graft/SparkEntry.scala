@@ -1574,8 +1574,12 @@ object SparkEntry {
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
         .distinct()
-      val e = e0.union(
-        e0.select(col("dst").as("src"), col("src").as("dst")))
+      // symmetrize via explode, not union: the union spelling
+      // evaluates the join+distinct subtree twice
+      val e = e0.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("_e"))
+        .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       val ranks = Graph.pagerank(e, "src", "dst",
         iterations = 5, damping = 0.85)
       val n = ranks.agg(count(lit(1)).as("_n"))

@@ -204,27 +204,33 @@ object Dedup {
     * clusters are small and dense (boilerplate families), so this
     * converges in a handful of rounds; `maxIter` bounds pathology.
     * Each round is one (edges ⋈ labels) shuffle + a map-side min;
-    * each round's labels are `localCheckpoint(eager = true)`d — the
-    * checkpoint truncates the analyzed LOGICAL plan (persist alone
-    * does not), which matters because `labels` is referenced twice
-    * per round (neighbor-min join + change-count join): with lineage
-    * intact the plan doubles per round, so a high-diameter component
-    * would OOM the driver on plan bookkeeping alone. Superseded
-    * rounds' blocks are reclaimed by the ContextCleaner. The
-    * convergence check is one count per round — a driver-side SCALAR,
-    * not collected data.
+    * each round's labels are `localCheckpoint(eager = true)`d on the
+    * `checkpointInterval` cadence (default: every round) — plus once
+    * at the end — which truncates the analyzed LOGICAL plan to a
+    * stats-bearing `LogicalRDD` leaf (persist alone does not). That
+    * matters because `labels` is referenced twice per round
+    * (neighbor-min join + change-count join): with lineage intact the
+    * plan doubles per round, so a high-diameter component would OOM
+    * the driver on plan bookkeeping alone, and even a few unchecked
+    * rounds make Catalyst re-planning cost multiples of the round's
+    * compute. Superseded rounds unpersist; checkpoint blocks are
+    * reclaimed by the ContextCleaner. The convergence check is one
+    * count per round — a driver-side SCALAR, not collected data.
     *
     * Returns (idCol, cluster_id) for EVERY node (singletons keep
     * their own id as cluster).
     */
   def clusterPairs(nodes: DataFrame, idCol: String, pairs: DataFrame,
-                   maxIter: Int = 20): DataFrame = {
+                   maxIter: Int = 20, checkpointInterval: Int = 1): DataFrame = {
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be >= 1, got $checkpointInterval")
     val edges = pairs
       .select(col("id_a").as("_src"), col("id_b").as("_dst"))
       .union(pairs.select(col("id_b").as("_src"), col("id_a").as("_dst")))
       .persist()
     var labels = nodes.select(col(idCol).as("_id"))
-      .withColumn("cluster_id", col("_id")).localCheckpoint(eager = true)
+      .withColumn("cluster_id", col("_id")).persist()
+    var checkpointed = false
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxIter) {
@@ -232,19 +238,34 @@ object Dedup {
         .join(labels.select(col("_id").as("_dst"), col("cluster_id")), Seq("_dst"))
         .groupBy("_src").agg(min("cluster_id").as("_nbr_min"))
         .withColumnRenamed("_src", "_id")
-      val next = labels
+      val nextBase = labels
         .join(nbrMin, Seq("_id"), "left")
         .select(col("_id"),
           least(col("cluster_id"),
             coalesce(col("_nbr_min"), col("cluster_id"))).as("cluster_id"))
-        // checkpoint, not persist: truncates the logical plan so the
-        // tree stays O(1) per round (labels is referenced twice)
-        .localCheckpoint(eager = true)
-      changed = next
+      // checkpoint on the cadence (default every round: truncating
+      // the plan is measured cheaper than re-planning a doubled
+      // tree); persist in between so the double labels reference
+      // never recomputes
+      val boundary = (round + 1) % checkpointInterval == 0
+      val next =
+        if (boundary) nextBase.localCheckpoint(eager = true)
+        else nextBase.persist()
+      changed = next // this count also materializes a persisted next
         .join(labels.select(col("_id"), col("cluster_id").as("_prev")), Seq("_id"))
         .filter(col("cluster_id") =!= col("_prev")).count()
-      labels = next // prior round's blocks: freed by ContextCleaner
+      labels.unpersist(blocking = false) // no-op on checkpointed frames
+      labels = next
+      checkpointed = boundary
       round += 1
+    }
+    // Return a checkpoint-backed frame: O(1) plan for the caller and
+    // no dangling cache entry (reading from the still-live cache, the
+    // final truncation costs one cheap job).
+    if (!checkpointed) {
+      val flat = labels.localCheckpoint(eager = true)
+      labels.unpersist(blocking = false)
+      labels = flat
     }
     edges.unpersist()
     // exiting via maxIter with changes still in flight means some

@@ -16,17 +16,18 @@ import org.apache.spark.storage.StorageLevel
   *  - partial-aggregated `sum` of contributions on `dst`,
   *  - the dangling-mass term is a single-row aggregate cross-joined
   *    in (a 1-row broadcast, never a collect),
-  *  - the new rank frame is `localCheckpoint(eager = true)`d — unlike
-  *    persist+count, a local checkpoint truncates the analyzed
-  *    LOGICAL plan (the new frame is a `LogicalRDD` leaf), which
-  *    matters because each iteration references `ranks` twice
-  *    (contribution join + dangling anti-join): with lineage intact
-  *    the plan tree doubles per iteration (~2^n nodes) and the driver
-  *    dies building plan strings long before any data moves. The
-  *    checkpoint keeps driver plan state O(1) per iteration (same
-  *    flat-lineage discipline as [[Dedup.clusterPairs]]); the previous
-  *    iteration's blocks are released by the ContextCleaner once the
-  *    superseded frame is dropped.
+  *  - the new rank frame is `localCheckpoint(eager = true)`d each
+  *    `checkpointInterval` iterations (default: every one) and at the
+  *    end; persist+count in between. The checkpoint truncates the
+  *    analyzed LOGICAL plan to a stats-bearing `LogicalRDD` leaf —
+  *    necessary because each iteration references `ranks` twice
+  *    (contribution join + dangling anti-join), so with lineage
+  *    intact the tree doubles per iteration (~2^n nodes): past ~10
+  *    the driver OOMs on plan strings, and even within a 5-wide
+  *    interval Catalyst's re-planning of the doubled tree measures
+  *    multiples of the iteration's compute. Superseded frames are
+  *    unpersisted; checkpoint blocks are released by the
+  *    ContextCleaner once dropped.
   * Driver state is O(1): iteration index and nothing else. At 100 TB
   * the edge table is the big side; it is persisted once (deserialized
   * columnar), and every iteration's shuffle moves only `(node, rank)`
@@ -44,20 +45,24 @@ object Graph {
     * Returns `(node, rank)`; ranks sum to 1 at every iteration.
     *
     * Runs `iterations` fixed steps (deterministic — matches an
-    * unrolled SQL oracle), each materialized via an eager local
-    * checkpoint so the logical plan stays constant-size regardless of
-    * `iterations`. (On a cluster that trades lineage-based recovery
-    * for bounded driver state — the right trade for an iterative
+    * unrolled SQL oracle), each materialized via persist + count,
+    * with an eager local checkpoint every `checkpointInterval` steps
+    * and at the end, so the logical plan stays bounded regardless of
+    * `iterations`. (Checkpointing trades lineage-based recovery for
+    * bounded driver state — the right trade for an iterative
     * algorithm whose recompute-from-scratch cost dwarfs a rerun.)
     * The returned frame is checkpoint-backed; its blocks are
     * reclaimed by the ContextCleaner when the frame is GC'd — no
     * unpersist obligation on the caller.
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+               iterations: Int = 5, damping: Double = 0.85,
+               checkpointInterval: Int = 1): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1,
       s"damping must be in (0,1), got $damping")
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be >= 1, got $checkpointInterval")
     // Persist the edge table PRE-HASHED on the join key: a cached
     // frame keeps its outputPartitioning, so every iteration's
     // edges ⋈ ranks join reuses this one layout instead of
@@ -66,8 +71,10 @@ object Graph {
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
       .repartition(col("_src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("_src").as("node"))
-      .union(e.select(col("_dst").as("node")))
+    // explode, not union: one pass over the cached edges instead of
+    // two cache reads feeding the distinct shuffle
+    val nodes = e
+      .select(explode(array(col("_src"), col("_dst"))).as("node"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // one setup action; O(1) driver result
@@ -78,7 +85,8 @@ object Graph {
     outdeg.count()
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-      .localCheckpoint(eager = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
     var it = 0
     while (it < iterations) {
       val contrib = e
@@ -91,17 +99,30 @@ object Graph {
       val dangling = ranks.join(
           outdeg.select(col("_src").as("node")), Seq("node"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dm"))
-      val next = nodes
+      val nextBase = nodes
         .join(contrib, Seq("node"), "left")
         .crossJoin(dangling)
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("_c"), lit(0.0)) + col("_dm") / n)).as("rank"))
-        // Materialize AND truncate the logical plan: `ranks` appears
-        // twice above, so without a checkpoint the analyzed tree
-        // doubles per iteration and OOMs the driver by ~n=10.
-        .localCheckpoint(eager = true)
-      ranks = next // prior iteration's blocks: freed by ContextCleaner
+      // Checkpoint on the cadence (default: every iteration — each
+      // boundary truncates the analyzed plan to a stats-bearing
+      // LogicalRDD leaf, keeping Catalyst's per-iteration planning
+      // O(1); measured, the re-planning of even a 4-deep doubled tree
+      // costs multiples of the iteration's actual compute). Larger
+      // intervals persist+count in between — for clusters where
+      // checkpoint I/O dominates tiny iterations.
+      val boundary =
+        (it + 1) % checkpointInterval == 0 || it + 1 == iterations
+      val next =
+        if (boundary) nextBase.localCheckpoint(eager = true)
+        else {
+          val p = nextBase.persist(StorageLevel.MEMORY_AND_DISK)
+          p.count()
+          p
+        }
+      ranks.unpersist(blocking = false) // no-op on checkpointed frames
+      ranks = next
       it += 1
     }
     e.unpersist(blocking = false)

@@ -206,6 +206,50 @@ class PlanSpec extends AnyFunSuite {
       "vec_id", "embedding", k = 3), "lshTopK")
   }
 
+  test("spanStats scans the corpus text exactly once (cached occurrences)") {
+    val tmp = java.nio.file.Files.createTempDirectory("planspan")
+    docs.write.mode("overwrite").parquet(tmp.resolve("docs").toString)
+    val fromDisk = spark.read.parquet(tmp.resolve("docs").toString)
+    val st = DupSpans.spanStats(fromDisk, "doc_id", "text", k = 4)
+    // the dup-count branch and the flag-back join both consume the
+    // tokenize projection THROUGH the persisted occurrence rows: the
+    // visible plan must read the cache (2+ InMemoryTableScans) and
+    // contain no direct file scan — the single corpus read lives
+    // inside the cached plan, executed once at materialization
+    val ns = nodes(st)
+    val fileScans = ns.count(_.nodeName.toLowerCase.startsWith("scan parquet"))
+    val memScans = ns.count(_.nodeName.contains("InMemoryTableScan"))
+    assert(fileScans == 0 && memScans >= 2,
+      s"expected all corpus reads via the cached occurrences " +
+        s"(got $fileScans file scans, $memScans cache scans)")
+  }
+
+  test("Scd.latest top-1-per-key plans a WindowGroupLimit (map-side prune)") {
+    val events = (0L until 50L).map(i => (i % 5, i / 5, s"s$i"))
+      .toDF("k", "seq", "status")
+    val latest = Scd.latest(events, Seq("k"), Seq("seq"))
+    assert(nodes(latest).exists(_.nodeName.contains("WindowGroupLimit")),
+      "row_number()=1 should plan WindowGroupLimit so the exchange " +
+        "carries ~one row per key")
+  }
+
+  test("C4 cleaning is a shuffle-free projection") {
+    val flagged = Text.withC4Flags(docs, "text")
+    assert(!nodes(flagged).exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "withC4Flags must not shuffle")
+  }
+
+  test("LM scoring plans no cartesian; only the 1-row V scalar is nested-loop") {
+    val scored = LmScore.scoreDocs(docs, "doc_id", "text")
+    val ns = nodes(scored)
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
+      "LmScore.scoreDocs plans a CartesianProduct")
+    // the deliberate crossJoin of the single-row vocabulary-size
+    // aggregate is the ONLY permissible nested-loop join
+    assert(ns.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) <= 1,
+      "model joins (C12/C1) must be keyed hash joins, not nested loops")
+  }
+
   test("incremental dedup's bloom-negative fast path is shuffle-free") {
     val ref = (0L until 50L).map(i => (i, s"k$i")).toDF("id", "k")
     val batch = (0L until 80L).map(i => (i, s"k${i * 3}")).toDF("id", "k")
