@@ -1653,6 +1653,68 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
+    // ---- stream-stream LEFT OUTER interval join ------------------
+    // Same attribution shape as stream_interval_join, but purchases
+    // with no preceding click emit null-extended once their buffered
+    // state is provably match-free AND evicted: Spark holds a left
+    // row while watermark <= purchase_t + lookback (a future click at
+    // the watermark could still satisfy click_t >= purchase_t - 1800),
+    // so under AvailableNow the emitted outer rows are exactly those
+    // with purchase_t < (max_t - delay) - lookback — the cutoff the
+    // oracle replicates. The 1-hour delay (vs the inner join's
+    // fixture-spanning one) is what makes outer rows emit at all.
+    "stream_left_join" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val work = scratch("stream_loj")
+      val inDir = sharedLanding(dir, "events")
+      val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
+        Map("input_path" -> inDir.toString), work, "default")
+      val ev = scan.execute().fold(e => throw e, identity)
+        .withColumn("event_time", expr("ts div 1000000000").cast("timestamp"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "event_time")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "event_time")
+      val joined = graft.streaming.Streams.intervalJoinLeftOuter(
+          purchases, clicks, "user_id", "event_time",
+          lookback = "30 minutes", watermark = "1 hour")
+        .select(col("event_id").as("purchase_id"),
+          col("r_event_id").as("click_id"), col("user_id"),
+          col("event_time").cast("long").as("purchase_t"),
+          col("r_event_time").cast("long").as("click_t"))
+      val sink = new graft.plugins.streaming.StreamParquetWriterPlugin(
+        Map("output_path" -> work.resolve("out").toString), work, "default")
+      sink.execute(joined).fold(e => throw e, _ => ())
+      s.read.parquet(work.resolve("out").toString)
+        .orderBy("purchase_id", "click_id")
+    }),
+
+    // ---- streaming CDC compaction (foreachBatch upsert) ----------
+    // Latest event per user maintained as a parquet state table via
+    // foreachBatch merge; the merge (latest-per-key of a union) is
+    // associative + idempotent, so the final state equals the batch
+    // answer REGARDLESS of micro-batch boundaries — which is exactly
+    // what the DuckDB oracle computes.
+    "stream_upsert" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val work = scratch("stream_up")
+      val inDir = sharedLanding(dir, "events")
+      val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
+        Map("input_path" -> inDir.toString), work, "default")
+      val ev = scan.execute().fold(e => throw e, identity)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000000000").as("t"), col("value"))
+      val statePath = work.resolve("state").toString
+      graft.streaming.Streams.upsertLatest(ev,
+        keyCols = Seq("user_id"), orderCols = Seq("t", "event_id"),
+        statePath = statePath,
+        checkpoint = work.resolve("ckpt").toString)
+      s.read.parquet(statePath)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("t"), r(col("value"), 2).as("value"))
+        .orderBy("user_id")
+    }),
+
     // ---- SCD1 latest snapshot (CDC compaction) -------------------
     // The most recent order per customer; row_number()=1 plans as
     // WindowGroupLimit, so the exchange carries ~one row per key.
@@ -3399,6 +3461,48 @@ object SparkEntry {
         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q_orc_roundtrip" ->
-      "SELECT * FROM customer ORDER BY c_custkey"
+      "SELECT * FROM customer ORDER BY c_custkey",
+
+    // inner matches all emit; null-extended rows only for purchases
+    // whose left state Spark has evicted. The eviction bound derives
+    // from BOTH the watermark delay and the join interval: from
+    // `click_t >= purchase_t - 1800` Spark keeps a left row while
+    // watermark <= purchase_t + 1800, so the null-extension cutoff is
+    // purchase_t < (max_t - 3600) - 1800.
+    "stream_left_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) // 1000000 AS t
+        |  FROM events
+        |), mx AS (SELECT max(t) AS maxt FROM e),
+        |p AS (SELECT event_id AS purchase_id, user_id, t AS purchase_t
+        |      FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, t AS click_t
+        |      FROM e WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.purchase_id, c.click_id, p.user_id,
+        |    p.purchase_t, c.click_t
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.click_t BETWEEN p.purchase_t - 1800 AND p.purchase_t),
+        |o AS (
+        |  SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id,
+        |    p.user_id, p.purchase_t, CAST(NULL AS BIGINT) AS click_t
+        |  FROM p, mx
+        |  WHERE p.purchase_id NOT IN (SELECT purchase_id FROM m)
+        |    AND p.purchase_t < mx.maxt - 3600 - 1800)
+        |SELECT * FROM m
+        |UNION ALL SELECT * FROM o
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
+    "stream_upsert" ->
+      """SELECT user_id, event_id, event_type, t, r(value, 2) AS value
+        |FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) // 1000000 AS t, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) // 1000000 DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin
   )
 }

@@ -90,6 +90,7 @@ object Loader {
     "unpivot" -> "graft.plugins.transform.UnpivotPlugin",
     "parquet_stream_scan" -> "graft.plugins.streaming.ParquetStreamScanPlugin",
     "stream_parquet_writer" -> "graft.plugins.streaming.StreamParquetWriterPlugin",
+    "stream_upsert_writer" -> "graft.plugins.streaming.StreamUpsertWriterPlugin",
     "parquet_writer" -> "graft.plugins.output.ParquetWriterPlugin",
     "csv_writer" -> "graft.plugins.output.CsvWriterPlugin",
     "json_writer" -> "graft.plugins.output.JsonWriterPlugin",

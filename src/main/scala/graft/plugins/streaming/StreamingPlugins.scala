@@ -101,3 +101,63 @@ class StreamParquetWriterPlugin(val options: Map[String, Any],
       }
     }
 }
+
+/** Streaming CDC-compaction sink ([[graft.streaming.Streams.upsertLatest]]):
+  * maintains a latest-event-per-key parquet state table via
+  * `foreachBatch` merge. The merge is associative + idempotent, so
+  * the state is batch-boundary-independent and safe under
+  * foreachBatch's at-least-once replays. Options: output_path (req —
+  * the state table), key_columns, order_columns (req, lists),
+  * checkpoint (default `<output>_checkpoint`). */
+class StreamUpsertWriterPlugin(val options: Map[String, Any],
+                               val configDir: Path,
+                               override val label: String)
+    extends OutputPlugin {
+  def name: String = "stream_upsert_writer"
+
+  private def outputPath(): Either[Throwable, Path] =
+    options.get("output_path") match {
+      case None => Left(new PluginExecutionError("Option 'output_path' is required"))
+      case Some(p) => Right(resolvePath(p.toString))
+    }
+
+  private def stringList(key: String): Either[Throwable, Seq[String]] =
+    options.get(key) match {
+      case Some(xs: Seq[_]) => Right(xs.map(_.toString))
+      case Some(s) => Right(Seq(s.toString))
+      case None => Left(new PluginExecutionError(
+        s"Option '$key' is required"))
+    }
+
+  def execute(df: DataFrame): Either[Throwable, Unit] =
+    for {
+      p <- outputPath()
+      keys <- stringList("key_columns")
+      order <- stringList("order_columns")
+      _ <- Errors.safe {
+        if (!df.isStreaming)
+          throw new PluginExecutionError(
+            s"$name requires a streaming input (use parquet_stream_scan)")
+        val checkpoint = options.get("checkpoint")
+          .map(c => resolvePath(c.toString).toString)
+          .getOrElse(p.toString + "_checkpoint")
+        graft.streaming.Streams.upsertLatest(df, keys, order,
+          p.toString, checkpoint)
+      }
+    } yield ()
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    for {
+      p <- outputPath()
+      keys <- stringList("key_columns")
+      order <- stringList("order_columns")
+      out <- (keys ++ order).find(c => !schema.fieldNames.contains(c))
+        .map(c => Left(new graft.core.SchemaValidationError(
+          s"Column '$c' not found in schema")): Either[Throwable, StructType])
+        .getOrElse(Errors.safe {
+          val parent = p.toAbsolutePath.getParent
+          if (parent != null) Files.createDirectories(parent)
+          schema
+        })
+    } yield out
+}

@@ -157,6 +157,74 @@ object Streams {
         col(s"$rightPrefix$timeCol") <= col(timeCol))
   }
 
+  /** Left-outer variant of [[intervalJoin]]: every left row emits —
+    * matched rows as they join, unmatched rows null-extended once the
+    * watermark guarantees no future right row can match (a right
+    * match must satisfy `r.time <= l.time`, so a left row is safe to
+    * emit-with-nulls as soon as the watermark passes `l.time`).
+    * Unmatched left rows inside the final watermark delay stay in
+    * state and never emit under AvailableNow — the same trailing-edge
+    * rule as windowed aggregation, which a batch oracle replicates
+    * with the explicit cutoff `l.time < max(time) - delay`. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, keyCol: String,
+                            timeCol: String, rightPrefix: String = "r_",
+                            lookback: String = "30 minutes",
+                            watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(timeCol, watermark)
+    val renamed = right.columns.foldLeft(right)((df, c) =>
+      df.withColumnRenamed(c, s"$rightPrefix$c"))
+    val r = renamed.withWatermark(s"$rightPrefix$timeCol", watermark)
+    l.join(r,
+      col(keyCol) === col(s"$rightPrefix$keyCol") &&
+        col(s"$rightPrefix$timeCol") >= col(timeCol) - expr(s"INTERVAL $lookback") &&
+        col(s"$rightPrefix$timeCol") <= col(timeCol),
+      "left_outer")
+  }
+
+  /** Streaming CDC compaction: maintain a "latest event per key"
+    * parquet table from a change stream via `foreachBatch`, merging
+    * `state' = Scd.latest(state ∪ batch)`.
+    *
+    * The merge is ASSOCIATIVE and IDEMPOTENT (latest-per-key of a
+    * union), so the final state is independent of how the stream was
+    * micro-batched and safe under foreachBatch's at-least-once
+    * replays — the property that makes this compaction correct
+    * without any transactional table format. Each batch writes a
+    * fresh versioned directory and atomically swaps it in (local
+    * filesystem rename; on an object store you would target a table
+    * format's commit protocol instead — the merge logic is the
+    * portable part). State size is O(distinct keys), not O(stream).
+    */
+  def upsertLatest(events: DataFrame, keyCols: Seq[String],
+                   orderCols: Seq[String], statePath: String,
+                   checkpoint: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    def rmTree(p: Path): Unit = if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(x => Files.deleteIfExists(x))
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val cur =
+          if (Files.exists(Paths.get(statePath)))
+            Some(spark.read.parquet(statePath))
+          else None
+        val merged = graft.ops.Scd.latest(
+          cur.map(_.unionByName(batch)).getOrElse(batch),
+          keyCols, orderCols)
+        val staged = Paths.get(statePath + s"_v$batchId")
+        rmTree(staged) // left over from a replayed batch: rebuild
+        merged.write.mode("overwrite").parquet(staged.toString)
+        rmTree(Paths.get(statePath))
+        Files.move(staged, Paths.get(statePath))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming frame to completion against currently-available
     * input (memory sink) and return the materialized result — the
     * batch-driven smoke harness for streaming queries. */

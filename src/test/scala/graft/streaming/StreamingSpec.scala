@@ -92,6 +92,101 @@ class StreamingSpec extends AnyFunSuite {
     assert((got & Set(1L, 2L)).size == 1) // exactly one of the dups
   }
 
+  test("left-outer interval join: matches plus evicted-state null rows") {
+    // purchases at t=1000s and t=9000s; one click 10 min before the
+    // first. maxT = 10000s (a trailing click), watermark delay 5 min,
+    // lookback 30 min -> eviction cutoff 10000 - 300 - 1800 = 7900:
+    // the unmatched purchase at 9000 stays in state, the matched one
+    // at 1000 emits its match (inner results never wait).
+    val dir = Files.createTempDirectory("loj")
+    Seq(
+      (1L, 400L, 7L, "click"),
+      (2L, 1000L, 7L, "purchase"),
+      (3L, 9000L, 8L, "purchase"),
+      (4L, 10000L, 9L, "click")
+    ).toDF("event_id", "t", "user_id", "event_type")
+      .coalesce(1).write.parquet(dir.resolve("in").toString)
+    val ev = spark.readStream
+      .schema("event_id BIGINT, t BIGINT, user_id BIGINT, event_type STRING")
+      .parquet(dir.resolve("in").toString)
+      .withColumn("event_time", col("t").cast("timestamp"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "event_time")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "event_time")
+    val joined = Streams.intervalJoinLeftOuter(purchases, clicks,
+      "user_id", "event_time", lookback = "30 minutes",
+      watermark = "5 minutes")
+    val out = dir.resolve("out").toString
+    joined.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", dir.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val rows = spark.read.parquet(out)
+      .select(col("event_id"), col("r_event_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    // matched purchase emits; purchase 3 (t=9000 >= 7900) held in state
+    assert(rows == Set((2L, Some(1L))))
+  }
+
+  test("upsertLatest: multi-batch foreachBatch merge equals batch latest") {
+    val dir = Files.createTempDirectory("upsert")
+    val in = dir.resolve("in")
+    Files.createDirectories(in)
+    // two PLAIN files (FileStreamSource does not recurse into the
+    // directories df.write.parquet creates) + maxFilesPerTrigger=1
+    // -> two micro-batches, so the merge-with-existing-state path
+    // actually runs
+    def stage(rows: Seq[(Long, Long, String)], name: String): Unit = {
+      val tmp = dir.resolve(s"stage_$name")
+      rows.toDF("user_id", "seq", "status")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString
+        .endsWith(".parquet")).findFirst().get()
+      Files.move(part, in.resolve(name))
+    }
+    stage(Seq((7L, 1L, "a"), (8L, 2L, "b"), (7L, 3L, "c")), "f1.parquet")
+    stage(Seq((7L, 2L, "d"), (9L, 1L, "e"), (8L, 5L, "f")), "f2.parquet")
+    val ev = spark.readStream
+      .schema("user_id BIGINT, seq BIGINT, status STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val statePath = dir.resolve("state").toString
+    Streams.upsertLatest(ev, Seq("user_id"), Seq("seq"),
+      statePath, dir.resolve("ck").toString)
+    val got = spark.read.parquet(statePath)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // latest per key across BOTH batches, independent of batching:
+    // user 7 -> seq 3 "c" (batch-1 row beats batch-2's seq 2)
+    assert(got == Map(7L -> (3L, "c"), 8L -> (5L, "f"), 9L -> (1L, "e")))
+  }
+
+  test("stream_upsert_writer plugin: config-driven CDC compaction") {
+    val dir = Files.createTempDirectory("upsert_plug")
+    Seq((1L, 1L, "old"), (1L, 2L, "new"), (2L, 9L, "only"))
+      .toDF("k", "seq", "v")
+      .coalesce(1).write.parquet(dir.resolve("in").toString)
+    val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
+      Map("input_path" -> dir.resolve("in").toString), dir, "default")
+    val ev = scan.execute().fold(e => fail(e.getMessage), identity)
+    val sink = new graft.plugins.streaming.StreamUpsertWriterPlugin(
+      Map[String, Any]("output_path" -> dir.resolve("state").toString,
+        "key_columns" -> Seq("k"), "order_columns" -> Seq("seq")),
+      dir, "default")
+    assert(sink.dryRun(ev.schema).toOption.get == ev.schema)
+    sink.execute(ev).fold(e => fail(e.getMessage), _ => ())
+    val got = spark.read.parquet(dir.resolve("state").toString)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "new", 2L -> "only"))
+    // missing column caught at dry-run
+    assert(new graft.plugins.streaming.StreamUpsertWriterPlugin(
+      Map[String, Any]("output_path" -> dir.resolve("s2").toString,
+        "key_columns" -> Seq("nope"), "order_columns" -> Seq("seq")),
+      dir, "default").dryRun(ev.schema).left.toOption.get.getMessage
+      .contains("Column 'nope' not found"))
+  }
+
   test("batch transform plugins compose onto streaming frames") {
     val tmp = Files.createTempDirectory("stream")
     val stream = Streams.eventStream(spark, eventsDir)
