@@ -1808,7 +1808,29 @@ object SparkEntry {
         .execute().fold(e => throw e, identity)
         .select(base.schema.fieldNames.map(col): _*)
         .orderBy("c_custkey")
-    })
+    }),
+
+    // ---- embedding moments: d×d Gram in one typed-agg pass -------
+    // The cross-engine face of the PCA moments aggregation: every
+    // Σ v_i·v_j cell must match DuckDB's unnest-join computation.
+    "q_emb_gram" -> ((s, dir) =>
+      graft.ops.Embeddings.gramDF(t(s, dir, "embeddings"), "embedding")
+        .select(col("i"), col("j"), r(col("g"), 4).as("g"))
+        .orderBy("i", "j")),
+
+    // ---- PCA rotation invariant under the oracle -----------------
+    // A full-rank PCA basis is orthonormal, so each row's projected
+    // L2 norm must equal its CENTERED norm — which DuckDB computes
+    // directly from the raw embeddings with no eigensolver. This
+    // hash-checks the whole pipeline (moments -> Jacobi -> broadcast
+    // projection) through an engine-independent invariant.
+    "sim_pca_norm" -> ((s, dir) =>
+      graft.ops.Embeddings.pcaProject(
+          t(s, dir, "embeddings"), "embedding", k = 64)
+        .select(col("vec_id"),
+          r(sqrt(aggregate(col("pca"), lit(0.0), (acc, x) => acc + x * x)),
+            4).as("l2"))
+        .orderBy("vec_id"))
   )
 
   // ------------------------------------------------------------------
@@ -3503,6 +3525,30 @@ object SparkEntry {
         |      ORDER BY epoch_us(ts) // 1000000 DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "q_emb_gram" ->
+      """WITH u AS (
+        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings,
+        |    unnest(range(1, len(embedding) + 1)) t(i))
+        |SELECT a.i AS i, b.i AS j, r(sum(a.v * b.v), 4) AS g
+        |FROM u a JOIN u b USING (vec_id)
+        |GROUP BY a.i, b.i
+        |ORDER BY i, j""".stripMargin,
+
+    // rotation invariance: projected L2 norm = centered L2 norm
+    "sim_pca_norm" ->
+      """WITH u AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings,
+        |    unnest(range(1, len(embedding) + 1)) t(i)
+        |), m AS (
+        |  SELECT i, avg(v) AS mu FROM u GROUP BY i)
+        |SELECT vec_id, r(sqrt(sum((v - mu) * (v - mu))), 4) AS l2
+        |FROM u JOIN m USING (i)
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin
   )
 }

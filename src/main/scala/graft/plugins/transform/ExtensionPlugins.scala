@@ -570,6 +570,12 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
     if (options.getOrElse("method", "brute").toString == "quantize_int8")
       return graft.core.Errors.safe(
         graft.ops.Similarity.quantizeInt8(df, embCol0))
+    if (options.getOrElse("method", "brute").toString == "pca_project")
+      return graft.core.Errors.safe(
+        graft.ops.Embeddings.pcaProject(df, embCol0,
+          k = num("k", 16).toInt,
+          whiten = options.get("whiten").exists(_.toString.toBoolean),
+          outCol = options.getOrElse("output_column", "pca").toString))
     for {
       idCol <- requiredString("id_column")
       ql <- requiredString("queries_label")
@@ -617,6 +623,18 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
               StructField("centroid", ArrayType(DoubleType)),
               StructField("n_vectors", LongType, nullable = false)))))
       }
+    if (options.getOrElse("method", "brute").toString == "quantize_int8")
+      return propagateSchema(schema)(df =>
+        graft.ops.Similarity.quantizeInt8(df, embCol0))
+    if (options.getOrElse("method", "brute").toString == "pca_project") {
+      // pcaProject trains on real rows at call time; static schema
+      return if (!schema.fieldNames.contains(embCol0))
+        Left(new SchemaValidationError(
+          s"Column '$embCol0' not found in schema"))
+      else Right(StructType(schema.fields :+
+        StructField(options.getOrElse("output_column", "pca").toString,
+          ArrayType(DoubleType, containsNull = false))))
+    }
     for {
       idCol <- requiredString("id_column")
       ql <- requiredString("queries_label")

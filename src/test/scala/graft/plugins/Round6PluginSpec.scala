@@ -222,6 +222,25 @@ class Round6PluginSpec extends AnyFunSuite {
     assert(scan.dryRun().toOption.get.fieldNames.toSeq == Seq("k", "s", "v"))
   }
 
+  test("similarity plugin: pca_project method appends the component column") {
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Seq((i - 10).toFloat, (10 - i).toFloat, 0.5f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+    val plug = new SimilarityPlugin(Map("method" -> "pca_project",
+      "k" -> 2, "output_column" -> "pc"), dir, "default")
+    val out = plug.executeWith(vecs, Map.empty)
+      .fold(e => fail(e.getMessage), identity)
+    assert(out.columns.toSeq == Seq("vec_id", "embedding", "pc"))
+    assert(out.select("pc").collect().forall(_.getSeq[Double](0).length == 2))
+    val dry = plug.dryRunWith(vecs.schema, Map.empty)
+      .fold(e => fail(e.getMessage), identity)
+    assert(dry.fieldNames.toSeq == out.columns.toSeq)
+    assert(plug.dryRunWith(StructType(Seq(StructField("x", LongType))),
+      Map.empty).left.toOption.get.getMessage.contains("not found"))
+  }
+
   // --------------------------------------------------- config-driven e2e
 
   /** Run a TOML config end-to-end (load → plugins → pipeline) and read
