@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Pipeline
-import graft.ops.{Contamination, Dedup, DupSpans, Graph, LmScore,
+import graft.ops.{Bm25, Contamination, Dedup, DupSpans, Graph, LmScore,
   Multimodal, Sampling, Scd, Similarity, Text, Tfidf}
 import graft.plugins.input.ParquetScanPlugin
 import graft.plugins.transform.{FilterPlugin, SelectPlugin, SortPlugin}
@@ -127,6 +127,14 @@ object SparkEntry {
     "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "o" -> "r",
     "a" -> "n", "s" -> "t", "a" -> "t", "in" -> "d", "o" -> "w",
     "ind" -> "ow", "l" -> "e")
+
+  /** Fixed query set for `text_bm25` — shared literal-for-literal
+    * with its oracle's VALUES list; terms drawn from the synthetic
+    * documents' vocabulary so every query has hits. */
+  private[graft] val bm25Queries: Seq[(String, String)] = Seq(
+    "q1" -> "table scan filter", "q2" -> "spark stream window",
+    "q3" -> "customer order query", "q4" -> "hash join merge",
+    "q5" -> "sort group agg")
 
   /** Expand `r(X, p)` occurrences in oracle SQL into
     * `(floor((X) * 10^p + 0.5) / 10^p)` — the exact same IEEE ops the
@@ -1608,6 +1616,17 @@ object SparkEntry {
       Tfidf.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
         .withColumn("tfidf", r(col("tfidf"), 4))
         .orderBy("doc_id", "rank")),
+
+    // ---- BM25 ranked retrieval -----------------------------------
+    // Five fixed queries (literal-for-literal with the oracle's
+    // VALUES list) against the documents table; raw-score ranking
+    // with doc_id tie-break (see Bm25 scaladoc for why that is
+    // cross-engine stable), score rounded for the hash.
+    "text_bm25" -> ((s, dir) =>
+      Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
+          bm25Queries, k = 10)
+        .withColumn("score", r(col("score"), 4))
+        .orderBy("query_id", "rank")),
 
     // ---- weighted sample (Efraimidis–Spirakis top-k) -------------
     // u from the md5 key-hash (never an RNG), srk = u^(1/n_chars);
@@ -3338,6 +3357,58 @@ object SparkEntry {
         |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
         |SELECT doc_id, rank, term, tf, df, r(tfidf, 4) AS tfidf
         |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // BM25 (Lucene-shaped idf); same normalize/tokenize CTEs as
+    // text_tfidf, avgdl = sum(dl)/N over ALL docs, raw-score rank
+    // with doc_id tie-break, rounded score for the hash.
+    "text_bm25" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |  ('q1', 'table scan filter'), ('q2', 'spark stream window'),
+        |  ('q3', 'customer order query'), ('q4', 'hash join merge'),
+        |  ('q5', 'sort group agg')),
+        |d AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(t, ' ')) AS term
+        |  FROM d WHERE length(t) > 0
+        |), dl AS (
+        |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+        |  FROM toks GROUP BY doc_id
+        |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |ad AS (SELECT sum(dl) / (SELECT n FROM nn) AS avgdl FROM dl),
+        |qn AS (
+        |  SELECT query_id, trim(regexp_replace(regexp_replace(lower(qtext),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM q
+        |), qt AS (
+        |  SELECT DISTINCT query_id, term FROM (
+        |    SELECT query_id, unnest(regexp_split_to_array(t, ' ')) AS term
+        |    FROM qn WHERE length(t) > 0)
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks WHERE term IN (SELECT term FROM qt)
+        |  GROUP BY doc_id, term
+        |), dfq AS (
+        |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+        |), scored AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    ln(1 + ((SELECT n FROM nn) - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM ad))) AS s
+        |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+        |    JOIN dl USING (doc_id)
+        |), agg AS (
+        |  SELECT query_id, doc_id, sum(s) AS score
+        |  FROM scored GROUP BY query_id, doc_id
+        |), ranked AS (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rank
+        |  FROM agg)
+        |SELECT query_id, rank, doc_id, r(score, 4) AS score
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // Efraimidis–Spirakis with the md5 key-hash as u; top-100 by raw
     // srk (cross-engine pow agrees far beyond the selection margins),

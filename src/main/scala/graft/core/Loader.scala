@@ -82,6 +82,7 @@ object Loader {
     "pivot" -> "graft.plugins.transform.PivotPlugin",
     "dup_spans" -> "graft.plugins.transform.DupSpansPlugin",
     "tfidf" -> "graft.plugins.transform.TfidfPlugin",
+    "bm25" -> "graft.plugins.transform.Bm25Plugin",
     "scd2" -> "graft.plugins.transform.ScdPlugin",
     "graph" -> "graft.plugins.transform.GraphPlugin",
     "c4_filter" -> "graft.plugins.transform.C4Plugin",

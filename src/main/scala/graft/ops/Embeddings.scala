@@ -179,14 +179,13 @@ object Embeddings {
     val basis = vecs.take(k).zip(vals.take(k)).map { case (row, lambda) =>
       if (whiten) row.map(_ / math.sqrt(math.max(lambda, 1e-12))) else row
     }
-    // centered dot products against broadcast literal rows: one
-    // codegen'd projection, no shuffle
-    val centered = (0 until d).map(i =>
-      element_at(col(embCol), i + 1).cast("double") - lit(mean(i)))
-    val comps = basis.map { row =>
-      (0 until d).map(i => centered(i) * lit(row(i))).reduce(_ + _)
-    }
-    df.withColumn(outCol, array(comps: _*))
+    // one mat-vec kernel per row: the k×d basis rides inside the
+    // expression node (33 KB at d=k=64) instead of a d×k literal
+    // tree (which cost a 7 MB task binary + seconds of codegen
+    // compile, and would not compile at all at d=768)
+    df.withColumn(outCol,
+      graft.expressions.MatVecProject.mat_vec_project(
+        col(embCol), basis, mean))
   }
 
   private def dim(df: DataFrame, embCol: String): Int = {

@@ -951,6 +951,56 @@ class TfidfPlugin(options: Map[String, Any], configDir: Path, label: String)
     }
 }
 
+/** Config-driven BM25 ranked retrieval ([[graft.ops.Bm25]]): per-query
+  * top-k documents by BM25 score. Options: id_column (req), queries
+  * (req, inline table {query_id = query_text} — the broadcast side),
+  * text_column (default "text"), k (default 10), k1 (default 1.2),
+  * b (default 0.75). Output: (query_id, rank, <id_column>, score). */
+class Bm25Plugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "bm25"
+
+  private def queries(): Either[Throwable, Seq[(String, String)]] =
+    required("queries").flatMap {
+      case m: Map[_, _] if m.nonEmpty =>
+        Right(m.toSeq.map { case (k, v) => k.toString -> v.toString }
+          .sortBy(_._1))
+      case other => Left(new PluginExecutionError(
+        s"Option 'queries' must be a non-empty table of query_id -> text, got: $other"))
+    }
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      idCol <- requiredString("id_column")
+      qs <- queries()
+      out <- graft.core.Errors.safe(
+        graft.ops.Bm25.topK(df, idCol,
+          options.getOrElse("text_column", "text").toString, qs,
+          k = options.get("k").map(_.toString.toDouble.toInt).getOrElse(10),
+          k1 = options.get("k1").map(_.toString.toDouble).getOrElse(1.2),
+          b = options.get("b").map(_.toString.toDouble).getOrElse(0.75)))
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    for {
+      idCol <- requiredString("id_column")
+      _ <- queries()
+      tc = options.getOrElse("text_column", "text").toString
+      out <-
+        if (!schema.fieldNames.contains(idCol))
+          Left(new SchemaValidationError(
+            s"Column '$idCol' not found in schema"))
+        else if (!schema.fieldNames.contains(tc))
+          Left(new SchemaValidationError(
+            s"Column '$tc' not found in schema"))
+        else Right(StructType(Seq(
+          StructField("query_id", StringType, nullable = false),
+          StructField("rank", LongType, nullable = false),
+          schema(idCol),
+          StructField("score", DoubleType, nullable = true))))
+    } yield out
+}
+
 /** Config-driven SCD type-2 construction ([[graft.ops.Scd]]): collapse
   * a change-event stream into versioned validity intervals; optionally
   * follow with a point-in-time `as_of` lookup (ISO date/timestamp

@@ -241,6 +241,26 @@ class Round6PluginSpec extends AnyFunSuite {
       Map.empty).left.toOption.get.getMessage.contains("not found"))
   }
 
+  test("bm25 plugin: per-query top-k with scores; dry-run static schema") {
+    val plug = new Bm25Plugin(Map("id_column" -> "doc_id",
+      "queries" -> Map("qa" -> "unique zero", "qb" -> "different words"),
+      "k" -> 5), dir, "default")
+    val out = plug.execute(docs).fold(e => fail(e.getMessage), identity)
+    assert(out.columns.toSeq == Seq("query_id", "rank", "doc_id", "score"))
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // qa's terms only hit doc 0; qb's only doc 2
+    assert(rows.filter(_._1 == "qa").map(_._3).toSeq == Seq(0L))
+    assert(rows.filter(_._1 == "qb").map(_._3).toSeq == Seq(2L))
+    val dry = plug.dryRun(docs.schema).fold(e => fail(e.getMessage), identity)
+    assert(dry.fieldNames.toSeq == out.columns.toSeq)
+    assert(dry("doc_id").dataType == LongType)
+    assert(plug.dryRun(StructType(Seq(StructField("x", LongType))))
+      .left.toOption.get.getMessage.contains("not found"))
+    assert(new Bm25Plugin(Map("id_column" -> "doc_id"), dir, "default")
+      .execute(docs).isLeft) // queries required
+  }
+
   // --------------------------------------------------- config-driven e2e
 
   /** Run a TOML config end-to-end (load → plugins → pipeline) and read
