@@ -43,7 +43,8 @@ object Bench {
     "dedup_span_stats", "q_pagerank", "q_scd2", "text_tfidf",
     "q_sample_weighted",
     "q_scd1_latest", "q_components", "text_c4", "text_lm_score",
-    "q_orc_roundtrip", "q_emb_gram", "sim_pca_norm", "text_bm25")
+    "q_orc_roundtrip", "q_emb_gram", "sim_pca_norm", "text_bm25",
+    "text_top_ngrams", "q_percentile_band")
 
   /** Full query inventory: oracled queries + bench-only raw ANN
     * top-k (kept under their historical names). */

@@ -1628,6 +1628,23 @@ object SparkEntry {
         .withColumn("score", r(col("score"), 4))
         .orderBy("query_id", "rank")),
 
+    // ---- corpus-wide bigram heavy hitters ------------------------
+    // Integer counts -> the (count desc, gram asc) rank is exactly
+    // deterministic cross-engine; top-k plans TakeOrderedAndProject.
+    "text_top_ngrams" -> ((s, dir) =>
+      graft.ops.Ngrams.topNgrams(t(s, dir, "documents"),
+          "doc_id", "text", n = 2, k = 50)
+        .orderBy("rank")),
+
+    // ---- per-language percentile-band length trim ----------------
+    // percent_rank = (rank-1)/(n-1): an exact IEEE division of small
+    // integers, identical in any engine — no rounding needed.
+    "q_percentile_band" -> ((s, dir) =>
+      graft.ops.Percentiles.filterByBand(t(s, dir, "documents"), Seq("lang"),
+          "n_chars", lo = 0.05, hi = 0.95)
+        .select("doc_id", "lang", "n_chars", "pct_rank")
+        .orderBy("doc_id")),
+
     // ---- weighted sample (Efraimidis–Spirakis top-k) -------------
     // u from the md5 key-hash (never an RNG), srk = u^(1/n_chars);
     // global top-100 plans as TakeOrderedAndProject. srk is rounded:
@@ -3409,6 +3426,41 @@ object SparkEntry {
         |  FROM agg)
         |SELECT query_id, rank, doc_id, r(score, 4) AS score
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // bigram heavy hitters: same normalize as text_tfidf; integer
+    // counts make the rank exact.
+    "text_top_ngrams" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(t, ' ') AS arr
+        |  FROM d WHERE length(t) > 0
+        |), g AS (
+        |  SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS ngram
+        |  FROM toks, unnest(range(1, len(arr))) u(i)
+        |), agg AS (
+        |  SELECT ngram, count(*) AS n_occurrences,
+        |    count(DISTINCT doc_id) AS n_docs
+        |  FROM g GROUP BY ngram
+        |), top AS (
+        |  SELECT * FROM agg ORDER BY n_occurrences DESC, ngram LIMIT 50)
+        |SELECT row_number() OVER (ORDER BY n_occurrences DESC, ngram)
+        |    AS rank, ngram, n_occurrences, n_docs
+        |FROM top ORDER BY rank""".stripMargin,
+
+    // rank-based percentile band: percent_rank is an exact rational,
+    // bit-identical cross-engine — raw values hash-compared.
+    "q_percentile_band" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY n_chars)
+        |      AS pct_rank
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT doc_id, lang, n_chars, pct_rank FROM p
+        |WHERE pct_rank >= 0.05 AND pct_rank <= 0.95
+        |ORDER BY doc_id""".stripMargin,
 
     // Efraimidis–Spirakis with the md5 key-hash as u; top-100 by raw
     // srk (cross-engine pow agrees far beyond the selection margins),

@@ -83,6 +83,7 @@ object Loader {
     "dup_spans" -> "graft.plugins.transform.DupSpansPlugin",
     "tfidf" -> "graft.plugins.transform.TfidfPlugin",
     "bm25" -> "graft.plugins.transform.Bm25Plugin",
+    "top_ngrams" -> "graft.plugins.transform.NgramsPlugin",
     "scd2" -> "graft.plugins.transform.ScdPlugin",
     "graph" -> "graft.plugins.transform.GraphPlugin",
     "c4_filter" -> "graft.plugins.transform.C4Plugin",

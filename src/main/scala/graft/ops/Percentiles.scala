@@ -198,4 +198,34 @@ object Percentiles {
       spark.sparkContext.parallelize(boundaryRows, 1), outSchema)
     finishFromRanked(small, df, keys, valueCol, ps)
   }
+
+  /** Keep only the rows whose `valueCol` sits inside the per-group
+    * percentile band `[lo, hi]` — the distribution-relative trim
+    * every quality gate ends with ("drop the shortest 5% and the
+    * longest 5% per language" rather than a fixed threshold that
+    * means something different in every stratum). Appends `prCol` =
+    * the row's `percent_rank` within its group.
+    *
+    * Rank-based, not interpolated: `percent_rank = (rank−1)/(n−1)`
+    * is an exact IEEE division of two small integers (deterministic
+    * cross-engine; ties share a rank, so equal values are kept or
+    * dropped together — a band can never split a tie). Rows with
+    * NULL `valueCol` are dropped (a band over an unknown value has
+    * no meaning). Single-row groups rank 0.0 and survive any band
+    * containing 0.
+    *
+    * Scale shape: one window over the (group, value) sort — the same
+    * single range-shuffle as [[exactInterpolated]]; the band filter
+    * is applied before the projection, so downstream sees only
+    * surviving rows. */
+  def filterByBand(df: DataFrame, keys: Seq[String], valueCol: String,
+                   lo: Double, hi: Double,
+                   prCol: String = "pct_rank"): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi,
+      s"band must satisfy 0 <= lo <= hi <= 1, got [$lo, $hi]")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+    df.filter(col(valueCol).isNotNull)
+      .withColumn(prCol, percent_rank().over(w))
+      .filter(col(prCol) >= lo && col(prCol) <= hi)
+  }
 }

@@ -685,21 +685,29 @@ class PercentilesPlugin(options: Map[String, Any], configDir: Path, label: Strin
         s"Option 'percentiles' must be a list of numbers, got: $other"))
     }
 
+  private def band: Either[Throwable, (Double, Double)] =
+    for {
+      lo <- required("band_lo").map(_.toString.toDouble)
+      hi <- required("band_hi").map(_.toString.toDouble)
+    } yield (lo, hi)
+
   def execute(df: DataFrame): Either[Throwable, DataFrame] =
     for {
       keys <- stringList("group_by")
       valueCol <- requiredString("value_column")
-      pcts <- ps
-      out <- graft.core.Errors.safe {
-        options.getOrElse("method", "window").toString match {
-          case "window" =>
-            graft.ops.Percentiles.exactInterpolated(df, keys, valueCol, pcts)
-          case "selection" =>
-            graft.ops.Percentiles.exactInterpolatedBySelection(
-              df, keys, valueCol, pcts)
-          case other => throw new PluginExecutionError(
-            s"Unknown percentiles method: '$other'")
+      out <- options.getOrElse("method", "window").toString match {
+        case "window" => ps.flatMap(pcts => graft.core.Errors.safe(
+          graft.ops.Percentiles.exactInterpolated(df, keys, valueCol, pcts)))
+        case "selection" => ps.flatMap(pcts => graft.core.Errors.safe(
+          graft.ops.Percentiles.exactInterpolatedBySelection(
+            df, keys, valueCol, pcts)))
+        case "band" => band.flatMap { case (lo, hi) =>
+          graft.core.Errors.safe(graft.ops.Percentiles.filterByBand(
+            df, keys, valueCol, lo, hi,
+            options.getOrElse("output_column", "pct_rank").toString))
         }
+        case other => Left(new PluginExecutionError(
+          s"Unknown percentiles method: '$other'"))
       }
     } yield out
 
@@ -710,9 +718,14 @@ class PercentilesPlugin(options: Map[String, Any], configDir: Path, label: Strin
       _ <- (keys :+ valueCol).find(c => !schema.fieldNames.contains(c))
         .map(c => Left(new SchemaValidationError(
           s"Column '$c' not found in schema"))).getOrElse(Right(()))
-      out <- ps.map(pcts => StructType(
-        keys.map(schema(_)) ++
-          pcts.map { case (lbl, _) => StructField(lbl, DoubleType) }))
+      out <- options.getOrElse("method", "window").toString match {
+        case "band" => band.map(_ => StructType(schema.fields :+
+          StructField(options.getOrElse("output_column", "pct_rank").toString,
+            DoubleType, nullable = false)))
+        case _ => ps.map(pcts => StructType(
+          keys.map(schema(_)) ++
+            pcts.map { case (lbl, _) => StructField(lbl, DoubleType) }))
+      }
     } yield out
 }
 
@@ -999,6 +1012,40 @@ class Bm25Plugin(options: Map[String, Any], configDir: Path, label: String)
           schema(idCol),
           StructField("score", DoubleType, nullable = true))))
     } yield out
+}
+
+/** Config-driven corpus n-gram heavy hitters ([[graft.ops.Ngrams]]):
+  * top-k most frequent word n-grams with document reach — boilerplate
+  * and template discovery from config. Options: id_column (req),
+  * text_column (default "text"), n (default 2), k (default 100).
+  * Output: (rank, ngram, n_occurrences, n_docs). */
+class NgramsPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "top_ngrams"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      idCol <- requiredString("id_column")
+      out <- graft.core.Errors.safe(
+        graft.ops.Ngrams.topNgrams(df, idCol,
+          options.getOrElse("text_column", "text").toString,
+          n = options.get("n").map(_.toString.toDouble.toInt).getOrElse(2),
+          k = options.get("k").map(_.toString.toDouble.toInt).getOrElse(100)))
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    requiredString("id_column").flatMap { idCol =>
+      val tc = options.getOrElse("text_column", "text").toString
+      if (!schema.fieldNames.contains(idCol))
+        Left(new SchemaValidationError(s"Column '$idCol' not found in schema"))
+      else if (!schema.fieldNames.contains(tc))
+        Left(new SchemaValidationError(s"Column '$tc' not found in schema"))
+      else Right(StructType(Seq(
+        StructField("rank", LongType, nullable = false),
+        StructField("ngram", StringType, nullable = true),
+        StructField("n_occurrences", LongType, nullable = false),
+        StructField("n_docs", LongType, nullable = false))))
+    }
 }
 
 /** Config-driven SCD type-2 construction ([[graft.ops.Scd]]): collapse

@@ -124,4 +124,57 @@ class Round6Spec extends AnyFunSuite {
     assert(Scd.latest(events, Seq("k"), Seq("dt", "id"))
       .schema.fieldNames.toSeq == events.schema.fieldNames.toSeq)
   }
+
+  // -------------------------------------------------------- top n-grams
+
+  test("Ngrams.topNgrams: counts, doc reach, deterministic rank") {
+    val docs = Seq(
+      (0L, "the cat sat"),          // bigrams: the cat, cat sat
+      (1L, "the cat ran the cat"),  // the cat x2, cat ran, ran the
+      (2L, "dog")                   // too short: none
+    ).toDF("doc_id", "text")
+    val out = Ngrams.topNgrams(docs, "doc_id", "text", n = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out(0) == ((1L, "the cat", 3L, 2L))) // 3 occurrences, 2 docs
+    // count-1 grams tie-broken alphabetically
+    assert(out.map(_._2).toSeq == Seq("the cat", "cat ran", "cat sat"))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("Ngrams.ngramArray: short docs empty; punctuation normalized") {
+    val docs = Seq((0L, "Hello, world! Hi."), (1L, "one")).toDF("id", "t")
+    val got = docs.select(col("id"),
+        Ngrams.ngramArray(col("t"), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(0L) == Seq("hello world", "world hi"))
+    assert(got(1L) == Seq.empty)
+  }
+
+  // -------------------------------------------- percentile band filter
+
+  test("Percentiles.filterByBand: per-group trim, ties kept together") {
+    val rows = (1 to 10).map(v => ("a", v.toLong)) ++
+      Seq(("b", 5L), ("b", 5L), ("b", 9L)) ++ // tied minimums
+      Seq(("c", 7L)) // single-row group: pr = 0.0
+    val df = rows.toDF("g", "v")
+    val out = Percentiles.filterByBand(df, Seq("g"), "v", 0.2, 0.8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // group a: pr = (rank-1)/9 -> keep v where 0.2 <= (v-1)/9 <= 0.8
+    assert(out.filter(_._1 == "a").map(_._2).sorted.toSeq ==
+      (3L to 8L).toSeq)
+    // group b: the two 5s share rank 1 (pr 0.0) -> both dropped;
+    // 9 has pr 1.0 -> dropped
+    assert(!out.exists(_._1 == "b"))
+    // single-row group c: pr 0.0, outside [0.2, 0.8]
+    assert(!out.exists(_._1 == "c"))
+    // band containing 0 keeps it
+    val withZero = Percentiles.filterByBand(df, Seq("g"), "v", 0.0, 0.5)
+    assert(withZero.filter(col("g") === "c").count() == 1)
+    // NULL values dropped
+    val withNull = Seq(("a", Some(1L)), ("a", None), ("a", Some(3L)))
+      .toDF("g", "v")
+    assert(Percentiles.filterByBand(withNull, Seq("g"), "v", 0.0, 1.0)
+      .count() == 2)
+  }
 }

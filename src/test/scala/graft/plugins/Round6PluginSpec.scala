@@ -261,6 +261,44 @@ class Round6PluginSpec extends AnyFunSuite {
       .execute(docs).isLeft) // queries required
   }
 
+  test("top_ngrams plugin: frequency-ranked grams; dry-run static schema") {
+    val plug = new NgramsPlugin(Map("id_column" -> "doc_id", "n" -> 2,
+      "k" -> 5), dir, "default")
+    val out = plug.execute(docs).fold(e => fail(e.getMessage), identity)
+    assert(out.columns.toSeq == Seq("rank", "ngram", "n_occurrences",
+      "n_docs"))
+    val top = out.collect()
+    assert(top.length == 5)
+    // "a b" .. "g h" appear in docs 0 and 1
+    assert(top(0).getLong(2) == 2L && top(0).getLong(3) == 2L)
+    val dry = plug.dryRun(docs.schema).fold(e => fail(e.getMessage), identity)
+    assert(dry.fieldNames.toSeq == out.columns.toSeq)
+    assert(plug.dryRun(StructType(Seq(StructField("x", LongType))))
+      .left.toOption.get.getMessage.contains("not found"))
+  }
+
+  test("percentiles plugin: band method trims by per-group percent rank") {
+    val vals = (1 to 10).map(v => ("g", v.toLong)).toDF("grp", "v")
+    val plug = new PercentilesPlugin(Map("method" -> "band",
+      "group_by" -> Seq("grp"), "value_column" -> "v",
+      "band_lo" -> 0.2, "band_hi" -> 0.8), dir, "default")
+    val out = plug.execute(vals).fold(e => fail(e.getMessage), identity)
+    assert(out.columns.toSeq == Seq("grp", "v", "pct_rank"))
+    assert(out.collect().map(_.getLong(1)).sorted.toSeq == (3L to 8L))
+    val dry = plug.dryRun(vals.schema).fold(e => fail(e.getMessage), identity)
+    assert(dry.fieldNames.toSeq == out.columns.toSeq)
+    // band_lo/band_hi required for the band method
+    assert(new PercentilesPlugin(Map("method" -> "band",
+      "group_by" -> Seq("grp"), "value_column" -> "v"), dir, "default")
+      .execute(vals).isLeft)
+    // the classic methods still work untouched
+    val classic = new PercentilesPlugin(Map(
+      "group_by" -> Seq("grp"), "value_column" -> "v",
+      "percentiles" -> Seq(0.5)), dir, "default")
+    assert(classic.execute(vals).fold(e => fail(e.getMessage), identity)
+      .collect()(0).getDouble(1) == 5.5)
+  }
+
   // --------------------------------------------------- config-driven e2e
 
   /** Run a TOML config end-to-end (load → plugins → pipeline) and read
