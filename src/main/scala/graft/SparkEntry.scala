@@ -1636,6 +1636,25 @@ object SparkEntry {
           "doc_id", "text", n = 2, k = 50)
         .orderBy("rank")),
 
+    // ---- kNN graph (exact, oracled) ------------------------------
+    // Self top-k cosine neighbors — the brute method is the oracled
+    // exact face; the lsh method (recall-gated elsewhere) is the
+    // scale path with identical output shape.
+    "sim_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 3, method = "brute")
+        .withColumn("cosine", r(col("cosine"), 6))
+        .orderBy("query_id", "rank")),
+
+    // ---- semantic clusters = components of the thresholded kNN graph
+    // Bounded-degree graph build (k edges per node, never all-pairs)
+    // + min-label propagation; oracle replays it with a recursive
+    // reachability CTE.
+    "sim_knn_components" -> ((s, dir) =>
+      Similarity.semanticClusters(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 3, minCosine = 0.35, method = "brute")
+        .orderBy("vec_id")),
+
     // ---- per-language percentile-band length trim ----------------
     // percent_rank = (rank-1)/(n-1): an exact IEEE division of small
     // integers, identical in any engine — no rounding needed.
@@ -3449,6 +3468,65 @@ object SparkEntry {
         |SELECT row_number() OVER (ORDER BY n_occurrences DESC, ngram)
         |    AS rank, ngram, n_occurrences, n_docs
         |FROM top ORDER BY rank""".stripMargin,
+
+    // self kNN: the sim_topk_brute construction over every vector
+    "sim_knn_graph" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id,
+        |    CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0 THEN v
+        |         ELSE list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
+        |    END AS v
+        |  FROM e
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.v, c.v),
+        |      p -> p[1] * p[2])) AS cos_raw
+        |  FROM nrm q JOIN nrm c ON c.vec_id <> q.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, r(cos_raw, 6) AS cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // components of the thresholded kNN graph via a recursive
+    // reachability CTE; cluster_id = min reachable id.
+    "sim_knn_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id,
+        |    CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0 THEN v
+        |         ELSE list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
+        |    END AS v
+        |  FROM e
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.v, c.v),
+        |      p -> p[1] * p[2])) AS cos_raw
+        |  FROM nrm q JOIN nrm c ON c.vec_id <> q.vec_id
+        |), rk AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_raw DESC, neighbor_id) AS rn
+        |  FROM scored
+        |), ed AS (
+        |  SELECT query_id AS a, neighbor_id AS b
+        |  FROM rk WHERE rn <= 3 AND cos_raw >= 0.35
+        |), sym AS (
+        |  SELECT a, b FROM ed UNION SELECT b, a FROM ed
+        |), reach(node, root) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT s2.b, r2.root FROM reach r2 JOIN sym s2 ON s2.a = r2.node
+        |)
+        |SELECT node AS vec_id, min(root) AS cluster_id
+        |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
 
     // rank-based percentile band: percent_rank is an exact rational,
     // bit-identical cross-engine — raw values hash-compared.

@@ -519,4 +519,55 @@ object Similarity {
         .filter(col("rank") <= k)
     }
   }
+  /** k-nearest-neighbor graph over one vector table: each row's
+    * top-`k` cosine neighbors among the other rows —
+    * `(query_id, neighbor_id, cosine, rank)`. The substrate for
+    * semantic clustering ([[semanticClusters]]), graph-based dedup
+    * triage and diversity analysis.
+    *
+    * `method = "brute"` broadcasts the table against itself — exact,
+    * but only valid while the table fits a broadcast (tests,
+    * samples). `method = "lsh"` is the scale path: both sides bucket
+    * by hyperplane signature, candidates stream int8-compressed, and
+    * only the bounded re-rank touches fp vectors — the corpus is
+    * never all-pairs joined (same shape as [[lshTopK]], which it
+    * delegates to with queries = corpus).
+    *
+    * `minCosine` drops weak edges AFTER ranking (an edge-quality
+    * gate, not a re-rank): rank stays the global top-k rank, so a
+    * node with fewer than k strong neighbors keeps its strong ones.
+    */
+  def knnGraph(df: DataFrame, idCol: String, embCol: String, k: Int,
+               method: String = "lsh", minCosine: Double = -1.0,
+               planes: Int = 4, probeBits: Int = 3,
+               rerank: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val topk = method match {
+      case "brute" => bruteForceTopK(df, df, idCol, embCol, k)
+      case "lsh" => lshTopK(df, df, idCol, embCol, k,
+        planes = planes, probeBits = probeBits, rerank = rerank)
+      case other => throw new IllegalArgumentException(
+        s"Unknown knnGraph method: '$other' (expected brute|lsh)")
+    }
+    topk.filter(col("cosine") >= minCosine)
+  }
+
+  /** Semantic clusters = connected components of the `minCosine`-
+    * thresholded kNN graph: `(<idCol>, cluster_id)` with cluster_id
+    * the component's minimum member id. Every input row appears —
+    * rows with no strong neighbor form singleton clusters.
+    *
+    * This is the classic two-stage grouping (SemDeDup's coarse
+    * stage, near-dup community detection): a bounded-degree graph
+    * build (k edges per node, never all-pairs) followed by
+    * [[Dedup.clusterPairs]] min-label propagation, whose per-round
+    * plan is lineage-truncated — both stages hold at corpus scale.
+    */
+  def semanticClusters(df: DataFrame, idCol: String, embCol: String,
+                       k: Int, minCosine: Double,
+                       method: String = "lsh"): DataFrame = {
+    val edges = knnGraph(df, idCol, embCol, k, method, minCosine)
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+    Dedup.clusterPairs(df.select(col(idCol)), idCol, edges)
+  }
 }

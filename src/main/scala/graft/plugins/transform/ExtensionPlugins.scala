@@ -576,6 +576,23 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
           k = num("k", 16).toInt,
           whiten = options.get("whiten").exists(_.toString.toBoolean),
           outCol = options.getOrElse("output_column", "pca").toString))
+    if (options.getOrElse("method", "brute").toString == "knn_graph")
+      return requiredString("id_column").flatMap(idCol =>
+        graft.core.Errors.safe(
+          graft.ops.Similarity.knnGraph(df, idCol, embCol0,
+            k = num("k", 10).toInt,
+            method = options.getOrElse("knn_method", "lsh").toString,
+            minCosine = num("min_cosine", -1.0),
+            planes = num("planes", 4).toInt,
+            probeBits = num("probe_bits", 3).toInt,
+            rerank = num("rerank", 64).toInt)))
+    if (options.getOrElse("method", "brute").toString == "knn_components")
+      return requiredString("id_column").flatMap(idCol =>
+        graft.core.Errors.safe(
+          graft.ops.Similarity.semanticClusters(df, idCol, embCol0,
+            k = num("k", 10).toInt,
+            minCosine = num("min_cosine", 0.0),
+            method = options.getOrElse("knn_method", "lsh").toString)))
     for {
       idCol <- requiredString("id_column")
       ql <- requiredString("queries_label")
@@ -635,6 +652,31 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
         StructField(options.getOrElse("output_column", "pca").toString,
           ArrayType(DoubleType, containsNull = false))))
     }
+    if (options.getOrElse("method", "brute").toString == "knn_graph")
+      return requiredString("id_column").flatMap(idCol =>
+        if (!schema.fieldNames.contains(idCol))
+          Left(new SchemaValidationError(
+            s"Column '$idCol' not found in schema"))
+        else if (!schema.fieldNames.contains(embCol0))
+          Left(new SchemaValidationError(
+            s"Column '$embCol0' not found in schema"))
+        else Right(StructType(Seq(
+          StructField("query_id", schema(idCol).dataType, nullable = true),
+          StructField("neighbor_id", schema(idCol).dataType, nullable = true),
+          StructField("cosine", DoubleType, nullable = true),
+          StructField("rank", IntegerType, nullable = false)))))
+    if (options.getOrElse("method", "brute").toString == "knn_components")
+      return requiredString("id_column").flatMap(idCol =>
+        if (!schema.fieldNames.contains(idCol))
+          Left(new SchemaValidationError(
+            s"Column '$idCol' not found in schema"))
+        else if (!schema.fieldNames.contains(embCol0))
+          Left(new SchemaValidationError(
+            s"Column '$embCol0' not found in schema"))
+        else Right(StructType(Seq(
+          schema(idCol),
+          StructField("cluster_id", schema(idCol).dataType,
+            nullable = true)))))
     for {
       idCol <- requiredString("id_column")
       ql <- requiredString("queries_label")

@@ -125,6 +125,42 @@ class Round6Spec extends AnyFunSuite {
       .schema.fieldNames.toSeq == events.schema.fieldNames.toSeq)
   }
 
+  // ------------------------------------------------- kNN graph/clusters
+
+  private def vecFixture = Seq(
+    (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.8f, 0.2f)),
+    (4L, Seq(0.0f, 1.0f)), (5L, Seq(0.1f, 0.9f))
+  ).toDF("vec_id", "embedding")
+    .withColumn("embedding", col("embedding").cast("array<float>"))
+
+  test("Similarity.knnGraph: top-k neighbors, self excluded, edge gate") {
+    val g = Similarity.knnGraph(vecFixture, "vec_id", "embedding",
+        k = 2, method = "brute")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(g.length == 10) // 5 nodes x k=2
+    assert(!g.exists(e => e._1 == e._2)) // no self edges
+    // node 1's nearest is 2, then 3
+    assert(g.filter(_._1 == 1L).sortBy(_._4).map(_._2).toSeq == Seq(2L, 3L))
+    // minCosine gates edges but keeps the original rank
+    val gated = Similarity.knnGraph(vecFixture, "vec_id", "embedding",
+        k = 2, method = "brute", minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gated.nonEmpty && gated.forall { case (a, b) =>
+      (a <= 3L && b <= 3L) || (a >= 4L && b >= 4L) }) // no cross-cluster
+  }
+
+  test("Similarity.semanticClusters: components of the gated kNN graph") {
+    val out = Similarity.semanticClusters(vecFixture, "vec_id",
+        "embedding", k = 2, minCosine = 0.9, method = "brute")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L)) // every row appears
+    assert(Set(out(1L), out(2L), out(3L)).size == 1) // one x-axis cluster
+    assert(Set(out(4L), out(5L)).size == 1)          // one y-axis cluster
+    assert(out(1L) != out(4L))
+    assert(out(1L) == 1L && out(4L) == 4L) // labeled by min member
+  }
+
   // -------------------------------------------------------- top n-grams
 
   test("Ngrams.topNgrams: counts, doc reach, deterministic rank") {

@@ -299,6 +299,40 @@ class Round6PluginSpec extends AnyFunSuite {
       .collect()(0).getDouble(1) == 5.5)
   }
 
+  test("similarity plugin: knn_graph and knn_components methods") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+    val graph = new SimilarityPlugin(Map("method" -> "knn_graph",
+      "id_column" -> "vec_id", "knn_method" -> "brute", "k" -> 1,
+      "min_cosine" -> 0.9), dir, "default")
+    val g = graph.executeWith(vecs, Map.empty)
+      .fold(e => fail(e.getMessage), identity)
+    assert(g.columns.toSeq == Seq("query_id", "neighbor_id", "cosine",
+      "rank"))
+    val edges = g.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)))
+    val gdry = graph.dryRunWith(vecs.schema, Map.empty)
+      .fold(e => fail(e.getMessage), identity)
+    assert(gdry.fieldNames.toSeq == g.columns.toSeq)
+    val comp = new SimilarityPlugin(Map("method" -> "knn_components",
+      "id_column" -> "vec_id", "knn_method" -> "brute", "k" -> 1,
+      "min_cosine" -> 0.9), dir, "default")
+    val c = comp.executeWith(vecs, Map.empty)
+      .fold(e => fail(e.getMessage), identity)
+    assert(c.columns.toSeq == Seq("vec_id", "cluster_id"))
+    val byId = c.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    val cdry = comp.dryRunWith(vecs.schema, Map.empty)
+      .fold(e => fail(e.getMessage), identity)
+    assert(cdry.fieldNames.toSeq == c.columns.toSeq)
+    assert(comp.dryRunWith(StructType(Seq(StructField("x", LongType))),
+      Map.empty).isLeft)
+  }
+
   // --------------------------------------------------- config-driven e2e
 
   /** Run a TOML config end-to-end (load → plugins → pipeline) and read
