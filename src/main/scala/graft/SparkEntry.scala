@@ -1636,6 +1636,16 @@ object SparkEntry {
           "doc_id", "text", n = 2, k = 50)
         .orderBy("rank")),
 
+    // ---- blocked fuzzy pairs (entity resolution) -----------------
+    // Distinct part names as entities (the name is its own id);
+    // first/last-token blocking + length band, levenshtein verify.
+    "q_fuzzy_pairs" -> ((s, dir) =>
+      graft.ops.FuzzyJoin.selfFuzzyPairs(
+          t(s, dir, "part").select(col("p_name")).distinct()
+            .withColumn("name_id", col("p_name")),
+          "name_id", "p_name", maxDistance = 2)
+        .orderBy("id_a", "id_b")),
+
     // ---- kNN graph (exact, oracled) ------------------------------
     // Self top-k cosine neighbors — the brute method is the oracled
     // exact face; the lsh method (recall-gated elsewhere) is the
@@ -3468,6 +3478,28 @@ object SparkEntry {
         |SELECT row_number() OVER (ORDER BY n_occurrences DESC, ngram)
         |    AS rank, ngram, n_occurrences, n_docs
         |FROM top ORDER BY rank""".stripMargin,
+
+    // blocked fuzzy pairs: first/last-token blocking, length band,
+    // levenshtein verify — mirrors the Spark op block for block.
+    "q_fuzzy_pairs" ->
+      """WITH p AS (SELECT DISTINCT p_name FROM part),
+        |n AS (
+        |  SELECT p_name AS id, trim(regexp_replace(regexp_replace(
+        |    lower(p_name), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS s
+        |  FROM p
+        |), k AS (
+        |  SELECT id, s, unnest(list_distinct(
+        |    [string_split(s, ' ')[1], string_split(s, ' ')[-1]])) AS bk
+        |  FROM n WHERE length(s) > 0
+        |), cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    a.s AS s_a, b.s AS s_b
+        |  FROM k a JOIN k b ON a.bk = b.bk AND a.id < b.id
+        |  WHERE abs(length(a.s) - length(b.s)) <= 2)
+        |SELECT id_a, id_b, s_a, s_b,
+        |  CAST(levenshtein(s_a, s_b) AS BIGINT) AS distance
+        |FROM cand WHERE levenshtein(s_a, s_b) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // self kNN: the sim_topk_brute construction over every vector
     "sim_knn_graph" ->

@@ -84,6 +84,7 @@ object Loader {
     "tfidf" -> "graft.plugins.transform.TfidfPlugin",
     "bm25" -> "graft.plugins.transform.Bm25Plugin",
     "top_ngrams" -> "graft.plugins.transform.NgramsPlugin",
+    "fuzzy_pairs" -> "graft.plugins.transform.FuzzyPairsPlugin",
     "scd2" -> "graft.plugins.transform.ScdPlugin",
     "graph" -> "graft.plugins.transform.GraphPlugin",
     "c4_filter" -> "graft.plugins.transform.C4Plugin",

@@ -1090,6 +1090,48 @@ class NgramsPlugin(options: Map[String, Any], configDir: Path, label: String)
     }
 }
 
+/** Config-driven blocked fuzzy matching ([[graft.ops.FuzzyJoin]]):
+  * within-table near-identical string pairs (entity resolution) via
+  * first/last-token blocking + levenshtein verify. Options:
+  * id_column (req), string_column (req), max_distance (default 2),
+  * max_block (default 0 = uncapped — stop-token block guard).
+  * Output: (id_a, id_b, s_a, s_b, distance). */
+class FuzzyPairsPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "fuzzy_pairs"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      idCol <- requiredString("id_column")
+      strCol <- requiredString("string_column")
+      out <- graft.core.Errors.safe(
+        graft.ops.FuzzyJoin.selfFuzzyPairs(df, idCol, strCol,
+          maxDistance = options.get("max_distance")
+            .map(_.toString.toDouble.toInt).getOrElse(2),
+          maxBlock = options.get("max_block")
+            .map(_.toString.toDouble.toInt).getOrElse(0)))
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    for {
+      idCol <- requiredString("id_column")
+      strCol <- requiredString("string_column")
+      out <-
+        if (!schema.fieldNames.contains(idCol))
+          Left(new SchemaValidationError(
+            s"Column '$idCol' not found in schema"))
+        else if (!schema.fieldNames.contains(strCol))
+          Left(new SchemaValidationError(
+            s"Column '$strCol' not found in schema"))
+        else Right(StructType(Seq(
+          StructField("id_a", schema(idCol).dataType, nullable = true),
+          StructField("id_b", schema(idCol).dataType, nullable = true),
+          StructField("s_a", StringType, nullable = true),
+          StructField("s_b", StringType, nullable = true),
+          StructField("distance", LongType, nullable = true))))
+    } yield out
+}
+
 /** Config-driven SCD type-2 construction ([[graft.ops.Scd]]): collapse
   * a change-event stream into versioned validity intervals; optionally
   * follow with a point-in-time `as_of` lookup (ISO date/timestamp

@@ -161,6 +161,42 @@ class Round6Spec extends AnyFunSuite {
     assert(out(1L) == 1L && out(4L) == 4L) // labeled by min member
   }
 
+  // ------------------------------------------------------- fuzzy pairs
+
+  test("FuzzyJoin.selfFuzzyPairs: blocked match, canonical pairs") {
+    val names = Seq(
+      (1L, "Blue Bolt"), (2L, "blue belt"), // dist 1, share 'blue'
+      (3L, "red widget"), (4L, "red midget"), // dist 1, share 'red'
+      (5L, "green gear"), (6L, "totally other") // no partner
+    ).toDF("id", "name")
+    val out = FuzzyJoin.selfFuzzyPairs(names, "id", "name",
+        maxDistance = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(out.toSet == Set((1L, 2L, 1L), (3L, 4L, 1L)))
+    // strings are compared normalized (case folded)
+    val strs = FuzzyJoin.selfFuzzyPairs(names, "id", "name", 2)
+      .collect().map(_.getString(2))
+    assert(strs.forall(s => s == s.toLowerCase))
+  }
+
+  test("FuzzyJoin: typo in one block token still pairs via the other") {
+    val names = Seq((1L, "alpha beta"), (2L, "alphq beta"))
+      .toDF("id", "name") // first tokens differ; last token shared
+    assert(FuzzyJoin.selfFuzzyPairs(names, "id", "name", 1).count() == 1)
+  }
+
+  test("FuzzyJoin: maxBlock drops oversized blocks; empty/null safe") {
+    val names = Seq((1L, "x a"), (2L, "x b"), (3L, "x c"),
+      (4L, "y solo"), (5L, null.asInstanceOf[String]), (6L, "  "))
+      .toDF("id", "name")
+    // block 'x' has 3 members -> dropped at cap 2; a/b/c singleton keys
+    val capped = FuzzyJoin.selfFuzzyPairs(names, "id", "name",
+      maxDistance = 2, maxBlock = 2)
+    assert(capped.count() == 0)
+    val uncapped = FuzzyJoin.selfFuzzyPairs(names, "id", "name", 2)
+    assert(uncapped.count() == 3) // x-a/x-b, x-a/x-c, x-b/x-c
+  }
+
   // -------------------------------------------------------- top n-grams
 
   test("Ngrams.topNgrams: counts, doc reach, deterministic rank") {

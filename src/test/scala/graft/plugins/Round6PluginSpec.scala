@@ -333,6 +333,23 @@ class Round6PluginSpec extends AnyFunSuite {
       Map.empty).isLeft)
   }
 
+  test("fuzzy_pairs plugin: blocked levenshtein pairs; dry-run schema") {
+    val names = Seq((1L, "blue bolt"), (2L, "blue belt"), (3L, "red gear"))
+      .toDF("id", "name")
+    val plug = new FuzzyPairsPlugin(Map("id_column" -> "id",
+      "string_column" -> "name", "max_distance" -> 1), dir, "default")
+    val out = plug.execute(names).fold(e => fail(e.getMessage), identity)
+    assert(out.columns.toSeq == Seq("id_a", "id_b", "s_a", "s_b",
+      "distance"))
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)))
+    val dry = plug.dryRun(names.schema).fold(e => fail(e.getMessage), identity)
+    assert(dry.fieldNames.toSeq == out.columns.toSeq)
+    assert(dry("id_a").dataType == LongType)
+    assert(plug.dryRun(StructType(Seq(StructField("id", LongType))))
+      .left.toOption.get.getMessage.contains("not found"))
+  }
+
   // --------------------------------------------------- config-driven e2e
 
   /** Run a TOML config end-to-end (load → plugins → pipeline) and read
