@@ -543,6 +543,10 @@ object Similarity {
                rerank: Int = 64): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val topk = method match {
+      case "brute"
+          if df.schema(idCol).dataType ==
+            org.apache.spark.sql.types.LongType =>
+        bruteSelfTopK(df, idCol, embCol, k)
       case "brute" => bruteForceTopK(df, df, idCol, embCol, k)
       case "lsh" => lshTopK(df, df, idCol, embCol, k,
         planes = planes, probeBits = probeBits, rerank = rerank)
@@ -550,6 +554,33 @@ object Similarity {
         s"Unknown knnGraph method: '$other' (expected brute|lsh)")
     }
     topk.filter(col("cosine") >= minCosine)
+  }
+
+  /** Exact self top-k via the [[graft.expressions.BroadcastTopK]]
+    * kernel: one pass per row over the broadcast normalized matrix,
+    * no n²-row join and no rank window in the plan (the join+window
+    * spelling materialized 25M candidate rows at n=5000 just to
+    * discard them — measured 4.3 s vs sub-second with the kernel).
+    * Same bounded-corpus contract as [[bruteForceTopK]]'s broadcast
+    * side; identical output, bit-for-bit (same in-order double dot,
+    * same (cosine desc, id asc) order). EAGER: collects the
+    * normalized matrix at call time, like the ANN trainers. */
+  private def bruteSelfTopK(df: DataFrame, idCol: String,
+                            embCol: String, k: Int): DataFrame = {
+    val n = withNormalized(
+      df.select(col(idCol).as("query_id"), col(embCol).as("_e")),
+      "_e", "_v").select("query_id", "_v")
+    val collected = n.collect()
+    val ids = collected.map(_.getLong(0))
+    val mat = collected.map(_.getSeq[Double](1).toArray)
+    n.withColumn("_tk", graft.expressions.BroadcastTopK.broadcast_topk(
+        col("query_id"), col("_v"), ids, mat, k))
+      .select(col("query_id"),
+        posexplode(col("_tk")).as(Seq("_pos", "_nb")))
+      .select(col("query_id"),
+        col("_nb.neighbor_id").as("neighbor_id"),
+        col("_nb.cosine").as("cosine"),
+        (col("_pos") + 1).cast("int").as("rank"))
   }
 
   /** Semantic clusters = connected components of the `minCosine`-
