@@ -250,6 +250,47 @@ class PlanSpec extends AnyFunSuite {
       "model joins (C12/C1) must be keyed hash joins, not nested loops")
   }
 
+  test("BM25 broadcasts the query side; the corpus is never broadcast") {
+    val scored = Bm25.topK(docs, "doc_id", "text",
+      Seq(("q1", "doc number"), ("q2", "shared body")), k = 5)
+    val ns = nodes(scored)
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
+      "bm25 plans a CartesianProduct")
+    // the two deliberate 1-row cross joins (corpus count N, and the
+    // Σdl total feeding avgdl) are the ONLY permissible nested-loop
+    // joins; the term match itself must be keyed
+    assert(ns.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) <= 2,
+      "bm25 term match must be a keyed join, not a nested loop")
+    // the query side is broadcast (no shuffle of the tiny literal
+    // relation feeds a sort-merge join)
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "expected broadcast joins on the query side")
+  }
+
+  test("self-kNN kernel path plans no join and no window at all") {
+    val vecs = (0L until 30L).map(i =>
+      (i, Seq.tabulate(4)(j => (i * j % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", org.apache.spark.sql.functions
+        .col("embedding").cast("array<float>"))
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 3,
+      method = "brute")
+    val ns = nodes(g)
+    assert(!ns.exists(n => n.nodeName.toLowerCase.contains("join")),
+      s"kernel self-kNN must not join: ${ns.map(_.nodeName).distinct}")
+    assert(!ns.exists(n => n.nodeName.toLowerCase.contains("window")),
+      "kernel self-kNN must not rank through a window")
+  }
+
+  test("fuzzy pairs plan keyed joins only — never a cartesian product") {
+    val names = (0L until 60L).map(i => (i, s"name token$i suffix"))
+      .toDF("id", "name")
+    val pairs = FuzzyJoin.selfFuzzyPairs(names, "id", "name", 2,
+      maxBlock = 10)
+    assertNoAllPairs(pairs, "blocked fuzzy join")
+  }
+
   test("incremental dedup's bloom-negative fast path is shuffle-free") {
     val ref = (0L until 50L).map(i => (i, s"k$i")).toDF("id", "k")
     val batch = (0L until 80L).map(i => (i, s"k${i * 3}")).toDF("id", "k")

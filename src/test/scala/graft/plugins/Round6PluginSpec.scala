@@ -520,4 +520,129 @@ class Round6PluginSpec extends AnyFunSuite {
          |""".stripMargin, tmp, "out/sample.parquet")
     assert(out.count() == 10)
   }
+
+  test("e2e TOML: bm25 retrieval over a parquet corpus") {
+    val tmp = Files.createTempDirectory("r6bm25")
+    docs.coalesce(1).write.parquet(tmp.resolve("docs.parquet").toString)
+    val out = runConfig(
+      s"""
+         |[[input_plugins]]
+         |name = "scan"
+         |module = "parquet_scan"
+         |[input_plugins.options]
+         |input_path = "docs.parquet"
+         |
+         |[[transform_plugins]]
+         |name = "search"
+         |module = "bm25"
+         |[transform_plugins.options]
+         |id_column = "doc_id"
+         |k = 3
+         |[transform_plugins.options.queries]
+         |qa = "unique zero"
+         |qb = "different words"
+         |
+         |[[output_plugins]]
+         |name = "sink"
+         |module = "parquet_writer"
+         |[output_plugins.options]
+         |output_path = "out/hits.parquet"
+         |""".stripMargin, tmp, "out/hits.parquet")
+    val hits = out.collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(hits == Set(("qa", 0L), ("qb", 2L)))
+  }
+
+  test("e2e TOML: top_ngrams boilerplate discovery") {
+    val tmp = Files.createTempDirectory("r6ngrams")
+    docs.coalesce(1).write.parquet(tmp.resolve("docs.parquet").toString)
+    val out = runConfig(
+      s"""
+         |[[input_plugins]]
+         |name = "scan"
+         |module = "parquet_scan"
+         |[input_plugins.options]
+         |input_path = "docs.parquet"
+         |
+         |[[transform_plugins]]
+         |name = "grams"
+         |module = "top_ngrams"
+         |[transform_plugins.options]
+         |id_column = "doc_id"
+         |n = 2
+         |k = 1
+         |
+         |[[output_plugins]]
+         |name = "sink"
+         |module = "parquet_writer"
+         |[output_plugins.options]
+         |output_path = "out/grams.parquet"
+         |""".stripMargin, tmp, "out/grams.parquet")
+    val top = out.collect()(0)
+    assert(top.getString(1) == "a b" && top.getLong(2) == 2L)
+  }
+
+  test("e2e TOML: fuzzy_pairs entity resolution") {
+    val tmp = Files.createTempDirectory("r6fuzzy")
+    Seq((1L, "blue bolt"), (2L, "blue belt"), (3L, "other thing"))
+      .toDF("id", "name").coalesce(1)
+      .write.parquet(tmp.resolve("names.parquet").toString)
+    val out = runConfig(
+      s"""
+         |[[input_plugins]]
+         |name = "scan"
+         |module = "parquet_scan"
+         |[input_plugins.options]
+         |input_path = "names.parquet"
+         |
+         |[[transform_plugins]]
+         |name = "match"
+         |module = "fuzzy_pairs"
+         |[transform_plugins.options]
+         |id_column = "id"
+         |string_column = "name"
+         |max_distance = 1
+         |
+         |[[output_plugins]]
+         |name = "sink"
+         |module = "parquet_writer"
+         |[output_plugins.options]
+         |output_path = "out/pairs.parquet"
+         |""".stripMargin, tmp, "out/pairs.parquet")
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)))
+  }
+
+  test("e2e TOML: similarity knn_components semantic clustering") {
+    val tmp = Files.createTempDirectory("r6knn")
+    Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding").coalesce(1)
+      .write.parquet(tmp.resolve("vecs.parquet").toString)
+    val out = runConfig(
+      s"""
+         |[[input_plugins]]
+         |name = "scan"
+         |module = "parquet_scan"
+         |[input_plugins.options]
+         |input_path = "vecs.parquet"
+         |
+         |[[transform_plugins]]
+         |name = "cluster"
+         |module = "similarity"
+         |[transform_plugins.options]
+         |method = "knn_components"
+         |knn_method = "brute"
+         |id_column = "vec_id"
+         |k = 1
+         |min_cosine = 0.9
+         |
+         |[[output_plugins]]
+         |name = "sink"
+         |module = "parquet_writer"
+         |[output_plugins.options]
+         |output_path = "out/clusters.parquet"
+         |""".stripMargin, tmp, "out/clusters.parquet")
+    val byId = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
 }
