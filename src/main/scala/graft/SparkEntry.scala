@@ -128,6 +128,16 @@ object SparkEntry {
     "a" -> "n", "s" -> "t", "a" -> "t", "in" -> "d", "o" -> "w",
     "ind" -> "ow", "l" -> "e")
 
+  /** Serializes queries that go through [[graft.plugins.transform.SqlPlugin]]:
+    * the plugin's contract (reference parity) is a session-global
+    * temp view named `input`, so two such queries building their
+    * plans concurrently (Verify's thread pool) race on the view —
+    * one thread's registration can be replaced before its
+    * `spark.sql` ANALYZES the statement (analysis is eager at
+    * `sql()` time; the later write job uses the resolved plan, so
+    * locking plan construction is sufficient). */
+  private val sqlViewLock = new Object
+
   /** Fixed query set for `text_bm25` — shared literal-for-literal
     * with its oracle's VALUES list; terms drawn from the synthetic
     * documents' vocabulary so every query has hits. */
@@ -1019,7 +1029,7 @@ object SparkEntry {
     // function; DuckDB recomputes the same md5-token signatures, so
     // the registered function (not just the Column API) sits on the
     // hash gate.
-    "q_sql_kernels" -> ((s, dir) => {
+    "q_sql_kernels" -> ((s, dir) => sqlViewLock.synchronized {
       val docs = tBalanced(s, dir, "documents").select("doc_id", "text")
       new graft.plugins.transform.SqlPlugin(
         Map("query" ->
@@ -1036,7 +1046,7 @@ object SparkEntry {
     // plugin, proving the SessionExtensions registration end-to-end
     // (not just the Column API); the oracle recomputes both the long
     // way (char explode / shift-mask terms).
-    "q_sql_kernels2" -> ((s, dir) => {
+    "q_sql_kernels2" -> ((s, dir) => sqlViewLock.synchronized {
       val docs = tBalanced(s, dir, "documents")
         .select("doc_id", "text", "n_chars")
       new graft.plugins.transform.SqlPlugin(
@@ -1645,6 +1655,24 @@ object SparkEntry {
             .withColumn("name_id", col("p_name")),
           "name_id", "p_name", maxDistance = 2)
         .orderBy("id_a", "id_b")),
+
+    // ---- kNN graph: LSH scale-path recall gate -------------------
+    // Brute self-kNN (hash-verified via sim_knn_graph) as ground
+    // truth; the LSH graph must hit >= 90% of the true edges.
+    "sim_recall_knn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val truth = Similarity.knnGraph(e, "vec_id", "embedding",
+          k = 3, method = "brute")
+        .select("query_id", "neighbor_id")
+      val approx = Similarity.knnGraph(e, "vec_id", "embedding",
+          k = 3, method = "lsh")
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count_distinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_possible"),
+          (sum(coalesce(col("_hit"), lit(0))) >=
+            ceil(count(lit(1)) * 0.9)).as("recall_ok"))
+    }),
 
     // ---- kNN graph (exact, oracled) ------------------------------
     // Self top-k cosine neighbors — the brute method is the oracled
@@ -3500,6 +3528,12 @@ object SparkEntry {
         |  CAST(levenshtein(s_a, s_b) AS BIGINT) AS distance
         |FROM cand WHERE levenshtein(s_a, s_b) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_recall_knn" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(count(*) * 3 AS BIGINT) AS n_possible,
+        |  true AS recall_ok
+        |FROM embeddings""".stripMargin,
 
     // self kNN: the sim_topk_brute construction over every vector
     "sim_knn_graph" ->
