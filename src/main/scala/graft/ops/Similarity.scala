@@ -573,10 +573,15 @@ object Similarity {
     val collected = n.collect()
     val ids = collected.map(_.getLong(0))
     val mat = collected.map(_.getSeq[Double](1).toArray)
+    // posexplode_OUTER + a cheap attribute filter, not plain
+    // posexplode: InferFiltersFromGenerate wraps a non-outer
+    // generator in Filter(size(g)>0 AND isnotnull(g)), re-evaluating
+    // the kernel 3x per row; the rule skips outer generates.
     n.withColumn("_tk", graft.expressions.BroadcastTopK.broadcast_topk(
         col("query_id"), col("_v"), ids, mat, k))
       .select(col("query_id"),
-        posexplode(col("_tk")).as(Seq("_pos", "_nb")))
+        posexplode_outer(col("_tk")).as(Seq("_pos", "_nb")))
+      .filter(col("_pos").isNotNull)
       .select(col("query_id"),
         col("_nb.neighbor_id").as("neighbor_id"),
         col("_nb.cosine").as("cosine"),
