@@ -244,4 +244,138 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("BM25 matches a scalar reference implementation on random corpora") {
+    import spark.implicits._
+    val word = Gen.oneOf("cat", "dog", "fish", "bird", "cow", "ant")
+    val genCorpus = for {
+      nDocs <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(nDocs, Gen.choose(1, 6)
+        .flatMap(len => Gen.listOfN(len, word)))
+    } yield docs.map(_.mkString(" "))
+
+    samples(genCorpus, 6).zipWithIndex.foreach { case (texts, _) =>
+      val query = Seq("cat", "fish")
+      val n = texts.length
+      val dls = texts.map(_.split(" ").length.toDouble)
+      val avgdl = dls.sum / n
+      def tf(doc: String, t: String) =
+        doc.split(" ").count(_ == t).toDouble
+      val dfm = query.map(t =>
+        t -> texts.count(_.split(" ").contains(t)).toDouble).toMap
+      val expect = texts.zipWithIndex.flatMap { case (doc, i) =>
+        val s = query.map { t =>
+          val f = tf(doc, t)
+          if (f == 0 || dfm(t) == 0) 0.0
+          else math.log(1 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+            f * 2.2 / (f + 1.2 * (0.25 + 0.75 * dls(i) / avgdl))
+        }.sum
+        if (s > 0) Some(i.toLong -> s) else None
+      }.toMap
+
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Bm25.topK(df, "doc_id", "text",
+          Seq(("q", "cat fish")), k = 100)
+        .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+      assert(got.keySet == expect.keySet, s"texts=$texts")
+      got.foreach { case (id, s) =>
+        assert(math.abs(s - expect(id)) < 1e-9, s"doc $id texts=$texts")
+      }
+    }
+  }
+
+  test("fuzzy pairs: every emitted pair verifies; high-recall on 1-edit typos") {
+    import spark.implicits._
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta")
+    val genNames = for {
+      n <- Gen.choose(2, 8)
+      names <- Gen.listOfN(n, for {
+        a <- word; b <- word
+      } yield s"$a $b")
+    } yield names.distinct
+
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+
+    samples(genNames, 6).foreach { names =>
+      val df = names.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "name")
+      val got = FuzzyJoin.selfFuzzyPairs(df, "id", "name", 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      // soundness: every emitted distance is the true edit distance <= 2
+      got.foreach { case (a, b, d) =>
+        assert(a < b)
+        assert(d == lev(names(a.toInt), names(b.toInt)).toLong)
+        assert(d <= 2)
+      }
+      // recall on single-token matches: pairs sharing first or last
+      // token with distance <= 2 MUST be found (the blocking promise)
+      for (i <- names.indices; j <- names.indices if i < j) {
+        val (x, y) = (names(i), names(j))
+        val shares = x.split(" ").head == y.split(" ").head ||
+          x.split(" ").last == y.split(" ").last
+        if (shares && lev(x, y) <= 2)
+          assert(got.exists(p => p._1 == i.toLong && p._2 == j.toLong),
+            s"missed ($x, $y)")
+      }
+    }
+  }
+
+  test("n-gram counts conserve: sum over grams = sum of per-doc windows") {
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c")
+    val genDocs = for {
+      n <- Gen.choose(1, 6)
+      docs <- Gen.listOfN(n, Gen.choose(0, 5)
+        .flatMap(len => Gen.listOfN(len, word)))
+    } yield docs.map(_.mkString(" "))
+
+    samples(genDocs, 6).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Ngrams.topNgrams(df, "doc_id", "text", n = 2, k = 1000)
+        .collect()
+      val totalGot = got.map(_.getLong(2)).sum
+      val expect = texts.map { t =>
+        val toks = t.split(" ").filter(_.nonEmpty)
+        math.max(0, toks.length - 1)
+      }.sum
+      assert(totalGot == expect.toLong, s"texts=$texts")
+      // ranks are 1..m with counts non-increasing
+      val ranks = got.map(_.getLong(0)).sorted.toSeq
+      assert(ranks == (1L to got.length).toSeq)
+      assert(got.sortBy(_.getLong(0)).map(_.getLong(2)).toSeq
+        .sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    }
+  }
+
+  test("percentile band: kept set equals the scalar rank computation") {
+    import spark.implicits._
+    val genVals = for {
+      n <- Gen.choose(1, 12)
+      vs <- Gen.listOfN(n, Gen.choose(0, 9))
+    } yield vs
+
+    samples(genVals, 8).foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toLong) }
+        .toDF("id", "v")
+      val (lo, hi) = (0.25, 0.75)
+      val got = Percentiles.filterByBand(df, Seq.empty, "v", lo, hi)
+        .collect().map(_.getLong(0)).toSet
+      val n = vs.length
+      val expect = vs.zipWithIndex.filter { case (v, _) =>
+        val rank = vs.count(_ < v) + 1 // min rank among ties
+        val pr = if (n == 1) 0.0 else (rank - 1).toDouble / (n - 1)
+        pr >= lo && pr <= hi
+      }.map(_._2.toLong).toSet
+      assert(got == expect, s"vs=$vs")
+    }
+  }
 }
