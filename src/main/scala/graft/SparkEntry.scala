@@ -1070,6 +1070,17 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // ---- domain mixing by budget mass (token/char share) ---------
+    // Same band construction as q_mix_sources but rates derive from
+    // per-source n_chars sums — the "X% of TOKENS from source S"
+    // form pretraining mixes are specified in.
+    "q_mix_tokens" -> ((s, dir) =>
+      Sampling.mixToBudgetWeights(t(s, dir, "documents"), "source",
+          "doc_id", "n_chars",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // ---- skew-salted join (semantics-preserving plan change) -----
     // Salting must change the SHUFFLE, not the RESULT: output is
     // hash-compared against the plain SQL join.
@@ -2960,6 +2971,32 @@ object SparkEntry {
         |  FROM counts JOIN weights USING (source), sc
         |)
         |SELECT d.doc_id, d.source FROM documents d JOIN bands USING (source)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |  < band
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // budget-mass mixing: identical band math with per-source
+    // n_chars sums in place of row counts
+    "q_mix_tokens" ->
+      """WITH weights(source, w) AS (
+        |  SELECT * FROM (VALUES ('src0', CAST(0.5 AS DOUBLE)),
+        |    ('src1', CAST(0.3 AS DOUBLE)), ('src2', CAST(0.2 AS DOUBLE))) v
+        |), counts AS (
+        |  SELECT d.source, sum(d.n_chars) AS c FROM documents d
+        |  JOIN weights USING (source) GROUP BY d.source
+        |), sc AS (
+        |  SELECT min(CAST(c AS DOUBLE) / w) AS scale
+        |  FROM counts JOIN weights USING (source)
+        |), bands AS (
+        |  SELECT source,
+        |    CAST(floor(CASE WHEN CAST(c AS DOUBLE) / w = scale
+        |      THEN CAST(1.0 AS DOUBLE)
+        |      ELSE least(CAST(1.0 AS DOUBLE), scale * w / CAST(c AS DOUBLE)) END
+        |      * 4294967296) AS BIGINT) AS band
+        |  FROM counts JOIN weights USING (source), sc
+        |)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN bands USING (source)
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
         |  < band
         |ORDER BY d.doc_id""".stripMargin,

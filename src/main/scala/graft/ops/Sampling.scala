@@ -105,9 +105,48 @@ object Sampling {
     val counts = src.filter(col(groupCol).isin(weights.keys.toSeq: _*))
       .groupBy(groupCol).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    mixFilter(src, groupCol, keyCol, weights, counts)
+  }
+
+  /** Domain mixing by a per-row BUDGET column instead of row count:
+    * downsample per-`groupCol` so each source's share of the total
+    * `budgetCol` mass (token count, char count, byte size) matches
+    * `weights` — the form pretraining mixes are actually specified
+    * in ("15% of TOKENS from code", not 15% of documents; sources
+    * with long documents would otherwise be over-represented).
+    *
+    * Row fate stays per-row hash-banded, so each source's realized
+    * budget share equals the target in expectation, with the same
+    * determinism/engine-portability contract as [[mixToWeights]] —
+    * per-source rates derive from EXACT budget sums and the md5 band
+    * decides rows identically in any engine. The binding source
+    * (smallest mass/weight ratio) is kept whole.
+    *
+    * Scale shape: identical to [[mixToWeights]] — one sum
+    * aggregation collected O(#sources), one broadcast-sized CASE
+    * filter, no extra shuffle. */
+  def mixToBudgetWeights(df: DataFrame, groupCol: String, keyCol: String,
+                         budgetCol: String, weights: Map[String, Double],
+                         persistInput: Boolean = false): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val src = if (persistInput) df.persist() else df
+    val masses = src.filter(col(groupCol).isin(weights.keys.toSeq: _*))
+      .groupBy(groupCol)
+      .agg(sum(col(budgetCol).cast("long")).as("_m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    mixFilter(src, groupCol, keyCol, weights, masses)
+  }
+
+  /** Shared mixing tail: derive per-source keep bands from exact
+    * per-source totals (rows or budget mass) and apply the md5 band
+    * filter. */
+  private def mixFilter(src: DataFrame, groupCol: String, keyCol: String,
+                        weights: Map[String, Double],
+                        totals: Map[String, Long]): DataFrame = {
+    val present = weights.filter { case (s, _) => totals.getOrElse(s, 0L) > 0L }
     require(present.nonEmpty, "no weighted source present in the data")
-    val ratios = present.map { case (s, w) => s -> counts(s).toDouble / w }
+    val ratios = present.map { case (s, w) => s -> totals(s).toDouble / w }
     val scale = ratios.values.min
     val bands = present.map { case (s, w) =>
       // the binding (argmin) source is kept whole BY CONSTRUCTION:
@@ -115,7 +154,7 @@ object Sampling {
       // to 0.999... and silently drop the rows whose hash lands on
       // the last band value
       val rate = if (ratios(s) == scale) 1.0
-                 else math.min(1.0, scale * w / counts(s).toDouble)
+                 else math.min(1.0, scale * w / totals(s).toDouble)
       s -> math.floor(rate * 4294967296.0).toLong
     }
     // sources not in `bands` fall through to band -1 (hash is never < -1)

@@ -170,7 +170,14 @@ class SamplePlugin(options: Map[String, Any], configDir: Path, label: String)
                 case other => throw new PluginExecutionError(
                   s"Option 'weights' must be a table of source -> weight, got: $other")
               }
-              graft.ops.Sampling.mixToWeights(df, groupCol, keyCol, weights)
+              // budget_column switches the share denominator from row
+              // counts to the column's mass (token/char budget mix)
+              options.get("budget_column").map(_.toString) match {
+                case Some(bc) => graft.ops.Sampling.mixToBudgetWeights(
+                  df, groupCol, keyCol, bc, weights)
+                case None => graft.ops.Sampling.mixToWeights(
+                  df, groupCol, keyCol, weights)
+              }
             }
           } yield out
         case other => Left(new PluginExecutionError(

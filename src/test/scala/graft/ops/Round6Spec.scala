@@ -161,6 +161,37 @@ class Round6Spec extends AnyFunSuite {
     assert(out(1L) == 1L && out(4L) == 4L) // labeled by min member
   }
 
+  // ------------------------------------------------- budget-mass mixing
+
+  test("mixToBudgetWeights: realized budget shares track the targets") {
+    // source a: few huge docs; source b: many small docs — a doc-count
+    // mix would starve a's budget share, the budget mix must not
+    val rows = (1 to 10).map(i => (i.toLong, "a", 1000L)) ++
+      (11 to 110).map(i => (i.toLong, "b", 10L))
+    val df = rows.toDF("id", "src", "n_tok")
+    val out = Sampling.mixToBudgetWeights(df, "src", "id", "n_tok",
+        Map("a" -> 0.5, "b" -> 0.5))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val aMass = out.filter(_._1 == "a").map(_._2).sum.toDouble
+    val bMass = out.filter(_._1 == "b").map(_._2).sum.toDouble
+    // binding source kept whole: b has the smaller mass/weight ratio
+    assert(bMass == 1000.0)
+    // a downsampled toward equal mass; hash banding is per-row so
+    // allow sampling noise around the 1000-token target
+    assert(aMass >= 500.0 && aMass <= 2000.0, s"aMass=$aMass")
+    // deterministic across invocations: identical kept-row set
+    val kept = Sampling.mixToBudgetWeights(df, "src", "id", "n_tok",
+        Map("a" -> 0.5, "b" -> 0.5)).collect().map(_.getLong(0)).sorted.toSeq
+    val again = Sampling.mixToBudgetWeights(df, "src", "id", "n_tok",
+        Map("a" -> 0.5, "b" -> 0.5)).collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == again)
+    // unknown sources are dropped
+    val dropped = Sampling.mixToBudgetWeights(df, "src", "id", "n_tok",
+      Map("a" -> 1.0))
+    assert(dropped.select("src").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("a"))
+  }
+
   // ------------------------------------------------------- fuzzy pairs
 
   test("FuzzyJoin.selfFuzzyPairs: blocked match, canonical pairs") {
