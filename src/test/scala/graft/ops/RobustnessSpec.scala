@@ -134,4 +134,45 @@ class RobustnessSpec extends AnyFunSuite {
     assert(new graft.plugins.input.JsonScanPlugin(Map.empty, tmp, "default")
       .execute()(spark).left.exists(_.getMessage.contains("input_path")))
   }
+
+  test("round-6 wave-2 ops over null/empty/degenerate inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // BM25 over empty corpus / null text / no-token query behavior
+    assert(Bm25.topK(empty, "doc_id", "text",
+      Seq(("q", "anything")), k = 5).count() == 0)
+    assert(Bm25.topK(withNulls, "doc_id", "text",
+      Seq(("q", "normal text")), k = 5).collect()
+      .forall(_.getLong(2) != 1L)) // null-text doc never matches
+    intercept[IllegalArgumentException] {
+      Bm25.topK(withNulls, "doc_id", "text", Seq.empty, k = 5)
+    }
+    // n-grams: null rows contribute nothing; empty corpus empty
+    assert(Ngrams.topNgrams(empty, "doc_id", "text", 2, 5).count() == 0)
+    assert(Ngrams.topNgrams(withNulls, "doc_id", "text", 2, 5)
+      .collect().forall(_.getString(1).nonEmpty))
+    // fuzzy pairs: nulls/blanks dropped pre-blocking; empty ok
+    assert(FuzzyJoin.selfFuzzyPairs(empty, "doc_id", "text", 2).count() == 0)
+    assert(FuzzyJoin.selfFuzzyPairs(withNulls, "doc_id", "text", 2)
+      .collect().forall(r => r.getLong(0) != 1L && r.getLong(1) != 1L))
+    // percentile band: empty group-by list = global band; empty input
+    val ev = Seq.empty[(String, Long)].toDF("g", "v")
+    assert(Percentiles.filterByBand(ev, Seq("g"), "v", 0.1, 0.9).count() == 0)
+    intercept[IllegalArgumentException] {
+      Percentiles.filterByBand(ev, Seq("g"), "v", 0.9, 0.1) // lo > hi
+    }
+    // kNN graph: single-row corpus has no neighbors; empty corpus
+    val one = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    assert(Similarity.knnGraph(one, "vec_id", "embedding", k = 3,
+      method = "brute").count() == 0)
+    // budget mixing: zero-mass weighted source is simply absent
+    val docs = Seq((1L, "a", 10L), (2L, "b", 0L)).toDF("id", "s", "m")
+    assert(Sampling.mixToBudgetWeights(docs, "s", "id", "m",
+      Map("a" -> 0.5, "b" -> 0.5)).select("s").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("a"))
+    // PCA: requires > 1 row; mismatched dims fail loudly
+    intercept[IllegalArgumentException] {
+      Embeddings.pcaProject(one, "embedding", k = 1).collect()
+    }
+  }
 }
