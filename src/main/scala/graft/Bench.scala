@@ -45,7 +45,8 @@ object Bench {
     "q_scd1_latest", "q_components", "text_c4", "text_lm_score",
     "q_orc_roundtrip", "q_emb_gram", "sim_pca_norm", "text_bm25",
     "text_top_ngrams", "q_percentile_band", "sim_knn_graph",
-    "sim_knn_components", "q_fuzzy_pairs", "q_mix_tokens")
+    "sim_knn_components", "q_fuzzy_pairs", "q_mix_tokens",
+    "q_interval_join")
 
   /** Full query inventory: oracled queries + bench-only raw ANN
     * top-k (kept under their historical names). */

@@ -43,6 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: the point-in-interval join's logical
+    // node is planned by a custom strategy (extension point (c) —
+    // LogicalPlan + SparkStrategy + SparkPlan); the strategy declines
+    // every other node, leaving normal planning untouched
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
+
     def inject(name: String, n: Int, usage: String)(
         build: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name), info(name, usage),

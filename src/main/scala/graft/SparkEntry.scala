@@ -1657,6 +1657,24 @@ object SparkEntry {
           "doc_id", "text", n = 2, k = 50)
         .orderBy("rank")),
 
+    // ---- custom point-in-interval join operator ------------------
+    // The whole-operator extension path (LogicalPlan + Strategy +
+    // SparkPlan via GraftExtensions): order totals probed against
+    // overlapping supplier price bands; the oracle replays the plain
+    // BETWEEN join. The plan shows the custom IntervalJoin node, not
+    // a BroadcastNestedLoopJoin.
+    "q_interval_join" -> ((s, dir) => {
+      val points = t(s, dir, "orders").select(col("o_orderkey"),
+        floor(col("o_totalprice")).cast("long").as("v"))
+      val bands = t(s, dir, "supplier").select(col("s_suppkey"),
+        (col("s_suppkey") * 3000).cast("long").as("lo"),
+        (col("s_suppkey") * 3000 + 4499).cast("long").as("hi"))
+      graft.plans.IntervalJoin.pointInInterval(points, bands,
+          "v", "lo", "hi")
+        .select("o_orderkey", "s_suppkey", "v")
+        .orderBy("o_orderkey", "s_suppkey")
+    }),
+
     // ---- blocked fuzzy pairs (entity resolution) -----------------
     // Distinct part names as entities (the name is its own id);
     // first/last-token blocking + length band, levenshtein verify.
@@ -3543,6 +3561,19 @@ object SparkEntry {
         |SELECT row_number() OVER (ORDER BY n_occurrences DESC, ngram)
         |    AS rank, ngram, n_occurrences, n_docs
         |FROM top ORDER BY rank""".stripMargin,
+
+    // plain BETWEEN join replay of the custom interval operator
+    "q_interval_join" ->
+      """WITH p AS (
+        |  SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS v
+        |  FROM orders
+        |), i AS (
+        |  SELECT s_suppkey, s_suppkey * 3000 AS lo,
+        |    s_suppkey * 3000 + 4499 AS hi
+        |  FROM supplier)
+        |SELECT o_orderkey, s_suppkey, v
+        |FROM p JOIN i ON v BETWEEN lo AND hi
+        |ORDER BY o_orderkey, s_suppkey""".stripMargin,
 
     // blocked fuzzy pairs: first/last-token blocking, length band,
     // levenshtein verify — mirrors the Spark op block for block.

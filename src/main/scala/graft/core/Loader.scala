@@ -85,6 +85,7 @@ object Loader {
     "bm25" -> "graft.plugins.transform.Bm25Plugin",
     "top_ngrams" -> "graft.plugins.transform.NgramsPlugin",
     "fuzzy_pairs" -> "graft.plugins.transform.FuzzyPairsPlugin",
+    "interval_join" -> "graft.plugins.transform.IntervalJoinPlugin",
     "scd2" -> "graft.plugins.transform.ScdPlugin",
     "graph" -> "graft.plugins.transform.GraphPlugin",
     "c4_filter" -> "graft.plugins.transform.C4Plugin",

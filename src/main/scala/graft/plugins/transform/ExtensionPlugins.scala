@@ -1139,6 +1139,58 @@ class FuzzyPairsPlugin(options: Map[String, Any], configDir: Path, label: String
     } yield out
 }
 
+/** Config-driven point-in-interval join ([[graft.plans.IntervalJoin]]
+  * — the custom LogicalPlan/Strategy/SparkPlan operator): inner-join
+  * the default stream's `point_column` against the `intervals_label`
+  * stream's `[lo_column, hi_column]` bands, boundaries inclusive.
+  * Plans the broadcast sorted-interval index, never a nested loop.
+  * Options: point_column, lo_column, hi_column (req),
+  * intervals_label (req). */
+class IntervalJoinPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label)
+    with graft.core.MultiStreamTransformPlugin {
+  def name: String = "interval_join"
+
+  def executeWith(df: DataFrame,
+                  streams: Map[String, Either[Throwable, DataFrame]])
+      : Either[Throwable, DataFrame] =
+    for {
+      il <- requiredString("intervals_label")
+      intervals <- streams.getOrElse(il, Left(new NoSuchElementException(
+        s"No input data with label '$il' for interval_join plugin")))
+      p <- requiredString("point_column")
+      lo <- requiredString("lo_column")
+      hi <- requiredString("hi_column")
+      out <- graft.core.Errors.safe(
+        graft.plans.IntervalJoin.pointInInterval(df, intervals, p, lo, hi))
+    } yield out
+
+  def dryRunWith(schema: StructType,
+                 schemas: Map[String, Either[Throwable, StructType]])
+      : Either[Throwable, StructType] =
+    for {
+      il <- requiredString("intervals_label")
+      is <- schemas.getOrElse(il, Left(new NoSuchElementException(
+        s"No input data with label '$il' for interval_join plugin")))
+      p <- requiredString("point_column")
+      lo <- requiredString("lo_column")
+      hi <- requiredString("hi_column")
+      out <-
+        if (!schema.fieldNames.contains(p))
+          Left(new SchemaValidationError(
+            s"Column '$p' not found in schema"))
+        else Seq(lo, hi).find(c => !is.fieldNames.contains(c)) match {
+          case Some(c) => Left(new SchemaValidationError(
+            s"Column '$c' not found in intervals schema"))
+          case None =>
+            // the public API casts point/lo/hi to long in place
+            def cast(s: StructType, names: Set[String]) = s.fields.map(f =>
+              if (names(f.name)) f.copy(dataType = LongType) else f)
+            Right(StructType(cast(schema, Set(p)) ++ cast(is, Set(lo, hi))))
+        }
+    } yield out
+}
+
 /** Config-driven SCD type-2 construction ([[graft.ops.Scd]]): collapse
   * a change-event stream into versioned validity intervals; optionally
   * follow with a point-in-time `as_of` lookup (ISO date/timestamp

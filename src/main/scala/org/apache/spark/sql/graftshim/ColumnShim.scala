@@ -13,3 +13,18 @@ object ColumnShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }
+
+/** Bridge into `private[sql]` Dataset construction from a hand-built
+  * logical plan (custom operators need `Dataset.ofRows`, which Spark 4
+  * keeps behind `classic`). Same package-placement rationale as
+  * [[ColumnShim]]. */
+object DatasetShim {
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def analyzed(df: DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+}

@@ -350,6 +350,25 @@ class Round6PluginSpec extends AnyFunSuite {
       .left.toOption.get.getMessage.contains("not found"))
   }
 
+  test("interval_join plugin: custom-operator join via labeled streams") {
+    val points = Seq((1L, 5L), (2L, 50L)).toDF("pid", "p")
+    val bands = Seq((10L, 0L, 9L), (20L, 40L, 60L)).toDF("iid", "lo", "hi")
+    val plug = new IntervalJoinPlugin(Map("point_column" -> "p",
+      "lo_column" -> "lo", "hi_column" -> "hi",
+      "intervals_label" -> "bands"), dir, "default")
+    val out = plug.executeWith(points, Map("bands" -> Right(bands)))
+      .fold(e => fail(e.getMessage), identity)
+    assert(out.columns.toSeq == Seq("pid", "p", "iid", "lo", "hi"))
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      Set((1L, 10L), (2L, 20L)))
+    assert(out.queryExecution.executedPlan.toString.contains("IntervalJoin"))
+    val dry = plug.dryRunWith(points.schema,
+        Map("bands" -> Right(bands.schema)))
+      .fold(e => fail(e.getMessage), identity)
+    assert(dry.fieldNames.toSeq == out.columns.toSeq)
+    assert(plug.dryRunWith(points.schema, Map.empty).isLeft)
+  }
+
   // --------------------------------------------------- config-driven e2e
 
   /** Run a TOML config end-to-end (load → plugins → pipeline) and read
