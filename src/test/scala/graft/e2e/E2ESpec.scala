@@ -265,4 +265,34 @@ class E2ESpec extends AnyFunSuite {
   implicit private class Tap[A](a: A) {
     def tap(f: A => Unit): A = { f(a); a }
   }
+
+  test("examples/corpus_audit.toml: band trim -> bm25 probes + gram scan") {
+    val src = java.nio.file.Paths.get("examples/corpus_audit.toml")
+    assume(java.nio.file.Files.exists(src))
+    val tmp = java.nio.file.Files.createTempDirectory("auditcfg")
+    val cfg = tmp.resolve("corpus_audit.toml")
+    java.nio.file.Files.copy(src, cfg)
+    val config = Config.loadConfig(cfg).fold(e => fail(e.getMessage), identity)
+    val reg = Loader.loadPlugins(config, cfg).fold(e => fail(e.getMessage), identity)
+    val result = Pipeline.runPipeline(reg.inputs, reg.transforms, reg.outputs)
+    assert(result.isRight, result.left.toOption.map(_.getMessage))
+
+    val hits = spark.read
+      .parquet(tmp.resolve("out/query_hits.parquet").toString)
+    assert(hits.columns.toSeq == Seq("query_id", "rank", "doc_id", "score"))
+    val perQuery = hits.groupBy("query_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perQuery.keySet == Set("tables", "streams"))
+    assert(perQuery.values.forall(n => n >= 1 && n <= 5))
+
+    val grams = spark.read
+      .parquet(tmp.resolve("out/top_bigrams.parquet").toString)
+    assert(grams.columns.toSeq ==
+      Seq("rank", "ngram", "n_occurrences", "n_docs"))
+    assert(grams.count() == 20)
+    // frequency-ranked: rank 1 holds the max occurrence count
+    val rows = grams.orderBy("rank").collect()
+    assert(rows.map(_.getLong(2)).sliding(2)
+      .forall(w => w.length < 2 || w(0) >= w(1)))
+  }
 }
