@@ -90,7 +90,17 @@ object IntervalJoinStrategy
   }
 }
 
-/** Broadcast sorted-interval index + per-row probe. */
+/** Broadcast sorted-interval index + per-row probe.
+  *
+  * The interval side is demanded as a BROADCAST child
+  * (`requiredChildDistribution` = IdentityBroadcastMode), so
+  * EnsureRequirements inserts a standard `BroadcastExchange`: the
+  * build rides Spark's broadcast machinery — driver memory
+  * accounting, exchange REUSE across consumers of the same interval
+  * table, the configured broadcast timeout — instead of a hand
+  * `sparkContext.broadcast`. The sorted index is derived from the
+  * broadcast row array lazily per task (sorting the dimension-sized
+  * array is microseconds against a scan's task time). */
 case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
                             point: Expression, lo: Expression,
                             hi: Expression) extends BinaryExecNode {
@@ -98,33 +108,42 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputPartitioning = left.outputPartitioning
   override def nodeName: String = "IntervalJoin"
 
-  protected override def doExecute(): RDD[InternalRow] = {
-    // ---- build: sorted interval index, broadcast once ------------
+  override def requiredChildDistribution
+      : Seq[org.apache.spark.sql.catalyst.plans.physical.Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) ::
+      Nil
+
+  /** Sorted index from the broadcast interval rows: (lo array, hi
+    * array, prefix-max-hi array, rows aligned with them). */
+  private def buildIndex(raw: Array[InternalRow])
+      : (Array[Long], Array[Long], Array[Long], Array[InternalRow]) = {
     val loEval = BindReferences.bindReference(lo, right.output)
     val hiEval = BindReferences.bindReference(hi, right.output)
-    val intervals = right.executeCollect().flatMap { row =>
+    val intervals = raw.flatMap { row =>
       val lv = loEval.eval(row)
       val hv = hiEval.eval(row)
       if (lv == null || hv == null) None
       else Some((lv.asInstanceOf[Long], hv.asInstanceOf[Long], row))
     }.sortBy(t => (t._1, t._2))
-    val los = intervals.map(_._1)
     val his = intervals.map(_._2)
-    val rows = intervals.map(_._3)
     val prefixMaxHi = new Array[Long](his.length)
     var i = 0
     var runMax = Long.MinValue
     while (i < his.length) {
       runMax = math.max(runMax, his(i)); prefixMaxHi(i) = runMax; i += 1
     }
-    val bc: Broadcast[(Array[Long], Array[Long], Array[Long], Array[InternalRow])] =
-      sparkContext.broadcast((los, his, prefixMaxHi, rows))
+    (intervals.map(_._1), his, prefixMaxHi, intervals.map(_._3))
+  }
 
-    // ---- probe: log m search + prefix-max-pruned sweep -----------
+  protected override def doExecute(): RDD[InternalRow] = {
+    val bc: Broadcast[Array[InternalRow]] =
+      right.executeBroadcast[Array[InternalRow]]()
     val pointExpr = point
     val leftOutput = left.output
     left.execute().mapPartitions { iter =>
-      val (blos, bhis, bmax, brows) = bc.value
+      val (blos, bhis, bmax, brows) = buildIndex(bc.value)
       val pEval = BindReferences.bindReference(pointExpr, leftOutput)
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(output, output)
