@@ -1675,6 +1675,23 @@ object SparkEntry {
         .orderBy("o_orderkey", "s_suppkey")
     }),
 
+    // ---- the SAME join through the auto-rewrite path -------------
+    // Plain SQL BETWEEN (no API opt-in): IntervalJoinRewrite lifts it
+    // onto the custom operator; the oracle replays the BETWEEN join,
+    // so a rewrite-induced semantics drift would hash-mismatch here.
+    "q_interval_join_sql" -> ((s, dir) => sqlViewLock.synchronized {
+      t(s, dir, "orders").select(col("o_orderkey"),
+          floor(col("o_totalprice")).cast("long").as("v"))
+        .createOrReplaceTempView("ij_pts")
+      t(s, dir, "supplier").select(col("s_suppkey"),
+          (col("s_suppkey") * 3000).cast("long").as("lo"),
+          (col("s_suppkey") * 3000 + 4499).cast("long").as("hi"))
+        .createOrReplaceTempView("ij_bands")
+      s.sql("""SELECT o_orderkey, s_suppkey, v
+              |FROM ij_pts JOIN ij_bands ON v BETWEEN lo AND hi
+              |ORDER BY o_orderkey, s_suppkey""".stripMargin)
+    }),
+
     // ---- blocked fuzzy pairs (entity resolution) -----------------
     // Distinct part names as entities (the name is its own id);
     // first/last-token blocking + length band, levenshtein verify.
@@ -3564,6 +3581,18 @@ object SparkEntry {
 
     // plain BETWEEN join replay of the custom interval operator
     "q_interval_join" ->
+      """WITH p AS (
+        |  SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS v
+        |  FROM orders
+        |), i AS (
+        |  SELECT s_suppkey, s_suppkey * 3000 AS lo,
+        |    s_suppkey * 3000 + 4499 AS hi
+        |  FROM supplier)
+        |SELECT o_orderkey, s_suppkey, v
+        |FROM p JOIN i ON v BETWEEN lo AND hi
+        |ORDER BY o_orderkey, s_suppkey""".stripMargin,
+
+    "q_interval_join_sql" ->
       """WITH p AS (
         |  SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS v
         |  FROM orders
