@@ -1657,6 +1657,22 @@ object SparkEntry {
           "doc_id", "text", n = 2, k = 50)
         .orderBy("rank")),
 
+    // ---- incremental NEAR-dup dedup (batch vs stored corpus) -----
+    // Even doc_ids play the stored reference, odd the new batch;
+    // kept = odd docs with no verified (char-5-shingle jaccard >=
+    // 0.8) near-dup among the evens. The oracle is the quadratic
+    // cross-side verifier — exact under the S-curve/cap
+    // preconditions (same contract as dedup_ngram_verified).
+    "dedup_incr_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.IncrementalDedup.nearDupCleaned(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", threshold = 0.8)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // ---- custom point-in-interval join operator ------------------
     // The whole-operator extension path (LogicalPlan + Strategy +
     // SparkPlan via GraftExtensions): order totals probed against
@@ -3591,6 +3607,26 @@ object SparkEntry {
         |SELECT o_orderkey, s_suppkey, v
         |FROM p JOIN i ON v BETWEEN lo AND hi
         |ORDER BY o_orderkey, s_suppkey""".stripMargin,
+
+    // quadratic cross-side near-dup verifier: odd batch docs kept
+    // iff no even reference doc reaches jaccard 0.8
+    "dedup_incr_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [substr(t, g, 5) for g in range(1, greatest(length(t) - 3, 2))]) AS shingles
+        |  FROM d
+        |), dropped AS (
+        |  SELECT DISTINCT a.doc_id FROM sh a JOIN sh b
+        |    ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_interval_join_sql" ->
       """WITH p AS (

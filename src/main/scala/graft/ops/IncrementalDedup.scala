@@ -85,4 +85,70 @@ object IncrementalDedup {
     val verifiedNew = candidates.join(refKeys, Seq(keyCol), "left_anti")
     definitelyNew.unionByName(verifiedNew)
   }
+
+  /** NEAR-dup incremental dedup: drop batch rows whose text is a
+    * verified near-duplicate (character-shingle Jaccard >=
+    * `threshold`) of ANY reference document — the fuzzy counterpart
+    * of [[cleaned]] for the steady-state crawl: yesterday's corpus is
+    * fixed; today's batch must not re-admit paraphrases/boilerplate
+    * variants of it.
+    *
+    * Construction mirrors [[Dedup.ngramJaccardVerified]] split
+    * across two tables: minhash-band buckets on BOTH sides, a
+    * cross-side equi-join on (band, bucket-hash) proposes candidate
+    * (batch, reference) pairs — never all-pairs — and each candidate
+    * is exact-verified once on sorted shingle hashes. Matched batch
+    * ids anti-join out. Same exactness preconditions as the
+    * self-join variant (S-curve bound at the threshold, no over-cap
+    * bucket): under them the kept set equals the quadratic verifier.
+    *
+    * Scale shape: the reference's banded signatures are
+    * O(bands · refRows) narrow rows — at a fixed reference they are
+    * the natural thing to precompute and store; this method accepts
+    * the raw frame and derives them (one pass). The bucket join
+    * shuffles signatures, not text; only candidate pairs ever
+    * compare shingle sets. */
+  def nearDupCleaned(batch: DataFrame, reference: DataFrame,
+                     idCol: String, textCol: String,
+                     shingleK: Int = 5, threshold: Double = 0.8,
+                     numHashes: Int = 64, bands: Int = 16,
+                     maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def banded(df: DataFrame, side: String) =
+      Dedup.minhashSignatures(df, idCol, textCol, shingleK, numHashes)
+        .select(col(idCol).as(side),
+          explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+            struct(b.as("band"),
+              xxhash64(array_join(transform(
+                slice(col("sig"), b * r + 1, lit(r)), _.cast("string")),
+                ",")).as("bh")))).as("bucket"))
+        .select(col(side), col("bucket.band").as("band"),
+          col("bucket.bh").as("bh"))
+    val bb = banded(batch, "_bid")
+    val rb = banded(reference, "_rid")
+    // flood guard on the reference side (the fixed corpus is where
+    // boilerplate floods live); over-cap buckets drop, costing
+    // recall never soundness
+    val keep = rb.groupBy("band", "bh").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket).select("band", "bh")
+    val candidates = bb
+      .join(rb.join(keep, Seq("band", "bh")), Seq("band", "bh"))
+      .select("_bid", "_rid").distinct()
+
+    def shingles(df: DataFrame, out: String) = df
+      .select(col(idCol).as(out), Text.normalize(col(textCol)).as("_t"))
+      .select(col(out), Dedup.shinglesOfNormalized(col("_t"), shingleK).as("_sh"))
+      .select(col(out),
+        array_sort(transform(col("_sh"), s => xxhash64(s))).as(out + "_sh"))
+    val matched = candidates
+      .join(shingles(batch, "_bid"), Seq("_bid"))
+      .join(shingles(reference, "_rid"), Seq("_rid"))
+      .select(col("_bid"),
+        graft.expressions.SortedLongJaccard.sorted_long_jaccard(
+          col("_bid_sh"), col("_rid_sh")).as("_j"))
+      .filter(col("_j") >= threshold)
+      .select(col("_bid").as(idCol)).distinct()
+    batch.join(matched, Seq(idCol), "left_anti")
+  }
 }

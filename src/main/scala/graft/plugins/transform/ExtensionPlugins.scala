@@ -90,6 +90,22 @@ class DedupPlugin(options: Map[String, Any], configDir: Path, label: String)
               df.sparkSession.read.parquet(refPath.toString), key,
               expectedItems = numOpt("expected_items", 0).toLong,
               fpp = numOpt("fpp", 0.01))
+          case "incremental_neardup" =>
+            // fuzzy counterpart: drop batch docs whose text verified-
+            // near-dups ANY stored-corpus doc
+            val refPath = options.get("reference_path") match {
+              case Some(p) => resolvePath(p.toString)
+              case None => throw new PluginExecutionError(
+                "Option 'reference_path' is required for method 'incremental_neardup'")
+            }
+            graft.ops.IncrementalDedup.nearDupCleaned(df,
+              df.sparkSession.read.parquet(refPath.toString),
+              idCol, textColumn,
+              shingleK = numOpt("shingle_k", 5).toInt,
+              threshold = numOpt("threshold", 0.8),
+              numHashes = numOpt("num_hashes", 64).toInt,
+              bands = numOpt("bands", 16).toInt,
+              maxBucket = numOpt("max_bucket", 1000).toInt)
           case other => throw new PluginExecutionError(
             s"Unknown dedup method: '$other'")
         }

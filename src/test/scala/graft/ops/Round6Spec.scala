@@ -161,6 +161,39 @@ class Round6Spec extends AnyFunSuite {
     assert(out(1L) == 1L && out(4L) == 4L) // labeled by min member
   }
 
+  // --------------------------------------------- incremental near-dup
+
+  test("nearDupCleaned drops batch near-dups of the reference only") {
+    val ref = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "completely unrelated reference content sits here quietly")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "brand new text that matches nothing in the stored corpus")
+    ).toDF("doc_id", "text")
+    val kept = IncrementalDedup.nearDupCleaned(batch, ref,
+        "doc_id", "text", threshold = 0.6)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // doc 1 exact dup, doc 2 near dup (one word changed) -> dropped
+    assert(kept == Seq(3L))
+    // empty reference keeps everything; empty batch stays empty
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(IncrementalDedup.nearDupCleaned(batch, empty, "doc_id", "text")
+      .count() == 3)
+    assert(IncrementalDedup.nearDupCleaned(empty, ref, "doc_id", "text")
+      .count() == 0)
+    // batch-internal dups are NOT this operator's business: two new
+    // near-identical batch docs both survive
+    val twins = Seq(
+      (1L, "some fresh sentence repeated almost verbatim here today"),
+      (2L, "some fresh sentence repeated almost verbatim here today!")
+    ).toDF("doc_id", "text")
+    assert(IncrementalDedup.nearDupCleaned(twins, ref, "doc_id", "text")
+      .count() == 2)
+  }
+
   // ------------------------------------------------- budget-mass mixing
 
   test("mixToBudgetWeights: realized budget shares track the targets") {

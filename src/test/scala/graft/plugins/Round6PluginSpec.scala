@@ -369,6 +369,26 @@ class Round6PluginSpec extends AnyFunSuite {
     assert(plug.dryRunWith(points.schema, Map.empty).isLeft)
   }
 
+  test("dedup plugin: incremental_neardup against a stored corpus") {
+    val tmp = Files.createTempDirectory("r6ndref")
+    Seq((100L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(tmp.resolve("ref.parquet").toString)
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy cat again and again"),
+      (2L, "entirely new content that no stored document resembles"))
+      .toDF("doc_id", "text")
+    val plug = new DedupPlugin(Map("method" -> "incremental_neardup",
+      "id_column" -> "doc_id", "reference_path" -> "ref.parquet",
+      "threshold" -> 0.6), tmp, "default")
+    val kept = plug.execute(batch).fold(e => fail(e.getMessage), identity)
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    assert(plug.dryRun(batch.schema).toOption.get == batch.schema)
+    assert(new DedupPlugin(Map("method" -> "incremental_neardup",
+      "id_column" -> "doc_id"), tmp, "default").execute(batch)
+      .left.toOption.get.getMessage.contains("reference_path"))
+  }
+
   // --------------------------------------------------- config-driven e2e
 
   /** Run a TOML config end-to-end (load → plugins → pipeline) and read
