@@ -1718,6 +1718,29 @@ object SparkEntry {
           "name_id", "p_name", maxDistance = 2)
         .orderBy("id_a", "id_b")),
 
+    // ---- embedding outlier screen (pure composition) -------------
+    // Distance to the label centroid, then keep each label's nearest
+    // 90% — the noise-pruning pass before ANN indexing / semantic
+    // dedup trains on a space. Zero new operator code: groupCentroids
+    // ⋈ broadcast + one kernel dot + filterByBand compose it, and the
+    // whole construction is SQL-expressible for the oracle.
+    "sim_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.groupCentroids(e, Seq("label"), "embedding")
+      val dist = e.join(broadcast(cents.select(col("label"),
+          col("centroid"))), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          sqrt(aggregate(
+            zip_with(col("embedding").cast("array<double>"), col("centroid"),
+              (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x)).as("dist"))
+      graft.ops.Percentiles.filterByBand(dist, Seq("label"), "dist",
+          lo = 0.0, hi = 0.9)
+        .select(col("vec_id"), col("label"), r(col("dist"), 4).as("dist"),
+          col("pct_rank"))
+        .orderBy("vec_id")
+    }),
+
     // ---- kNN graph: LSH scale-path recall gate -------------------
     // Brute self-kNN (hash-verified via sim_knn_graph) as ground
     // truth; the LSH graph must hit >= 90% of the true edges.
@@ -3661,6 +3684,28 @@ object SparkEntry {
         |  CAST(levenshtein(s_a, s_b) AS BIGINT) AS distance
         |FROM cand WHERE levenshtein(s_a, s_b) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // centroid-distance outlier screen: per-label mean vector,
+    // euclidean distance, rank-based 90% band
+    "sim_outliers" ->
+      """WITH u AS (
+        |  SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS pos,
+        |    CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |    unnest(range(1, len(embedding) + 1)) t(i)
+        |), m AS (
+        |  SELECT label, pos, avg(x) AS m FROM u GROUP BY label, pos
+        |), dist AS (
+        |  SELECT vec_id, label, sqrt(sum((x - m) * (x - m))) AS dist
+        |  FROM u JOIN m USING (label, pos) GROUP BY vec_id, label
+        |), p AS (
+        |  SELECT vec_id, label, dist,
+        |    percent_rank() OVER (PARTITION BY label ORDER BY dist)
+        |      AS pct_rank
+        |  FROM dist)
+        |SELECT vec_id, label, r(dist, 4) AS dist, pct_rank FROM p
+        |WHERE pct_rank >= 0.0 AND pct_rank <= 0.9
+        |ORDER BY vec_id""".stripMargin,
 
     "sim_recall_knn" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
