@@ -333,4 +333,31 @@ class StreamingSpec extends AnyFunSuite {
       s.session_start == 0L && s.session_end == 100L &&
       math.abs(s.sum_value - 3.0) < 1e-9))
   }
+
+  test("stream-static BETWEEN join runs through the custom IntervalJoin") {
+    // static validity bands enrich a stream: the IntervalJoinRewrite
+    // rule fires inside each micro-batch's plan, so the stateless
+    // stream-static inner join gets the broadcast sorted index too
+    val dir = Files.createTempDirectory("ivstream")
+    Seq((1L, 5L), (2L, 55L), (3L, 999L))
+      .toDF("event_id", "v")
+      .coalesce(1).write.parquet(dir.resolve("in").toString)
+    val bands = Seq((10L, 0L, 9L), (20L, 50L, 59L))
+      .toDF("band_id", "lo", "hi")
+    val ev = spark.readStream
+      .schema("event_id BIGINT, v BIGINT")
+      .parquet(dir.resolve("in").toString)
+    val joined = ev.join(bands,
+      col("v") >= col("lo") && col("v") <= col("hi"))
+    val out = dir.resolve("out").toString
+    joined.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", dir.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val rows = spark.read.parquet(out)
+      .select("event_id", "band_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 10L), (2L, 20L))) // 999 hits no band
+  }
 }
