@@ -46,7 +46,8 @@ object Bench {
     "q_orc_roundtrip", "q_emb_gram", "sim_pca_norm", "text_bm25",
     "text_top_ngrams", "q_percentile_band", "sim_knn_graph",
     "sim_knn_components", "q_fuzzy_pairs", "q_mix_tokens",
-    "q_interval_join", "dedup_incr_neardup", "sim_outliers")
+    "q_interval_join", "dedup_incr_neardup", "sim_outliers",
+    "q_fuzzy_match")
 
   /** Full query inventory: oracled queries + bench-only raw ANN
     * top-k (kept under their historical names). */

@@ -1673,6 +1673,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- cross-table fuzzy match (batch vs master) ---------------
+    // Odd-partkey distinct names matched against even-partkey
+    // distinct names — the new-records-vs-master-list resolution.
+    "q_fuzzy_match" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      def side(parity: Int) = part
+        .filter(col("p_partkey") % 2 === parity)
+        .select(col("p_name")).distinct()
+        .withColumn("name_id", col("p_name"))
+      graft.ops.FuzzyJoin.fuzzyMatch(side(1), side(0),
+          "name_id", "p_name", "name_id", "p_name", maxDistance = 1)
+        .orderBy("left_id", "right_id")
+    }),
+
     // ---- custom point-in-interval join operator ------------------
     // The whole-operator extension path (LogicalPlan + Strategy +
     // SparkPlan via GraftExtensions): order totals probed against
@@ -3630,6 +3644,38 @@ object SparkEntry {
         |SELECT o_orderkey, s_suppkey, v
         |FROM p JOIN i ON v BETWEEN lo AND hi
         |ORDER BY o_orderkey, s_suppkey""".stripMargin,
+
+    // cross-table blocked fuzzy match, replayed block for block
+    "q_fuzzy_match" ->
+      """WITH l0 AS (
+        |  SELECT DISTINCT p_name FROM part WHERE p_partkey % 2 = 1
+        |), r0 AS (
+        |  SELECT DISTINCT p_name FROM part WHERE p_partkey % 2 = 0
+        |), l AS (
+        |  SELECT p_name AS id, trim(regexp_replace(regexp_replace(
+        |    lower(p_name), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS s
+        |  FROM l0
+        |), r AS (
+        |  SELECT p_name AS id, trim(regexp_replace(regexp_replace(
+        |    lower(p_name), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS s
+        |  FROM r0
+        |), lk AS (
+        |  SELECT id, s, unnest(list_distinct(
+        |    [string_split(s, ' ')[1], string_split(s, ' ')[-1]])) AS bk
+        |  FROM l WHERE length(s) > 0
+        |), rk AS (
+        |  SELECT id, s, unnest(list_distinct(
+        |    [string_split(s, ' ')[1], string_split(s, ' ')[-1]])) AS bk
+        |  FROM r WHERE length(s) > 0
+        |), cand AS (
+        |  SELECT DISTINCT a.id AS left_id, b.id AS right_id,
+        |    a.s AS s_l, b.s AS s_r
+        |  FROM lk a JOIN rk b ON a.bk = b.bk
+        |  WHERE abs(length(a.s) - length(b.s)) <= 1)
+        |SELECT left_id, right_id, s_l, s_r,
+        |  CAST(levenshtein(s_l, s_r) AS BIGINT) AS distance
+        |FROM cand WHERE levenshtein(s_l, s_r) <= 1
+        |ORDER BY left_id, right_id""".stripMargin,
 
     // quadratic cross-side near-dup verifier: odd batch docs kept
     // iff no even reference doc reaches jaccard 0.8

@@ -36,6 +36,41 @@ object FuzzyJoin {
     array_distinct(array(element_at(toks, 1), element_at(toks, -1)))
   }
 
+  /** Cross-table fuzzy match — `left` rows paired with their
+    * near-identical `right` rows (`(left_id, right_id, s_l, s_r,
+    * distance)`): the entity-resolution join of a NEW batch against
+    * a MASTER list. Same blocking/verify construction as
+    * [[selfFuzzyPairs]] with the two sides kept distinct (no
+    * ordering canonicalization — every qualifying (l, r) pair
+    * emits once). `maxBlock` caps by the RIGHT (master) side's
+    * block size. */
+  def fuzzyMatch(left: DataFrame, right: DataFrame,
+                 leftId: String, leftStr: String,
+                 rightId: String, rightStr: String,
+                 maxDistance: Int, maxBlock: Int = 0): DataFrame = {
+    require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
+    require(maxBlock >= 0, s"maxBlock must be >= 0, got $maxBlock")
+    def keyed(df: DataFrame, idCol: String, strCol: String,
+              ido: String, so: String) = df
+      .select(col(idCol).as(ido), Text.normalize(col(strCol)).as(so))
+      .filter(col(so).isNotNull && length(col(so)) > 0)
+      .withColumn("_bk", explode(blockKeys(col(so))))
+    val l = keyed(left, leftId, leftStr, "left_id", "s_l")
+    val r0 = keyed(right, rightId, rightStr, "right_id", "s_r")
+    val r =
+      if (maxBlock == 0) r0
+      else r0.join(
+        r0.groupBy("_bk").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxBlock).select("_bk"), Seq("_bk"))
+    l.join(r, Seq("_bk"))
+      .filter(abs(length(col("s_l")) - length(col("s_r"))) <= maxDistance)
+      .select("left_id", "right_id", "s_l", "s_r")
+      .distinct()
+      .withColumn("distance",
+        levenshtein(col("s_l"), col("s_r")).cast("long"))
+      .filter(col("distance") <= maxDistance)
+  }
+
   /** All within-table fuzzy pairs:
     * `(id_a, id_b, s_a, s_b, distance)` with `id_a < id_b`
     * (each unordered pair once), `s_*` the normalized strings and

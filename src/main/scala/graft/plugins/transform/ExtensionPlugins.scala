@@ -1120,22 +1120,41 @@ class NgramsPlugin(options: Map[String, Any], configDir: Path, label: String)
   * max_block (default 0 = uncapped — stop-token block guard).
   * Output: (id_a, id_b, s_a, s_b, distance). */
 class FuzzyPairsPlugin(options: Map[String, Any], configDir: Path, label: String)
-    extends BaseTransformPlugin(options, configDir, label) {
+    extends BaseTransformPlugin(options, configDir, label)
+    with graft.core.MultiStreamTransformPlugin {
   def name: String = "fuzzy_pairs"
 
-  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+  private def maxDistance: Int =
+    options.get("max_distance").map(_.toString.toDouble.toInt).getOrElse(2)
+  private def maxBlock: Int =
+    options.get("max_block").map(_.toString.toDouble.toInt).getOrElse(0)
+
+  def executeWith(df: DataFrame,
+                  streams: Map[String, Either[Throwable, DataFrame]])
+      : Either[Throwable, DataFrame] =
     for {
       idCol <- requiredString("id_column")
       strCol <- requiredString("string_column")
-      out <- graft.core.Errors.safe(
-        graft.ops.FuzzyJoin.selfFuzzyPairs(df, idCol, strCol,
-          maxDistance = options.get("max_distance")
-            .map(_.toString.toDouble.toInt).getOrElse(2),
-          maxBlock = options.get("max_block")
-            .map(_.toString.toDouble.toInt).getOrElse(0)))
+      out <- options.get("reference_label").map(_.toString) match {
+        case None => graft.core.Errors.safe(
+          graft.ops.FuzzyJoin.selfFuzzyPairs(df, idCol, strCol,
+            maxDistance = maxDistance, maxBlock = maxBlock))
+        case Some(rl) =>
+          for {
+            ref <- streams.getOrElse(rl, Left(new NoSuchElementException(
+              s"No input data with label '$rl' for fuzzy_pairs plugin")))
+            out <- graft.core.Errors.safe(
+              graft.ops.FuzzyJoin.fuzzyMatch(df, ref, idCol, strCol,
+                options.getOrElse("reference_id_column", idCol).toString,
+                options.getOrElse("reference_string_column", strCol).toString,
+                maxDistance = maxDistance, maxBlock = maxBlock))
+          } yield out
+      }
     } yield out
 
-  def dryRun(schema: StructType): Either[Throwable, StructType] =
+  def dryRunWith(schema: StructType,
+                 schemas: Map[String, Either[Throwable, StructType]])
+      : Either[Throwable, StructType] =
     for {
       idCol <- requiredString("id_column")
       strCol <- requiredString("string_column")
@@ -1146,12 +1165,35 @@ class FuzzyPairsPlugin(options: Map[String, Any], configDir: Path, label: String
         else if (!schema.fieldNames.contains(strCol))
           Left(new SchemaValidationError(
             s"Column '$strCol' not found in schema"))
-        else Right(StructType(Seq(
-          StructField("id_a", schema(idCol).dataType, nullable = true),
-          StructField("id_b", schema(idCol).dataType, nullable = true),
-          StructField("s_a", StringType, nullable = true),
-          StructField("s_b", StringType, nullable = true),
-          StructField("distance", LongType, nullable = true))))
+        else options.get("reference_label").map(_.toString) match {
+          case None => Right(StructType(Seq(
+            StructField("id_a", schema(idCol).dataType, nullable = true),
+            StructField("id_b", schema(idCol).dataType, nullable = true),
+            StructField("s_a", StringType, nullable = true),
+            StructField("s_b", StringType, nullable = true),
+            StructField("distance", LongType, nullable = true))))
+          case Some(rl) =>
+            schemas.getOrElse(rl, Left(new NoSuchElementException(
+              s"No input data with label '$rl' for fuzzy_pairs plugin")))
+              .flatMap { rs =>
+                val rid = options.getOrElse("reference_id_column", idCol)
+                  .toString
+                val rstr = options.getOrElse("reference_string_column", strCol)
+                  .toString
+                Seq(rid, rstr).find(c => !rs.fieldNames.contains(c)) match {
+                  case Some(c) => Left(new SchemaValidationError(
+                    s"Column '$c' not found in reference schema"))
+                  case None => Right(StructType(Seq(
+                    StructField("left_id", schema(idCol).dataType,
+                      nullable = true),
+                    StructField("right_id", rs(rid).dataType,
+                      nullable = true),
+                    StructField("s_l", StringType, nullable = true),
+                    StructField("s_r", StringType, nullable = true),
+                    StructField("distance", LongType, nullable = true))))
+                }
+              }
+        }
     } yield out
 }
 

@@ -243,6 +243,22 @@ class Round6Spec extends AnyFunSuite {
     assert(strs.forall(s => s == s.toLowerCase))
   }
 
+  test("FuzzyJoin.fuzzyMatch: cross-table pairs, both directions kept") {
+    val batch = Seq((1L, "blue bolt"), (2L, "green widget"))
+      .toDF("id", "name")
+    val master = Seq((10L, "blue belt"), (11L, "blue bolt"),
+      (12L, "unrelated thing")).toDF("mid", "mname")
+    val out = FuzzyJoin.fuzzyMatch(batch, master, "id", "name",
+        "mid", "mname", maxDistance = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    // batch 1 matches master 10 (dist 1) and 11 (dist 0); batch 2 none
+    assert(out.toSet == Set((1L, 10L, 1L), (1L, 11L, 0L)))
+    // sides are not canonicalized: ids can coincide across tables
+    val same = FuzzyJoin.fuzzyMatch(batch, batch, "id", "name",
+      "id", "name", maxDistance = 0)
+    assert(same.count() == 2) // each row matches itself exactly
+  }
+
   test("FuzzyJoin: typo in one block token still pairs via the other") {
     val names = Seq((1L, "alpha beta"), (2L, "alphq beta"))
       .toDF("id", "name") // first tokens differ; last token shared

@@ -389,6 +389,26 @@ class Round6PluginSpec extends AnyFunSuite {
       .left.toOption.get.getMessage.contains("reference_path"))
   }
 
+  test("fuzzy_pairs plugin: reference_label switches to cross-table match") {
+    val batch = Seq((1L, "blue bolt")).toDF("id", "name")
+    val master = Seq((10L, "blue belt"), (11L, "far away"))
+      .toDF("mid", "mname")
+    val plug = new FuzzyPairsPlugin(Map("id_column" -> "id",
+      "string_column" -> "name", "reference_label" -> "master",
+      "reference_id_column" -> "mid", "reference_string_column" -> "mname",
+      "max_distance" -> 1), dir, "default")
+    val out = plug.executeWith(batch, Map("master" -> Right(master)))
+      .fold(e => fail(e.getMessage), identity)
+    assert(out.columns.toSeq == Seq("left_id", "right_id", "s_l", "s_r",
+      "distance"))
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L)))
+    val dry = plug.dryRunWith(batch.schema, Map("master" -> Right(master.schema)))
+      .fold(e => fail(e.getMessage), identity)
+    assert(dry.fieldNames.toSeq == out.columns.toSeq)
+    assert(plug.executeWith(batch, Map.empty).isLeft) // label missing
+  }
+
   // --------------------------------------------------- config-driven e2e
 
   /** Run a TOML config end-to-end (load → plugins → pipeline) and read
