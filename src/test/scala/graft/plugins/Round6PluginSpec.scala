@@ -671,6 +671,46 @@ class Round6PluginSpec extends AnyFunSuite {
       Seq((1L, 2L)))
   }
 
+  test("e2e TOML: interval_join enriches points from a labeled band stream") {
+    val tmp = Files.createTempDirectory("r6ivj")
+    Seq((1L, 5L), (2L, 55L), (3L, 999L)).toDF("pid", "p")
+      .coalesce(1).write.parquet(tmp.resolve("points.parquet").toString)
+    Seq((10L, 0L, 9L), (20L, 50L, 59L)).toDF("band_id", "lo", "hi")
+      .coalesce(1).write.parquet(tmp.resolve("bands.parquet").toString)
+    val out = runConfig(
+      s"""
+         |[[input_plugins]]
+         |name = "points"
+         |module = "parquet_scan"
+         |[input_plugins.options]
+         |input_path = "points.parquet"
+         |
+         |[[input_plugins]]
+         |name = "bands"
+         |module = "parquet_scan"
+         |label = "bands"
+         |[input_plugins.options]
+         |input_path = "bands.parquet"
+         |
+         |[[transform_plugins]]
+         |name = "enrich"
+         |module = "interval_join"
+         |[transform_plugins.options]
+         |point_column = "p"
+         |lo_column = "lo"
+         |hi_column = "hi"
+         |intervals_label = "bands"
+         |
+         |[[output_plugins]]
+         |name = "sink"
+         |module = "parquet_writer"
+         |[output_plugins.options]
+         |output_path = "out/enriched.parquet"
+         |""".stripMargin, tmp, "out/enriched.parquet")
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      Set((1L, 10L), (2L, 20L)))
+  }
+
   test("e2e TOML: similarity knn_components semantic clustering") {
     val tmp = Files.createTempDirectory("r6knn")
     Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
