@@ -108,6 +108,12 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputPartitioning = left.outputPartitioning
   override def nodeName: String = "IntervalJoin"
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numIntervals" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "broadcast intervals"))
+
   override def requiredChildDistribution
       : Seq[org.apache.spark.sql.catalyst.plans.physical.Distribution] =
     org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
@@ -142,8 +148,11 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
       right.executeBroadcast[Array[InternalRow]]()
     val pointExpr = point
     val leftOutput = left.output
+    val outRows = longMetric("numOutputRows")
+    val nIntervals = longMetric("numIntervals")
     left.execute().mapPartitions { iter =>
       val (blos, bhis, bmax, brows) = buildIndex(bc.value)
+      nIntervals.set(blos.length)
       val pEval = BindReferences.bindReference(pointExpr, leftOutput)
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(output, output)
@@ -172,6 +181,7 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
             override def hasNext: Boolean = idx >= 0 && bmax(idx) >= p
             override def next(): InternalRow = {
               val r = proj(joined(lrow, brows(idx)))
+              outRows += 1
               idx -= 1; seek(); r
             }
           }
