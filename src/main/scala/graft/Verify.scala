@@ -38,9 +38,15 @@ object Verify {
     val done = new java.util.concurrent.CountDownLatch(names.size)
     names.foreach { name =>
       pool.execute { () =>
-        try SparkEntry.queries(name)(spark, sfDir)
-          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        val t0 = System.nanoTime()
+        // per-query wall lines make a contended/hung driver run
+        // diagnosable from its stderr (which query ate the clock)
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          System.err.println(f"[verify] $name ok in " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         } finally done.countDown()
       }
