@@ -424,6 +424,34 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // ---- TPC-H Q7: volume shipping between two nations -----------
+    // Six-way join with a symmetric nation-pair predicate and a
+    // shipdate band; nations renamed to the synthetic fixture's.
+    // Both nation dims broadcast; the pair predicate sits on the
+    // joined row (it references both sides).
+    "q_tpch_q7" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between("1995-01-01", "1997-12-31"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     // ---- write-layout: Z-order (Morton) interleave kernel --------
     // Deterministic variant for the oracle: dimensions are modular
     // buckets, not sampled quantiles (approxQuantile boundaries are
@@ -2149,6 +2177,19 @@ object SparkEntry {
         |  CAST((${mortonTerms("a", "b", 4)}) AS BIGINT) AS z
         |FROM m LEFT JOIN ent ON m.doc_id = ent.doc_id
         |ORDER BY m.doc_id""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
+        |  r(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |  AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1997-12-31'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q_tpch_q5" ->
       """SELECT n_name,
