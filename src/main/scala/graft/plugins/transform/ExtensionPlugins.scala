@@ -1035,10 +1035,11 @@ class TfidfPlugin(options: Map[String, Any], configDir: Path, label: String)
   * text_column (default "text"), k (default 10), k1 (default 1.2),
   * b (default 0.75). Output: (query_id, rank, <id_column>, score). */
 class Bm25Plugin(options: Map[String, Any], configDir: Path, label: String)
-    extends BaseTransformPlugin(options, configDir, label) {
+    extends BaseTransformPlugin(options, configDir, label)
+    with graft.core.MultiStreamTransformPlugin {
   def name: String = "bm25"
 
-  private def queries(): Either[Throwable, Seq[(String, String)]] =
+  private def inlineQueries(): Either[Throwable, Seq[(String, String)]] =
     required("queries").flatMap {
       case m: Map[_, _] if m.nonEmpty =>
         Right(m.toSeq.map { case (k, v) => k.toString -> v.toString }
@@ -1047,10 +1048,34 @@ class Bm25Plugin(options: Map[String, Any], configDir: Path, label: String)
         s"Option 'queries' must be a non-empty table of query_id -> text, got: $other"))
     }
 
-  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+  /** Query set: the inline `queries` table, or — stream-routing form
+    * — a `queries_label` stream with (query_id, query_text) columns,
+    * collected driver-side (the broadcast-side contract the operator
+    * already carries). */
+  private def querySet(streams: Map[String, Either[Throwable, DataFrame]])
+      : Either[Throwable, Seq[(String, String)]] =
+    options.get("queries_label").map(_.toString) match {
+      case None => inlineQueries()
+      case Some(ql) =>
+        streams.getOrElse(ql, Left(new NoSuchElementException(
+          s"No input data with label '$ql' for bm25 plugin"))).flatMap {
+          qdf => graft.core.Errors.safe {
+            val idc = options.getOrElse("query_id_column", "query_id").toString
+            val txc = options.getOrElse("query_text_column", "query_text").toString
+            val qs = qdf.select(idc, txc).collect()
+              .map(r => r.getString(0) -> r.getString(1)).toSeq.sortBy(_._1)
+            require(qs.nonEmpty, s"query stream '$ql' is empty")
+            qs
+          }
+        }
+    }
+
+  def executeWith(df: DataFrame,
+                  streams: Map[String, Either[Throwable, DataFrame]])
+      : Either[Throwable, DataFrame] =
     for {
       idCol <- requiredString("id_column")
-      qs <- queries()
+      qs <- querySet(streams)
       out <- graft.core.Errors.safe(
         graft.ops.Bm25.topK(df, idCol,
           options.getOrElse("text_column", "text").toString, qs,
@@ -1059,10 +1084,17 @@ class Bm25Plugin(options: Map[String, Any], configDir: Path, label: String)
           b = options.get("b").map(_.toString.toDouble).getOrElse(0.75)))
     } yield out
 
-  def dryRun(schema: StructType): Either[Throwable, StructType] =
+  def dryRunWith(schema: StructType,
+                 schemas: Map[String, Either[Throwable, StructType]])
+      : Either[Throwable, StructType] =
     for {
       idCol <- requiredString("id_column")
-      _ <- queries()
+      _ <- options.get("queries_label").map(_.toString) match {
+        case None => inlineQueries().map(_ => ())
+        case Some(ql) => schemas.getOrElse(ql,
+          Left(new NoSuchElementException(
+            s"No input data with label '$ql' for bm25 plugin"))).map(_ => ())
+      }
       tc = options.getOrElse("text_column", "text").toString
       out <-
         if (!schema.fieldNames.contains(idCol))

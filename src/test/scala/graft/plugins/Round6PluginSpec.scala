@@ -261,6 +261,22 @@ class Round6PluginSpec extends AnyFunSuite {
       .execute(docs).isLeft) // queries required
   }
 
+  test("bm25 plugin: queries_label stream replaces the inline table") {
+    val queries = Seq(("qa", "unique zero"), ("qb", "different words"))
+      .toDF("query_id", "query_text")
+    val plug = new Bm25Plugin(Map("id_column" -> "doc_id",
+      "queries_label" -> "probes", "k" -> 3), dir, "default")
+    val out = plug.executeWith(docs, Map("probes" -> Right(queries)))
+      .fold(e => fail(e.getMessage), identity)
+    val hits = out.collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(hits == Set(("qa", 0L), ("qb", 2L)))
+    val dry = plug.dryRunWith(docs.schema,
+        Map("probes" -> Right(queries.schema)))
+      .fold(e => fail(e.getMessage), identity)
+    assert(dry.fieldNames.toSeq == out.columns.toSeq)
+    assert(plug.executeWith(docs, Map.empty).isLeft) // missing label
+  }
+
   test("top_ngrams plugin: frequency-ranked grams; dry-run static schema") {
     val plug = new NgramsPlugin(Map("id_column" -> "doc_id", "n" -> 2,
       "k" -> 5), dir, "default")
