@@ -1766,22 +1766,13 @@ object SparkEntry {
     // dedup trains on a space. Zero new operator code: groupCentroids
     // ⋈ broadcast + one kernel dot + filterByBand compose it, and the
     // whole construction is SQL-expressible for the oracle.
-    "sim_outliers" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val cents = Similarity.groupCentroids(e, Seq("label"), "embedding")
-      val dist = e.join(broadcast(cents.select(col("label"),
-          col("centroid"))), Seq("label"))
-        .select(col("vec_id"), col("label"),
-          sqrt(aggregate(
-            zip_with(col("embedding").cast("array<double>"), col("centroid"),
-              (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x)).as("dist"))
-      graft.ops.Percentiles.filterByBand(dist, Seq("label"), "dist",
-          lo = 0.0, hi = 0.9)
+    "sim_outliers" -> ((s, dir) =>
+      Similarity.centroidBandFilter(t(s, dir, "embeddings"),
+          Seq("label"), "embedding", lo = 0.0, hi = 0.9,
+          distCol = "dist")
         .select(col("vec_id"), col("label"), r(col("dist"), 4).as("dist"),
           col("pct_rank"))
-        .orderBy("vec_id")
-    }),
+        .orderBy("vec_id")),
 
     // ---- kNN graph: LSH scale-path recall gate -------------------
     // Brute self-kNN (hash-verified via sim_knn_graph) as ground

@@ -606,4 +606,36 @@ object Similarity {
       .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
     Dedup.clusterPairs(df.select(col(idCol)), idCol, edges)
   }
+
+  /** Centroid-distance outlier trim: per-`groupCols` mean vector,
+    * euclidean distance of every row to its group centroid, then the
+    * rank-based percentile band `[lo, hi]` keeps the
+    * distribution-relative core — the noise-pruning pass run before
+    * an ANN index or semantic-dedup trains on the space. Appends
+    * `distCol` (double) and `pct_rank`; rows outside the band (or
+    * with NULL embeddings) are dropped.
+    *
+    * Scale shape: one centroid aggregation (per-position partial
+    * agg, O(groups·d) result) broadcast back, a shuffle-free
+    * distance projection, and [[Percentiles.filterByBand]]'s single
+    * range-window — no all-pairs, no collect beyond the
+    * dimension-sized centroid table. */
+  def centroidBandFilter(df: DataFrame, groupCols: Seq[String],
+                         embCol: String, lo: Double, hi: Double,
+                         distCol: String = "centroid_dist"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val cents = groupCentroids(df, groupCols, embCol)
+      .select((groupCols.map(col) :+ col("centroid")): _*)
+    val dist = df.filter(col(embCol).isNotNull)
+      .join(broadcast(cents), groupCols)
+      .withColumn(distCol,
+        sqrt(aggregate(
+          zip_with(col(embCol).cast("array<double>"), col("centroid"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)))
+      // restore the input column order (the USING join floats the
+      // group columns to the front)
+      .select((df.columns.map(col) :+ col(distCol)): _*)
+    Percentiles.filterByBand(dist, groupCols, distCol, lo, hi)
+  }
 }

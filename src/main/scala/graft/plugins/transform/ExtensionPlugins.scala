@@ -616,6 +616,13 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
             k = num("k", 10).toInt,
             minCosine = num("min_cosine", 0.0),
             method = options.getOrElse("knn_method", "lsh").toString)))
+    if (options.getOrElse("method", "brute").toString == "centroid_outliers")
+      return stringList("group_by").flatMap(groups =>
+        graft.core.Errors.safe(
+          graft.ops.Similarity.centroidBandFilter(df, groups, embCol0,
+            lo = num("band_lo", 0.0), hi = num("band_hi", 0.95),
+            distCol = options.getOrElse("output_column", "centroid_dist")
+              .toString)))
     for {
       idCol <- requiredString("id_column")
       ql <- requiredString("queries_label")
@@ -700,6 +707,16 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
           schema(idCol),
           StructField("cluster_id", schema(idCol).dataType,
             nullable = true)))))
+    if (options.getOrElse("method", "brute").toString == "centroid_outliers")
+      return stringList("group_by").flatMap(groups =>
+        (groups :+ embCol0).find(c => !schema.fieldNames.contains(c)) match {
+          case Some(c) => Left(new SchemaValidationError(
+            s"Column '$c' not found in schema"))
+          case None => Right(StructType(schema.fields ++ Seq(
+            StructField(options.getOrElse("output_column", "centroid_dist")
+              .toString, DoubleType, nullable = true),
+            StructField("pct_rank", DoubleType, nullable = false))))
+        })
     for {
       idCol <- requiredString("id_column")
       ql <- requiredString("queries_label")

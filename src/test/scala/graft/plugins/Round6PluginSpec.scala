@@ -425,6 +425,29 @@ class Round6PluginSpec extends AnyFunSuite {
     assert(plug.executeWith(batch, Map.empty).isLeft) // label missing
   }
 
+  test("similarity plugin: centroid_outliers trims the far band per group") {
+    // group g: 9 near the origin-ish centroid, 1 far outlier
+    val vecs = ((1 to 9).map(i => (i.toLong, "g",
+        Seq((i % 3).toFloat * 0.1f, (i % 2).toFloat * 0.1f))) :+
+      (10L, "g", Seq(50.0f, 50.0f)))
+      .toDF("vec_id", "grp", "embedding")
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+    val plug = new SimilarityPlugin(Map("method" -> "centroid_outliers",
+      "group_by" -> Seq("grp"), "band_lo" -> 0.0, "band_hi" -> 0.8),
+      dir, "default")
+    val out = plug.executeWith(vecs, Map.empty)
+      .fold(e => fail(e.getMessage), identity)
+    assert(out.columns.toSeq == Seq("vec_id", "grp", "embedding",
+      "centroid_dist", "pct_rank"))
+    val kept = out.collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(10L)) // the far outlier is in the top band
+    assert(kept.size >= 7)
+    val dry = plug.dryRunWith(vecs.schema, Map.empty)
+      .fold(e => fail(e.getMessage), identity)
+    assert(dry.fieldNames.toSeq == out.columns.toSeq)
+  }
+
   // --------------------------------------------------- config-driven e2e
 
   /** Run a TOML config end-to-end (load → plugins → pipeline) and read
