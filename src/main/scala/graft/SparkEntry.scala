@@ -217,6 +217,12 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     }),
+    // the SCALE path of the kNN graph (the oracled sim_knn_graph is
+    // the brute kernel face); recall gated by sim_recall_knn
+    "sim_knn_lsh" -> ((s, dir) =>
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 3, method = "lsh")
+        .select("query_id", "neighbor_id", "rank")),
     "sim_topk_ivfpq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10),
