@@ -66,6 +66,30 @@ class Bm25Spec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("parameter limits: k1=0 scores pure idf presence; b=0 drops length norm") {
+    // k1 = 0: tf*(k1+1)/(tf + 0) = 1 regardless of tf -> score is
+    // Σ idf over matched terms; docs 1 and 3 must tie exactly
+    val k1zero = Bm25.topK(corpus, "doc_id", "text",
+        Seq(("q", "cat")), k = 10, k1 = 0.0)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(k1zero(1L) == k1zero(3L))
+    assert(math.abs(k1zero(1L) - math.log(2.0)) < 1e-12)
+    // b = 0: no length normalization -> only tf decides within a
+    // term; doc3 (tf=4) strictly above doc1 (tf=2), both above their
+    // b=0.75 counterparts' ordering sensitivity to dl
+    val bzero = Bm25.topK(corpus, "doc_id", "text",
+        Seq(("q", "cat")), k = 10, b = 0.0)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    val expected1 = math.log(2.0) * (2 * 2.2) / (2 + 1.2)
+    assert(math.abs(bzero(1L) - expected1) < 1e-12)
+    assert(bzero(3L) > bzero(1L))
+    // invalid parameters fail loudly
+    intercept[IllegalArgumentException] {
+      Bm25.topK(corpus, "doc_id", "text", Seq(("q", "cat")), k = 10,
+        b = 1.5)
+    }
+  }
+
   test("no-match queries emit no rows; k caps output") {
     val out = Bm25.topK(corpus, "doc_id", "text",
         Seq(("q", "zebra")), k = 3)
