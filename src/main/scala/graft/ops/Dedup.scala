@@ -194,42 +194,139 @@ object Dedup {
 
   // --------------------------------------------------- clustering
 
-  /** Connected components over a near-dup pair graph by iterative
-    * min-label propagation: every node starts labeled with its own
-    * id; each round, a node adopts the smallest label among itself
-    * and its neighbors; fixpoint = components labeled by their
-    * minimum member id. No GraphX — plain DataFrame joins.
+  /** Connected components over a near-dup pair graph. Two algorithms,
+    * both plain DataFrame joins (no GraphX):
     *
-    * Scale shape: rounds needed = component DIAMETER, and near-dup
-    * clusters are small and dense (boilerplate families), so this
-    * converges in a handful of rounds; `maxIter` bounds pathology.
-    * Each round is one (edges ⋈ labels) shuffle + a map-side min;
-    * each round's labels are `localCheckpoint(eager = true)`d on the
-    * `checkpointInterval` cadence (default: every round) — plus once
-    * at the end — which truncates the analyzed LOGICAL plan to a
-    * stats-bearing `LogicalRDD` leaf (persist alone does not). That
-    * matters because `labels` is referenced twice per round
-    * (neighbor-min join + change-count join): with lineage intact the
-    * plan doubles per round, so a high-diameter component would OOM
-    * the driver on plan bookkeeping alone, and even a few unchecked
-    * rounds make Catalyst re-planning cost multiples of the round's
-    * compute. Superseded rounds unpersist; checkpoint blocks are
-    * reclaimed by the ContextCleaner. The convergence check is one
-    * count per round — a driver-side SCALAR, not collected data.
+    *  - `"alternating"` (default): large-star/small-star contraction
+    *    [Kiveris et al., "Connected Components in MapReduce and
+    *    Beyond", SoCC'14]. Converges in O(log n) rounds on ANY
+    *    topology — including the high-diameter chains (crawl
+    *    snapshots, versioned docs) that walk label propagation to its
+    *    round bound and then silently split components. Each round is
+    *    two grouped-min shuffles over the (shrinking) edge set.
+    *  - `"labelprop"`: iterative min-label propagation — every node
+    *    starts labeled with its own id; each round a node adopts the
+    *    smallest label among itself and its neighbors. Rounds needed
+    *    = component DIAMETER. Kept for dense low-diameter dup
+    *    families where each round is one cheap (edges ⋈ labels)
+    *    shuffle, and as the cross-check for the default.
+    *
+    * Both paths `localCheckpoint` per round (lazily — the round's
+    * convergence-check job is the one that materializes the blocks,
+    * so each round costs ONE job), which truncates the analyzed
+    * LOGICAL plan to a stats-bearing `LogicalRDD` leaf. That matters
+    * because the round's frame is referenced twice the next round:
+    * with lineage intact the plan doubles per round, so a long run
+    * would OOM the driver on plan bookkeeping alone. Superseded
+    * rounds unpersist; checkpoint blocks are reclaimed by the
+    * ContextCleaner. Convergence checks are driver-side SCALARS,
+    * never collected data.
     *
     * Returns (idCol, cluster_id) for EVERY node (singletons keep
-    * their own id as cluster).
+    * their own id as cluster); cluster_id = minimum member id.
     */
   def clusterPairs(nodes: DataFrame, idCol: String, pairs: DataFrame,
-                   maxIter: Int = 20, checkpointInterval: Int = 1): DataFrame = {
+                   maxIter: Int = 20, checkpointInterval: Int = 1,
+                   algorithm: String = "alternating"): DataFrame =
+    algorithm match {
+      case "alternating" =>
+        alternatingComponents(nodes, idCol, pairs, maxIter)
+      case "labelprop" =>
+        labelPropagation(nodes, idCol, pairs, maxIter, checkpointInterval)
+      case other => throw new IllegalArgumentException(
+        s"unknown components algorithm '$other' " +
+          "(expected 'alternating' or 'labelprop')")
+    }
+
+  /** Large-star/small-star alternation. State is the edge set itself,
+    * kept oriented `(_hi > _lo)`; at the fixed point it is a star
+    * forest with every leaf pointing at its component minimum, so the
+    * label read-out is one left join.
+    *
+    *  - large-star: group the UNDIRECTED adjacency by node `u`,
+    *    `m = min(N(u) ∪ {u})`, re-attach every neighbor `v > u` to
+    *    `m`. Halves long chains (doubles the reach of small labels).
+    *  - small-star: group the oriented edges by their larger
+    *    endpoint `u` over smaller neighbors, `m = min(N(u))`,
+    *    re-attach `{u} ∪ N(u) \ {m}` to `m`. Flattens local minima
+    *    into stars.
+    *
+    * Convergence = the round was a no-op on the edge SET (count
+    * unchanged AND no row in `next` outside `prev` — both sides are
+    * distinct, so that is set equality); the SoCC'14 progress lemma
+    * guarantees any non-star edge set strictly shrinks a finite
+    * potential each round, so a no-op round IS the star-forest fixed
+    * point. `maxIter` still bounds the loop, but at O(log n) rounds
+    * the default covers ~2^30 nodes; non-convergence stays a loud
+    * warning. */
+  private def alternatingComponents(nodes: DataFrame, idCol: String,
+                                    pairs: DataFrame, maxIter: Int): DataFrame = {
+    var e = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("_hi"),
+        least(col("id_a"), col("id_b")).as("_lo"))
+      .filter(col("_hi") =!= col("_lo"))
+      .distinct()
+      .localCheckpoint(eager = false) // the count materializes it
+    var eCnt = e.count()
+    var converged = eCnt == 0L
+    var round = 0
+    while (!converged && round < maxIter) {
+      // large-star over the undirected adjacency
+      val und = e.select(col("_hi").as("_u"), col("_lo").as("_v"))
+        .union(e.select(col("_lo").as("_u"), col("_hi").as("_v")))
+      val lmin = und.groupBy("_u").agg(min(col("_v")).as("_m"))
+        .select(col("_u"), least(col("_u"), col("_m")).as("_m"))
+      val large = und.join(lmin, Seq("_u"))
+        .filter(col("_v") > col("_u"))
+        .select(col("_v").as("_hi"), col("_m").as("_lo"))
+        .distinct()
+      // small-star over the (already hi→lo oriented) large-star output
+      val smin = large.groupBy("_hi").agg(min(col("_lo")).as("_m"))
+      val small = large.join(smin, Seq("_hi"))
+        .select(col("_lo").as("_n"), col("_m"))
+        .union(smin.select(col("_hi").as("_n"), col("_m")))
+        .filter(col("_n") =!= col("_m"))
+        .select(col("_n").as("_hi"), col("_m").as("_lo"))
+        .distinct()
+      // Lazy checkpoint: the count below is the job that computes the
+      // round, so its blocks are saved as a side effect — one job per
+      // round, and the next round plans against an O(1) LogicalRDD.
+      val next = small.localCheckpoint(eager = false)
+      val nCnt = next.count()
+      // set equality on two distinct sets: same size + next ⊆ prev
+      converged = nCnt == eCnt &&
+        next.join(e, Seq("_hi", "_lo"), "left_anti").isEmpty
+      e.unpersist(blocking = false)
+      e = next
+      eCnt = nCnt
+      round += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"alternatingComponents did not converge in $maxIter " +
+          "rounds: components may be split; raise maxIter " +
+          "(O(log n) rounds suffice for any topology)")
+    nodes.select(col(idCol))
+      .join(e.select(col("_hi").as(idCol), col("_lo")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_lo"), col(idCol)).as("cluster_id"))
+  }
+
+  /** Min-label propagation (see [[clusterPairs]]). The per-round
+    * change count rides the SAME job that materializes the round's
+    * checkpoint: the changed flag is computed as a column of the
+    * round's frame and aggregated off the saved blocks — not a
+    * second join job over both label frames. */
+  private def labelPropagation(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                               maxIter: Int, checkpointInterval: Int): DataFrame = {
     require(checkpointInterval >= 1,
       s"checkpointInterval must be >= 1, got $checkpointInterval")
     val edges = pairs
       .select(col("id_a").as("_src"), col("id_b").as("_dst"))
       .union(pairs.select(col("id_b").as("_src"), col("id_a").as("_dst")))
       .persist()
-    var labels = nodes.select(col(idCol).as("_id"))
+    var mat = nodes.select(col(idCol).as("_id"))
       .withColumn("cluster_id", col("_id")).persist()
+    var labels = mat
     var checkpointed = false
     var changed = 1L
     var round = 0
@@ -238,24 +335,26 @@ object Dedup {
         .join(labels.select(col("_id").as("_dst"), col("cluster_id")), Seq("_dst"))
         .groupBy("_src").agg(min("cluster_id").as("_nbr_min"))
         .withColumnRenamed("_src", "_id")
+      val newLabel = least(col("cluster_id"),
+        coalesce(col("_nbr_min"), col("cluster_id")))
       val nextBase = labels
         .join(nbrMin, Seq("_id"), "left")
-        .select(col("_id"),
-          least(col("cluster_id"),
-            coalesce(col("_nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .select(col("_id"), newLabel.as("cluster_id"),
+          (newLabel =!= col("cluster_id")).as("_chg"))
       // checkpoint on the cadence (default every round: truncating
       // the plan is measured cheaper than re-planning a doubled
       // tree); persist in between so the double labels reference
-      // never recomputes
+      // never recomputes. Lazy in both cases: the change-count
+      // aggregate below is the materializing job.
       val boundary = (round + 1) % checkpointInterval == 0
       val next =
-        if (boundary) nextBase.localCheckpoint(eager = true)
+        if (boundary) nextBase.localCheckpoint(eager = false)
         else nextBase.persist()
-      changed = next // this count also materializes a persisted next
-        .join(labels.select(col("_id"), col("cluster_id").as("_prev")), Seq("_id"))
-        .filter(col("cluster_id") =!= col("_prev")).count()
-      labels.unpersist(blocking = false) // no-op on checkpointed frames
-      labels = next
+      changed = next.agg(sum(when(col("_chg"), 1L).otherwise(0L)))
+        .head().getLong(0)
+      mat.unpersist(blocking = false) // no-op on checkpointed frames
+      mat = next
+      labels = next.drop("_chg")
       checkpointed = boundary
       round += 1
     }
@@ -264,7 +363,7 @@ object Dedup {
     // final truncation costs one cheap job).
     if (!checkpointed) {
       val flat = labels.localCheckpoint(eager = true)
-      labels.unpersist(blocking = false)
+      mat.unpersist(blocking = false)
       labels = flat
     }
     edges.unpersist()

@@ -596,8 +596,9 @@ object Similarity {
     * This is the classic two-stage grouping (SemDeDup's coarse
     * stage, near-dup community detection): a bounded-degree graph
     * build (k edges per node, never all-pairs) followed by
-    * [[Dedup.clusterPairs]] min-label propagation, whose per-round
-    * plan is lineage-truncated — both stages hold at corpus scale.
+    * [[Dedup.clusterPairs]] alternating large-star/small-star
+    * contraction (O(log n) rounds on any topology, per-round plans
+    * lineage-truncated) — both stages hold at corpus scale.
     */
   def semanticClusters(df: DataFrame, idCol: String, embCol: String,
                        k: Int, minCosine: Double,

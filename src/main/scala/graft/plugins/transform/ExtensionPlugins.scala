@@ -1387,9 +1387,10 @@ class GraphPlugin(options: Map[String, Any], configDir: Path, label: String)
                 .map(_.toString.toDouble).getOrElse(0.85))
           case "degrees" => graft.ops.Graph.degrees(df, src, dst)
           case "components" =>
-            // connected components of the (undirected) edge list:
-            // label-propagation to the min member id, checkpointed
-            // per round (EAGER like pagerank)
+            // connected components of the (undirected) edge list to
+            // the min member id; algorithm = "alternating" (default,
+            // O(log n) large-star/small-star) or "labelprop"
+            // (O(diameter) min-label propagation)
             val nodes = df.select(org.apache.spark.sql.functions
                 .col(src).as("node"))
               .union(df.select(org.apache.spark.sql.functions
@@ -1400,7 +1401,9 @@ class GraphPlugin(options: Map[String, Any], configDir: Path, label: String)
               org.apache.spark.sql.functions.col(dst).as("id_b"))
             graft.ops.Dedup.clusterPairs(nodes, "node", pairs,
               maxIter = options.get("max_iter")
-                .map(_.toString.toDouble.toInt).getOrElse(20))
+                .map(_.toString.toDouble.toInt).getOrElse(20),
+              algorithm = options.get("algorithm")
+                .map(_.toString).getOrElse("alternating"))
           case other => throw new PluginExecutionError(
             s"Unknown graph method: '$other'")
         }
