@@ -128,16 +128,6 @@ object SparkEntry {
     "a" -> "n", "s" -> "t", "a" -> "t", "in" -> "d", "o" -> "w",
     "ind" -> "ow", "l" -> "e")
 
-  /** Serializes queries that go through [[graft.plugins.transform.SqlPlugin]]:
-    * the plugin's contract (reference parity) is a session-global
-    * temp view named `input`, so two such queries building their
-    * plans concurrently (Verify's thread pool) race on the view —
-    * one thread's registration can be replaced before its
-    * `spark.sql` ANALYZES the statement (analysis is eager at
-    * `sql()` time; the later write job uses the resolved plan, so
-    * locking plan construction is sufficient). */
-  private val sqlViewLock = new Object
-
   /** Fixed query set for `text_bm25` — shared literal-for-literal
     * with its oracle's VALUES list; terms drawn from the synthetic
     * documents' vocabulary so every query has hits. */
@@ -1064,7 +1054,7 @@ object SparkEntry {
     // function; DuckDB recomputes the same md5-token signatures, so
     // the registered function (not just the Column API) sits on the
     // hash gate.
-    "q_sql_kernels" -> ((s, dir) => sqlViewLock.synchronized {
+    "q_sql_kernels" -> ((s, dir) => {
       val docs = tBalanced(s, dir, "documents").select("doc_id", "text")
       new graft.plugins.transform.SqlPlugin(
         Map("query" ->
@@ -1081,7 +1071,7 @@ object SparkEntry {
     // plugin, proving the SessionExtensions registration end-to-end
     // (not just the Column API); the oracle recomputes both the long
     // way (char explode / shift-mask terms).
-    "q_sql_kernels2" -> ((s, dir) => sqlViewLock.synchronized {
+    "q_sql_kernels2" -> ((s, dir) => {
       val docs = tBalanced(s, dir, "documents")
         .select("doc_id", "text", "n_chars")
       new graft.plugins.transform.SqlPlugin(
@@ -1744,17 +1734,23 @@ object SparkEntry {
     // Plain SQL BETWEEN (no API opt-in): IntervalJoinRewrite lifts it
     // onto the custom operator; the oracle replays the BETWEEN join,
     // so a rewrite-induced semantics drift would hash-mismatch here.
-    "q_interval_join_sql" -> ((s, dir) => sqlViewLock.synchronized {
-      t(s, dir, "orders").select(col("o_orderkey"),
-          floor(col("o_totalprice")).cast("long").as("v"))
-        .createOrReplaceTempView("ij_pts")
-      t(s, dir, "supplier").select(col("s_suppkey"),
-          (col("s_suppkey") * 3000).cast("long").as("lo"),
-          (col("s_suppkey") * 3000 + 4499).cast("long").as("hi"))
-        .createOrReplaceTempView("ij_bands")
-      s.sql("""SELECT o_orderkey, s_suppkey, v
-              |FROM ij_pts JOIN ij_bands ON v BETWEEN lo AND hi
-              |ORDER BY o_orderkey, s_suppkey""".stripMargin)
+    // Runs through SqlPlugin's multi-stream face, so it also proves
+    // the rewrite rule is active in the plugin's isolated child
+    // session (extensions propagate through newSession()).
+    "q_interval_join_sql" -> ((s, dir) => {
+      val pts = t(s, dir, "orders").select(col("o_orderkey"),
+        floor(col("o_totalprice")).cast("long").as("v"))
+      val bands = t(s, dir, "supplier").select(col("s_suppkey"),
+        (col("s_suppkey") * 3000).cast("long").as("lo"),
+        (col("s_suppkey") * 3000 + 4499).cast("long").as("hi"))
+      new graft.plugins.transform.SqlPlugin(
+        Map("query" ->
+          """SELECT o_orderkey, s_suppkey, v
+            |FROM input JOIN ij_bands ON v BETWEEN lo AND hi
+            |ORDER BY o_orderkey, s_suppkey""".stripMargin),
+        java.nio.file.Paths.get("/tmp"), "default")
+        .executeWith(pts, Map("ij_bands" -> Right(bands)))
+        .fold(e => throw e, identity)
     }),
 
     // ---- blocked fuzzy pairs (entity resolution) -----------------

@@ -434,11 +434,24 @@ class UnionPlugin(options: Map[String, Any], configDir: Path, label: String)
 /** Free-form SQL over the labeled streams: every stream is registered
   * as a temp view named by its label (the plugin's own stream also as
   * `input`), then `query` runs through Spark SQL. The escape hatch that
-  * makes the engine's full SQL surface reachable from configs. */
+  * makes the engine's full SQL surface reachable from configs.
+  *
+  * Views are registered in a PRIVATE child session
+  * (`SparkSession.newSession()`: shares the SparkContext, SharedState
+  * cache, and the extensions, but has its own temp-view registry), so
+  * two pipelines sharing one SparkSession never race on the `input` /
+  * label view names. Frames cross sessions by logical plan
+  * ([[org.apache.spark.sql.graftshim.DatasetShim]]) — no recompute,
+  * lineage and pushdown intact — and the result is re-bound to the
+  * caller's session so downstream plugins see nothing unusual. */
 class SqlPlugin(options: Map[String, Any], configDir: Path, label: String)
     extends BaseTransformPlugin(options, configDir, label)
     with MultiStreamTransformPlugin {
   def name: String = "sql"
+
+  private def rebind(target: SparkSession, df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftshim.DatasetShim.ofRows(target,
+      org.apache.spark.sql.graftshim.DatasetShim.analyzed(df))
 
   def executeWith(df: DataFrame,
                   streams: Map[String, Either[Throwable, DataFrame]])
@@ -446,13 +459,15 @@ class SqlPlugin(options: Map[String, Any], configDir: Path, label: String)
     for {
       q <- requiredString("query")
       out <- Errors.safe {
-        val spark = df.sparkSession
-        df.createOrReplaceTempView("input")
+        val parent = df.sparkSession
+        val scratch = parent.newSession()
+        rebind(scratch, df).createOrReplaceTempView("input")
         streams.foreach {
-          case (l, Right(sdf)) => sdf.createOrReplaceTempView(l)
+          case (l, Right(sdf)) =>
+            rebind(scratch, sdf).createOrReplaceTempView(l)
           case _ => ()
         }
-        spark.sql(q)
+        rebind(parent, scratch.sql(q))
       }
     } yield out
 
@@ -462,15 +477,15 @@ class SqlPlugin(options: Map[String, Any], configDir: Path, label: String)
     for {
       q <- requiredString("query")
       out <- Errors.safe {
-        val spark = SparkSession.active
-        def empty(s: StructType) = spark.createDataFrame(
+        val scratch = SparkSession.active.newSession()
+        def empty(s: StructType) = scratch.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
         empty(schema).createOrReplaceTempView("input")
         schemas.foreach {
           case (l, Right(s)) => empty(s).createOrReplaceTempView(l)
           case _ => ()
         }
-        spark.sql(q).schema
+        scratch.sql(q).schema
       }.left.map(e => new SchemaValidationError(e.getMessage, e))
     } yield out
 }

@@ -76,4 +76,57 @@ class Round7Spec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
+
+  // ------------------------------------------- SQL view isolation
+
+  test("SqlPlugin: concurrent pipelines with colliding view names " +
+      "do not race (per-run child session catalog)") {
+    import java.util.concurrent.CyclicBarrier
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val n = 8
+    val barrier = new CyclicBarrier(n)
+    val runs = (0 until n).map { i =>
+      Future {
+        // every thread registers views named `input` AND `side` with
+        // its OWN data; pre-fix, a shared-session registry let one
+        // thread's view be replaced before its sql() analyzed
+        val in = Seq((i.toLong, s"row$i")).toDF("k", "tag")
+        val side = Seq((i.toLong, i * 100L)).toDF("k", "boost")
+        val plugin = new graft.plugins.transform.SqlPlugin(
+          Map("query" ->
+            "SELECT input.k AS k, tag, boost FROM input JOIN side USING (k)"),
+          java.nio.file.Paths.get("/tmp"), "default")
+        barrier.await()
+        val out = plugin.executeWith(in, Map("side" -> Right(side)))
+          .fold(e => throw e, identity)
+        // result is re-bound to the parent session
+        assert(out.sparkSession eq spark)
+        i -> out.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      }
+    }
+    val got = Await.result(Future.sequence(runs), 120.seconds).toMap
+    (0 until n).foreach { i =>
+      assert(got(i) == Seq((i.toLong, s"row$i", i * 100L)),
+        s"thread $i read another pipeline's view: ${got(i)}")
+    }
+  }
+
+  test("SqlPlugin: child session inherits conf and extensions " +
+      "(SQL kernel functions resolve; views don't leak to parent)") {
+    val plugin = new graft.plugins.transform.SqlPlugin(
+      Map("query" ->
+        ("SELECT simhash64(array(tag)) AS sig, " +
+          "current_setting_check.v AS v FROM input, " +
+          "(SELECT 1 AS v) AS current_setting_check")),
+      java.nio.file.Paths.get("/tmp"), "default")
+    val out = plugin.executeWith(
+        Seq(("a")).toDF("tag"), Map.empty)
+      .fold(e => throw e, identity)
+    assert(out.count() == 1) // simhash64 resolved => extensions active
+    // the `input` view must NOT exist in the parent session
+    assert(!spark.catalog.tableExists("input"))
+  }
 }
