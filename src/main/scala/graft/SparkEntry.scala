@@ -1374,6 +1374,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: REAL container-header parsing ---------------
+    // Payloads carry genuine PNG IHDR / JPEG SOF0+SOF2 / GIF headers
+    // (built by the pure-JVM writers in Multimodal); doc 6 is
+    // unrecognized bytes exercising the documented stub fallback.
+    // Oracle = the independently-computed expected metadata.
+    "multimodal_headers" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Seq(
+        1L -> Multimodal.pngHeader(640, 480),
+        2L -> Multimodal.pngHeader(16384, 16384),
+        3L -> Multimodal.jpegHeader(800, 600),
+        4L -> Multimodal.jpegHeader(320, 240, progressive = true),
+        5L -> Multimodal.gifHeader(12, 34),
+        6L -> "xx".getBytes("US-ASCII"))
+        .toDF("doc_id", "payload")
+        .repartition(3) // decode stays distributed, not single-task
+      Multimodal.withDecodedMeta(payloads, "payload")
+        .select(col("doc_id"),
+          col("media_meta.format").as("format"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.checksum").as("checksum"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: frame sampling plumbing (no oracle) ---------
     "multimodal_frames" -> ((s, dir) => {
       val withPayload = t(s, dir, "documents")
@@ -3298,6 +3324,22 @@ object SparkEntry {
         |  CAST(CASE WHEN text IS NULL THEN NULL
         |       ELSE coalesce(list_sum(strided), 0) END AS BIGINT) AS checksum_out
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Expected metadata for the real-header fixtures, computed
+    // independently from the container specs (PNG sig+IHDR = 33
+    // bytes; minimal JPEG SOI+APP0+SOF+EOI = 27; GIF header+trailer
+    // = 14). Doc 6 ("xx") takes the stub fallback: n=2 ⇒ webp,
+    // width 64+2, checksum 2×120=240 ⇒ height 64+(240%64)=112.
+    "multimodal_headers" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'png',  640,   480,   CAST(33 AS BIGINT), CAST(1812 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'png',  16384, 16384, CAST(33 AS BIGINT), CAST(1392 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'jpeg', 800,   600,   CAST(27 AS BIGINT), CAST(2100 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), 'jpeg', 320,   240,   CAST(27 AS BIGINT), CAST(2282 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), 'gif',  12,    34,    CAST(14 AS BIGINT), CAST(529 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), 'webp', 66,    112,   CAST(2 AS BIGINT),  CAST(240 AS BIGINT))
+        |) t(doc_id, format, width, height, n_bytes, checksum)
+        |ORDER BY doc_id""".stripMargin,
 
     "multimodal_frames" ->
       """WITH d AS (

@@ -129,4 +129,70 @@ class Round7Spec extends AnyFunSuite {
     // the `input` view must NOT exist in the parent session
     assert(!spark.catalog.tableExists("input"))
   }
+
+  // ------------------------------------------- real header parsing
+
+  test("parseHeader: PNG IHDR width/height (big-endian u32)") {
+    assert(Multimodal.parseHeader(Multimodal.pngHeader(640, 480))
+      .contains(("png", 640, 480)))
+    assert(Multimodal.parseHeader(Multimodal.pngHeader(1, 1073741824))
+      .contains(("png", 1, 1073741824)))
+  }
+
+  test("parseHeader: GIF logical screen (little-endian u16)") {
+    assert(Multimodal.parseHeader(Multimodal.gifHeader(12, 34))
+      .contains(("gif", 12, 34)))
+    assert(Multimodal.parseHeader(Multimodal.gifHeader(65535, 1))
+      .contains(("gif", 65535, 1)))
+  }
+
+  test("parseHeader: JPEG walks segments to SOF0 and SOF2") {
+    assert(Multimodal.parseHeader(Multimodal.jpegHeader(800, 600))
+      .contains(("jpeg", 800, 600)))
+    assert(Multimodal.parseHeader(
+        Multimodal.jpegHeader(320, 240, progressive = true))
+      .contains(("jpeg", 320, 240)))
+  }
+
+  test("parseHeader: DHT (C4) is not mistaken for SOF; RSTn skipped") {
+    // SOI, DHT (marker C4, len 4, junk), RST0 (standalone), SOF0
+    val sof = Multimodal.jpegHeader(99, 77).drop(6) // strip SOI+APP0
+    val bytes = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xc4.toByte, 0, 4, 1, 2,
+      0xff.toByte, 0xd0.toByte) ++ sof
+    assert(Multimodal.parseHeader(bytes).contains(("jpeg", 99, 77)))
+  }
+
+  test("parseHeader: truncated/unknown bytes fall back to the stub") {
+    val truncated = Multimodal.pngHeader(640, 480).take(20)
+    assert(Multimodal.parseHeader(truncated).isEmpty)
+    assert(Multimodal.parseHeader("not an image".getBytes).isEmpty)
+    assert(Multimodal.parseHeader(Array.empty[Byte]).isEmpty)
+    // SOI but no SOF segment anywhere => None, stub fallback
+    val noSof = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xe0.toByte, 0, 2)
+    assert(Multimodal.parseHeader(noSof).isEmpty)
+    // decode() must agree with decodeStub on the fallback path
+    assert(Multimodal.decode(truncated) == Multimodal.decodeStub(truncated))
+  }
+
+  test("png header carries a correct CRC32 over type+data") {
+    val b = Multimodal.pngHeader(640, 480)
+    val crc = new java.util.zip.CRC32
+    crc.update(b, 12, 17)
+    val stored = java.nio.ByteBuffer.wrap(b, 29, 4).getInt
+    assert(stored == crc.getValue.toInt)
+  }
+
+  test("withDecodedMeta surfaces real dimensions through the frame") {
+    val df = Seq(1L -> Multimodal.pngHeader(640, 480),
+        2L -> Multimodal.gifHeader(5, 6))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.withDecodedMeta(df, "payload")
+      .selectExpr("doc_id", "media_meta.format", "media_meta.width",
+        "media_meta.height")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got == Set((1L, "png", 640, 480), (2L, "gif", 5, 6)))
+  }
 }
