@@ -54,15 +54,27 @@ object Graph {
     * The returned frame is checkpoint-backed; its blocks are
     * reclaimed by the ContextCleaner when the frame is GC'd — no
     * unpersist obligation on the caller.
+    *
+    * `tol > 0` adds convergence-based early exit: stop once the L1
+    * delta `Σ_v |rank'(v) - rank(v)|` drops to `tol` or below. The
+    * delta is one join+aggregate per iteration over two frames that
+    * are already materialized (checkpointed/persisted), so its cost
+    * is a cache scan, not a recompute — at 100 TB this is what stops
+    * you paying for configured-but-converged iterations. `tol = 0`
+    * (default) preserves the exact fixed-iteration semantics: no
+    * delta job runs at all (an L1 delta of exactly 0 is only reached
+    * at a true fixed point, but we skip even computing it so the
+    * oracle-matched plan shape is untouched).
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 5, damping: Double = 0.85,
-               checkpointInterval: Int = 1): DataFrame = {
+               checkpointInterval: Int = 1, tol: Double = 0.0): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1,
       s"damping must be in (0,1), got $damping")
     require(checkpointInterval >= 1,
       s"checkpointInterval must be >= 1, got $checkpointInterval")
+    require(tol >= 0, s"tol must be >= 0, got $tol")
     // Persist the edge table PRE-HASHED on the join key: a cached
     // frame keeps its outputPartitioning, so every iteration's
     // edges ⋈ ranks join reuses this one layout instead of
@@ -121,9 +133,30 @@ object Graph {
           p.count()
           p
         }
+      // Convergence probe: both frames are materialized, so the L1
+      // delta is a cache-scan join + 1-row aggregate. Runs only when
+      // tol is enabled, and never turns the final iteration's result
+      // into an extra job.
+      val converged = tol > 0 && it + 1 < iterations && {
+        val delta = next
+          .join(ranks.select(col("node"), col("rank").as("_prev")),
+            Seq("node"))
+          .agg(coalesce(sum(abs(col("rank") - col("_prev"))), lit(0.0)))
+          .head().getDouble(0)
+        delta <= tol
+      }
       ranks.unpersist(blocking = false) // no-op on checkpointed frames
-      ranks = next
+      // Early exit between checkpoints: promote the persisted frame
+      // to a checkpoint (a cache scan) so the returned frame is
+      // always checkpoint-backed with a leaf plan, as documented.
+      ranks =
+        if (converged && !boundary) {
+          val ck = next.localCheckpoint(eager = true)
+          next.unpersist(blocking = false)
+          ck
+        } else next
       it += 1
+      if (converged) it = iterations
     }
     e.unpersist(blocking = false)
     outdeg.unpersist(blocking = false)

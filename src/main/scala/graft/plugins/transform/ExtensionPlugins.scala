@@ -1384,7 +1384,13 @@ class GraphPlugin(options: Map[String, Any], configDir: Path, label: String)
               iterations = options.get("iterations")
                 .map(_.toString.toDouble.toInt).getOrElse(5),
               damping = options.get("damping")
-                .map(_.toString.toDouble).getOrElse(0.85))
+                .map(_.toString.toDouble).getOrElse(0.85),
+              checkpointInterval = options.get("checkpoint_interval")
+                .map(_.toString.toDouble.toInt).getOrElse(1),
+              // tol > 0 enables L1-delta convergence early-exit;
+              // default 0 keeps exact fixed-iteration semantics
+              tol = options.get("tol")
+                .map(_.toString.toDouble).getOrElse(0.0))
           case "degrees" => graft.ops.Graph.degrees(df, src, dst)
           case "components" =>
             // connected components of the (undirected) edge list to

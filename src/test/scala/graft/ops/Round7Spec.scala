@@ -130,6 +130,83 @@ class Round7Spec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("input"))
   }
 
+  // ------------------------------------------- pagerank convergence
+
+  private def countJobs(body: => Unit): Int = {
+    import java.util.concurrent.atomic.AtomicInteger
+    val n = new AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; Thread.sleep(2000) } // listener bus drains async
+    finally spark.sparkContext.removeSparkListener(l)
+    n.get
+  }
+
+  test("pagerank tol: converged graph exits early (fewer jobs), " +
+      "same ranks") {
+    // a 4-cycle is at its fixed point from the uniform start: the L1
+    // delta is 0 after the first iteration, so tol exits immediately
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .toDF("src", "dst")
+    var tolRanks: Map[Long, Double] = null
+    var fixedRanks: Map[Long, Double] = null
+    val tolJobs = countJobs {
+      tolRanks = Graph.pagerank(edges, "src", "dst", iterations = 20,
+          tol = 1e-12)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val fixedJobs = countJobs {
+      fixedRanks = Graph.pagerank(edges, "src", "dst", iterations = 20)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    assert(tolRanks.keySet == fixedRanks.keySet)
+    tolRanks.foreach { case (k, v) =>
+      assert(math.abs(v - fixedRanks(k)) < 1e-12)
+      assert(math.abs(v - 0.25) < 1e-12) // uniform fixed point
+    }
+    // 20 fixed iterations run >= 20 jobs; the tol run exits after 1
+    // iteration (+ setup + one delta probe) — assert a wide margin
+    assert(tolJobs < fixedJobs / 2,
+      s"expected early exit: tolJobs=$tolJobs fixedJobs=$fixedJobs")
+  }
+
+  test("pagerank tol: early exit between checkpoints still returns " +
+      "a checkpoint-backed leaf plan") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .toDF("src", "dst")
+    val out = Graph.pagerank(edges, "src", "dst", iterations = 20,
+      checkpointInterval = 7, tol = 1e-12)
+    assert(out.queryExecution.analyzed.treeString.length < 1000,
+      "early-exit result should be checkpoint-truncated")
+    assert(math.abs(out.agg(org.apache.spark.sql.functions.sum("rank"))
+      .head().getDouble(0) - 1.0) < 1e-9)
+  }
+
+  test("pagerank tol: tol under the convergence level changes nothing " +
+      "(fixed-point parity with the default)") {
+    // star graph a,b -> c does NOT sit at a fixed point initially;
+    // with tol too small to trigger inside 5 iterations, results are
+    // bit-identical to the fixed-iteration run
+    val edges = Seq(("a", "c"), ("b", "c")).toDF("src", "dst")
+    val fixed = Graph.pagerank(edges, "src", "dst", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val tol = Graph.pagerank(edges, "src", "dst", iterations = 5,
+        tol = 1e-300)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fixed == tol)
+  }
+
+  test("pagerank rejects negative tol") {
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.pagerank(edges, "src", "dst", tol = -0.1)
+    }
+  }
+
   // ------------------------------------------- real header parsing
 
   test("parseHeader: PNG IHDR width/height (big-endian u32)") {

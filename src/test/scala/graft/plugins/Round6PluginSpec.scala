@@ -589,6 +589,43 @@ class Round6PluginSpec extends AnyFunSuite {
     assert(ranks("c") > ranks("a"))
   }
 
+  test("e2e TOML: graph pagerank with convergence tol early-exit") {
+    val tmp = Files.createTempDirectory("r7graphtol")
+    // 3-cycle: at its uniform fixed point immediately, so tol exits
+    // after one iteration of the configured twenty
+    Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst").coalesce(1)
+      .write.parquet(tmp.resolve("edges.parquet").toString)
+    val out = runConfig(
+      s"""
+         |[[input_plugins]]
+         |name = "scan"
+         |module = "parquet_scan"
+         |[input_plugins.options]
+         |input_path = "edges.parquet"
+         |
+         |[[transform_plugins]]
+         |name = "rank"
+         |module = "graph"
+         |[transform_plugins.options]
+         |method = "pagerank"
+         |src_column = "src"
+         |dst_column = "dst"
+         |iterations = 20
+         |tol = 1e-9
+         |checkpoint_interval = 5
+         |
+         |[[output_plugins]]
+         |name = "sink"
+         |module = "parquet_writer"
+         |[output_plugins.options]
+         |output_path = "out/ranks.parquet"
+         |""".stripMargin, tmp, "out/ranks.parquet")
+    val ranks = out.collect().map(r =>
+      r.getAs[String]("node") -> r.getAs[Double]("rank")).toMap
+    assert(ranks.size == 3)
+    ranks.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-9))
+  }
+
   test("e2e TOML: weighted sample picks exactly k rows") {
     val tmp = Files.createTempDirectory("r6wsample")
     (1L to 100L).map(i => (i, if (i <= 50) 1.0 else 50.0)).toDF("id", "w")
