@@ -47,7 +47,8 @@ object Bench {
     "text_top_ngrams", "q_percentile_band", "sim_knn_graph",
     "sim_knn_components", "q_fuzzy_pairs", "q_mix_tokens",
     "q_interval_join", "dedup_incr_neardup", "sim_outliers",
-    "q_fuzzy_match", "q_tpch_q7")
+    "q_fuzzy_match", "q_tpch_q7", "q_tpch_q1", "q_tpch_q18",
+    "multimodal_headers")
 
   /** Full query inventory: oracled queries + bench-only raw ANN
     * top-k (kept under their historical names). */

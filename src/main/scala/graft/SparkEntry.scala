@@ -353,6 +353,55 @@ object SparkEntry {
           count(lit(1)).as("n_orders"))
         .orderBy("n_name")),
 
+    // ---- TPC-H Q1: the canonical pricing-summary agg sweep -------
+    // One scan, one partial+final hash aggregate over 4-6 groups —
+    // the shape that proves map-side combine: at 100 TB the shuffle
+    // carries (flag, status) × partials per task, never rows. The
+    // shipdate filter reaches the parquet scan. Sums rounded to
+    // cents, avgs to 1e-6 (per-group FP accumulation error at the
+    // verify SF is ~1e-5 absolute, far inside both).
+    "q_tpch_q1" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r(sum("l_quantity"), 2).as("sum_qty"),
+          r(sum("l_extendedprice"), 2).as("sum_base_price"),
+          r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          r(avg("l_quantity"), 6).as("avg_qty"),
+          r(avg("l_extendedprice"), 6).as("avg_price"),
+          r(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- TPC-H Q18: large-volume-customer semi-join + top-k ------
+    // The HAVING subquery becomes a left-semi join of orders against
+    // the re-aggregated fact table (no IN-list collect); customer is
+    // a broadcast dim; the final top-100 is TakeOrderedAndProject
+    // (per-partition heaps, never a full sort). o_orderkey tiebreaks
+    // the totalprice/orderdate cut so both engines slice identically.
+    "q_tpch_q18" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("_q"))
+        .filter(col("_q") > 300)
+        .select(col("l_orderkey").as("o_orderkey"))
+      t(s, dir, "orders")
+        .join(big, Seq("o_orderkey"), "left_semi")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+          "o_totalprice")
+        .agg(r(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+          col("o_orderkey"))
+        .limit(100)
+    }),
+
     // ---- TPC-H Q3 shape: filtered 3-way join + top-k by revenue --
     // Both date filters reach the parquet scans (PushedFilters); the
     // 302-row customer side is broadcast; lineitem ⋈ orders is the
@@ -2144,6 +2193,35 @@ object SparkEntry {
         |  r(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  r(sum(l_quantity), 2) AS sum_qty,
+        |  r(sum(l_extendedprice), 2) AS sum_base_price,
+        |  r(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  r(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2)
+        |    AS sum_charge,
+        |  r(avg(l_quantity), 6) AS avg_qty,
+        |  r(avg(l_extendedprice), 6) AS avg_price,
+        |  r(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  r(sum(l_quantity), 2) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

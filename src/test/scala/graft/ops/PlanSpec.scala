@@ -306,4 +306,61 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(allPairs.isEmpty)
   }
+
+  // ------------------------------------------ TPC-H plan anchors
+
+  private def tpch(name: String): DataFrame =
+    graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+
+  test("tpch q1: filter pushed to scan, partial+final agg, " +
+      "one agg exchange") {
+    val df = tpch("q_tpch_q1")
+    val ns = nodes(df)
+    val scans = ns.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    // the shipdate predicate must reach the parquet reader as a
+    // pushed filter (row-group pruning at scale), not a post-scan row
+    // filter only
+    assert(scans.exists(_.metadata.getOrElse("PushedFilters", "")
+        .contains("LessThanOrEqual(l_shipdate")),
+      scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString("; "))
+    val aggs = ns.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a }
+    // partial (map-side combine) + final — the shuffle moves group
+    // partials, never lineitem rows
+    assert(aggs.size == 2, s"expected partial+final, got ${aggs.size}")
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, Final}
+    assert(aggs.exists(_.aggregateExpressions.forall(_.mode == Partial)))
+    assert(aggs.exists(_.aggregateExpressions.forall(_.mode == Final)))
+    val shuffles = ns.collect { case e: ShuffleExchangeExec => e }
+    // one agg boundary + the output ordering's range exchange
+    assert(shuffles.size <= 2, s"found ${shuffles.size} exchanges")
+  }
+
+  test("tpch q18: semi-join (no IN collect), broadcast customer dim, " +
+      "top-k via TakeOrderedAndProject") {
+    val df = tpch("q_tpch_q18")
+    val ns = nodes(df)
+    assertNoAllPairs(df, "tpch q18")
+    // HAVING subquery planned as a left-semi JOIN against the
+    // re-aggregated fact table — never an IN-list materialized on
+    // the driver
+    assert(ns.exists {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+      case _ => false
+    }, s"no semi-join in: ${ns.map(_.nodeName).distinct.mkString(", ")}")
+    assert(ns.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "customer dim should broadcast")
+    // LIMIT 100 over the sort must plan per-partition heaps
+    assert(ns.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      s"no TakeOrderedAndProject in: ${ns.map(_.nodeName).distinct.mkString(", ")}")
+  }
 }
