@@ -184,7 +184,39 @@ object SparkEntry {
     * in `queries`: approximate top-k output has no hash oracle — its
     * quality is gated by the oracled `sim_recall_*` queries below and
     * the ≥0.9 ScalaTest floors (OpsSpec). */
+  /** Clustered ANN fixture: the driver's `embeddings` table is
+    * deliberately isotropic, which makes bucketed-path benchmarks
+    * meaningless (see the note on sim_topk_ivfpq). This derives a
+    * mixture-of-Gaussians corpus 8× that table's row count (scales
+    * with SF; the count is a parquet-footer read) so the LSH/IVF
+    * scale paths have a tracked number on the data shape they exist
+    * for, recall-gated by the oracled sim_recall_knn_clustered. */
+  private def clusteredEmb(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SyntheticEmbeddings.mixtureOfGaussians(
+      s, n = t(s, dir, "embeddings").count() * 8)
+
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- ANN scale paths on the clustered fixture ----------------
+    // brute is the comparison baseline; lsh/ivf/ivfpq are the paths
+    // whose bucketing actually prunes here (32 tight clusters), so
+    // their numbers track the scale behavior, not brute coverage
+    // through join machinery.
+    "sim_knn_brute_clustered" -> ((s, dir) =>
+      graft.ops.Similarity.knnGraph(clusteredEmb(s, dir), "vec_id",
+        "embedding", k = 5, method = "brute")),
+    "sim_knn_lsh_clustered" -> ((s, dir) =>
+      graft.ops.Similarity.knnGraph(clusteredEmb(s, dir), "vec_id",
+        "embedding", k = 5, method = "lsh")),
+    "sim_topk_ivf_clustered" -> ((s, dir) => {
+      val e = clusteredEmb(s, dir)
+      graft.ops.Similarity.ivfTopK(e, e.filter(col("vec_id") < 32),
+        "vec_id", "embedding", k = 5, nlist = 32, nprobe = 4)
+    }),
+    "sim_topk_ivfpq_clustered" -> ((s, dir) => {
+      val e = clusteredEmb(s, dir)
+      graft.ops.Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 32),
+        "vec_id", "embedding", k = 5, nlist = 32, nprobe = 4)
+    }),
     // the quantize OPERATOR (shuffle-free projection); the oracled
     // sim_quantize_int8 spelling explodes/sorts millions of cells for
     // the hash compare, which would benchmark the oracle, not the op
@@ -1862,6 +1894,25 @@ object SparkEntry {
         .select("query_id", "neighbor_id")
       val approx = Similarity.knnGraph(e, "vec_id", "embedding",
           k = 3, method = "lsh")
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count_distinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_possible"),
+          (sum(coalesce(col("_hit"), lit(0))) >=
+            ceil(count(lit(1)) * 0.9)).as("recall_ok"))
+    }),
+
+    // ---- kNN graph: LSH recall on the CLUSTERED fixture ----------
+    // Same gate on the mixture-of-Gaussians corpus the bench runs
+    // the scale paths on — proving the benched configuration is
+    // recall-honest on the data shape where bucketing prunes.
+    "sim_recall_knn_clustered" -> ((s, dir) => {
+      val e = clusteredEmb(s, dir)
+      val truth = graft.ops.Similarity.knnGraph(e, "vec_id", "embedding",
+          k = 5, method = "brute")
+        .select("query_id", "neighbor_id")
+      val approx = graft.ops.Similarity.knnGraph(e, "vec_id", "embedding",
+          k = 5, method = "lsh")
         .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
       truth.join(approx, Seq("query_id", "neighbor_id"), "left")
         .agg(count_distinct(col("query_id")).as("n_queries"),
@@ -3911,6 +3962,13 @@ object SparkEntry {
     "sim_recall_knn" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  CAST(count(*) * 3 AS BIGINT) AS n_possible,
+        |  true AS recall_ok
+        |FROM embeddings""".stripMargin,
+
+    // clustered fixture = 8× the embeddings table, k = 5
+    "sim_recall_knn_clustered" ->
+      """SELECT CAST(count(*) * 8 AS BIGINT) AS n_queries,
+        |  CAST(count(*) * 8 * 5 AS BIGINT) AS n_possible,
         |  true AS recall_ok
         |FROM embeddings""".stripMargin,
 

@@ -207,6 +207,45 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------- clustered fixture
+
+  test("mixtureOfGaussians: deterministic, distributed, clustered") {
+    val a = SyntheticEmbeddings.mixtureOfGaussians(spark, 200, d = 16,
+      k = 4, seed = 7)
+    val b = SyntheticEmbeddings.mixtureOfGaussians(spark, 200, d = 16,
+      k = 4, seed = 7)
+    assert(a.columns.toSeq == Seq("vec_id", "label", "embedding"))
+    // bit-identical across invocations (hash-derived noise, no RNG state)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // no shuffle: a single embarrassingly-parallel stage over range()
+    val shuffles = a.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty)
+    // clustered: same-label cosine far above cross-label cosine
+    val rows = a.collect().map(r => (r.getInt(1),
+      r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(x: Array[Double], y: Array[Double]) = {
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    val byLabel = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val intra = byLabel.values.flatMap(vs =>
+      vs.sliding(2).collect { case Array(x, y) => cos(x, y) }).toSeq
+    val inter = byLabel.keys.toSeq.combinations(2).map { case Seq(l1, l2) =>
+      cos(byLabel(l1).head, byLabel(l2).head) }.toSeq
+    assert(intra.min > 0.8, s"intra-cluster cosine too low: ${intra.min}")
+    assert(inter.max < 0.5, s"clusters not separated: ${inter.max}")
+  }
+
+  test("mixtureOfGaussians: seed changes the corpus") {
+    val a = SyntheticEmbeddings.mixtureOfGaussians(spark, 50, d = 8,
+      k = 2, seed = 1)
+    val b = SyntheticEmbeddings.mixtureOfGaussians(spark, 50, d = 8,
+      k = 2, seed = 2)
+    assert(a.except(b).count() > 0)
+  }
+
   // ------------------------------------------- real header parsing
 
   test("parseHeader: PNG IHDR width/height (big-endian u32)") {
