@@ -41,6 +41,14 @@ object SparkEntry {
       _ => s.read.parquet(s"$dir/$name.parquet")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** The events table with `ts` normalized to epoch nanos (long) —
+    * the driver fixture has shipped both timestamp[ns] (LongType via
+    * nanosAsLong) and timestamp[us] (TIMESTAMP_NTZ) parquet across
+    * rounds; every downstream query and its `epoch_ns(ts)` oracle
+    * assumes the nanos-long shape. See Streams.tsToNanos. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.tsToNanos(t(s, dir, "events"))
+
   /** Per-process scratch root for roundtrip/streaming queries, wiped
     * by a shutdown hook — repeated bench/verify runs previously
     * leaked one orphan temp dir (with full table copies) per
@@ -699,7 +707,7 @@ object SparkEntry {
 
     // ---- JSON extraction -----------------------------------------
     "q_json" -> ((s, dir) =>
-      t(s, dir, "events")
+      events(s, dir)
         .groupBy("event_type")
         .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
           count(lit(1)).as("n"))
@@ -1503,7 +1511,7 @@ object SparkEntry {
 
     // ---- as-of join (time-series; compositional one-shuffle) -----
     "q_asof_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = events(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       // dedupe right on (user, ts) so the as-of pick is deterministic
@@ -1565,7 +1573,7 @@ object SparkEntry {
 
     // ---- range (interval) join: bucketized equi-join -------------
     "q_range_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = events(s, dir)
         .withColumn("ts_us", expr("ts div 1000"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
@@ -1604,7 +1612,7 @@ object SparkEntry {
       // truncate to MICROS first: DuckDB TIMESTAMP is us-precision, so
       // the oracle can only see us — align the session arithmetic
       graft.ops.Sessionize.batch(
-          t(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+          events(s, dir).withColumn("ts_us", expr("ts div 1000")),
           "user_id", "ts_us", "event_id", "value",
           gapNanos = 1800L * 1000000L)
         .withColumn("sum_value", r(col("sum_value"), 2))
@@ -1614,7 +1622,7 @@ object SparkEntry {
     // ts arrives as raw nanoseconds (nanosAsLong, see Verify/Session);
     // bucket to hour starts in epoch seconds.
     "events_window" -> ((s, dir) =>
-      t(s, dir, "events")
+      events(s, dir)
         .withColumn("hour_start",
           (floor(col("ts") / 3600000000000L) * 3600).cast("long"))
         .groupBy("hour_start", "event_type")
@@ -1637,7 +1645,8 @@ object SparkEntry {
       val inDir = sharedLanding(dir, "events")
       val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
         Map("input_path" -> inDir.toString), work, "default")
-      val events = scan.execute().fold(e => throw e, identity)
+      val events = graft.streaming.Streams.tsToNanos(
+        scan.execute().fold(e => throw e, identity))
         .withColumn("event_time", (col("ts") / 1000000000L).cast("timestamp"))
       val agg = graft.streaming.Streams.windowedAgg(events, "1 hour", "2 hours")
       val sink = new graft.plugins.streaming.StreamParquetWriterPlugin(
@@ -1692,7 +1701,8 @@ object SparkEntry {
       val inDir = sharedLanding(dir, "events")
       val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
         Map("input_path" -> inDir.toString), work, "default")
-      val ev = scan.execute().fold(e => throw e, identity)
+      val ev = graft.streaming.Streams.tsToNanos(
+        scan.execute().fold(e => throw e, identity))
         .withColumn("event_time", expr("ts div 1000000000").cast("timestamp"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "event_time")
@@ -1976,7 +1986,8 @@ object SparkEntry {
       val inDir = sharedLanding(dir, "events")
       val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
         Map("input_path" -> inDir.toString), work, "default")
-      val events = scan.execute().fold(e => throw e, identity)
+      val events = graft.streaming.Streams.tsToNanos(
+        scan.execute().fold(e => throw e, identity))
         .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
         .select(col("user_id"), col("event_time"), col("event_type"), col("value"))
         .as[graft.streaming.Streams.Event]
@@ -2009,7 +2020,8 @@ object SparkEntry {
       val inDir = sharedLanding(dir, "events")
       val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
         Map("input_path" -> inDir.toString), work, "default")
-      val ev = scan.execute().fold(e => throw e, identity)
+      val ev = graft.streaming.Streams.tsToNanos(
+        scan.execute().fold(e => throw e, identity))
         .withColumn("event_time", expr("ts div 1000000000").cast("timestamp"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "event_time")
@@ -2041,7 +2053,8 @@ object SparkEntry {
       val inDir = sharedLanding(dir, "events")
       val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
         Map("input_path" -> inDir.toString), work, "default")
-      val ev = scan.execute().fold(e => throw e, identity)
+      val ev = graft.streaming.Streams.tsToNanos(
+        scan.execute().fold(e => throw e, identity))
         .select(col("user_id"), col("event_id"), col("event_type"),
           expr("ts div 1000000000").as("t"), col("value"))
       val statePath = work.resolve("state").toString

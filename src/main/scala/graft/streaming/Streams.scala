@@ -16,13 +16,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** Normalize an events-shaped frame's `ts` column to epoch NANOS
+    * (long) — the representation all downstream window/session/join
+    * arithmetic is written against. The fixture has shipped both
+    * physical shapes across rounds: timestamp[ns] parquet (which
+    * `nanosAsLong` surfaces as LongType nanos already) and
+    * timestamp[us] (which arrives as TIMESTAMP/TIMESTAMP_NTZ). The
+    * NTZ cast is value-preserving under the UTC session timezone
+    * every graft session pins, and matches DuckDB's `epoch_ns(ts)`
+    * on the same file. Works on batch and streaming frames alike
+    * (pure projection). */
+  def tsToNanos(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn(tsCol,
+        unix_micros(col(tsCol).cast("timestamp")) * 1000L)
+    }
+
   /** events-shaped stream from a parquet directory. Schema must be
     * supplied for readStream; we take it from a batch footer read.
-    * `ts` arrives as raw nanos (nanosAsLong) and is surfaced as a
-    * proper timestamp column `event_time`. */
+    * `ts` is normalized to epoch nanos ([[tsToNanos]]) and surfaced
+    * as a proper timestamp column `event_time`. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema
-    spark.readStream.schema(schema).parquet(dir)
+    tsToNanos(spark.readStream.schema(schema).parquet(dir))
       .withColumn("event_time",
         (col("ts") / 1000000000L).cast("timestamp"))
   }

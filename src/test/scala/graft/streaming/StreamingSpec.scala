@@ -26,7 +26,8 @@ class StreamingSpec extends AnyFunSuite {
     val got = Streams.runToMemory(
       Streams.windowedAgg(stream, "1 hour", "0 seconds"), "win_test")
 
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batch = Streams.tsToNanos(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .withColumn("event_time", (col("ts") / 1000000000L).cast("timestamp"))
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
@@ -58,7 +59,8 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("event_id"), col("r_event_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batch = Streams.tsToNanos(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .withColumn("t", expr("ts div 1000000000"))
     val p = batch.filter(col("event_type") === "purchase")
       .select(col("event_id").as("pid"), col("user_id"), col("t").as("pt"))
@@ -291,7 +293,8 @@ class StreamingSpec extends AnyFunSuite {
     // expectation from batch: every non-last session per user, PLUS
     // trailing sessions whose (end + gap) precedes the final
     // watermark (max event second - delay)
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batch = Streams.tsToNanos(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .withColumn("t", expr("ts div 1000000000"))
       .select("user_id", "t").collect().map(r => (r.getLong(0), r.getLong(1)))
     val maxT = batch.map(_._2).max
