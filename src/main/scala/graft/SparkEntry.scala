@@ -198,10 +198,21 @@ object SparkEntry {
     * mixture-of-Gaussians corpus 8× that table's row count (scales
     * with SF; the count is a parquet-footer read) so the LSH/IVF
     * scale paths have a tracked number on the data shape they exist
-    * for, recall-gated by the oracled sim_recall_knn_clustered. */
-  private def clusteredEmb(s: SparkSession, dir: String): DataFrame =
+    * for, recall-gated by the oracled sim_recall_knn_clustered.
+    *
+    * Cluster COUNT scales with n at fixed cluster size 64 — the real
+    * corpus shape (more topics, not fatter topics). This is what
+    * makes the LSH candidate mass O(n · 64) instead of O(n²/k): with
+    * a fixed cluster count, intra-cluster candidates are quadratic
+    * and the "scale path" would be quadratic too, just hidden. σ=0.03
+    * keeps intra-cluster cosine ≈ 0.97 (per-plane flip ≈ 0.075), so
+    * 12-plane/≤2-flip probing holds recall ≥ 0.9 while scanning a few
+    * buckets of 4096. */
+  private def clusteredEmb(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "embeddings").count() * 8
     graft.ops.SyntheticEmbeddings.mixtureOfGaussians(
-      s, n = t(s, dir, "embeddings").count() * 8)
+      s, n = n, k = (n / 64).toInt.max(32), sigma = 0.03)
+  }
 
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- ANN scale paths on the clustered fixture ----------------
@@ -212,9 +223,13 @@ object SparkEntry {
     "sim_knn_brute_clustered" -> ((s, dir) =>
       graft.ops.Similarity.knnGraph(clusteredEmb(s, dir), "vec_id",
         "embedding", k = 5, method = "brute")),
+    // deep hash, shallow probe — the clustered-corpus configuration
+    // (isotropic defaults probe 15/16 buckets; here 12 planes give
+    // 4096 buckets and <=2-bit flips probe 79 ≈ 2%, recall still
+    // gated ≥0.9 by sim_recall_knn_clustered with THESE params)
     "sim_knn_lsh_clustered" -> ((s, dir) =>
       graft.ops.Similarity.knnGraph(clusteredEmb(s, dir), "vec_id",
-        "embedding", k = 5, method = "lsh")),
+        "embedding", k = 5, method = "lsh", planes = 12, probeBits = 2)),
     "sim_topk_ivf_clustered" -> ((s, dir) => {
       val e = clusteredEmb(s, dir)
       graft.ops.Similarity.ivfTopK(e, e.filter(col("vec_id") < 32),
@@ -1922,7 +1937,7 @@ object SparkEntry {
           k = 5, method = "brute")
         .select("query_id", "neighbor_id")
       val approx = graft.ops.Similarity.knnGraph(e, "vec_id", "embedding",
-          k = 5, method = "lsh")
+          k = 5, method = "lsh", planes = 12, probeBits = 2)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("_hit"))
       truth.join(approx, Seq("query_id", "neighbor_id"), "left")
         .agg(count_distinct(col("query_id")).as("n_queries"),

@@ -171,7 +171,7 @@ object Similarity {
       explode(nearest_centroids(col("v_q"), centroids, nprobe)))
 
     if (rerank > 0) {
-      val approx = int8CandidateScan(cAssigned, qProbed, "list_id", queryIdOut)
+      val approx = int8CandidateScan(cAssigned, qProbed, q, "list_id", queryIdOut)
       exactRerank(topRerank(approx, queryIdOut, rerank), c, q, queryIdOut, k)
     } else {
       // exact-scoring variant: every candidate pays the full fp dot
@@ -192,8 +192,17 @@ object Similarity {
     * bytes + two doubles) — 8× less than fp64 vectors at D=64 — and
     * scoring dequantizes inside one loop ([[graft.expressions
     * .Int8Candidates.Int8Dot]]), never materializing a vector.
+    *
+    * NO fp vector rides the bucket join on EITHER side: the probe
+    * broadcast is skinny (query_id, key) — multiprobe explodes each
+    * query `#masks`-fold, so carrying vectors there multiplies the
+    * broadcast by probes × vector width (measured 300 MB and 15 s on
+    * a 16k-query self-graph; skinny probes + a one-per-query vector
+    * attach after the join is ~10 MB). `qVecs` is the UN-exploded
+    * (query_id, v_q) table, broadcast once for the scoring attach.
     * Returns (queryIdOut, neighbor_id, approx) rows. */
   private[graft] def int8CandidateScan(cSide: DataFrame, probeSide: DataFrame,
+                                       qVecs: DataFrame,
                                        key: String, queryIdOut: String): DataFrame = {
     import graft.expressions.Int8Candidates._
     val cCand = cSide
@@ -201,9 +210,11 @@ object Similarity {
       .select(col("neighbor_id"), col(key),
         col("_q8.code").as("_code"), col("_q8.mn").as("_mn"),
         col("_q8.scale").as("_scale"))
-    cCand.join(broadcast(probeSide.select(col(queryIdOut), col(key), col("v_q"))),
+    cCand.join(broadcast(probeSide.select(col(queryIdOut), col(key))),
         Seq(key))
       .filter(col("neighbor_id") =!= col(queryIdOut))
+      .join(broadcast(qVecs.select(col(queryIdOut), col("v_q"))),
+        Seq(queryIdOut))
       .select(col(queryIdOut), col("neighbor_id"),
         int8_dot(col("v_q"), col("_code"), col("_mn"), col("_scale"))
           .as("approx"))
@@ -505,7 +516,7 @@ object Similarity {
         explode(transform(probes, m => col("_sig").bitwiseXOR(m))))
       .drop("_sig")
     if (rerank > 0) {
-      val approx = int8CandidateScan(cBucketed, q, "bucket", queryIdOut)
+      val approx = int8CandidateScan(cBucketed, q, qPlain, "bucket", queryIdOut)
       exactRerank(topRerank(approx, queryIdOut, rerank), c, qPlain,
         queryIdOut, k)
     } else {
