@@ -457,6 +457,41 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // ---- TPC-H Q4 shape: EXISTS semi-join, priority counts -------
+    // (Adapted: the fixture lineitem has no commit/receipt dates, so
+    // "late" = shipped >90 days after the order date; the predicate
+    // references both sides and rides the semi-join condition.)
+    "q_tpch_q4" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate").between("1996-01-01", "1996-12-31"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > date_add(col("o_orderdate"), 90),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- TPC-H Q13 shape: outer join + two-level aggregation -----
+    // Orders per customer (zeros kept via the left outer), then the
+    // distribution of those counts — the double-agg shape where the
+    // first groupBy carries the real shuffle and the second is tiny.
+    "q_tpch_q13" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
     // ---- TPC-H Q3 shape: filtered 3-way join + top-k by revenue --
     // Both date filters reach the parquet scans (PushedFilters); the
     // 302-row customer side is broadcast; lineitem ⋈ orders is the
@@ -1754,11 +1789,16 @@ object SparkEntry {
     // and rounded: 5 rounds of per-group double sums accumulate
     // last-bit drift between engines.
     "q_pagerank" -> ((s, dir) => {
+      // Node ids are PACKED LONGS inside the iteration (custkey*2,
+      // suppkey*2+1) and only stringified at output: every
+      // per-iteration shuffle then hashes/compares 8-byte keys
+      // instead of variable-length strings — measured ~25% off the
+      // whole query at sf0.1. The oracle-facing output is unchanged.
       val e0 = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
       // symmetrize via explode, not union: the union spelling
       // evaluates the join+distinct subtree twice
@@ -1770,7 +1810,11 @@ object SparkEntry {
         iterations = 5, damping = 0.85)
       val n = ranks.agg(count(lit(1)).as("_n"))
       ranks.crossJoin(n)
-        .select(col("node"),
+        .select(
+          when(col("node") % 2 === 0,
+            concat(lit("c"), (col("node") / 2).cast("long")))
+            .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long")))
+            .as("node"),
           r(col("rank") * col("_n"), 6).as("rank_n"))
         .orderBy("node")
     }),
@@ -2301,6 +2345,28 @@ object SparkEntry {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+        |  AND TIMESTAMP '1996-12-31'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

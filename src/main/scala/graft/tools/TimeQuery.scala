@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Time arbitrary SparkEntry/benchOnly queries warm (best of 2 after
+  * a warmup pass), matching Bench methodology — the dev loop for
+  * tuning one query without paying the full headline run.
+  * Usage: runMain graft.tools.TimeQuery <sfDir> <query> [query...] */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: TimeQuery <sfDir> <query> [query...]")
+    val sfDir = args.head
+    val names = args.tail.toSeq
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val inventory = graft.SparkEntry.queries ++ graft.SparkEntry.benchOnly
+    def once(n: String): Double = {
+      val t0 = System.nanoTime()
+      inventory(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    names.foreach(once) // warm
+    names.foreach { n =>
+      println(f"$n%-28s ${math.min(once(n), once(n))}%8.2f s")
+    }
+    spark.stop()
+  }
+}
