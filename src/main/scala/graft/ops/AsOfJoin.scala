@@ -34,9 +34,11 @@ object AsOfJoin {
     val rightCols = right.columns.toSeq
     val payloadCols = rightCols.filterNot(keys.contains)
 
+    // type-aware: native timestamp columns work directly (epoch-nanos
+    // via TimeCols), integral columns pass through as before
     val lTagged = left.select(
       keys.map(col) ++ Seq(
-        col(leftTime).cast("long").as("_t"),
+        TimeCols.epochNanos(left, leftTime).as("_t"),
         lit(1).as("_side"),
         lit(null).cast(right.select(struct(payloadCols.map(col): _*).as("x"))
           .schema("x").dataType).as("_r"),
@@ -44,7 +46,7 @@ object AsOfJoin {
 
     val rTagged = right.select(
       keys.map(col) ++ Seq(
-        col(rightTime).cast("long").as("_t"),
+        TimeCols.epochNanos(right, rightTime).as("_t"),
         lit(0).as("_side"),
         struct(payloadCols.map(col): _*).as("_r"),
         lit(null).cast(left.select(struct(leftCols.map(col): _*).as("x"))

@@ -16,9 +16,14 @@ object Sessionize {
   /** @param tsCol  event time as epoch NANOS (long)
     * @param tieCol unique per-row column for deterministic ordering of
     *               equal timestamps */
-  def batch(events: DataFrame, userCol: String, tsCol: String,
+  def batch(events0: DataFrame, userCol: String, tsCol: String,
             tieCol: String, valueCol: String,
             gapNanos: Long): DataFrame = {
+    // native timestamp ts columns normalize to epoch nanos (matching
+    // the gap unit); integral columns pass through with the caller's
+    // unit, as before (see TimeCols)
+    val events = events0.withColumn(tsCol,
+      TimeCols.epochNanos(events0, tsCol))
     val order = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
     val cum = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -297,7 +297,8 @@ class ContaminationPlugin(options: Map[String, Any], configDir: Path, label: Str
 
 /** Config-driven batch sessionization ([[graft.ops.Sessionize]]):
   * gap-based sessions per user from an epoch-nanos timestamp column.
-  * Options: user_column, ts_column (epoch nanos), tie_column (unique
+  * Options: user_column, ts_column (epoch nanos, or a native
+  * timestamp column — normalized via TimeCols), tie_column (unique
   * per-row, for deterministic equal-timestamp ordering), value_column,
   * gap_seconds (default 1800). */
 class SessionizePlugin(options: Map[String, Any], configDir: Path, label: String)

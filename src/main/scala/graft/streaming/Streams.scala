@@ -30,7 +30,7 @@ object Streams {
     df.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.LongType => df
       case _ => df.withColumn(tsCol,
-        unix_micros(col(tsCol).cast("timestamp")) * 1000L)
+        graft.ops.TimeCols.epochNanos(df, tsCol))
     }
 
   /** events-shaped stream from a parquet directory. Schema must be

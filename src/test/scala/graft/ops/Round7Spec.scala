@@ -207,6 +207,37 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------- timestamp tolerance
+
+  test("asOf and sessionize accept native timestamp time columns") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val left = Seq((1L, ts(10), "a"), (1L, ts(30), "b"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, ts(5), 100L), (1L, ts(20), 200L))
+      .toDF("k", "t", "view_id")
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "t", "t",
+        tieBreak = Some("view_id"))
+      .select("tag", "view_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 100L, "b" -> 200L))
+
+    // 25-min gap with a 30-min threshold -> one session; with a
+    // 10-min threshold -> split (gap arithmetic runs in nanos)
+    val ev = Seq((1L, ts(0), 1L, 1.0), (1L, ts(25), 2L, 1.0))
+      .toDF("user_id", "t", "event_id", "value")
+    val one = Sessionize.batch(ev, "user_id", "t", "event_id", "value",
+      gapNanos = 30L * 60 * 1000000000L)
+    assert(one.count() == 1)
+    val two = Sessionize.batch(ev, "user_id", "t", "event_id", "value",
+      gapNanos = 10L * 60 * 1000000000L)
+    assert(two.count() == 2)
+    // session bounds surface as epoch nanos
+    val row = one.head()
+    assert(row.getAs[Long]("session_start") ==
+      ts(0).getTime * 1000000L)
+  }
+
   // ------------------------------------------- clustered fixture
 
   test("mixtureOfGaussians: deterministic, distributed, clustered") {
