@@ -86,6 +86,7 @@ object Loader {
     "top_ngrams" -> "graft.plugins.transform.NgramsPlugin",
     "fuzzy_pairs" -> "graft.plugins.transform.FuzzyPairsPlugin",
     "interval_join" -> "graft.plugins.transform.IntervalJoinPlugin",
+    "asof_join" -> "graft.plugins.transform.AsOfJoinPlugin",
     "scd2" -> "graft.plugins.transform.ScdPlugin",
     "graph" -> "graft.plugins.transform.GraphPlugin",
     "c4_filter" -> "graft.plugins.transform.C4Plugin",

@@ -1299,6 +1299,82 @@ class IntervalJoinPlugin(options: Map[String, Any], configDir: Path, label: Stri
     } yield out
 }
 
+/** Config-driven as-of join ([[graft.ops.AsOfJoin]]): for each left
+  * row, the most recent right row with `right.time <= left.time` on
+  * matching keys — the time-series lookup the `join` plugin can't
+  * express. The right side arrives as a labeled input stream (the
+  * reference's multi-stream model, like `join`/`interval_join`).
+  * Options: right_label (req), on (req, key column list), left_time /
+  * right_time (req; epoch-long in any unit, or native timestamp
+  * columns — see TimeCols), tie_column (optional, unique per right
+  * row for deterministic equal-time picks), how = "inner" (default)
+  * | "left". */
+class AsOfJoinPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label)
+    with graft.core.MultiStreamTransformPlugin {
+  def name: String = "asof_join"
+
+  def executeWith(df: DataFrame,
+                  streams: Map[String, Either[Throwable, DataFrame]])
+      : Either[Throwable, DataFrame] =
+    for {
+      rl <- requiredString("right_label")
+      right <- streams.getOrElse(rl, Left(new NoSuchElementException(
+        s"No input data with label '$rl' for asof_join plugin")))
+      on <- stringList("on")
+      lt <- requiredString("left_time")
+      rt <- requiredString("right_time")
+      how = options.get("how").map(_.toString).getOrElse("inner")
+      _ <- collision(df.columns.toSeq, right.columns.toSeq, on)
+      out <- graft.core.Errors.safe(
+        graft.ops.AsOfJoin.asOf(df, right, on, lt, rt,
+          tieBreak = options.get("tie_column").map(_.toString),
+          joinType = how))
+    } yield out
+
+  /** Output = left columns + right payload: a shared non-key name
+    * would produce an unwritable duplicate column — fail with the
+    * remedy rather than at the sink. */
+  private def collision(left: Seq[String], right: Seq[String],
+                        on: Seq[String]): Either[Throwable, Unit] =
+    right.filterNot(on.contains).find(left.contains) match {
+      case Some(c) => Left(new PluginExecutionError(
+        s"Column '$c' exists on both sides of asof_join; rename one " +
+          "side first (e.g. a rename plugin on the labeled stream)"))
+      case None => Right(())
+    }
+
+  def dryRunWith(schema: StructType,
+                 schemas: Map[String, Either[Throwable, StructType]])
+      : Either[Throwable, StructType] =
+    for {
+      rl <- requiredString("right_label")
+      rs <- schemas.getOrElse(rl, Left(new NoSuchElementException(
+        s"No input data with label '$rl' for asof_join plugin")))
+      on <- stringList("on")
+      lt <- requiredString("left_time")
+      rt <- requiredString("right_time")
+      out <- {
+        val missing =
+          (on :+ lt).find(c => !schema.fieldNames.contains(c))
+            .map(c => s"Column '$c' not found in schema")
+            .orElse((on :+ rt).find(c => !rs.fieldNames.contains(c))
+              .map(c => s"Column '$c' not found in right schema"))
+        missing match {
+          case Some(m) => Left(new SchemaValidationError(m))
+          case None =>
+            collision(schema.fieldNames.toSeq, rs.fieldNames.toSeq, on)
+              .left.map(e => new SchemaValidationError(e.getMessage))
+              .map { _ =>
+                // output = left columns + right payload (non-key) cols
+                val payload = rs.fields.filterNot(f => on.contains(f.name))
+                StructType(schema.fields ++ payload)
+              }
+        }
+      }
+    } yield out
+}
+
 /** Config-driven SCD type-2 construction ([[graft.ops.Scd]]): collapse
   * a change-event stream into versioned validity intervals; optionally
   * follow with a point-in-time `as_of` lookup (ISO date/timestamp

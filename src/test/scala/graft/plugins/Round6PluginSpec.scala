@@ -385,6 +385,84 @@ class Round6PluginSpec extends AnyFunSuite {
     assert(plug.dryRunWith(points.schema, Map.empty).isLeft)
   }
 
+  test("asof_join plugin: most-recent-right lookup via labeled streams") {
+    val clicks = Seq((1L, 100L, "a"), (1L, 300L, "b"), (2L, 50L, "c"))
+      .toDF("user", "t", "tag")
+    val views = Seq((1L, 90L, 10L), (1L, 250L, 20L), (2L, 60L, 30L))
+      .toDF("user", "vt", "view_id")
+    val plug = new AsOfJoinPlugin(Map("right_label" -> "views",
+      "on" -> Seq("user"), "left_time" -> "t", "right_time" -> "vt",
+      "tie_column" -> "view_id", "how" -> "left"), dir, "default")
+    val out = plug.executeWith(clicks, Map("views" -> Right(views)))
+      .fold(e => fail(e.getMessage), identity)
+    val got = out.collect()
+      .map(r => r.getString(2) -> Option(r.get(4)).map(_.toString)).toMap
+    // a@100 sees view@90; b@300 sees view@250; c@50's view@60 is later
+    assert(got == Map("a" -> Some("10"), "b" -> Some("20"), "c" -> None))
+    val dry = plug.dryRunWith(clicks.schema, Map("views" -> Right(views.schema)))
+      .fold(e => fail(e.getMessage), identity)
+    assert(dry.fieldNames.toSeq == out.columns.toSeq)
+    assert(plug.dryRunWith(clicks.schema, Map.empty).isLeft)
+    assert(new AsOfJoinPlugin(Map("right_label" -> "views",
+      "on" -> Seq("user"), "left_time" -> "nope", "right_time" -> "vt"),
+      dir, "default")
+      .dryRunWith(clicks.schema, Map("views" -> Right(views.schema)))
+      .left.toOption.get.getMessage.contains("'nope' not found"))
+    // shared non-key name: caught at dry-run AND execute with the
+    // remedy, not as an unwritable duplicate column at the sink
+    val collide = new AsOfJoinPlugin(Map("right_label" -> "views",
+      "on" -> Seq("user"), "left_time" -> "t", "right_time" -> "t"),
+      dir, "default")
+    val dupViews = views.withColumnRenamed("vt", "t")
+    assert(collide.dryRunWith(clicks.schema,
+        Map("views" -> Right(dupViews.schema)))
+      .left.toOption.get.getMessage.contains("both sides"))
+    assert(collide.executeWith(clicks, Map("views" -> Right(dupViews)))
+      .left.toOption.get.getMessage.contains("both sides"))
+  }
+
+  test("e2e TOML: asof_join attributes clicks to the latest view") {
+    val tmp = Files.createTempDirectory("r7asof")
+    Seq((1L, 100L, "a"), (1L, 300L, "b")).toDF("user", "t", "tag")
+      .coalesce(1).write.parquet(tmp.resolve("clicks.parquet").toString)
+    Seq((1L, 90L, 10L), (1L, 250L, 20L)).toDF("user", "vt", "view_id")
+      .coalesce(1).write.parquet(tmp.resolve("views.parquet").toString)
+    val out = runConfig(
+      s"""
+         |[[input_plugins]]
+         |name = "clicks"
+         |module = "parquet_scan"
+         |[input_plugins.options]
+         |input_path = "clicks.parquet"
+         |
+         |[[input_plugins]]
+         |name = "views"
+         |module = "parquet_scan"
+         |label = "views"
+         |[input_plugins.options]
+         |input_path = "views.parquet"
+         |
+         |[[transform_plugins]]
+         |name = "attribute"
+         |module = "asof_join"
+         |[transform_plugins.options]
+         |right_label = "views"
+         |on = ["user"]
+         |left_time = "t"
+         |right_time = "vt"
+         |tie_column = "view_id"
+         |
+         |[[output_plugins]]
+         |name = "sink"
+         |module = "parquet_writer"
+         |[output_plugins.options]
+         |output_path = "out/attributed.parquet"
+         |""".stripMargin, tmp, "out/attributed.parquet")
+    assert(out.collect().map(r =>
+        r.getAs[String]("tag") -> r.getAs[Long]("view_id")).toMap ==
+      Map("a" -> 10L, "b" -> 20L))
+  }
+
   test("dedup plugin: incremental_neardup against a stored corpus") {
     val tmp = Files.createTempDirectory("r6ndref")
     Seq((100L, "the quick brown fox jumps over the lazy dog again and again"))
