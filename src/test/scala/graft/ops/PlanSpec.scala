@@ -206,6 +206,36 @@ class PlanSpec extends AnyFunSuite {
       "vec_id", "embedding", k = 3), "lshTopK")
   }
 
+  test("ANN candidate joins broadcast skinny probes, never fp vectors") {
+    // the probe side is multiprobe-EXPLODED (#masks x queries), so a
+    // vector there multiplies the broadcast by probes x vector width —
+    // measured 300 MB / 15 s on a 16k-query self-graph. The bucket
+    // join's BUILD side must carry only (query_id, bucket); the
+    // vector attaches after, one per query, via a separate broadcast.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for ((df, what) <- Seq(
+        (Similarity.lshTopK(e, e, "vec_id", "embedding", k = 3), "lshTopK"),
+        (Similarity.ivfTopK(e, e, "vec_id", "embedding", k = 3), "ivfTopK"))) {
+      val joins = nodes(df).collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      def buildOut(j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec) =
+        (if (j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight)
+          j.right else j.left).output
+      val bucketJoins = joins.filter(j =>
+        j.leftKeys.exists(_.references.exists(r =>
+          Seq("bucket", "list_id").contains(r.name))))
+      assert(bucketJoins.nonEmpty, s"$what: no bucket-key candidate join")
+      bucketJoins.foreach { j =>
+        assert(!buildOut(j).exists(_.dataType.isInstanceOf[
+            org.apache.spark.sql.types.ArrayType]),
+          s"$what: fp vector array rides the probe broadcast: " +
+            buildOut(j).map(a =>
+              s"${a.name}:${a.dataType.simpleString}").mkString(", "))
+      }
+    }
+  }
+
   test("spanStats scans the corpus text exactly once (cached occurrences)") {
     val tmp = java.nio.file.Files.createTempDirectory("planspan")
     docs.write.mode("overwrite").parquet(tmp.resolve("docs").toString)
