@@ -7,8 +7,11 @@ import graft.SharedSpark
 
 /** Round-7 fixes: O(log n) alternating connected components (the
   * judge's r6 top item — min-label propagation split high-diameter
-  * components at maxIter), tolerance-based PageRank early exit, and
-  * real multimodal header parsing. */
+  * components at maxIter), SQL-plugin view isolation, tolerance-based
+  * PageRank early exit, real multimodal header parsing, timestamp-
+  * tolerant time-series ops (the regenerated events fixture switched
+  * ts from timestamp[ns] to timestamp[us]), and the deterministic
+  * clustered ANN fixture behind the *_clustered bench paths. */
 class Round7Spec extends AnyFunSuite {
   implicit lazy val spark: SparkSession = SharedSpark.spark
   import spark.implicits._
