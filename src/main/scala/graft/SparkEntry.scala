@@ -457,6 +457,66 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // ---- TPC-H Q10 shape: returned-item top customers ------------
+    // Date-banded orders ⋈ lineitem(R) with two broadcast dims, then
+    // revenue top-20 as TakeOrderedAndProject; c_custkey tiebreaks
+    // the FP-sensitive cut (revenue rounded to cents in both engines).
+    "q_tpch_q10" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // ---- TPC-H Q14: promo revenue share (CASE aggregate) ---------
+    // Conditional aggregation over one join — numerator and
+    // denominator in the SAME pass (no second scan); the part side
+    // broadcasts. Output is one ratio row, rounded where FP
+    // accumulation noise is ~1e-10 relative.
+    "q_tpch_q14" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-03-01").cast("timestamp"))
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(r(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+          sum(rev), 4).as("promo_revenue"))
+    }),
+
+    // ---- TPC-H Q19 shape: disjunctive bracket predicate ----------
+    // OR-of-ANDs across both join sides (adapted to the fixture's
+    // columns: brand + size bands + quantity bands). The brackets
+    // can't push below the join as a whole, but Catalyst extracts
+    // the common p_partkey join key and per-side implied filters.
+    "q_tpch_q19" -> ((s, dir) => {
+      val joined = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+      val bracket =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(16, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(31, 50) &&
+          col("l_quantity").between(20, 40))
+      joined.filter(bracket)
+        .agg(r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // ---- TPC-H Q4 shape: EXISTS semi-join, priority counts -------
     // (Adapted: the fixture lineitem has no commit/receipt dates, so
     // "late" = shipped >90 days after the order date; the predicate
@@ -2345,6 +2405,39 @@ object SparkEntry {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  r(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT r(100.0 *
+        |    sum(CASE WHEN p_type = 'PROMO'
+        |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END) /
+        |    sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-03-01'""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT r(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 30
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
 
     "q_tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count

@@ -368,6 +368,27 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles.size <= 2, s"found ${shuffles.size} exchanges")
   }
 
+  test("tpch q19: disjunctive bracket pushes per-side implied " +
+      "filters to BOTH scans") {
+    // the OR-of-ANDs references both join sides, so the bracket as a
+    // whole can't push below the join — but Catalyst must extract the
+    // per-side implied disjunctions (quantity bands → lineitem scan,
+    // brand+size bands → part scan) so neither table is read in full
+    val df = tpch("q_tpch_q19")
+    val scans = nodes(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    def pushed(table: String) = scans
+      .filter(_.metadata.getOrElse("Location", "").contains(table))
+      .map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed("lineitem").contains("l_quantity"),
+      s"quantity bands not pushed to lineitem: ${pushed("lineitem")}")
+    assert(pushed("part").contains("p_brand") &&
+      pushed("part").contains("p_size"),
+      s"brand/size bands not pushed to part: ${pushed("part")}")
+    assert(nodes(df).exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]))
+  }
+
   test("tpch q18: semi-join (no IN collect), broadcast customer dim, " +
       "top-k via TakeOrderedAndProject") {
     val df = tpch("q_tpch_q18")
