@@ -1728,6 +1728,26 @@ object SparkEntry {
         .withColumn("sum_value", r(col("sum_value"), 2))
         .orderBy("user_id", "session_id")),
 
+    // ---- events: NATIVE session_window sessionization ------------
+    // Spark's built-in merge-on-gap session operator (the idiomatic
+    // alternative to the window-function islands in Sessionize.batch;
+    // also the streaming-capable form). Event time is built via
+    // timestamp_micros(ts div 1000) — EXACT micros, matching the
+    // DuckDB oracle's epoch_us islands; window end = last event +
+    // gap, per the operator's contract.
+    "events_session_window" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      ev.groupBy(col("user_id"),
+          session_window(col("event_time"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), r(sum("value"), 2).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start"),
+          unix_micros(col("sw.end")).as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // ---- events: tumbling-window aggregation ---------------------
     // ts arrives as raw nanoseconds (nanosAsLong, see Verify/Session);
     // bucket to hour starts in epoch seconds.
@@ -3752,6 +3772,29 @@ object SparkEntry {
         |  r(sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    // session_window semantics: same 30-min gap islands; window end =
+    // last event + gap (the operator's contract), no session_id in
+    // the output (start identifies the session)
+    "events_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events
+        |), g AS (
+        |  SELECT user_id, t, value,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |              OR t - lag(t) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        |), sess AS (
+        |  SELECT user_id, t, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(t) AS session_start,
+        |  max(t) + 1800000000 AS session_end,
+        |  count(*) AS n_events, r(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "events_window" ->
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,

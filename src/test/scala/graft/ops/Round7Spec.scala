@@ -241,6 +241,24 @@ class Round7Spec extends AnyFunSuite {
       ts(0).getTime * 1000000L)
   }
 
+  test("session_window boundary: an event exactly gap-after MERGES " +
+      "(inclusive, matching the oracle's strict-> islands)") {
+    import org.apache.spark.sql.functions._
+    val ev = Seq((1L, 0L), (1L, 1800L * 1000000), (2L, 0L),
+        (2L, 1800L * 1000000 + 1))
+      .toDF("user_id", "t_us")
+      .withColumn("event_time", expr("timestamp_micros(t_us)"))
+    val sessions = ev.groupBy(col("user_id"),
+        session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select("user_id", "n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(sessions(1L) == Seq(2L), s"exact-gap event must merge: $sessions")
+    assert(sessions(2L) == Seq(1L, 1L),
+      s"1us-past-gap event must split: $sessions")
+  }
+
   // ------------------------------------------- clustered fixture
 
   test("mixtureOfGaussians: deterministic, distributed, clustered") {
