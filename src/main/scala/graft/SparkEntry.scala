@@ -785,6 +785,63 @@ object SparkEntry {
         .orderBy("c_mktsegment", "rn")
     }),
 
+    // ---- analytic window-function suite --------------------------
+    // lead/lag/ntile/percent_rank/cume_dist/first over one window
+    // spec (one exchange, one sort). percent_rank and cume_dist are
+    // exact small-integer divisions — identical in any engine, no
+    // rounding needed; the tiebreak on s_suppkey makes every
+    // offset/rank function deterministic.
+    "q_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy("s_nationkey")
+        .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+      t(s, dir, "supplier")
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"))
+        .withColumn("prev_bal", lag("s_acctbal", 1).over(w))
+        .withColumn("next_bal", lead("s_acctbal", 1).over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .withColumn("top_key",
+          first("s_suppkey").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("s_nationkey", "s_suppkey")
+    }),
+
+    // ---- set operations: INTERSECT / EXCEPT ----------------------
+    // Tagged union output so one oracled row set pins both operators
+    // (and their DISTINCT semantics) at once.
+    "q_set_ops" -> ((s, dir) => {
+      val custNations = t(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"))
+      val suppNations = t(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey"))
+      custNations.intersect(suppNations)
+        .withColumn("op", lit("both"))
+        .unionByName(
+          custNations.except(suppNations).withColumn("op", lit("cust_only")))
+        .orderBy("op", "nationkey")
+    }),
+
+    // ---- GROUPING SETS with grouping_id --------------------------
+    // Explicit grouping sets in a shape NEITHER rollup nor cube can
+    // shorthand (two disjoint single-column sets), plus the
+    // grouping_id bitmask that disambiguates real NULL keys from
+    // subtotal rows — the plan is one Expand + one aggregation.
+    // (SQL-only surface in Spark; the temp view name is unique to
+    // this query, so Verify's concurrent single-session runs don't
+    // collide.)
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .createOrReplaceTempView("gs_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |  count(*) AS n
+          |FROM gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+    }),
+
     // ---- aggregate function suite --------------------------------
     "q_agg_stats" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -2496,6 +2553,41 @@ object SparkEntry {
     "q_sort" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_window_suite" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal,
+        |  lag(s_acctbal, 1) OVER w AS prev_bal,
+        |  lead(s_acctbal, 1) OVER w AS next_bal,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(s_suppkey) OVER (PARTITION BY s_nationkey
+        |    ORDER BY s_acctbal DESC, s_suppkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_key
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey
+        |  ORDER BY s_acctbal DESC, s_suppkey)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT nationkey, 'both' AS op FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'cust_only' AS op FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT s_nationkey FROM supplier)
+        |ORDER BY op, nationkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
 
     "q_pivot" ->
       """SELECT source,
