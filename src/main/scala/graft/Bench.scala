@@ -22,7 +22,7 @@ object Bench {
     "q_scan_project", "q_filter", "q_with_column", "q_multiplier",
     "q_groupby_agg", "q_join", "q_join_broadcast", "q_bucket_join",
     "q_sort", "q_window", "events_session_window", "q_window_suite",
-    "q_set_ops", "q_grouping_sets",
+    "q_set_ops", "q_grouping_sets", "q_array_hof", "q_from_json",
     "q_agg_stats", "q_date_funcs", "q_json", "q_semi_join", "q_anti_join",
     "q_having", "q_union", "q_distinct", "q_when_then", "events_window",
     "events_sessionize", "q_range_join", "q_approx_sketch",

@@ -1676,6 +1676,43 @@ object SparkEntry {
             lit(0.0), (acc, x) => acc + x), 4).as("head_sum"))
         .orderBy("vec_id")),
 
+    // ---- higher-order array function suite -----------------------
+    // zip_with / exists / forall / array_sort+slice / array_distinct
+    // over the embedding vectors — all codegen'd lambda functions,
+    // shuffle-free except the output ordering. The self zip_with dot
+    // product doubles as the kernel-free cosine reference.
+    "q_array_hof" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"),
+          r(aggregate(zip_with(col("v"), col("v"), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x), 4).as("self_dot"),
+          exists(col("v"), _ > 0.3).as("has_large"),
+          forall(col("v"), x => abs(x) < lit(10.0)).as("all_bounded"),
+          r(element_at(array_sort(col("v")), -1), 4).as("max_val"),
+          size(array_distinct(
+            transform(col("v"), x => (x > 0).cast("int")))).cast("long")
+            .as("n_sign_kinds"))
+        .orderBy("vec_id")),
+
+    // ---- typed JSON extraction (from_json with schema) -----------
+    // The production JSON path: parse once into a typed struct, then
+    // project fields — vs q_json's per-field get_json_object probes.
+    // Corrupt/missing fields become NULLs (exercised by the unioned
+    // edge rows), matching the oracle's TRY json extraction.
+    "q_from_json" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Seq((-2L, Option.empty[String]), (-1L, Some("not json")))
+        .toDF("event_id", "props")
+      events(s, dir).select(col("event_id"), col("props"))
+        .unionByName(edges)
+        .withColumn("parsed", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+        .select(col("event_id"), col("parsed.k").as("k"))
+        .orderBy("event_id")
+    }),
+
     // ---- as-of join (time-series; compositional one-shuffle) -----
     "q_asof_join" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -2553,6 +2590,36 @@ object SparkEntry {
     "q_sort" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_array_hof" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  r(list_sum(list_transform(v, x -> x * x)), 4) AS self_dot,
+        |  len(list_filter(v, x -> x > 0.3)) > 0 AS has_large,
+        |  len(list_filter(v, x -> abs(x) >= 10.0)) = 0 AS all_bounded,
+        |  r(list_max(v), 4) AS max_val,
+        |  CAST(len(list_distinct(list_transform(v,
+        |    x -> CASE WHEN x > 0 THEN 1 ELSE 0 END))) AS BIGINT)
+        |    AS n_sign_kinds
+        |FROM e ORDER BY vec_id""".stripMargin,
+
+    // edge rows: NULL and non-JSON props both yield NULL k (Spark
+    // PERMISSIVE from_json <-> guarded TRY extraction here)
+    "q_from_json" ->
+      """WITH src AS (
+        |  SELECT event_id, props FROM events
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (CAST(-2 AS BIGINT), CAST(NULL AS VARCHAR)),
+        |    (CAST(-1 AS BIGINT), 'not json')) v(event_id, props)
+        |)
+        |SELECT event_id,
+        |  CASE WHEN props IS NOT NULL AND json_valid(props)
+        |       THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |  END AS k
+        |FROM src ORDER BY event_id""".stripMargin,
 
     "q_window_suite" ->
       """SELECT s_nationkey, s_suppkey, s_acctbal,
