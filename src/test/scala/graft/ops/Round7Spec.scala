@@ -259,6 +259,29 @@ class Round7Spec extends AnyFunSuite {
       s"1us-past-gap event must split: $sessions")
   }
 
+  test("tsToNanos: nanos-long and timestamp[us] parquet shapes " +
+      "yield identical epoch nanos") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("tsshape")
+    val instants = Seq(0L, 1700000000123456L, 1700003600999999L) // µs
+    instants.map(us => Tuple1(us * 1000L)).toDF("ts")
+      .write.parquet(dir.resolve("ns.parquet").toString)
+    instants.map { us =>
+      val t = new java.sql.Timestamp(us / 1000000 * 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      Tuple1(t)
+    }.toDF("ts").write.parquet(dir.resolve("us.parquet").toString)
+    val fromNs = graft.streaming.Streams.tsToNanos(
+        spark.read.parquet(dir.resolve("ns.parquet").toString))
+      .select(col("ts")).as[Long].collect().sorted.toSeq
+    val fromUs = graft.streaming.Streams.tsToNanos(
+        spark.read.parquet(dir.resolve("us.parquet").toString))
+      .select(col("ts")).as[Long].collect().sorted.toSeq
+    assert(fromNs == instants.map(_ * 1000L).sorted)
+    assert(fromUs == fromNs,
+      s"fixture shapes disagree: $fromUs vs $fromNs")
+  }
+
   // ------------------------------------------- clustered fixture
 
   test("mixtureOfGaussians: deterministic, distributed, clustered") {
