@@ -40,4 +40,30 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         sum(col(valueCol)).as("sum_value"))
   }
+
+  /** Native-operator variant: Spark's built-in `session_window`
+    * merge-on-gap sessions (the streaming-capable form — the same
+    * call works under `groupBy` on a watermarked stream, which the
+    * window-function islands in [[batch]] cannot). Differences from
+    * [[batch]]: no tie column (sessions are set-merged, not
+    * row-ordered), `session_end` is last event + gap per the
+    * operator's contract (islands report the last event itself), and
+    * event times are truncated to MICROS (the operator's timestamp
+    * resolution). Bounds are epoch nanos, like [[batch]]. */
+  def nativeSessionWindow(events0: DataFrame, userCol: String,
+                          tsCol: String, valueCol: String,
+                          gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val events = events0.withColumn(tsCol,
+      TimeCols.epochNanos(events0, tsCol))
+    events
+      .withColumn("_event_time", expr(s"timestamp_micros(`$tsCol` div 1000)"))
+      .groupBy(col(userCol),
+        session_window(col("_event_time"), s"$gapSeconds seconds").as("_sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
+      .select(col(userCol),
+        (unix_micros(col("_sw.start")) * 1000L).as("session_start"),
+        (unix_micros(col("_sw.end")) * 1000L).as("session_end"),
+        col("n_events"), col("sum_value"))
+  }
 }

@@ -297,25 +297,50 @@ class ContaminationPlugin(options: Map[String, Any], configDir: Path, label: Str
 
 /** Config-driven batch sessionization ([[graft.ops.Sessionize]]):
   * gap-based sessions per user from an epoch-nanos timestamp column.
-  * Options: user_column, ts_column (epoch nanos, or a native
-  * timestamp column — normalized via TimeCols), tie_column (unique
+  * Options: method = "islands" (default — window-function gap
+  * islands, session_end = last event) or "session_window" (Spark's
+  * native merge-on-gap operator — streaming-capable, no tie column,
+  * session_end = last event + gap); user_column, ts_column (epoch
+  * nanos, or a native timestamp column — normalized via TimeCols),
+  * tie_column (islands only: unique
   * per-row, for deterministic equal-timestamp ordering), value_column,
   * gap_seconds (default 1800). */
 class SessionizePlugin(options: Map[String, Any], configDir: Path, label: String)
     extends BaseTransformPlugin(options, configDir, label) {
   def name: String = "sessionize"
 
+  private def method: String =
+    options.get("method").map(_.toString).getOrElse("islands")
+
+  private def requiredCols: Seq[String] =
+    if (method == "session_window")
+      Seq("user_column", "ts_column", "value_column")
+    else Seq("user_column", "ts_column", "tie_column", "value_column")
+
   def execute(df: DataFrame): Either[Throwable, DataFrame] =
     for {
       user <- requiredString("user_column")
       ts <- requiredString("ts_column")
-      tie <- requiredString("tie_column")
       value <- requiredString("value_column")
-      out <- graft.core.Errors.safe {
-        val gapSeconds =
-          options.get("gap_seconds").map(_.toString.toDouble.toLong).getOrElse(1800L)
-        graft.ops.Sessionize.batch(df, user, ts, tie, value,
-          gapNanos = gapSeconds * 1000000000L)
+      out <- {
+        val gapSeconds = options.get("gap_seconds")
+          .map(_.toString.toDouble.toLong).getOrElse(1800L)
+        method match {
+          case "islands" =>
+            requiredString("tie_column").flatMap(tie =>
+              graft.core.Errors.safe(
+                graft.ops.Sessionize.batch(df, user, ts, tie, value,
+                  gapNanos = gapSeconds * 1000000000L)))
+          case "session_window" =>
+            // native merge-on-gap operator (streaming-capable; no tie
+            // column; session_end = last event + gap)
+            graft.core.Errors.safe(
+              graft.ops.Sessionize.nativeSessionWindow(df, user, ts,
+                value, gapSeconds))
+          case other => Left(new PluginExecutionError(
+            s"Unknown sessionize method: '$other' " +
+              "(expected islands|session_window)"))
+        }
       }
     } yield out
 
@@ -323,15 +348,20 @@ class SessionizePlugin(options: Map[String, Any], configDir: Path, label: String
     for {
       user <- requiredString("user_column")
       _ <- requiredString("ts_column")
-      _ <- requiredString("tie_column")
       _ <- requiredString("value_column")
-      out <- Seq("user_column", "ts_column", "tie_column", "value_column")
-        .map(options(_).toString)
+      out <- requiredCols
+        .map(options.get(_).map(_.toString))
+        .collect { case Some(c) => c }
         .find(c => !schema.fieldNames.contains(c))
         .map(c => Left(new graft.core.SchemaValidationError(
           s"Column '$c' not found in schema")))
-        .getOrElse(propagateSchema(schema)(df =>
-          execute(df).fold(e => throw e, identity)))
+        .getOrElse {
+          if (method == "islands" && !options.contains("tie_column"))
+            Left(new graft.core.SchemaValidationError(
+              "Option 'tie_column' is required for method 'islands'"))
+          else propagateSchema(schema)(df =>
+            execute(df).fold(e => throw e, identity))
+        }
     } yield out
 }
 

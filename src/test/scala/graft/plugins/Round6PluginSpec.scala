@@ -385,6 +385,37 @@ class Round6PluginSpec extends AnyFunSuite {
     assert(plug.dryRunWith(points.schema, Map.empty).isLeft)
   }
 
+  test("sessionize plugin: session_window method (native operator, " +
+      "no tie column; end = last event + gap)") {
+    val ev = Seq((1L, 0L, 1.0), (1L, 1000L * 1000000000, 2.0),
+        (1L, 5000L * 1000000000L, 3.0))
+      .toDF("user_id", "ts", "value")
+    val plug = new SessionizePlugin(Map("method" -> "session_window",
+      "user_column" -> "user_id", "ts_column" -> "ts",
+      "value_column" -> "value", "gap_seconds" -> 1800), dir, "default")
+    val out = plug.execute(ev).fold(e => fail(e.getMessage), identity)
+    val rows = out.orderBy("session_start").collect()
+    assert(rows.length == 2)
+    // first session: events at 0s and 1000s merge (gap 1800s);
+    // end = 1000s + 1800s gap, in epoch nanos
+    assert(rows(0).getAs[Long]("session_start") == 0L)
+    assert(rows(0).getAs[Long]("session_end") == 2800L * 1000000000L)
+    assert(rows(0).getAs[Long]("n_events") == 2L)
+    assert(rows(1).getAs[Long]("n_events") == 1L)
+    val dry = plug.dryRun(ev.schema).fold(e => fail(e.getMessage), identity)
+    assert(dry.fieldNames.toSeq == out.columns.toSeq)
+    // islands still demands the tie column; session_window does not
+    assert(new SessionizePlugin(Map("user_column" -> "user_id",
+      "ts_column" -> "ts", "value_column" -> "value"), dir, "default")
+      .dryRun(ev.schema).left.toOption.get.getMessage
+      .contains("'tie_column' is required"))
+    assert(new SessionizePlugin(Map("method" -> "magic",
+      "user_column" -> "user_id", "ts_column" -> "ts",
+      "value_column" -> "value"), dir, "default")
+      .execute(ev).left.toOption.get.getMessage
+      .contains("Unknown sessionize method"))
+  }
+
   test("asof_join plugin: most-recent-right lookup via labeled streams") {
     val clicks = Seq((1L, 100L, "a"), (1L, 300L, "b"), (2L, 50L, "c"))
       .toDF("user", "t", "tag")
