@@ -107,20 +107,31 @@ object Bench {
     }
 
     val results = headline.map(n => n -> runOne(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // milliseconds are plenty for wall-clock seconds, and rounding
+    // halves the length of the one-line JSON the driver must capture
+    // intact from a bounded stdout tail
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stdout for the driver AND a file: the driver greps sbt output,
-    // where log noise has repeatedly mangled the line (BENCH_r01/r02
-    // both recorded "parsed": null).
-    println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // Stop Spark BEFORE printing so the summary JSON is the literal
+    // last thing this process writes to stdout: BENCH_r06/r07 both
+    // recorded "parsed": null because the driver's stdout-tail capture
+    // cut the head of the long line when output followed it. Per-query
+    // lines go first (each one independently parseable if the tail
+    // still clips the summary), summary line last, flushed.
     spark.stop()
+    results.foreach { case (k, v) =>
+      println(s"""{"query":"$k","sec":${r3(v)}}""")
+    }
+    println(line)
+    System.out.flush()
   }
 }

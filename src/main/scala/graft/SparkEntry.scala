@@ -210,8 +210,11 @@ object SparkEntry {
     * buckets of 4096. */
   private def clusteredEmb(s: SparkSession, dir: String): DataFrame = {
     val n = t(s, dir, "embeddings").count() * 8
+    // exact Long→Int (throws on overflow rather than silently wrapping
+    // to a negative k); the generator separately bounds k×d against
+    // its plan-literal ceiling
     graft.ops.SyntheticEmbeddings.mixtureOfGaussians(
-      s, n = n, k = (n / 64).toInt.max(32), sigma = 0.03)
+      s, n = n, k = math.toIntExact(n / 64).max(32), sigma = 0.03)
   }
 
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -526,9 +529,14 @@ object SparkEntry {
         .filter(col("o_orderdate").between("1996-01-01", "1996-12-31"))
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_shipdate"))
+      // timestamp-preserving + INTERVAL, not date_add: date_add
+      // truncates time-of-day to DATE while the DuckDB oracle's
+      // `+ INTERVAL 90 DAY` keeps it — identical today only because
+      // the fixture's orderdates are midnight, and the driver has
+      // regenerated fixtures with changed timestamp shapes before
       ord.join(li,
           col("o_orderkey") === col("l_orderkey") &&
-            col("l_shipdate") > date_add(col("o_orderdate"), 90),
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
           "left_semi")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("order_count"))

@@ -556,9 +556,41 @@ object Dedup {
   /** Near-dup pairs by embedding cosine ≥ threshold. Blocked via
     * random-hyperplane LSH (see Similarity.hyperplaneSignature): only
     * vectors whose signatures agree within `probeBits` bits are
-    * compared — the b-side explodes its probe masks, so a pair meets
+    * compared — the probing side explodes its masks, so a pair meets
     * iff hamming(sig_a, sig_b) ≤ probeBits, and the join stays a
-    * bucket equi-join (never all-pairs).
+    * bucket equi-join (never all-pairs). A pair meets in at most ONE
+    * orientation of one bucket (each vector has a single base
+    * signature; probe masks are distinct; `id_a < id_b` keeps one
+    * orientation), so the final grouping is defensive, not load-
+    * bearing.
+    *
+    * Scale shape of the join: the PROBING side (a) is the one that
+    * fans out `#masks`-fold, so it carries only the int8 code
+    * (D bytes + 2 doubles vs 8·D fp bytes — see
+    * [[graft.expressions.Int8Candidates]]); the base side (b) keeps
+    * one unexploded fp copy, the operand of the in-join approximate
+    * score `int8_dot(v_b, code_a)`. Pairs are pruned inside the join
+    * (approx ≥ threshold − `int8Margin`), and only the survivors
+    * re-attach the fp `v_a` for the exact cosine the output reports
+    * and the threshold is judged on — NO exchange in the plan ever
+    * carries two fp vectors on one row (pinned in PlanSpec). The
+    * margin bounds the quantization error: |int8_dot − dot| ≤
+    * (scale/2 + ulp) · Σ|v_b_i| ≈ (1/255) · √D for L2-normalized
+    * vectors (0.03 at D=64), so the default 0.1 cannot drop a true
+    * pair for any D ≤ ~600; results are bit-identical to the exact
+    * all-fp spelling (the oracle pins this).
+    *
+    * `maxBucket`/`overCap` mirror [[minhashCandidatePairs]]: a dense
+    * near-duplicate family floods one signature bucket and the
+    * self-join goes quadratic in it. Over-cap BASE buckets are
+    * withheld from the join — only intra-bucket pairs are affected;
+    * pairs reaching an over-cap bucket's members from outside still
+    * meet through the member's own probes. `overCap = "drop"`
+    * discards them (pair-exact for corpora known to stay under the
+    * cap — the oracle harness mode), `overCap = "star"` emits hub
+    * edges (bucket min-id × each member, exact-verified like every
+    * other pair) so connected-components dedup still collapses the
+    * family at O(bucket) cost.
     *
     * Recall vs threshold: per-plane agreement for a pair at cosine c
     * is 1 − acos(c)/π, so at production near-dup thresholds (c ≥ 0.9,
@@ -569,19 +601,58 @@ object Dedup {
     * there and BASELINE.md documents the measured curve. */
   def embeddingCosinePairs(df: DataFrame, idCol: String, embCol: String,
                            threshold: Double = 0.95,
-                           planes: Int = 8, probeBits: Int = 1): DataFrame = {
+                           planes: Int = 8, probeBits: Int = 1,
+                           maxBucket: Int = 1000, overCap: String = "drop",
+                           int8Margin: Double = 0.1): DataFrame = {
+    require(Set("drop", "star")(overCap), s"unknown overCap mode: $overCap")
+    import graft.expressions.Int8Candidates._
     val sig = Similarity.withNormalized(
       df.select(col(idCol), col(embCol).as("_e")), "_e", "v")
       .select(col(idCol), col("v"))
       .withColumn("bucket", Similarity.hyperplaneSignature(col("v"), planes))
-    val a = sig.select(col("bucket"), col(idCol).as("id_a"), col("v").as("v_a"))
+    val vById = sig.select(col(idCol).as("id_a"), col("v").as("v_a"))
+
+    // bucket-occupancy cap on the BASE buckets (the join key the
+    // probes land on) — hash-aggregated counts, no window
+    val counts = sig.groupBy("bucket")
+      .agg(count(lit(1)).as("_n"), min(col(idCol)).as("_hub"))
+
+    // probing side: int8 code + the probe-mask fan-out (skinny rows
+    // explode, never the fp vector)
     val probes = array(Similarity.probeMasks(planes, probeBits).map(lit): _*)
+    val aCoded = sig
+      .select(col(idCol).as("id_a"), int8_code(col("v")).as("_q8"),
+        col("bucket").as("_sig"))
+      .select(col("id_a"), col("_q8.code").as("_code"),
+        col("_q8.mn").as("_mn"), col("_q8.scale").as("_scale"),
+        explode(transform(probes, m => col("_sig").bitwiseXOR(m)))
+          .as("bucket"))
+    // base side: one fp copy per row, capped buckets withheld
     val b = sig
-      .withColumn("bucket",
-        explode(transform(probes, m => col("bucket").bitwiseXOR(m))))
+      .join(counts.filter(col("_n") <= maxBucket).select("bucket"),
+        Seq("bucket"))
       .select(col("bucket"), col(idCol).as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+
+    val candidates = aCoded.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .filter(int8_dot(col("v_b"), col("_code"), col("_mn"), col("_scale"))
+        >= threshold - int8Margin)
+      .select(col("id_a"), col("id_b"), col("v_b"))
+
+    // star edges for over-cap buckets: hub = min id, so id_a = hub
+    val withStar = if (overCap == "star") {
+      val star = sig
+        .join(counts.filter(col("_n") > maxBucket)
+          .select(col("bucket"), col("_hub")), Seq("bucket"))
+        .filter(col(idCol) =!= col("_hub"))
+        .select(col("_hub").as("id_a"), col(idCol).as("id_b"),
+          col("v").as("v_b"))
+      candidates.unionByName(star)
+    } else candidates
+
+    // exact verify on survivors only: one keyed join re-attaches v_a
+    withStar
+      .join(vById, Seq("id_a"))
       .select(col("id_a"), col("id_b"),
         Similarity.dot(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -49,13 +49,37 @@ object Sessionize {
     * row-ordered), `session_end` is last event + gap per the
     * operator's contract (islands report the last event itself), and
     * event times are truncated to MICROS (the operator's timestamp
-    * resolution). Bounds are epoch nanos, like [[batch]]. */
+    * resolution). Bounds are epoch nanos, like [[batch]].
+    *
+    * UNIT CONTRACT, stricter than [[batch]]: [[batch]] is
+    * unit-agnostic (its gap is taken in the caller's unit), but here
+    * the gap is wall-clock seconds and the column feeds
+    * `timestamp_micros(ts div 1000)`, so an integral column's unit
+    * MUST be known — a silently-misread epoch-micros/seconds long
+    * would compress every session ~10³/10⁹-fold. `tsUnit` makes the
+    * unit an explicit declaration instead of an assumption:
+    * "nanos" (default) | "micros" | "millis" | "seconds", applied to
+    * INTEGRAL columns only (native timestamp columns carry their unit
+    * exactly and ignore it). */
   def nativeSessionWindow(events0: DataFrame, userCol: String,
                           tsCol: String, valueCol: String,
-                          gapSeconds: Long): DataFrame = {
+                          gapSeconds: Long,
+                          tsUnit: String = "nanos"): DataFrame = {
     require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
-    val events = events0.withColumn(tsCol,
-      TimeCols.epochNanos(events0, tsCol))
+    val toNanos = Map("nanos" -> 1L, "micros" -> 1000L,
+      "millis" -> 1000000L, "seconds" -> 1000000000L)
+    require(toNanos.contains(tsUnit),
+      s"tsUnit must be one of ${toNanos.keys.mkString("|")}, got '$tsUnit'")
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val isTimestamp = events0.schema(tsCol).dataType match {
+      case TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val scaled = if (isTimestamp) events0
+      else events0.withColumn(tsCol,
+        col(tsCol).cast("long") * toNanos(tsUnit))
+    val events = scaled.withColumn(tsCol,
+      TimeCols.epochNanos(scaled, tsCol))
     events
       .withColumn("_event_time", expr(s"timestamp_micros(`$tsCol` div 1000)"))
       .groupBy(col(userCol),

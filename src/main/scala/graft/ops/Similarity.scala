@@ -200,20 +200,32 @@ object Similarity {
     * a 16k-query self-graph; skinny probes + a one-per-query vector
     * attach after the join is ~10 MB). `qVecs` is the UN-exploded
     * (query_id, v_q) table, broadcast once for the scoring attach.
+    *
+    * `hintBroadcast` gates BOTH broadcast hints: true is the
+    * bounded-query contract (probe/vector tables are query-sized);
+    * FALSE is mandatory when the probe side derives from the corpus
+    * (self-graphs) — there the "small" side grows linearly with the
+    * corpus and a forced broadcast is exactly the scale cliff the
+    * bucketing exists to avoid. Without the hint both joins stay
+    * keyed shuffle joins (probe rows are skinny, so the exchange is
+    * cheap) and AQE may still pick broadcast from MEASURED sizes —
+    * a runtime decision, not a corpus-blind promise.
     * Returns (queryIdOut, neighbor_id, approx) rows. */
   private[graft] def int8CandidateScan(cSide: DataFrame, probeSide: DataFrame,
                                        qVecs: DataFrame,
-                                       key: String, queryIdOut: String): DataFrame = {
+                                       key: String, queryIdOut: String,
+                                       hintBroadcast: Boolean = true): DataFrame = {
     import graft.expressions.Int8Candidates._
+    val hint = (df: DataFrame) => if (hintBroadcast) broadcast(df) else df
     val cCand = cSide
       .select(col("neighbor_id"), col(key), int8_code(col("v_c")).as("_q8"))
       .select(col("neighbor_id"), col(key),
         col("_q8.code").as("_code"), col("_q8.mn").as("_mn"),
         col("_q8.scale").as("_scale"))
-    cCand.join(broadcast(probeSide.select(col(queryIdOut), col(key))),
+    cCand.join(hint(probeSide.select(col(queryIdOut), col(key))),
         Seq(key))
       .filter(col("neighbor_id") =!= col(queryIdOut))
-      .join(broadcast(qVecs.select(col(queryIdOut), col("v_q"))),
+      .join(hint(qVecs.select(col(queryIdOut), col("v_q"))),
         Seq(queryIdOut))
       .select(col(queryIdOut), col("neighbor_id"),
         int8_dot(col("v_q"), col("_code"), col("_mn"), col("_scale"))
@@ -232,12 +244,15 @@ object Similarity {
 
   /** Exact re-rank tail shared by the quantized scans: only the
     * surviving candidates re-attach full fp vectors; query vectors
-    * broadcast. */
+    * broadcast under the bounded-query contract (`hintBroadcast`),
+    * keyed shuffle join when the query table IS the corpus. */
   private def exactRerank(candidates: DataFrame, c: DataFrame, q: DataFrame,
-                          queryIdOut: String, k: Int): DataFrame = {
+                          queryIdOut: String, k: Int,
+                          hintBroadcast: Boolean = true): DataFrame = {
+    val qSide = if (hintBroadcast) broadcast(q) else q
     val reranked = candidates
       .join(c, Seq("neighbor_id"))
-      .join(broadcast(q), Seq(queryIdOut))
+      .join(qSide, Seq(queryIdOut))
       .select(col(queryIdOut), col("neighbor_id"),
         dot(col("v_q"), col("v_c")).as("cosine"))
     val w = Window.partitionBy(queryIdOut)
@@ -495,11 +510,37 @@ object Similarity {
     * on the synthetic fixtures: see BASELINE.md). The defaults here
     * are chosen to hold recall@5 ≥ 0.9 on that worst-case data; on
     * real clustered corpora the same shape achieves it with far
-    * shallower probing. */
+    * shallower probing.
+    *
+    * `selfGraph = true` (set by [[knnGraph]]) declares that `queries`
+    * IS the corpus: every broadcast hint on query-derived tables is
+    * dropped (they grow linearly with the corpus — the probe
+    * explosion alone is `#masks ×` corpus rows), so the bucket join
+    * and the re-rank attach run as keyed shuffle joins; AQE still
+    * upgrades them to broadcast from measured sizes when genuinely
+    * small.
+    *
+    * `maxBucket > 0` caps signature-bucket occupancy (the skew cliff:
+    * a near-identical family floods one bucket and the candidate join
+    * goes quadratic in it). Over-cap buckets are withheld from the
+    * candidate join; each query probing one instead receives a single
+    * STAR candidate — the bucket's min-id member (the hub) — which
+    * joins the normal candidates in the exact re-rank. Mirrors
+    * [[Dedup.minhashCandidatePairs]]'s star policy: connectivity
+    * through the hub survives (a flooded bucket of near-identical
+    * vectors still links every member to its family) at O(bucket)
+    * instead of O(bucket²) cost; non-hub neighbors inside a flooded
+    * bucket are the sacrificed recall, which is exactly the bucket
+    * whose members are interchangeable. A pair meets in at most ONE
+    * bucket (the corpus row has a single signature and each query's
+    * probe masks are distinct), so star and normal candidates never
+    * duplicate. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, embCol: String, k: Int,
               planes: Int = 4, probeBits: Int = 3, rerank: Int = 64,
-              queryIdOut: String = "query_id"): DataFrame = {
+              queryIdOut: String = "query_id",
+              selfGraph: Boolean = false, maxBucket: Int = 0): DataFrame = {
+    val hint = !selfGraph
     val c = withNormalized(
       corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
       "_e", "v_c").select("neighbor_id", "v_c")
@@ -515,15 +556,46 @@ object Similarity {
       .withColumn("bucket",
         explode(transform(probes, m => col("_sig").bitwiseXOR(m))))
       .drop("_sig")
+
+    // Bucket-frequency cap: hash-aggregated counts + equi-joins, same
+    // shape as Dedup.minhashCandidatePairs (no window, no per-bucket
+    // materialization). Star candidates are (query, hub) rows — one
+    // per probed over-cap bucket — provably disjoint from the normal
+    // candidates (see scaladoc), so no dedup pass is needed.
+    val (cJoin, starCands) = if (maxBucket > 0) {
+      val counts = cBucketed.groupBy("bucket")
+        .agg(count(lit(1)).as("_n"), min(col("neighbor_id")).as("_hub"))
+      val under = cBucketed.join(
+        counts.filter(col("_n") <= maxBucket).select("bucket"), Seq("bucket"))
+      val star = q.select(col(queryIdOut), col("bucket"))
+        .join(counts.filter(col("_n") > maxBucket)
+          .select(col("bucket"), col("_hub")), Seq("bucket"))
+        .filter(col(queryIdOut) =!= col("_hub"))
+        .select(col(queryIdOut), col("_hub").as("neighbor_id"))
+      (under, Some(star))
+    } else (cBucketed, None)
+
     if (rerank > 0) {
-      val approx = int8CandidateScan(cBucketed, q, qPlain, "bucket", queryIdOut)
-      exactRerank(topRerank(approx, queryIdOut, rerank), c, qPlain,
-        queryIdOut, k)
+      val approx = int8CandidateScan(cJoin, q, qPlain, "bucket", queryIdOut,
+        hintBroadcast = hint)
+      val cands = topRerank(approx, queryIdOut, rerank)
+      val all = starCands.map(cands.unionByName(_)).getOrElse(cands)
+      exactRerank(all, c, qPlain, queryIdOut, k, hintBroadcast = hint)
     } else {
-      val scored = cBucketed.join(broadcast(q), Seq("bucket"))
+      val probeQ = if (hint) broadcast(q) else q
+      val base = cJoin.join(probeQ, Seq("bucket"))
         .filter(col("neighbor_id") =!= col(queryIdOut))
         .select(col(queryIdOut), col("neighbor_id"),
           dot(col("v_q"), col("v_c")).as("cosine"))
+      val scored = starCands match {
+        case Some(sc) =>
+          val qv = if (hint) broadcast(qPlain) else qPlain
+          base.unionByName(sc.join(c, Seq("neighbor_id"))
+            .join(qv, Seq(queryIdOut))
+            .select(col(queryIdOut), col("neighbor_id"),
+              dot(col("v_q"), col("v_c")).as("cosine")))
+        case None => base
+      }
       val w = Window.partitionBy(queryIdOut)
         .orderBy(col("cosine").desc, col("neighbor_id").asc)
       scored.withColumn("rank", row_number().over(w))
@@ -542,7 +614,13 @@ object Similarity {
     * by hyperplane signature, candidates stream int8-compressed, and
     * only the bounded re-rank touches fp vectors — the corpus is
     * never all-pairs joined (same shape as [[lshTopK]], which it
-    * delegates to with queries = corpus).
+    * delegates to with queries = corpus and `selfGraph = true`, so
+    * NO corpus-derived table is ever broadcast-hinted: every join in
+    * the plan is a keyed shuffle join unless AQE measures a side as
+    * genuinely small). `maxBucket` caps signature-bucket occupancy
+    * with the star fallback (see [[lshTopK]]) — a flooded bucket of
+    * near-identical vectors contributes hub edges instead of a
+    * quadratic candidate block.
     *
     * `minCosine` drops weak edges AFTER ranking (an edge-quality
     * gate, not a re-rank): rank stays the global top-k rank, so a
@@ -551,7 +629,7 @@ object Similarity {
   def knnGraph(df: DataFrame, idCol: String, embCol: String, k: Int,
                method: String = "lsh", minCosine: Double = -1.0,
                planes: Int = 4, probeBits: Int = 3,
-               rerank: Int = 64): DataFrame = {
+               rerank: Int = 64, maxBucket: Int = 1000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val topk = method match {
       case "brute"
@@ -560,7 +638,8 @@ object Similarity {
         bruteSelfTopK(df, idCol, embCol, k)
       case "brute" => bruteForceTopK(df, df, idCol, embCol, k)
       case "lsh" => lshTopK(df, df, idCol, embCol, k,
-        planes = planes, probeBits = probeBits, rerank = rerank)
+        planes = planes, probeBits = probeBits, rerank = rerank,
+        selfGraph = true, maxBucket = maxBucket)
       case other => throw new IllegalArgumentException(
         s"Unknown knnGraph method: '$other' (expected brute|lsh)")
     }

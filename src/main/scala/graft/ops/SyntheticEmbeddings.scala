@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
   * seeded driver RNG (k×d doubles, broadcast as a plan literal), and
   * per-row noise is Box-Muller over `xxhash64(id, coord, seed)` —
   * pure codegen'd column expressions over `spark.range(n)`, no RNG
-  * state, no UDF, no data movement. Generating 100 TB of it would
-  * still be a single embarrassingly-parallel stage.
+  * state, no UDF, no data movement. The ROW generation is
+  * embarrassingly parallel at any n; the CENTER table is the bound —
+  * k×d doubles materialized on the driver and serialized into every
+  * task's plan, so k must stay plan-literal-sized (≤ ~10⁶ cells;
+  * callers that scale k with n, like the clustered bench fixture's
+  * k = n/64, inherit that ceiling — beyond it, derive centers on
+  * executors from a hash of the label instead of a literal).
   */
 object SyntheticEmbeddings {
 
@@ -35,6 +40,13 @@ object SyntheticEmbeddings {
                          k: Int = 32, sigma: Double = 0.05,
                          seed: Long = 42L): DataFrame = {
     require(n > 0 && d > 0 && k > 0 && sigma >= 0)
+    // the centers literal is k×d doubles in the serialized plan —
+    // fail loudly before materializing a runaway driver allocation
+    // (clusteredEmb-style callers derive k from n, so guard here, at
+    // the point the driver memory is actually committed)
+    require(k.toLong * d <= 4_000_000L,
+      s"centers literal would be $k×$d doubles — beyond the plan-" +
+        "literal bound; derive centers from a label hash instead")
     val rnd = new scala.util.Random(seed)
     val centers: Seq[Seq[Double]] = Seq.fill(k) {
       val raw = Array.fill(d)(rnd.nextGaussian())

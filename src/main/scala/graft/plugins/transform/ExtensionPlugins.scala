@@ -304,7 +304,9 @@ class ContaminationPlugin(options: Map[String, Any], configDir: Path, label: Str
   * nanos, or a native timestamp column — normalized via TimeCols),
   * tie_column (islands only: unique
   * per-row, for deterministic equal-timestamp ordering), value_column,
-  * gap_seconds (default 1800). */
+  * gap_seconds (default 1800), ts_unit (session_window only:
+  * nanos|micros|millis|seconds, default nanos — the declared unit of
+  * an INTEGRAL ts_column; native timestamp columns ignore it). */
 class SessionizePlugin(options: Map[String, Any], configDir: Path, label: String)
     extends BaseTransformPlugin(options, configDir, label) {
   def name: String = "sessionize"
@@ -336,7 +338,9 @@ class SessionizePlugin(options: Map[String, Any], configDir: Path, label: String
             // column; session_end = last event + gap)
             graft.core.Errors.safe(
               graft.ops.Sessionize.nativeSessionWindow(df, user, ts,
-                value, gapSeconds))
+                value, gapSeconds,
+                tsUnit = options.get("ts_unit").map(_.toString)
+                  .getOrElse("nanos")))
           case other => Left(new PluginExecutionError(
             s"Unknown sessionize method: '$other' " +
               "(expected islands|session_window)"))
@@ -1396,8 +1400,13 @@ class AsOfJoinPlugin(options: Map[String, Any], configDir: Path, label: String)
             collision(schema.fieldNames.toSeq, rs.fieldNames.toSeq, on)
               .left.map(e => new SchemaValidationError(e.getMessage))
               .map { _ =>
-                // output = left columns + right payload (non-key) cols
+                // output = left columns + right payload (non-key) cols.
+                // Payload is ALWAYS nullable at runtime: execute unpacks
+                // it from the nullable `_match` struct (and how="left"
+                // yields null payloads), so the dry-run schema must not
+                // promise the right side's original non-nullability.
                 val payload = rs.fields.filterNot(f => on.contains(f.name))
+                  .map(_.copy(nullable = true))
                 StructType(schema.fields ++ payload)
               }
         }

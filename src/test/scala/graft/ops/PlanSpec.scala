@@ -313,6 +313,90 @@ class PlanSpec extends AnyFunSuite {
       "kernel self-kNN must not rank through a window")
   }
 
+  private def withConf[T](key: String, value: String)(f: => T): T = {
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try f finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def fpVecAttrs(p: SparkPlan) = p.output.filter(a =>
+    a.dataType == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType) ||
+    a.dataType == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, containsNull = false))
+
+  // With auto-broadcast disabled, any BroadcastExchange in a plan can
+  // only come from an explicit hint — so these pins distinguish
+  // "hinted a corpus-sized table" (the 100 TB scale cliff) from "AQE
+  // chose broadcast off a measured size" (fine).
+  test("self-kNN LSH graph never broadcast-hints a corpus-derived table") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 3,
+        method = "lsh")
+      val bad = nodes(g).collect { case b: BroadcastExchangeExec => b }
+      assert(bad.isEmpty,
+        s"self-graph LSH plan broadcasts a corpus-derived table " +
+          s"(${bad.size} BroadcastExchange nodes) — at 100 TB this is " +
+          "the scale cliff the bucketing exists to avoid")
+      assertNoAllPairs(g, "knnGraph(lsh)")
+    }
+  }
+
+  test("bounded-query lshTopK keeps its broadcast hints") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val topk = Similarity.lshTopK(vecs, vecs.filter($"vec_id" < 5),
+        "vec_id", "embedding", k = 3)
+      assert(nodes(topk).exists(_.isInstanceOf[BroadcastExchangeExec]),
+        "bounded-query lshTopK should broadcast the query-derived " +
+          "probe/vector tables")
+    }
+  }
+
+  test("embedding pairs: no exchange ever carries two fp vectors; " +
+      "the exploded probing side is int8-coded") {
+    val emb = (0L until 30L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val pairs = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.3, planes = 4, probeBits = 1)
+      val exchanges = nodes(pairs).collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty, "expected shuffle exchanges in the plan")
+      for (e <- exchanges)
+        assert(fpVecAttrs(e).size <= 1,
+          s"exchange carries ${fpVecAttrs(e).map(_.name)} — pair rows " +
+            "must never ship both fp vectors")
+      val codedSide = exchanges.filter(_.output.exists(_.name == "_code"))
+      assert(codedSide.nonEmpty, "expected the int8-coded probing side")
+      for (e <- codedSide)
+        assert(fpVecAttrs(e).isEmpty,
+          s"the probe-exploded side must stay int8-only, found " +
+            s"${fpVecAttrs(e).map(_.name)}")
+    }
+  }
+
+  test("embedding pairs star mode plans no all-pairs join") {
+    val emb = (0L until 30L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    assertNoAllPairs(
+      Dedup.embeddingCosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.3, planes = 4, probeBits = 1,
+        maxBucket = 3, overCap = "star"),
+      "embeddingCosinePairs(star)")
+  }
+
   test("fuzzy pairs plan keyed joins only — never a cartesian product") {
     val names = (0L until 60L).map(i => (i, s"name token$i suffix"))
       .toDF("id", "name")

@@ -416,6 +416,31 @@ class Round6PluginSpec extends AnyFunSuite {
       .contains("Unknown sessionize method"))
   }
 
+  test("sessionize session_window: ts_unit declares an integral " +
+      "column's epoch unit (micros == same instants as nanos)") {
+    val evMicros = Seq((1L, 0L, 1.0), (1L, 1000L * 1000000L, 2.0),
+        (1L, 5000L * 1000000L, 3.0))
+      .toDF("user_id", "ts", "value")
+    val plug = new SessionizePlugin(Map("method" -> "session_window",
+      "user_column" -> "user_id", "ts_column" -> "ts",
+      "value_column" -> "value", "gap_seconds" -> 1800,
+      "ts_unit" -> "micros"), dir, "default")
+    val rows = plug.execute(evMicros).fold(e => fail(e.getMessage), identity)
+      .orderBy("session_start").collect()
+    // identical sessions to the nanos fixture above: the unit is
+    // declared, not assumed — output stays epoch nanos
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("session_end") == 2800L * 1000000000L)
+    assert(rows(0).getAs[Long]("n_events") == 2L)
+    // unknown units fail loudly, never silently compress sessions
+    assert(new SessionizePlugin(Map("method" -> "session_window",
+      "user_column" -> "user_id", "ts_column" -> "ts",
+      "value_column" -> "value", "ts_unit" -> "fortnights"),
+      dir, "default")
+      .execute(evMicros).left.toOption.get.getMessage
+      .contains("tsUnit"))
+  }
+
   test("asof_join plugin: most-recent-right lookup via labeled streams") {
     val clicks = Seq((1L, 100L, "a"), (1L, 300L, "b"), (2L, 50L, "c"))
       .toDF("user", "t", "tag")
