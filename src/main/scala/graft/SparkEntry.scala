@@ -1618,23 +1618,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- multimodal: resize stage (stub codec, real plumbing) ----
-    // binary→binary per-partition resize (every 4th byte) composed
-    // with post-resize metadata decode; the oracle recomputes the
-    // strided byte selection and its checksum from the hex expansion
+    // ---- multimodal: REAL pixel resize (pure-JVM PNG codec) ------
+    // Payloads are genuine PNGs (Deflater-compressed IDAT, real CRCs)
+    // from a closed-form pixel generator; the op decodes (Inflater +
+    // filter reconstruction), box-average-downsamples by 2, re-encodes
+    // as PNG, and the query re-decodes the RESULT for exact integer
+    // stats. The oracle replays generator → block means → sums in
+    // pure SQL arithmetic — every byte of the codec path is pinned.
+    // Doc 100 (JPEG header: needs a codec library) exercises the
+    // documented stub fallback; doc 101 is a NULL payload.
     "multimodal_resize" -> ((s, dir) => {
       import s.implicits._
-      val edges = Seq((-3L, Option.empty[String]), (-2L, Some("")),
-        (-1L, Some("héllo wörld — ünicode")))
-        .toDF("doc_id", "text")
-      val withPayload = t(s, dir, "documents")
-        .select(col("doc_id"), col("text")).unionByName(edges)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      val resized = Multimodal.withResized(withPayload, "payload", factor = 4)
-      Multimodal.withDecodedMeta(resized, "resized", out = "meta")
+      val pngDocs = (1 to 18).map { id =>
+        val w = 8 + id
+        val h = 6 + (id * 3) % 11
+        val ch = (id % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+        val px = Array.tabulate(w * h * ch) { i =>
+          val c = i % ch; val x = (i / ch) % w; val y = i / (ch * w)
+          ((x * 31 + y * 17 + id * 7 + c * 5) % 256).toByte
+        }
+        (id.toLong, Multimodal.encodePng(Multimodal.PngImage(w, h, ch, px)))
+      } :+ (100L -> Multimodal.jpegHeader(800, 600))
+      val withNull = pngDocs.toDF("doc_id", "payload").unionByName(
+        Seq((101L, Option.empty[Array[Byte]])).toDF("doc_id", "payload"))
+      val resized = Multimodal.withResized(withNull.repartition(4),
+        "payload", factor = 2)
+      Multimodal.withPngStats(resized, "resized", out = "st")
         .select(col("doc_id"),
-          col("meta.n_bytes").as("n_bytes_out"),
-          col("meta.checksum").as("checksum_out"))
+          col("st.width").as("out_w"), col("st.height").as("out_h"),
+          col("st.channels").as("out_ch"),
+          col("st.pixel_sum").as("pixel_sum"),
+          col("st.n_values").as("n_values"))
         .orderBy("doc_id")
     }),
 
@@ -1670,6 +1684,33 @@ object SparkEntry {
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       Multimodal.sampleFrames(withPayload, "doc_id", "payload", frames = 4)
         .select("doc_id", "frame_idx", "offset", "n_bytes")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // ---- multimodal: REAL frame extraction from PNG "videos" -----
+    // Each payload is back-to-back concatenated PNGs (the opaque-
+    // binary video shape); the op splits on the 8-byte signatures,
+    // fully decodes every frame, and reports real dims + exact pixel
+    // sums. Oracle = the same closed-form generator in SQL.
+    "multimodal_frames_png" -> ((s, dir) => {
+      import s.implicits._
+      val vids = (1 to 8).map { id =>
+        val frames = (0 until 3).map { f =>
+          val w = 4 + (id + f) % 5
+          val h = 3 + (id * 2 + f) % 4
+          val ch = (f % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+          val px = Array.tabulate(w * h * ch) { i =>
+            val c = i % ch; val x = (i / ch) % w; val y = i / (ch * w)
+            ((x * 29 + y * 13 + id * 11 + f * 3 + c * 5) % 256).toByte
+          }
+          Multimodal.encodePng(Multimodal.PngImage(w, h, ch, px))
+        }
+        (id.toLong, frames.reduce(_ ++ _))
+      }
+      Multimodal.sampleFramesPng(vids.toDF("doc_id", "payload")
+          .repartition(3), "doc_id", "payload")
+        .select(col("doc_id"), col("frame_idx"), col("width"),
+          col("height"), col("channels"), col("pixel_sum"))
         .orderBy("doc_id", "frame_idx")
     }),
 
@@ -3809,24 +3850,72 @@ object SparkEntry {
         |  CASE WHEN n_bytes IS NULL THEN NULL ELSE checksum END AS checksum
         |FROM d ORDER BY doc_id""".stripMargin,
 
+    // Analytic replay of the real PNG resize: regenerate the pixel
+    // function, box-average 2x2 blocks with integer-floor means
+    // (partial edge blocks over covered pixels only — same semantics
+    // as resizePngBox), and sum. If any stage of the codec path
+    // (encode, deflate, inflate, filter reconstruction, resize,
+    // re-encode, re-decode) misplaced a single byte, these exact
+    // integer sums would not match.
     "multimodal_resize" ->
-      """WITH src AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT * FROM (VALUES (CAST(-3 AS BIGINT), CAST(NULL AS VARCHAR)),
-        |    (CAST(-2 AS BIGINT), ''),
-        |    (CAST(-1 AS BIGINT), 'héllo wörld — ünicode')) v(doc_id, text)
-        |), d AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN text IS NULL THEN NULL ELSE
-        |      [('0x' || substr(hex(encode(text)), 2*i + 1, 2))::BIGINT
-        |       for i in range(0, octet_length(encode(text)), 4)] END AS strided
-        |  FROM src)
-        |SELECT doc_id,
-        |  CAST(len(strided) AS BIGINT) AS n_bytes_out,
-        |  CAST(CASE WHEN text IS NULL THEN NULL
-        |       ELSE coalesce(list_sum(strided), 0) END AS BIGINT) AS checksum_out
-        |FROM d ORDER BY doc_id""".stripMargin,
+      """WITH ids AS (SELECT unnest(generate_series(1, 18)) AS id),
+        |dims AS (
+        |  SELECT id, 8 + id AS w, 6 + (id*3)%11 AS h,
+        |    CASE id%3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+        |  FROM ids),
+        |nums AS (SELECT unnest(generate_series(0, 31)) AS n),
+        |inpix AS (
+        |  SELECT d.id, x.n AS x, y.n AS y, c.n AS c,
+        |    (x.n*31 + y.n*17 + d.id*7 + c.n*5) % 256 AS v
+        |  FROM dims d
+        |  JOIN nums x ON x.n < d.w
+        |  JOIN nums y ON y.n < d.h
+        |  JOIN nums c ON c.n < d.ch),
+        |blocks AS (
+        |  SELECT id, x//2 AS ox, y//2 AS oy, c, SUM(v)//COUNT(*) AS bv
+        |  FROM inpix GROUP BY id, x//2, y//2, c),
+        |agg AS (
+        |  SELECT id, SUM(bv) AS pixel_sum, COUNT(*) AS n_values
+        |  FROM blocks GROUP BY id)
+        |SELECT CAST(d.id AS BIGINT) AS doc_id,
+        |  CAST((d.w+1)//2 AS INTEGER) AS out_w,
+        |  CAST((d.h+1)//2 AS INTEGER) AS out_h,
+        |  CAST(d.ch AS INTEGER) AS out_ch,
+        |  CAST(a.pixel_sum AS BIGINT) AS pixel_sum,
+        |  CAST(a.n_values AS BIGINT) AS n_values
+        |FROM dims d JOIN agg a ON a.id = d.id
+        |UNION ALL
+        |SELECT CAST(100 AS BIGINT), CAST(NULL AS INTEGER),
+        |  CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(101 AS BIGINT), CAST(NULL AS INTEGER),
+        |  CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Analytic replay of real PNG frame extraction: per-frame
+    // generator dims and exact pixel sums.
+    "multimodal_frames_png" ->
+      """WITH ids AS (SELECT unnest(generate_series(1, 8)) AS id),
+        |fr AS (SELECT unnest(generate_series(0, 2)) AS f),
+        |dims AS (
+        |  SELECT id, f, 4 + (id + f)%5 AS w, 3 + (id*2 + f)%4 AS h,
+        |    CASE f%3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+        |  FROM ids, fr),
+        |nums AS (SELECT unnest(generate_series(0, 8)) AS n),
+        |pix AS (
+        |  SELECT d.id, d.f, d.w, d.h, d.ch,
+        |    (x.n*29 + y.n*13 + d.id*11 + d.f*3 + c.n*5) % 256 AS v
+        |  FROM dims d
+        |  JOIN nums x ON x.n < d.w
+        |  JOIN nums y ON y.n < d.h
+        |  JOIN nums c ON c.n < d.ch)
+        |SELECT CAST(id AS BIGINT) AS doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(ch AS INTEGER) AS channels, CAST(SUM(v) AS BIGINT) AS pixel_sum
+        |FROM pix GROUP BY id, f, w, h, ch
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // Expected metadata for the real-header fixtures, computed
     // independently from the container specs (PNG sig+IHDR = 33
