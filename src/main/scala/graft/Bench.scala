@@ -50,6 +50,7 @@ object Bench {
     "q_interval_join", "dedup_incr_neardup", "sim_outliers",
     "q_fuzzy_match", "q_tpch_q7", "q_tpch_q1", "q_tpch_q18",
     "q_tpch_q4", "q_tpch_q13", "q_tpch_q10", "q_tpch_q14", "q_tpch_q19",
+    "q_tpch_q2", "q_tpch_q21",
     "multimodal_headers", "multimodal_resize", "multimodal_frames_png",
     // ANN scale paths on the clustered fixture (brute = baseline;
     // recall gated by the oracled sim_recall_knn_clustered)

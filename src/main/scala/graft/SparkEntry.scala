@@ -560,6 +560,77 @@ object SparkEntry {
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
 
+    // ---- TPC-H Q2 shape: correlated scalar subquery --------------
+    // (Adapted: the fixture has no partsupp, so lineitem is the
+    // part↔supplier bridge and min(l_extendedprice) stands in for
+    // min(ps_supplycost) — the PLANNER shape is identical: a scalar
+    // subquery correlated on the outer part key, which Catalyst must
+    // decorrelate into a grouped-min aggregate joined back on the
+    // correlation key. SQL-only surface: the DataFrame API cannot
+    // express a correlated scalar subquery. Pinned in PlanSpec: no
+    // CartesianProduct, subquery decorrelated to an aggregate+join.)
+    "q_tpch_q2" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("q2_part")
+      t(s, dir, "supplier").createOrReplaceTempView("q2_supplier")
+      t(s, dir, "lineitem").createOrReplaceTempView("q2_lineitem")
+      t(s, dir, "nation").createOrReplaceTempView("q2_nation")
+      t(s, dir, "region").createOrReplaceTempView("q2_region")
+      s.sql(
+        """SELECT floor(s_acctbal * 100 + 0.5 + 1e-6) / 100 AS s_acctbal,
+          |  s_name, n_name, p_partkey, p_brand,
+          |  floor(l_extendedprice * 100 + 0.5 + 1e-6) / 100 AS min_price
+          |FROM q2_part, q2_supplier, q2_lineitem, q2_nation, q2_region
+          |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          |  AND p_size BETWEEN 1 AND 15
+          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |  AND r_name = 'ASIA'
+          |  AND l_extendedprice = (
+          |    SELECT min(l2.l_extendedprice)
+          |    FROM q2_lineitem l2, q2_supplier s2, q2_nation n2, q2_region r2
+          |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+          |      AND s2.s_nationkey = n2.n_nationkey
+          |      AND n2.n_regionkey = r2.r_regionkey
+          |      AND r2.r_name = 'ASIA')
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+          |LIMIT 100""".stripMargin)
+    }),
+
+    // ---- TPC-H Q21 shape: EXISTS + NOT EXISTS ---------------------
+    // (Adapted: no commit/receipt dates in the fixture, so "late" =
+    // shipped >60 days after the order date. The planner shape is the
+    // hard part and survives intact: one correlated EXISTS (other
+    // supplier touched the order → left-semi) and one correlated NOT
+    // EXISTS over TWO outer attributes (no OTHER supplier was late on
+    // the same order → left-anti), both decorrelated, never a
+    // per-row subquery loop.)
+    "q_tpch_q21" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("q21_supplier")
+      t(s, dir, "lineitem").createOrReplaceTempView("q21_lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("q21_orders")
+      t(s, dir, "nation").createOrReplaceTempView("q21_nation")
+      t(s, dir, "region").createOrReplaceTempView("q21_region")
+      s.sql(
+        """SELECT s_name, count(*) AS numwait
+          |FROM q21_supplier, q21_lineitem l1, q21_orders, q21_nation,
+          |  q21_region
+          |WHERE s_suppkey = l1.l_suppkey
+          |  AND o_orderkey = l1.l_orderkey
+          |  AND o_orderstatus = 'F'
+          |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          |  AND EXISTS (SELECT 1 FROM q21_lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_shipdate > o_orderdate
+          |                      + INTERVAL 60 DAY)
+          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |  AND r_name = 'ASIA'
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name""".stripMargin)
+    }),
+
     // ---- TPC-H Q3 shape: filtered 3-way join + top-k by revenue --
     // Both date filters reach the parquet scans (PushedFilters); the
     // 302-row customer side is broadcast; lineitem ⋈ orders is the
@@ -2623,6 +2694,44 @@ object SparkEntry {
         |  GROUP BY c_custkey)
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q2" ->
+      """SELECT r(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+        |  p_partkey, p_brand, r(l_extendedprice, 2) AS min_price
+        |FROM part, supplier, lineitem, nation, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_size BETWEEN 1 AND 15
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND l_extendedprice = (
+        |    SELECT min(l2.l_extendedprice)
+        |    FROM lineitem l2, supplier s2, nation n2, region r2
+        |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'ASIA')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation, region
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate
+        |                      + INTERVAL 60 DAY)
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

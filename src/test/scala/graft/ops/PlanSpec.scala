@@ -498,4 +498,42 @@ class PlanSpec extends AnyFunSuite {
         org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
       s"no TakeOrderedAndProject in: ${ns.map(_.nodeName).distinct.mkString(", ")}")
   }
+
+  test("tpch q2: correlated scalar subquery decorrelates to an " +
+      "aggregate+join — no per-row subquery, no cartesian") {
+    val df = tpch("q_tpch_q2")
+    val ns = nodes(df)
+    assertNoAllPairs(df, "tpch q2")
+    // decorrelation proof: the min-supply-cost subquery runs as a
+    // grouped aggregate joined on the correlation key, so the
+    // physical plan contains NO scalar-subquery expression anywhere
+    // (an un-decorrelated plan would re-run the subquery per part)
+    val hasScalarSubquery = ns.exists(_.expressions.exists(_.exists {
+      case _: org.apache.spark.sql.execution.ScalarSubquery => true
+      case _ => false
+    }))
+    assert(!hasScalarSubquery,
+      "correlated scalar subquery survived to execution — decorrelation failed")
+    assert(ns.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.HashAggregateExec]) >= 2,
+      "expected the decorrelated grouped-min aggregate in the plan")
+    assert(ns.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "LIMIT 100 should plan per-partition heaps")
+  }
+
+  test("tpch q21: EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
+    val df = tpch("q_tpch_q21")
+    val ns = nodes(df)
+    assertNoAllPairs(df, "tpch q21")
+    def joinTypes = ns.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.joinType
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.joinType
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.joinType
+    }
+    assert(joinTypes.contains(org.apache.spark.sql.catalyst.plans.LeftSemi),
+      s"EXISTS must plan a left-semi join, got: $joinTypes")
+    assert(joinTypes.contains(org.apache.spark.sql.catalyst.plans.LeftAnti),
+      s"NOT EXISTS must plan a left-anti join, got: $joinTypes")
+  }
 }
