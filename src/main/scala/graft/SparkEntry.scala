@@ -2066,6 +2066,51 @@ object SparkEntry {
         .orderBy("purchase_id", "click_id")
     }),
 
+    // ---- TRUE two-source stream-stream interval join --------------
+    // Same attribution semantics as stream_interval_join, but
+    // purchases and clicks arrive as two INDEPENDENT file streams
+    // (separate landing dirs, separate readStream sources) — the
+    // production topology where each side has its own ingestion
+    // pipeline — joined by Spark's symmetric-hash stream-stream join
+    // with watermark-bounded buffers on BOTH sides. The oracle is the
+    // identical batch interval join; StreamingSpec separately pins
+    // the state bound (buffered rows are evicted as the watermark
+    // advances).
+    "stream_stream_join" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val work = scratch("stream_ssj")
+      val ev = graft.streaming.Streams.tsToNanos(t(s, dir, "events"))
+      val pDir = work.resolve("purchases")
+      val cDir = work.resolve("clicks")
+      ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+        .write.parquet(pDir.toString)
+      ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+        .write.parquet(cDir.toString)
+      def side(d: java.nio.file.Path): DataFrame = {
+        val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
+          Map("input_path" -> d.toString), work, "default")
+        graft.streaming.Streams.tsToNanos(
+          scan.execute().fold(e => throw e, identity))
+          .withColumn("event_time",
+            expr("ts div 1000000000").cast("timestamp"))
+          .select("event_id", "user_id", "event_time")
+      }
+      val joined = graft.streaming.Streams.intervalJoin(
+          side(pDir), side(cDir), "user_id", "event_time",
+          lookback = "30 minutes", watermark = "3700 days")
+        .select(col("event_id").as("purchase_id"),
+          col("r_event_id").as("click_id"), col("user_id"),
+          col("event_time").cast("long").as("purchase_t"),
+          col("r_event_time").cast("long").as("click_t"))
+      val sink = new graft.plugins.streaming.StreamParquetWriterPlugin(
+        Map("output_path" -> work.resolve("out").toString), work, "default")
+      sink.execute(joined).fold(e => throw e, _ => ())
+      s.read.parquet(work.resolve("out").toString)
+        .orderBy("purchase_id", "click_id")
+    }),
+
     // ---- cross-doc duplicated-span coverage (Lee et al. 2022) ----
     // The suffix-array "repeated substring" signal as a sharded
     // k-token rolling-window pipeline: narrow (id, pos, md5) rows →
@@ -4189,6 +4234,23 @@ object SparkEntry {
     // whole-second truncation (integer //), 30-minute lookback,
     // inclusive bounds
     "stream_interval_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    epoch_ns(ts) // 1000000000 AS purchase_t
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT event_id AS click_id, user_id,
+        |    epoch_ns(ts) // 1000000000 AS click_t
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT p.purchase_id, c.click_id, p.user_id, p.purchase_t, c.click_t
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.click_t >= p.purchase_t - 1800 AND c.click_t <= p.purchase_t
+        |ORDER BY p.purchase_id, c.click_id""".stripMargin,
+
+    // identical batch semantics to stream_interval_join — the two-
+    // source topology changes the execution, not the result
+    "stream_stream_join" ->
       """WITH p AS (
         |  SELECT event_id AS purchase_id, user_id,
         |    epoch_ns(ts) // 1000000000 AS purchase_t

@@ -74,6 +74,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty && got == want)
   }
 
+  test("two-source stream-stream join: symmetric hash state is " +
+      "watermark-bounded (buffered rows evicted across batches)") {
+    // purchases and clicks in SEPARATE landing dirs (two independent
+    // readStream sources), two part files each with widely-spaced
+    // event times, maxFilesPerTrigger=1 so the watermark advances
+    // between micro-batches — the second batch must EVICT first-batch
+    // buffers that can no longer match (delay 5 min + lookback 30 min
+    // << the 10-day jump between files).
+    val dir = Files.createTempDirectory("ssj")
+    val pDir = dir.resolve("purchases"); val cDir = dir.resolve("clicks")
+    Files.createDirectories(pDir); Files.createDirectories(cDir)
+    def writeSide(d: java.nio.file.Path, part: Int,
+                  rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("event_id", "user_id", "t")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(d.resolve(s"p$part").toString)
+    val day = 86400L
+    writeSide(pDir, 0, Seq((1L, 7L, 1000L), (2L, 8L, 2000L)))
+    writeSide(cDir, 0, Seq((10L, 7L, 400L), (11L, 8L, 1900L)))
+    writeSide(pDir, 1, Seq((3L, 7L, 10 * day)))
+    writeSide(cDir, 1, Seq((12L, 7L, 10 * day - 60)))
+    def side(d: java.nio.file.Path) =
+      spark.readStream
+        .schema("event_id BIGINT, user_id BIGINT, t BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d.resolve("p*").toString)
+        .withColumn("event_time", col("t").cast("timestamp"))
+        .select("event_id", "user_id", "event_time")
+    val joined = Streams.intervalJoin(side(pDir), side(cDir),
+      "user_id", "event_time", lookback = "30 minutes",
+      watermark = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .option("checkpointLocation", dir.resolve("ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ssj_test")
+      .select(col("event_id"), col("r_event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all four in-window matches emit, across both batches
+    assert(got == Set((1L, 10L), (2L, 11L), (3L, 12L)), s"got $got")
+    val stateOps = q.recentProgress.flatMap(_.stateOperators)
+    assert(stateOps.exists(_.operatorName.toLowerCase
+        .contains("symmetrichashjoin")),
+      s"expected a stream-stream symmetric hash join operator, got " +
+        stateOps.map(_.operatorName).distinct.mkString(", "))
+    // the state bound: watermark movement removed buffered rows
+    assert(stateOps.map(_.numRowsRemoved).sum > 0,
+      "no state eviction observed — the join buffers would grow " +
+        "without bound on an unbounded stream")
+    val finalTotal = q.recentProgress.reverse.headOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    assert(finalTotal < 8,
+      s"final state holds $finalTotal rows — should be a small " +
+        "watermark-horizon buffer, not the whole history")
+  }
+
   test("streaming dedup keeps one doc per fingerprint within the watermark") {
     val dir = Files.createTempDirectory("docs_stream")
     // near-dup pair (same normalized text) + one distinct doc
