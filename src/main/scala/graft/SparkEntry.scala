@@ -1884,7 +1884,12 @@ object SparkEntry {
           (Option.empty[String], Some(200.0)),
           (Option.empty[String], Some(400.0)))
           .toDF("l_returnflag", "l_extendedprice"))
-      graft.ops.Percentiles.exactInterpolated(
+      // auto: picks window vs distributed-selection from measured
+      // group cardinality vs parallelism — the oracle is invariant to
+      // the choice, so this row stays green on BOTH sides of the
+      // crossover (verify runs land window, 32-core bench lands
+      // selection)
+      graft.ops.Percentiles.exactInterpolatedAuto(
           base.unionByName(edges),
           Seq("l_returnflag"), "l_extendedprice",
           Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))

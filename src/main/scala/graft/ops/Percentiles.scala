@@ -199,6 +199,31 @@ object Percentiles {
     finishFromRanked(small, df, keys, valueCol, ps)
   }
 
+  /** Crossover-AUTOMATIC exact percentiles: picks the execution shape
+    * from the measured group cardinality, so callers stop choosing.
+    *
+    * The tradeoff both variants document: [[exactInterpolated]]'s
+    * window hash-partitions by group, so parallelism = #groups — at
+    * 100 TB with 4 groups that is 4 sorting tasks; the selection
+    * variant range-partitions (every core sorts a slice) but pays
+    * three jobs plus a persist, which don't amortize when groups
+    * already saturate the cluster. The crossover is therefore the
+    * cluster's parallelism: `approx_count_distinct` of the group key
+    * (one cheap key-column scan; its few-percent error is irrelevant
+    * against a parallelism-scale threshold) ≥ `defaultParallelism` →
+    * window; below → distributed selection. Output contract is
+    * identical on both sides (property-tested equal). */
+  def exactInterpolatedAuto(df: DataFrame, keys: Seq[String],
+                            valueCol: String,
+                            ps: Seq[(String, Double)]): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val nGroups = df
+      .agg(approx_count_distinct(struct(keys.map(col): _*)).as("_g"))
+      .head().getLong(0)
+    if (nGroups >= par) exactInterpolated(df, keys, valueCol, ps)
+    else exactInterpolatedBySelection(df, keys, valueCol, ps)
+  }
+
   /** Keep only the rows whose `valueCol` sits inside the per-group
     * percentile band `[lo, hi]` — the distribution-relative trim
     * every quality gate ends with ("drop the shortest 5% and the

@@ -782,8 +782,9 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
   *
   *   group_by = ["k1", ...], value_column = "v",
   *   percentiles = [0.25, 0.5, 0.75]   (labels p25/p50/p75; 0.975 → p97_5)
-  *   method = "window" (default) | "selection" (distributed selection,
-  *            for low-cardinality groups at scale)
+  *   method = "auto" (default: picks window vs selection from the
+  *            measured group cardinality vs cluster parallelism)
+  *          | "window" | "selection" (explicit overrides)
   */
 class PercentilesPlugin(options: Map[String, Any], configDir: Path, label: String)
     extends BaseTransformPlugin(options, configDir, label) {
@@ -812,7 +813,10 @@ class PercentilesPlugin(options: Map[String, Any], configDir: Path, label: Strin
     for {
       keys <- stringList("group_by")
       valueCol <- requiredString("value_column")
-      out <- options.getOrElse("method", "window").toString match {
+      out <- options.getOrElse("method", "auto").toString match {
+        case "auto" => ps.flatMap(pcts => graft.core.Errors.safe(
+          graft.ops.Percentiles.exactInterpolatedAuto(df, keys, valueCol,
+            pcts)))
         case "window" => ps.flatMap(pcts => graft.core.Errors.safe(
           graft.ops.Percentiles.exactInterpolated(df, keys, valueCol, pcts)))
         case "selection" => ps.flatMap(pcts => graft.core.Errors.safe(
@@ -835,7 +839,7 @@ class PercentilesPlugin(options: Map[String, Any], configDir: Path, label: Strin
       _ <- (keys :+ valueCol).find(c => !schema.fieldNames.contains(c))
         .map(c => Left(new SchemaValidationError(
           s"Column '$c' not found in schema"))).getOrElse(Right(()))
-      out <- options.getOrElse("method", "window").toString match {
+      out <- options.getOrElse("method", "auto").toString match {
         case "band" => band.map(_ => StructType(schema.fields :+
           StructField(options.getOrElse("output_column", "pct_rank").toString,
             DoubleType, nullable = false)))

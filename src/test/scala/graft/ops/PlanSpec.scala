@@ -499,6 +499,35 @@ class PlanSpec extends AnyFunSuite {
       s"no TakeOrderedAndProject in: ${ns.map(_.nodeName).distinct.mkString(", ")}")
   }
 
+  test("percentile auto-crossover: low-cardinality groups take the " +
+      "selection path (no corpus window), high-cardinality the window " +
+      "path — equal results on both sides") {
+    // SharedSpark is local[4] (defaultParallelism 4): 2 groups fall
+    // below the crossover, 40 groups sit above it
+    val lowCard = (0L until 200L).map(i => (s"g${i % 2}", i.toDouble))
+      .toDF("k", "v")
+    val hiCard = (0L until 200L).map(i => (s"g${i % 40}", i.toDouble))
+      .toDF("k", "v")
+    val sel = Percentiles.exactInterpolatedAuto(lowCard, Seq("k"), "v",
+      Seq("p50" -> 0.5))
+    assert(!nodes(sel).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "below the crossover the plan must not window-sort the corpus " +
+        "into #groups tasks")
+    val win = Percentiles.exactInterpolatedAuto(hiCard, Seq("k"), "v",
+      Seq("p50" -> 0.5))
+    assert(nodes(win).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "above the crossover the group-keyed window is the cheaper plan")
+    // the choice must be invisible in the results
+    def vals(df: DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(vals(sel) == vals(Percentiles.exactInterpolated(lowCard,
+      Seq("k"), "v", Seq("p50" -> 0.5))))
+    assert(vals(win) == vals(Percentiles.exactInterpolatedBySelection(
+      hiCard, Seq("k"), "v", Seq("p50" -> 0.5))))
+  }
+
   test("tpch q2: correlated scalar subquery decorrelates to an " +
       "aggregate+join — no per-row subquery, no cartesian") {
     val df = tpch("q_tpch_q2")
