@@ -66,7 +66,10 @@ class DedupPlugin(options: Map[String, Any], configDir: Path, label: String)
             Dedup.embeddingCosinePairs(df, idCol,
               options.getOrElse("embedding_column", "embedding").toString,
               threshold = numOpt("threshold", 0.95),
-              planes = numOpt("planes", 8).toInt)
+              planes = numOpt("planes", 8).toInt,
+              probeBits = numOpt("probe_bits", 1).toInt,
+              maxBucket = numOpt("max_bucket", 1000).toInt,
+              overCap = options.getOrElse("over_cap", "drop").toString)
           case "boilerplate_lines" =>
             Dedup.removeBoilerplateLines(df, idCol, textColumn,
               minDocs = numOpt("min_docs", 3).toInt)
@@ -643,7 +646,8 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
             minCosine = num("min_cosine", -1.0),
             planes = num("planes", 4).toInt,
             probeBits = num("probe_bits", 3).toInt,
-            rerank = num("rerank", 64).toInt)))
+            rerank = num("rerank", 64).toInt,
+            maxBucket = num("max_bucket", 1000).toInt)))
     if (options.getOrElse("method", "brute").toString == "knn_components")
       return requiredString("id_column").flatMap(idCol =>
         graft.core.Errors.safe(
