@@ -356,11 +356,215 @@ object Multimodal {
     PngImage(ow, oh, ch, out)
   }
 
-  /** REAL resize where the payload is a decodable PNG (decode →
-    * box-average → re-encode as PNG); the documented byte-stride stub
-    * otherwise (JPEG/GIF need a codec library this container lacks). */
+  // ---------------- real GIF pixel codec (pure JVM) ----------------
+  // GIF's LZW is plain bit-twiddling — no codec library needed either.
+  // decodeGif returns the FIRST frame as an RGB raster (palette
+  // resolved); animations' later frames and transparency compositing
+  // are out of scope (the first-frame raster is what resize/stats
+  // pipelines consume).
+
+  /** LZW decompression, GIF variant (LSB-first packing, CLEAR/EOI
+    * codes, max 12-bit codes). Returns exactly `nPixels` index bytes
+    * or None on any malformed stream. */
+  private def gifLzwDecode(minCodeSize: Int, data: Array[Byte],
+                           nPixels: Int): Option[Array[Byte]] = {
+    if (minCodeSize < 2 || minCodeSize > 8) return None
+    val out = new Array[Byte](nPixels)
+    var outPos = 0
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var codeSize = minCodeSize + 1
+    var next = eoi + 1
+    var prev = -1
+    var prevFirst: Byte = 0
+    var bitPos = 0
+    val totalBits = data.length * 8
+    while (outPos < nPixels) {
+      if (bitPos + codeSize > totalBits) return None
+      var code = 0
+      var i = 0
+      while (i < codeSize) {
+        val p = bitPos + i
+        if (((data(p >> 3) >> (p & 7)) & 1) != 0) code |= 1 << i
+        i += 1
+      }
+      bitPos += codeSize
+      if (code == eoi) return None // early EOI: fewer pixels than raster
+      else if (code == clear) {
+        next = eoi + 1; codeSize = minCodeSize + 1; prev = -1
+      } else {
+        var sp = 0
+        var c = code
+        if (c >= next) {
+          // the KwK case: only code == next with a live prefix is legal
+          if (c != next || prev < 0) return None
+          stack(sp) = prevFirst; sp += 1; c = prev
+        }
+        while (c > eoi) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        if (c >= clear) return None
+        val first = c.toByte
+        stack(sp) = first; sp += 1
+        if (outPos + sp > nPixels) return None
+        while (sp > 0) { sp -= 1; out(outPos) = stack(sp); outPos += 1 }
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev; suffix(next) = first; next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code; prevFirst = first
+      }
+    }
+    Some(out)
+  }
+
+  /** Full pixel decode of a GIF's FIRST image: logical screen +
+    * global/local color table + LZW + interlace reconstruction.
+    * Output is an RGB [[PngImage]] raster (3 channels, palette
+    * resolved). None for malformed/truncated bytes — callers fall
+    * back to the stub, never throw. */
+  def decodeGif(bytes: Array[Byte]): Option[PngImage] = {
+    if (bytes.length < 14 || bytes(0) != 'G' || bytes(1) != 'I' ||
+      bytes(2) != 'F' || bytes(3) != '8' ||
+      !(bytes(4) == '7' || bytes(4) == '9') || bytes(5) != 'a') return None
+    var i = 6
+    i += 4 // logical screen w/h (frames carry their own dims)
+    val packed = bytes(i) & 0xff; i += 3 // packed, bg index, aspect
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (i + 3 * n > bytes.length) return None
+      gct = java.util.Arrays.copyOfRange(bytes, i, i + 3 * n)
+      i += 3 * n
+    }
+    while (i < bytes.length) {
+      (bytes(i) & 0xff) match {
+        case 0x21 => // extension: label + sub-blocks
+          i += 2
+          while (i < bytes.length && bytes(i) != 0) i += 1 + (bytes(i) & 0xff)
+          i += 1
+        case 0x2c => // image descriptor
+          if (i + 10 > bytes.length) return None
+          val w = u16le(bytes, i + 5)
+          val h = u16le(bytes, i + 7)
+          val ip = bytes(i + 9) & 0xff
+          i += 10
+          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+          val interlaced = (ip & 0x40) != 0
+          var palette = gct
+          if ((ip & 0x80) != 0) {
+            val n = 2 << (ip & 7)
+            if (i + 3 * n > bytes.length) return None
+            palette = java.util.Arrays.copyOfRange(bytes, i, i + 3 * n)
+            i += 3 * n
+          }
+          if (palette == null) return None
+          if (i >= bytes.length) return None
+          val minCode = bytes(i) & 0xff; i += 1
+          val data = new java.io.ByteArrayOutputStream()
+          while (i < bytes.length && bytes(i) != 0) {
+            val len = bytes(i) & 0xff
+            if (i + 1 + len > bytes.length) return None
+            data.write(bytes, i + 1, len)
+            i += 1 + len
+          }
+          val indices = gifLzwDecode(minCode, data.toByteArray, w * h)
+            .getOrElse(return None)
+          val nColors = palette.length / 3
+          val px = new Array[Byte](w * h * 3)
+          // interlace: pass row origins/strides per the GIF89a spec
+          val rowOrder: Array[Int] =
+            if (!interlaced) Array.range(0, h)
+            else Array.concat(
+              Array.range(0, h, 8), Array.range(4, h, 8),
+              Array.range(2, h, 4), Array.range(1, h, 2))
+          var srcRow = 0
+          while (srcRow < h) {
+            val dstRow = rowOrder(srcRow)
+            var x = 0
+            while (x < w) {
+              val idx = indices(srcRow * w + x) & 0xff
+              if (idx >= nColors) return None
+              System.arraycopy(palette, idx * 3, px, (dstRow * w + x) * 3, 3)
+              x += 1
+            }
+            srcRow += 1
+          }
+          return Some(PngImage(w, h, 3, px))
+        case 0x3b => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** Encode an INDEXED raster as a real GIF89a (256-entry global
+    * color table, non-interlaced, valid LZW stream) — the fixture
+    * generator twin of [[decodeGif]]. The LZW stream uses the
+    * clear-before-every-literal form: spec-legal, dictionary never
+    * grows, any conforming decoder reads it (2× the bits of real
+    * compression — irrelevant for fixtures). `palette` is n×3 RGB
+    * (n ≤ 256); `indices` row-major. */
+  def encodeGif(width: Int, height: Int, palette: Array[Array[Int]],
+                indices: Array[Byte]): Array[Byte] = {
+    require(palette.nonEmpty && palette.length <= 256, "palette size")
+    require(indices.length == width * height, "indices != w*h")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(width & 0xff); out.write(width >> 8)
+    out.write(height & 0xff); out.write(height >> 8)
+    out.write(0xf7); out.write(0); out.write(0) // GCT 256, bg, aspect
+    var ci = 0
+    while (ci < 256) {
+      val c = if (ci < palette.length) palette(ci) else Array(0, 0, 0)
+      out.write(c(0) & 0xff); out.write(c(1) & 0xff); out.write(c(2) & 0xff)
+      ci += 1
+    }
+    out.write(0x2c) // image descriptor
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(width & 0xff); out.write(width >> 8)
+    out.write(height & 0xff); out.write(height >> 8)
+    out.write(0) // no LCT, not interlaced
+    val minCode = 8
+    out.write(minCode)
+    // bit-pack [clear, literal]* + EOI at 9 bits LSB-first
+    val clear = 1 << minCode; val eoi = clear + 1
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nAcc = 0
+    def put(code: Int): Unit = {
+      acc |= code.toLong << nAcc; nAcc += 9
+      while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nAcc -= 8 }
+    }
+    var pi = 0
+    while (pi < indices.length) {
+      put(clear); put(indices(pi) & 0xff); pi += 1
+    }
+    put(eoi)
+    if (nAcc > 0) bits.write((acc & 0xff).toInt)
+    val lzw = bits.toByteArray
+    var off = 0
+    while (off < lzw.length) {
+      val len = math.min(255, lzw.length - off)
+      out.write(len); out.write(lzw, off, len)
+      off += len
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Pixel decode dispatch: PNG and GIF are real; everything else
+    * (JPEG needs a DCT codec this container lacks) is None. */
+  def decodeImage(bytes: Array[Byte]): Option[PngImage] =
+    decodePng(bytes).orElse(decodeGif(bytes))
+
+  /** REAL resize where the payload is a decodable PNG or GIF (decode
+    * → box-average → re-encode as PNG — resized outputs are always
+    * PNG); the documented byte-stride stub otherwise (JPEG needs a
+    * codec library this container lacks). */
   def resizeReal(bytes: Array[Byte], factor: Int): Array[Byte] =
-    decodePng(bytes) match {
+    decodeImage(bytes) match {
       case Some(img) => encodePng(resizePngBox(img, factor))
       case None => resizeStub(bytes, factor)
     }
@@ -420,11 +624,12 @@ object Multimodal {
     StructField("pixel_sum", LongType, nullable = false),
     StructField("n_values", LongType, nullable = false)))
 
-  /** Decode `payloadCol` as PNG and attach real pixel statistics
-    * (dims, channel count, byte-value sum, value count) — NULL struct
-    * where the payload is not a decodable PNG. The exact-integer
-    * stats let a SQL oracle replay the whole codec path
-    * (encode → deflate → inflate → de-filter → stats) analytically. */
+  /** Decode `payloadCol` (PNG or GIF — [[decodeImage]]) and attach
+    * real pixel statistics (dims, channel count, byte-value sum,
+    * value count) — NULL struct where the payload is not decodable.
+    * The exact-integer stats let a SQL oracle replay the whole codec
+    * path (encode → compress → decompress → reconstruct → stats)
+    * analytically. */
   def withPngStats(df: DataFrame, payloadCol: String,
                    out: String = "png_stats"): DataFrame = {
     val schema = df.schema.add(out, pngStatsType, nullable = true)
@@ -433,7 +638,7 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](idx)
-        val stats = if (payload == null) null else decodePng(payload) match {
+        val stats = if (payload == null) null else decodeImage(payload) match {
           case Some(img) =>
             var sum = 0L
             var i = 0

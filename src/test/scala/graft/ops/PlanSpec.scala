@@ -499,26 +499,32 @@ class PlanSpec extends AnyFunSuite {
       s"no TakeOrderedAndProject in: ${ns.map(_.nodeName).distinct.mkString(", ")}")
   }
 
-  test("percentile auto-crossover: low-cardinality groups take the " +
-      "selection path (no corpus window), high-cardinality the window " +
-      "path — equal results on both sides") {
-    // SharedSpark is local[4] (defaultParallelism 4): 2 groups fall
-    // below the crossover, 40 groups sit above it
+  test("percentile auto-crossover: selection only when few groups AND " +
+      "huge per-group row counts; window otherwise — equal results") {
+    // SharedSpark is local[4] (defaultParallelism 4): 2 groups are
+    // below the parallelism bar; maxRowsPerTask shrunk to 10 stands
+    // in for "more rows than one task should sort"
     val lowCard = (0L until 200L).map(i => (s"g${i % 2}", i.toDouble))
       .toDF("k", "v")
     val hiCard = (0L until 200L).map(i => (s"g${i % 40}", i.toDouble))
       .toDF("k", "v")
     val sel = Percentiles.exactInterpolatedAuto(lowCard, Seq("k"), "v",
-      Seq("p50" -> 0.5))
+      Seq("p50" -> 0.5), maxRowsPerTask = 10)
     assert(!nodes(sel).exists(
         _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
-      "below the crossover the plan must not window-sort the corpus " +
-        "into #groups tasks")
-    val win = Percentiles.exactInterpolatedAuto(hiCard, Seq("k"), "v",
+      "few huge groups must not window-sort the corpus into #groups tasks")
+    // same shape, default threshold: 100 rows/group is single-task
+    // trivial — the three-job selection harness must NOT be paid
+    val winLow = Percentiles.exactInterpolatedAuto(lowCard, Seq("k"), "v",
       Seq("p50" -> 0.5))
+    assert(nodes(winLow).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "small per-group rows take the window even at low cardinality")
+    val win = Percentiles.exactInterpolatedAuto(hiCard, Seq("k"), "v",
+      Seq("p50" -> 0.5), maxRowsPerTask = 10)
     assert(nodes(win).exists(
         _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
-      "above the crossover the group-keyed window is the cheaper plan")
+      "group count >= parallelism takes the window regardless of size")
     // the choice must be invisible in the results
     def vals(df: DataFrame) = df.collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap

@@ -184,6 +184,68 @@ class PngCodecSpec extends AnyFunSuite {
       "fill bytes before a marker must not derail the segment walk")
   }
 
+  test("GIF encode->decode round-trip resolves the palette exactly") {
+    val (w, h) = (11, 7)
+    val palette = Array.tabulate(256)(i =>
+      Array(i, (i * 2) % 256, (255 - i)))
+    val indices = Array.tabulate(w * h)(i => ((i * 37 + 5) % 256).toByte)
+    val gif = Multimodal.encodeGif(w, h, palette, indices)
+    val img = Multimodal.decodeGif(gif).getOrElse(fail("decodeGif failed"))
+    assert(img.width == w && img.height == h && img.channels == 3)
+    for (i <- 0 until w * h; c <- 0 until 3)
+      assert((img.pixels(i * 3 + c) & 0xff) == palette(indices(i) & 0xff)(c),
+        s"pixel $i channel $c")
+  }
+
+  test("GIF cross-check vs javax.imageio in both directions") {
+    import java.awt.image.BufferedImage
+    // ImageIO -> ours: ImageIO's GIF writer emits REAL LZW compression
+    // (and often interlace/extension blocks), which pins the LZW
+    // decoder against an independent implementation
+    val (w, h) = (19, 12)
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, ((x * 20) % 256 << 16) | ((y * 30) % 256 << 8) | 128)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "gif", out))
+    val ours = Multimodal.decodeGif(out.toByteArray)
+      .getOrElse(fail("our decoder rejected an ImageIO-written GIF"))
+    assert(ours.width == w && ours.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = bi.getRGB(x, y) // palette-quantized by TYPE_BYTE_INDEXED
+      val base = (y * w + x) * 3
+      assert(((argb >> 16) & 0xff) == (ours.pixels(base) & 0xff), s"R($x,$y)")
+      assert(((argb >> 8) & 0xff) == (ours.pixels(base + 1) & 0xff), s"G($x,$y)")
+      assert((argb & 0xff) == (ours.pixels(base + 2) & 0xff), s"B($x,$y)")
+    }
+    // ours -> ImageIO
+    val palette = Array.tabulate(256)(i => Array(i, i, i))
+    val indices = Array.tabulate(w * h)(i => (i % 256).toByte)
+    val read = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.encodeGif(w, h, palette, indices)))
+    assert(read.getWidth == w && read.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val expect = (y * w + x) % 256
+      assert((read.getRGB(x, y) & 0xff) == expect, s"ImageIO read ($x,$y)")
+    }
+  }
+
+  test("resizeReal resizes decodable GIFs to PNG output; headers-only " +
+      "GIF falls back to the stub") {
+    val palette = Array.tabulate(256)(i => Array(i, i, i))
+    val indices = Array.tabulate(8 * 6)(i => (i * 4 % 256).toByte)
+    val gif = Multimodal.encodeGif(8, 6, palette, indices)
+    val resized = Multimodal.resizeReal(gif, 2)
+    val back = Multimodal.decodePng(resized)
+      .getOrElse(fail("GIF resize should emit a PNG"))
+    assert(back.width == 4 && back.height == 3 && back.channels == 3)
+    // dimension-only GIF header (no image data): stub path
+    val hdr = Multimodal.gifHeader(12, 34)
+    assert(Multimodal.decodeGif(hdr).isEmpty)
+    assert(Multimodal.resizeReal(hdr, 4)
+      .sameElements(Multimodal.resizeStub(hdr, 4)))
+  }
+
   test("sampleFramesPng splits concatenated PNGs and decodes each") {
     val spark = SharedSpark.spark
     import spark.implicits._
