@@ -1689,15 +1689,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- multimodal: REAL pixel resize (pure-JVM PNG codec) ------
+    // ---- multimodal: REAL pixel resize (pure-JVM PNG + GIF codecs)
     // Payloads are genuine PNGs (Deflater-compressed IDAT, real CRCs)
-    // from a closed-form pixel generator; the op decodes (Inflater +
-    // filter reconstruction), box-average-downsamples by 2, re-encodes
-    // as PNG, and the query re-decodes the RESULT for exact integer
-    // stats. The oracle replays generator → block means → sums in
-    // pure SQL arithmetic — every byte of the codec path is pinned.
-    // Doc 100 (JPEG header: needs a codec library) exercises the
-    // documented stub fallback; doc 101 is a NULL payload.
+    // and genuine GIF89a files (real LZW streams, 256-entry palette)
+    // from closed-form pixel generators; the op decodes (Inflater +
+    // filter reconstruction / LZW + palette), box-average-downsamples
+    // by 2, re-encodes as PNG, and the query re-decodes the RESULT
+    // for exact integer stats. The oracle replays generator → block
+    // means → sums in pure SQL arithmetic — every byte of both codec
+    // paths is pinned. Doc 100 (JPEG header: needs a codec library)
+    // exercises the documented stub fallback; doc 101 is NULL.
     "multimodal_resize" -> ((s, dir) => {
       import s.implicits._
       val pngDocs = (1 to 18).map { id =>
@@ -1709,6 +1710,16 @@ object SparkEntry {
           ((x * 31 + y * 17 + id * 7 + c * 5) % 256).toByte
         }
         (id.toLong, Multimodal.encodePng(Multimodal.PngImage(w, h, ch, px)))
+      } ++ (30 to 37).map { id =>
+        // GIF docs: palette[i] = (i, 2i%256, 3i%256); index(x,y) =
+        // (x*13 + y*7 + id) % 256 — both closed-form for the oracle
+        val w = 9 + (id % 5)
+        val h = 5 + (id % 7)
+        val palette = Array.tabulate(256)(i =>
+          Array(i, (i * 2) % 256, (i * 3) % 256))
+        val idxs = Array.tabulate(w * h)(i =>
+          (((i % w) * 13 + (i / w) * 7 + id) % 256).toByte)
+        (id.toLong, Multimodal.encodeGif(w, h, palette, idxs))
       } :+ (100L -> Multimodal.jpegHeader(800, 600))
       val withNull = pngDocs.toDF("doc_id", "payload").unionByName(
         Seq((101L, Option.empty[Array[Byte]])).toDF("doc_id", "payload"))
@@ -4043,6 +4054,31 @@ object SparkEntry {
         |  CAST(a.pixel_sum AS BIGINT) AS pixel_sum,
         |  CAST(a.n_values AS BIGINT) AS n_values
         |FROM dims d JOIN agg a ON a.id = d.id
+        |UNION ALL
+        |SELECT CAST(g.id AS BIGINT), CAST((g.w+1)//2 AS INTEGER),
+        |  CAST((g.h+1)//2 AS INTEGER), CAST(3 AS INTEGER),
+        |  CAST(ga.pixel_sum AS BIGINT), CAST(ga.n_values AS BIGINT)
+        |FROM (
+        |  SELECT id, 9 + (id%5) AS w, 5 + (id%7) AS h
+        |  FROM (SELECT unnest(generate_series(30, 37)) AS id)) g
+        |JOIN (
+        |  SELECT id, SUM(bv) AS pixel_sum, COUNT(*) AS n_values FROM (
+        |    SELECT p.id, p.x//2 AS ox, p.y//2 AS oy, p.c,
+        |      SUM(p.v)//COUNT(*) AS bv
+        |    FROM (
+        |      SELECT d.id, x.n AS x, y.n AS y, c.n AS c,
+        |        (((x.n*13 + y.n*7 + d.id) % 256) * (c.n+1)) % 256 AS v
+        |      FROM (
+        |        SELECT id, 9 + (id%5) AS w, 5 + (id%7) AS h
+        |        FROM (SELECT unnest(generate_series(30, 37)) AS id)) d
+        |      JOIN (SELECT unnest(generate_series(0, 31)) AS n) x
+        |        ON x.n < d.w
+        |      JOIN (SELECT unnest(generate_series(0, 31)) AS n) y
+        |        ON y.n < d.h
+        |      JOIN (SELECT unnest(generate_series(0, 2)) AS n) c
+        |        ON true) p
+        |    GROUP BY p.id, p.x//2, p.y//2, p.c)
+        |  GROUP BY id) ga ON ga.id = g.id
         |UNION ALL
         |SELECT CAST(100 AS BIGINT), CAST(NULL AS INTEGER),
         |  CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
