@@ -47,9 +47,13 @@ object Contamination {
 
   /** Decontamination: drop every corpus doc whose benchmark n-gram
     * overlap reaches `minOverlap` (1 = any shared n-gram, the strict
-    * standard). The flagged id set is tiny relative to the corpus —
-    * a left-anti join on the id, broadcast-able; the corpus rows
-    * never reshuffle. */
+    * standard). The flagged id set is USUALLY tiny relative to the
+    * corpus, but it is corpus-derived and unbounded by contract (a
+    * corpus that quotes the benchmark heavily flags a large
+    * fraction) — so the anti-join carries NO broadcast hint: the
+    * flagged rows are skinny ids and AQE upgrades the join to
+    * broadcast from their MEASURED size when they really are small,
+    * without the forced-broadcast cliff when they aren't. */
   def removeContaminated(corpus: DataFrame, idCol: String, textCol: String,
                          bench: DataFrame, benchIdCol: String,
                          benchTextCol: String, n: Int = 8,
@@ -58,6 +62,6 @@ object Contamination {
         bench, benchIdCol, benchTextCol, n)
       .filter(col("n_overlap") >= minOverlap)
       .select(col(idCol))
-    corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
+    corpus.join(flagged, Seq(idCol), "left_anti")
   }
 }
