@@ -41,7 +41,8 @@ object Bench {
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivfpq",
     "sim_quantize_raw",
     "multimodal_meta", "q_pivot", "q_unpivot",
-    "dedup_span_stats", "q_pagerank", "q_scd2", "text_tfidf",
+    "dedup_span_stats", "dedup_span_removal", "q_pagerank", "q_scd2",
+    "text_tfidf",
     "q_sample_weighted",
     "q_scd1_latest", "q_components", "text_c4", "text_lm_score",
     "q_orc_roundtrip", "q_emb_gram", "sim_pca_norm", "text_bm25",

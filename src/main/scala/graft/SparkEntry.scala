@@ -2137,6 +2137,16 @@ object SparkEntry {
       DupSpans.spanStats(t(s, dir, "documents"), "doc_id", "text", k = 8)
         .orderBy("doc_id")),
 
+    // ---- surgical duplicated-span REMOVAL (ExactSubstr-remove) ---
+    // Tokens under corpus-duplicated 8-token windows are deleted and
+    // the normalized text rebuilt; the oracle replays windows →
+    // counts → coverage → rebuild and hash-compares the full strings.
+    "dedup_span_removal" -> ((s, dir) =>
+      DupSpans.removeDuplicatedSpans(t(s, dir, "documents"),
+          "doc_id", "text", k = 8)
+        .select("doc_id", "clean_text", "n_tokens_removed")
+        .orderBy("doc_id")),
+
     // ---- PageRank over the customer–supplier trade graph ---------
     // 5 fixed power-method iterations, d=0.85, on the symmetrized
     // distinct (cust ↔ supp) edge set; the oracle unrolls the same 5
@@ -4353,6 +4363,48 @@ object SparkEntry {
         |    ELSE CAST(coalesce(cov.covered, 0) AS DOUBLE) / nt.n_tokens END
         |    AS coverage_ratio
         |FROM nt LEFT JOIN st USING (doc_id) LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // same window/count/coverage construction as dedup_span_stats,
+    // then a token-level rebuild of the uncovered positions
+    "dedup_span_removal" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, trim(regexp_replace(regexp_replace(
+        |    lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), dt AS (
+        |  SELECT doc_id, CASE WHEN length(t) = 0 THEN []
+        |    ELSE regexp_split_to_array(t, ' ') END AS toks
+        |  FROM d
+        |), g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    md5(array_to_string(toks[i:i+7], ' ')) AS h
+        |  FROM dt, unnest(CASE WHEN len(toks) >= 8
+        |    THEN range(1, len(toks) - 6) ELSE [] END) u(i)
+        |), dup AS (
+        |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+        |), covp AS (
+        |  SELECT DISTINCT g.doc_id, tok AS p
+        |  FROM g JOIN dup ON g.h = dup.h,
+        |    unnest(range(pos, pos + 8)) u(tok)
+        |), tk AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p, toks[i] AS tok
+        |  FROM dt, unnest(CASE WHEN len(toks) >= 1
+        |    THEN range(1, len(toks) + 1) ELSE [] END) u(i)
+        |), reb AS (
+        |  SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.p) AS clean
+        |  FROM tk LEFT JOIN covp ON tk.doc_id = covp.doc_id AND tk.p = covp.p
+        |  WHERE covp.p IS NULL
+        |  GROUP BY tk.doc_id
+        |), remcnt AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nrem
+        |  FROM covp GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |    ELSE coalesce(reb.clean, '') END AS clean_text,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |    ELSE coalesce(remcnt.nrem, 0) END AS n_tokens_removed
+        |FROM d LEFT JOIN reb USING (doc_id) LEFT JOIN remcnt USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // 5 unrolled power-method iterations over the symmetrized

@@ -139,4 +139,64 @@ object DupSpans {
       .filter(coalesce(col("coverage_ratio"), lit(0.0)) < maxCoverage)
       .drop("coverage_ratio")
   }
+
+  /** SURGICAL duplicated-span removal (the ExactSubstr-remove mode of
+    * Lee et al. 2022, re-expressed shuffle-friendly): delete every
+    * token lying under a corpus-duplicated k-token window and rebuild
+    * the text from the survivors, instead of gating whole documents.
+    * Appends `clean_text` (normalized-token rebuild, space-joined —
+    * detection runs on [[Text.normalize]]d tokens, so the rebuild is
+    * in that space too) and `n_tokens_removed`. NULL text passes
+    * through NULL; a doc made entirely of duplicated spans keeps an
+    * empty string. ALL occurrences of a duplicated span are removed —
+    * the conservative policy for contamination-grade spans (dropping
+    * the copies but keeping one original is [[filterByCoverage]]'s
+    * territory via doc-level triage).
+    *
+    * Scale shape: the window/count/flag stages are exactly
+    * [[spanStats]]'s narrow rows (nothing pairwise, flood families
+    * collapse to one hash group); removal adds one per-token
+    * projection of the corpus, a (id, pos) anti-join against the
+    * duplicated-coverage positions (skinny longs; AQE sizes it), and
+    * one per-doc reassembly aggregation — the same shape as
+    * [[Dedup.removeBoilerplateLines]]. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            k: Int, minOccurrences: Int = 2): DataFrame = {
+    require(minOccurrences >= 2,
+      s"minOccurrences must be >= 2, got $minOccurrences")
+    val occ = spanGramOccurrences(df, idCol, textCol, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dup = occ.groupBy("h").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= minOccurrences)
+      .select("h")
+    // distinct duplicated token positions per doc (bounded ×k explode
+    // of the duplicated windows only)
+    val covered = occ.join(dup, Seq("h"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("_p"))
+      .distinct()
+    // per-token rows of the same normalized space the windows hashed
+    val toks = df
+      .select(col(idCol), Text.normalize(col(textCol)).as("_t"))
+      .select(col(idCol),
+        posexplode(when(length(col("_t")) === 0, array().cast("array<string>"))
+          .otherwise(split(col("_t"), " "))).as(Seq("_p0", "_tok")))
+      .select(col(idCol), (col("_p0") + 1).cast("long").as("_p"), col("_tok"))
+    val kept = toks.join(covered, Seq(idCol, "_p"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_p"), col("_tok")))),
+        s => s.getField("_tok")), " ").as("_kept"))
+    val removed = covered.groupBy(idCol)
+      .agg(count(lit(1)).as("_n_removed"))
+    df.join(kept, Seq(idCol), "left")
+      .join(removed, Seq(idCol), "left")
+      .withColumn("clean_text",
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("_kept"), lit(""))))
+      .withColumn("n_tokens_removed",
+        when(col(textCol).isNull, lit(null).cast("long"))
+          .otherwise(coalesce(col("_n_removed"), lit(0L))))
+      .drop("_kept", "_n_removed")
+  }
 }

@@ -13,6 +13,7 @@ import graft.ops.{Dedup, Text}
   *
   *   method = "exact" | "fingerprint" | "minhash" | "simhash_pairs" |
   *            "ngram_pairs" | "embedding_pairs" | "boilerplate_lines" |
+  *            "span_removal" (cut corpus-duplicated k-token spans) |
   *            "semantic" (SemDeDup over an embedding column)
   */
 class DedupPlugin(options: Map[String, Any], configDir: Path, label: String)
@@ -73,6 +74,10 @@ class DedupPlugin(options: Map[String, Any], configDir: Path, label: String)
           case "boilerplate_lines" =>
             Dedup.removeBoilerplateLines(df, idCol, textColumn,
               minDocs = numOpt("min_docs", 3).toInt)
+          case "span_removal" =>
+            graft.ops.DupSpans.removeDuplicatedSpans(df, idCol, textColumn,
+              k = numOpt("k", 8).toInt,
+              minOccurrences = numOpt("min_occurrences", 2).toInt)
           case "semantic" =>
             Dedup.semDeDup(df, idCol,
               options.getOrElse("embedding_column", "embedding").toString,

@@ -57,6 +57,54 @@ class Round5Spec extends AnyFunSuite {
     assert(d4.getLong(1) == 0L && d4.getDouble(6) == 0.0)
   }
 
+  test("DupSpans.removeDuplicatedSpans: covered tokens cut, text " +
+      "rebuilt in order, edge docs intact") {
+    val docs = Seq(
+      (0L, Some("a b c d e f g h unique zero tail")),
+      (1L, Some("a b c d e f g h other one ending")),
+      (2L, Some("totally different words in this document here now extra")),
+      (3L, Some("short doc")),
+      (4L, Some("")),
+      (5L, Option.empty[String]),
+      // fully duplicated against doc 6b below
+      (6L, Some("x1 x2 x3 x4 x5 x6 x7 x8")),
+      (7L, Some("x1 x2 x3 x4 x5 x6 x7 x8"))
+    ).toDF("doc_id", "text")
+    val out = DupSpans.removeDuplicatedSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(2)), Option(r.get(3)).map(_.toString.toLong)))
+      .toMap
+    // shared 8-token prefix removed, tails survive in order
+    assert(out(0L) == (Some("unique zero tail"), Some(8L)))
+    assert(out(1L) == (Some("other one ending"), Some(8L)))
+    // untouched docs rebuild identically with zero removed
+    assert(out(2L) ==
+      (Some("totally different words in this document here now extra"),
+        Some(0L)))
+    assert(out(3L) == (Some("short doc"), Some(0L)))
+    assert(out(4L) == (Some(""), Some(0L)))
+    assert(out(5L) == (None, None))
+    // fully-duplicated docs collapse to empty strings (all occurrences
+    // removed — the conservative contamination policy)
+    assert(out(6L) == (Some(""), Some(8L)))
+    assert(out(7L) == (Some(""), Some(8L)))
+  }
+
+  test("DupSpans.removeDuplicatedSpans: within-doc repeats count") {
+    // one doc repeating its own 8-token block back-to-back: both
+    // occurrences of the window family are duplicated -> whole doc cut
+    val docs = Seq(
+      (0L, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),
+      (1L, "n1 n2 n3 n4 n5 n6 n7 n8 n9")
+    ).toDF("doc_id", "text")
+    val out = DupSpans.removeDuplicatedSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    assert(out(0L)._2 == 16L, s"expected the whole doc cut, got $out")
+    assert(out(0L)._1 == "")
+    assert(out(1L) == ("n1 n2 n3 n4 n5 n6 n7 n8 n9", 0L))
+  }
+
   test("DupSpans: overlapping dup windows merge in coverage") {
     // 9-token shared run -> two overlapping 8-windows covering 9 tokens
     val docs = Seq(
