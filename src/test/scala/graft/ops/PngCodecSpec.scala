@@ -246,6 +246,32 @@ class PngCodecSpec extends AnyFunSuite {
       .sameElements(Multimodal.resizeStub(hdr, 4)))
   }
 
+  test("decoders never throw on adversarial bytes — None, not an " +
+      "executor-killing exception") {
+    val rnd = new scala.util.Random(42)
+    // pure random garbage of assorted sizes
+    for (n <- Seq(0, 1, 7, 13, 33, 64, 256, 4096)) {
+      val junk = new Array[Byte](n); rnd.nextBytes(junk)
+      Multimodal.decodeImage(junk) // must not throw
+      Multimodal.parseHeader(junk)
+    }
+    // valid files with every single byte position mutated — CRCs,
+    // lengths, filter types, LZW codes, palette sizes all get hit
+    val png = encodePng(mkImage(6, 5, 3, 2))
+    val gif = Multimodal.encodeGif(6, 5,
+      Array.tabulate(256)(i => Array(i, i, i)),
+      Array.tabulate(30)(_.toByte))
+    for (base <- Seq(png, gif); i <- base.indices) {
+      val m = base.clone()
+      m(i) = (m(i) ^ 0x5a).toByte
+      Multimodal.decodeImage(m) // any result is fine; throwing is not
+    }
+    // truncations at every prefix length
+    for (base <- Seq(png, gif); n <- 0 until base.length) {
+      Multimodal.decodeImage(java.util.Arrays.copyOf(base, n))
+    }
+  }
+
   test("sampleFramesPng splits concatenated PNGs and decodes each") {
     val spark = SharedSpark.spark
     import spark.implicits._
