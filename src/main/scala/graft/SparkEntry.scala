@@ -652,6 +652,245 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- TPC-H Q6: forecasting revenue change --------------------
+    // The simplest full-scan shape: ALL three predicates (shipdate
+    // band, discount band, quantity cap) must reach the parquet scan
+    // as PushedFilters, and the agg is a single partial+final pass —
+    // at 100 TB this query is pure scan bandwidth, zero shuffle mass.
+    "q_tpch_q6" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(r(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // ---- TPC-H Q8: national market share -------------------------
+    // The widest join tree in the suite: lineitem ⋈ orders is the one
+    // real shuffle; part/customer/supplier and BOTH nation roles (the
+    // customer's region gate and the supplier's share nation) are
+    // broadcast dims. Share = conditional-sum / sum in a single agg
+    // pass — never two scans of the joined fact.
+    "q_tpch_q8" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("cn_key"),
+        col("n_regionkey").as("cn_region"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("cn_region") === col("r_regionkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(r(sum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0.0))) / sum(vol), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // ---- TPC-H Q9: product-type profit by nation and year --------
+    // (Adapted: no partsupp in the fixture, so supply cost is the
+    // 0.1·p_retailprice·quantity stand-in — the SHAPE is what's
+    // anchored: a LIKE-filtered part dim pruning the fact early, a
+    // two-level group key with a desc year sort, all dims broadcast.)
+    "q_tpch_q9" -> ((s, dir) => {
+      val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        lit(0.1) * col("p_retailprice") * col("l_quantity")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_name").contains("red"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(r(sum(amount), 2).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // ---- TPC-H Q11: important stock identification ----------------
+    // (Adapted: lineitem is the part↔supplier bridge.) The planner
+    // shape: an UNCORRELATED scalar aggregate subquery inside HAVING —
+    // the whole filtered corpus is re-aggregated to one number that
+    // gates the per-part groups. Spark executes the subquery once and
+    // broadcasts the scalar; the oracle proves the threshold algebra
+    // matches. SQL-only surface (HAVING-against-subquery).
+    "q_tpch_q11" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("q11_lineitem")
+      t(s, dir, "supplier").createOrReplaceTempView("q11_supplier")
+      t(s, dir, "nation").createOrReplaceTempView("q11_nation")
+      s.sql(
+        """SELECT l_partkey AS ps_partkey,
+          |  floor(sum(l_extendedprice * l_quantity) * 100 + 0.5 + 1e-6)
+          |    / 100 AS value
+          |FROM q11_lineitem, q11_supplier, q11_nation
+          |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          |  AND n_name = 'NATION_3'
+          |GROUP BY l_partkey
+          |HAVING sum(l_extendedprice * l_quantity) > (
+          |  SELECT sum(l_extendedprice * l_quantity) * 0.002
+          |  FROM q11_lineitem, q11_supplier, q11_nation
+          |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          |    AND n_name = 'NATION_3')
+          |ORDER BY value DESC, ps_partkey""".stripMargin)
+    }),
+
+    // ---- TPC-H Q12: shipping-priority bands ----------------------
+    // (Adapted: no l_shipmode/commitdate in the fixture — returnflag
+    // stands in for the mode and "late" = shipped >60 days after the
+    // order date, riding the JOIN CONDITION like Q4.) The shape:
+    // conditional counts split one pass by a priority predicate.
+    "q_tpch_q12" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag").as("shipmode"))
+        .agg(count(when(hi, 1)).as("high_line_count"),
+          count(when(!hi, 1)).as("low_line_count"))
+        .orderBy("shipmode")
+    }),
+
+    // ---- TPC-H Q15: top supplier (view + scalar max) -------------
+    // The CTE is referenced twice (row source + max subquery); Spark
+    // plans the max as a one-row uncorrelated ScalarSubquery — it runs
+    // once, never per row. The double-equality join back is computed
+    // within ONE engine on both sides, so FP sum noise cancels.
+    "q_tpch_q15" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("q15_lineitem")
+      t(s, dir, "supplier").createOrReplaceTempView("q15_supplier")
+      s.sql(
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    sum(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+          |  FROM q15_lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |    AND l_shipdate < TIMESTAMP '1996-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name,
+          |  floor(total_revenue * 100 + 0.5 + 1e-6) / 100 AS total_revenue
+          |FROM q15_supplier, revenue
+          |WHERE s_suppkey = supplier_no
+          |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    // ---- TPC-H Q16: parts/supplier relationship ------------------
+    // (Adapted: the supplier "complaints" blocklist is s_acctbal < 0.)
+    // The planner shapes: NOT IN over a subquery → a NULL-AWARE anti
+    // join (single-key BroadcastHashJoin NAAJ in Spark), and
+    // count(DISTINCT) over the surviving bridge — distinct-expand
+    // rides the same shuffle as the group keys.
+    "q_tpch_q16" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("q16_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("q16_part")
+      t(s, dir, "supplier").createOrReplaceTempView("q16_supplier")
+      s.sql(
+        """SELECT p_brand, p_type, p_size,
+          |  count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM q16_lineitem JOIN q16_part ON p_partkey = l_partkey
+          |WHERE p_brand <> 'Brand#1'
+          |  AND p_type NOT LIKE 'PROMO%'
+          |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          |  AND l_suppkey NOT IN (
+          |    SELECT s_suppkey FROM q16_supplier WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+    }),
+
+    // ---- TPC-H Q17: small-quantity-order revenue -----------------
+    // The canonical CORRELATED AVG scalar subquery: each lineitem row
+    // compares against the mean quantity OF ITS OWN PART. Catalyst
+    // must decorrelate to a per-part aggregate joined back on
+    // p_partkey — a per-row subquery loop at 100 TB would be a
+    // full-table scan per row. Pinned in PlanSpec.
+    "q_tpch_q17" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("q17_part")
+      s.sql(
+        """SELECT floor((sum(l_extendedprice) / 7.0) * 100 + 0.5 + 1e-6)
+          |    / 100 AS avg_yearly,
+          |  count(*) AS n_small
+          |FROM q17_lineitem, q17_part
+          |WHERE p_partkey = l_partkey AND p_brand = 'Brand#2'
+          |  AND l_quantity < (
+          |    SELECT 0.2 * avg(l2.l_quantity) FROM q17_lineitem l2
+          |    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+    }),
+
+    // ---- TPC-H Q20: potential part promotion ---------------------
+    // (Adapted: no partsupp.availqty — "dominant supplier" = shipped
+    // >70% of a red part's total 1996 volume.) The NESTED shape is
+    // the anchor: an IN semi-join whose subquery itself contains a
+    // correlated scalar aggregate (per-part total) AND another IN
+    // semi-join (the part name filter) — three levels, all
+    // decorrelated, no per-row loops.
+    "q_tpch_q20" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("q20_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("q20_part")
+      t(s, dir, "supplier").createOrReplaceTempView("q20_supplier")
+      s.sql(
+        """SELECT s_suppkey, s_name
+          |FROM q20_supplier
+          |WHERE s_suppkey IN (
+          |  SELECT sq FROM (
+          |    SELECT l_suppkey AS sq, l_partkey AS pq,
+          |      sum(l_quantity) AS qty
+          |    FROM q20_lineitem
+          |    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |      AND l_shipdate < TIMESTAMP '1997-01-01'
+          |    GROUP BY l_suppkey, l_partkey) t
+          |  WHERE pq IN (SELECT p_partkey FROM q20_part
+          |               WHERE p_name LIKE 'red%')
+          |    AND qty > (SELECT 0.7 * sum(l2.l_quantity)
+          |               FROM q20_lineitem l2
+          |               WHERE l2.l_partkey = pq
+          |                 AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+          |                 AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    // ---- TPC-H Q22: global sales opportunity ---------------------
+    // (Adapted: country code = c_nationkey % 7 — no phone column —
+    // and "dormant" = no order since 2000, because every fixture
+    // customer has SOME order.) Shapes: an uncorrelated scalar AVG
+    // subquery gating the row set, plus a correlated NOT EXISTS that
+    // must plan as a left-anti join against the date-filtered orders.
+    "q_tpch_q22" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q22_customer")
+      t(s, dir, "orders").createOrReplaceTempView("q22_orders")
+      s.sql(
+        """SELECT cntrycode, count(*) AS numcust,
+          |  floor(sum(c_acctbal) * 100 + 0.5 + 1e-6) / 100 AS totacctbal
+          |FROM (
+          |  SELECT c_nationkey % 7 AS cntrycode, c_acctbal, c_custkey
+          |  FROM q22_customer
+          |  WHERE c_nationkey % 7 IN (1, 2, 3, 4, 5)
+          |    AND c_acctbal > (
+          |      SELECT avg(c_acctbal) FROM q22_customer
+          |      WHERE c_acctbal > 0.0
+          |        AND c_nationkey % 7 IN (1, 2, 3, 4, 5))) c
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM q22_orders
+          |  WHERE o_custkey = c_custkey
+          |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+          |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)
+    }),
+
     // ---- pivot: long → wide with an explicit category list -------
     // Explicit values make the output schema static (no extra
     // distinct-scan job, deterministic column order — the only sane
@@ -2815,6 +3054,144 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT r(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT o_year,
+        |  r(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+        |    / sum(volume), 6) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part, supplier, lineitem, orders, customer,
+        |    nation n1, nation n2, region
+        |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey
+        |    AND n1.n_regionkey = r_regionkey
+        |    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        |    AND p_type = 'PROMO')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q_tpch_q9" ->
+      """SELECT nation, o_year, r(sum(amount), 2) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation,
+        |    CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    l_extendedprice * (1.0 - l_discount)
+        |      - 0.1 * p_retailprice * l_quantity AS amount
+        |  FROM part, supplier, lineitem, orders, nation
+        |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |    AND p_name LIKE '%red%')
+        |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q_tpch_q11" ->
+      """SELECT l_partkey AS ps_partkey,
+        |  r(sum(l_extendedprice * l_quantity), 2) AS value
+        |FROM lineitem, supplier, nation
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_3'
+        |GROUP BY l_partkey
+        |HAVING sum(l_extendedprice * l_quantity) > (
+        |  SELECT sum(l_extendedprice * l_quantity) * 0.002
+        |  FROM lineitem, supplier, nation
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_3')
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_returnflag AS shipmode,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY shipmode ORDER BY shipmode""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  r(total_revenue, 2) AS total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q_tpch_q17" ->
+      """SELECT r(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_small
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#2'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q_tpch_q20" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT sq FROM (
+        |    SELECT l_suppkey AS sq, l_partkey AS pq,
+        |      sum(l_quantity) AS qty
+        |    FROM lineitem
+        |    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    GROUP BY l_suppkey, l_partkey) t
+        |  WHERE pq IN (SELECT p_partkey FROM part
+        |               WHERE p_name LIKE 'red%')
+        |    AND qty > (SELECT 0.7 * sum(l2.l_quantity)
+        |               FROM lineitem l2
+        |               WHERE l2.l_partkey = pq
+        |                 AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+        |                 AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q22" ->
+      """SELECT cntrycode, count(*) AS numcust,
+        |  r(sum(c_acctbal), 2) AS totacctbal
+        |FROM (
+        |  SELECT c_nationkey % 7 AS cntrycode, c_acctbal, c_custkey
+        |  FROM customer
+        |  WHERE c_nationkey % 7 IN (1, 2, 3, 4, 5)
+        |    AND c_acctbal > (
+        |      SELECT avg(c_acctbal) FROM customer
+        |      WHERE c_acctbal > 0.0
+        |        AND c_nationkey % 7 IN (1, 2, 3, 4, 5))) c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
 
     "q_sort" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -571,4 +571,99 @@ class PlanSpec extends AnyFunSuite {
     assert(joinTypes.contains(org.apache.spark.sql.catalyst.plans.LeftAnti),
       s"NOT EXISTS must plan a left-anti join, got: $joinTypes")
   }
+
+  private def joinTypesOf(ns: Seq[SparkPlan]) = ns.collect {
+    case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.joinType
+    case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.joinType
+    case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.joinType
+  }
+
+  private def hasScalarSubquery(ns: Seq[SparkPlan]): Boolean =
+    ns.exists(_.expressions.exists(_.exists {
+      case _: org.apache.spark.sql.execution.ScalarSubquery => true
+      case _ => false
+    }))
+
+  test("tpch q6: all three predicates reach the parquet scan") {
+    val ns = nodes(tpch("q_tpch_q6"))
+    val pushed = ns.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.metadata.getOrElse("PushedFilters", "")
+    }.mkString("; ")
+    // at 100 TB this query is scan bandwidth; a predicate that stays
+    // above the reader gives up row-group pruning on that column
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"$c not pushed: $pushed")
+  }
+
+  test("tpch q8: dims broadcast; only the fact join + agg shuffle") {
+    val df = tpch("q_tpch_q8")
+    val ns = nodes(df)
+    assertNoAllPairs(df, "tpch q8")
+    val bhj = ns.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bhj >= 5, s"expected >=5 broadcast dim joins, got $bhj")
+    val shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec])
+    // lineitem ⋈ orders (2 exchanges) + the year agg boundary; the
+    // seven dimension joins must not add exchanges
+    assert(shuffles <= 3, s"found $shuffles exchanges — a dim join shuffled")
+  }
+
+  test("tpch q16: NOT IN plans a null-aware anti join, never a loop") {
+    val df = tpch("q_tpch_q16")
+    val ns = nodes(df)
+    assertNoAllPairs(df, "tpch q16")
+    assert(joinTypesOf(ns).contains(
+      org.apache.spark.sql.catalyst.plans.LeftAnti),
+      s"NOT IN must plan an anti join, got: ${joinTypesOf(ns)}")
+  }
+
+  test("tpch q17: correlated avg subquery decorrelates to a per-part " +
+      "aggregate join — no per-row subquery") {
+    val df = tpch("q_tpch_q17")
+    val ns = nodes(df)
+    assertNoAllPairs(df, "tpch q17")
+    assert(!hasScalarSubquery(ns),
+      "correlated avg subquery survived to execution — decorrelation failed")
+    assert(ns.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.HashAggregateExec]) >= 2,
+      "expected the decorrelated per-part avg aggregate in the plan")
+  }
+
+  test("tpch q20: nested IN + correlated scalar all decorrelate") {
+    val df = tpch("q_tpch_q20")
+    val ns = nodes(df)
+    assertNoAllPairs(df, "tpch q20")
+    assert(!hasScalarSubquery(ns),
+      "correlated per-part total survived as a scalar subquery")
+    assert(joinTypesOf(ns).count(
+      _ == org.apache.spark.sql.catalyst.plans.LeftSemi) >= 2,
+      s"expected both IN levels as semi joins, got: ${joinTypesOf(ns)}")
+  }
+
+  test("tpch q22: NOT EXISTS anti-joins; the global avg runs once") {
+    val df = tpch("q_tpch_q22")
+    val ns = nodes(df)
+    assertNoAllPairs(df, "tpch q22")
+    assert(joinTypesOf(ns).contains(
+      org.apache.spark.sql.catalyst.plans.LeftAnti),
+      s"NOT EXISTS must plan a left-anti join, got: ${joinTypesOf(ns)}")
+    // the uncorrelated avg is ALLOWED to stay a ScalarSubquery — it
+    // executes exactly once; the pin is that the anti join and the
+    // scalar gate never degrade to a nested loop (assertNoAllPairs)
+  }
+
+  test("tpch q15: CTE max runs as a one-shot scalar, no cartesian") {
+    val df = tpch("q_tpch_q15")
+    assertNoAllPairs(df, "tpch q15")
+  }
+
+  test("tpch q11: HAVING-against-subquery keeps a single agg pipeline") {
+    val df = tpch("q_tpch_q11")
+    assertNoAllPairs(df, "tpch q11")
+    val ns = nodes(df)
+    assert(ns.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.HashAggregateExec]) >= 2,
+      "expected per-part and threshold aggregates")
+  }
 }
