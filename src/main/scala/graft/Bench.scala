@@ -54,6 +54,7 @@ object Bench {
     "q_tpch_q2", "q_tpch_q21",
     "q_tpch_q6", "q_tpch_q8", "q_tpch_q9", "q_tpch_q11", "q_tpch_q12",
     "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q20", "q_tpch_q22",
+    "q_dpp_prune",
     "multimodal_headers", "multimodal_resize", "multimodal_frames_png",
     // ANN scale paths on the clustered fixture (brute = baseline;
     // recall gated by the oracled sim_recall_knn_clustered)

@@ -1032,6 +1032,34 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)),
 
+    // ---- dynamic partition pruning (fact partitioned by year) ----
+    // THE scan-reduction feature at 100 TB: the fact table is laid
+    // out partitioned on the join key and the dim-side filter is on
+    // an ATTRIBUTE (is_peak), not the key — so no static pruning is
+    // possible, and only Spark's dynamic partition pruning (a
+    // broadcast-fed IN-subquery injected into the scan's partition
+    // filters at runtime) keeps the query from reading every year.
+    // PlanSpec pins the DynamicPruningExpression in the scan; this
+    // row pins that pruned results equal the oracle's full-scan
+    // arithmetic on the plain table.
+    "q_dpp_prune" -> ((s, dir) => {
+      val work = scratch("dpp")
+      t(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").mode("overwrite")
+        .parquet(work.resolve("orders_by_year").toString)
+      val fact = s.read.parquet(work.resolve("orders_by_year").toString)
+      val dim = s.range(1990, 2005)
+        .select(col("id").cast("int").as("cal_year"))
+        .withColumn("is_peak", col("cal_year") % 3 === 0)
+      fact.join(broadcast(dim.filter(col("is_peak"))),
+          col("o_year") === col("cal_year"))
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_orders"),
+          r(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("o_year")
+    }),
+
     // ---- when/then/otherwise -------------------------------------
     "q_when_then" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -3196,6 +3224,17 @@ object SparkEntry {
     "q_sort" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // The partitioned layout + dynamic pruning must not change a
+    // value: the oracle computes the same year gate arithmetically
+    // over the PLAIN table (is_peak = year % 3 = 0 — the dim is
+    // derived, so the join is pure selection here).
+    "q_dpp_prune" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  count(*) AS n_orders, r(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |WHERE CAST(year(o_orderdate) AS INTEGER) % 3 = 0
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     "q_array_hof" ->
       """WITH e AS (

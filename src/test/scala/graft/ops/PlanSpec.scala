@@ -666,4 +666,59 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.aggregate.HashAggregateExec]) >= 2,
       "expected per-part and threshold aggregates")
   }
+
+  test("dpp: the attribute-filtered dim join injects dynamic partition " +
+      "pruning into the partitioned fact scan") {
+    // q_dpp_prune's premise: is_peak lives only on the dim, so STATIC
+    // pruning is impossible — the scan must carry a runtime
+    // DynamicPruningExpression fed by the broadcast dim, or at 100 TB
+    // the query reads every year partition
+    val df = tpch("q_dpp_prune")
+    val scans = nodes(df).collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.nonEmpty)
+    val dynamic = scans.exists(_.partitionFilters.exists(_.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression => true
+      case _ => false
+    }))
+    assert(dynamic, "no DynamicPruningExpression on the fact scan's " +
+      s"partition filters: ${scans.map(_.partitionFilters).mkString("; ")}")
+    // and the dim must not force a shuffle onto the fact side
+    assertNoAllPairs(df, "dpp join")
+  }
+
+  test("runtime bloom filter: a selective dim shuffle-join seeds a " +
+      "might_contain gate on the fact scan side") {
+    // Row-level runtime filtering is the shuffle-join sibling of DPP:
+    // when the fact side is too big to broadcast-join and not
+    // partitioned on the key, the selective dim side can still seed a
+    // bloom filter that drops fact rows BEFORE the join exchange.
+    // Thresholds are sized for 100 TB defaults (10 GiB application
+    // side) — this pin drives a session with test-sized thresholds to
+    // prove the engine's session/extensions wiring leaves the feature
+    // functional (a custom rule or conf clobber would silence it).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val dir = java.nio.file.Files.createTempDirectory("bloomtest")
+    import org.apache.spark.sql.functions._
+    spark.range(0, 10000).select(col("id").as("fk"),
+      (col("id") % 97).as("payload"))
+      .write.mode("overwrite").parquet(dir.resolve("fact").toString)
+    spark.range(0, 1000).select(col("id").as("pk"),
+      (col("id") % 7).as("attr"))
+      .write.mode("overwrite").parquet(dir.resolve("dim").toString)
+    val fact = s2.read.parquet(dir.resolve("fact").toString)
+    val dim = s2.read.parquet(dir.resolve("dim").toString)
+      .filter(col("attr") === 3)
+    val joined = fact.join(dim, col("fk") === col("pk"))
+    val hasBloom = nodes(joined).exists(_.expressions.exists(_.exists(
+      e => e.getClass.getSimpleName == "BloomFilterMightContain" ||
+        e.prettyName == "might_contain")))
+    assert(hasBloom,
+      "no bloom might_contain on the fact side — runtime row filtering is wired off")
+  }
 }
