@@ -2001,6 +2001,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: REAL JPEG pixel decode (JDK codec) ----------
+    // Payloads are genuine lossy JPEGs (smooth ramps — JPEG-friendly
+    // content) written by the JDK encoder; the op decodes them
+    // DISTRIBUTED (mapPartitions batches) via javax.imageio and
+    // emits exact dims/channel/value counts plus a mean-accuracy
+    // gate. The oracle states the expected dims from the GENERATOR
+    // parameters (independent arithmetic, not a replay) and pins
+    // mean_ok TRUE — the codec-quality claim; doc 100 (header-only
+    // JPEG, no scan data) pins the undecodable → NULL contract.
+    "multimodal_jpeg" -> ((s, dir) => {
+      import s.implicits._
+      val docs = (1 to 12).map { id =>
+        val w = 16 + id; val h = 12 + (id % 5)
+        val ch = if (id % 3 == 0) 1 else 3
+        val px = new Array[Byte](w * h * ch)
+        var i = 0
+        while (i < px.length) {
+          val p = i / ch; val x = p % w; val y = p / w
+          px(i) = (i % ch) match {
+            case 0 => (x * 255 / (w - 1)).toByte
+            case 1 => ((64 + id * 3) % 200).toByte
+            case _ => (y * 255 / (h - 1)).toByte
+          }
+          i += 1
+        }
+        val mean = px.map(_ & 0xff).map(_.toLong).sum.toDouble / px.length
+        (id.toLong,
+          Multimodal.encodeJpeg(Multimodal.PngImage(w, h, ch, px), 0.95f),
+          mean)
+      } :+ ((100L, Multimodal.jpegHeader(320, 200), 0.0))
+      val df = docs.toDF("doc_id", "payload", "orig_mean")
+      Multimodal.withPngStats(df.repartition(4), "payload", out = "st")
+        .select(col("doc_id"),
+          col("st.width").as("out_w"), col("st.height").as("out_h"),
+          col("st.channels").as("out_ch"),
+          col("st.n_values").as("n_values"),
+          when(col("st.n_values").isNotNull,
+            abs(col("st.pixel_sum") / col("st.n_values") -
+              col("orig_mean")) < 3.0).as("mean_ok"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: REAL container-header parsing ---------------
     // Payloads carry genuine PNG IHDR / JPEG SOF0+SOF2 / GIF headers
     // (built by the pure-JVM writers in Multimodal); doc 6 is
@@ -3224,6 +3266,35 @@ object SparkEntry {
     "q_sort" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // Expected JPEG decode results from the GENERATOR parameters
+    // (w = 16+id, h = 12+(id%5), ch = 1 when id%3=0 else 3) — the
+    // oracle re-derives the dims arithmetically and pins the decoded
+    // mean inside ±3 of the source raster's mean (mean_ok). Doc 100
+    // is a header-only JPEG: undecodable → all-NULL stats.
+    "multimodal_jpeg" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(out_w AS INTEGER) AS out_w,
+        |  CAST(out_h AS INTEGER) AS out_h,
+        |  CAST(out_ch AS INTEGER) AS out_ch,
+        |  CAST(n_values AS BIGINT) AS n_values,
+        |  CAST(mean_ok AS BOOLEAN) AS mean_ok
+        |FROM (VALUES
+        |  (1, 17, 13, 3, 663, TRUE),
+        |  (2, 18, 14, 3, 756, TRUE),
+        |  (3, 19, 15, 1, 285, TRUE),
+        |  (4, 20, 16, 3, 960, TRUE),
+        |  (5, 21, 12, 3, 756, TRUE),
+        |  (6, 22, 13, 1, 286, TRUE),
+        |  (7, 23, 14, 3, 966, TRUE),
+        |  (8, 24, 15, 3, 1080, TRUE),
+        |  (9, 25, 16, 1, 400, TRUE),
+        |  (10, 26, 12, 3, 936, TRUE),
+        |  (11, 27, 13, 3, 1053, TRUE),
+        |  (12, 28, 14, 1, 392, TRUE),
+        |  (100, NULL, NULL, NULL, NULL, NULL)
+        |) v(doc_id, out_w, out_h, out_ch, n_values, mean_ok)
+        |ORDER BY doc_id""".stripMargin,
 
     // The partitioned layout + dynamic pruning must not change a
     // value: the oracle computes the same year gate arithmetically

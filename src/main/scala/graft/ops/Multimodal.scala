@@ -163,8 +163,10 @@ object Multimodal {
   // zlib (java.util.zip.Inflater/Deflater) ships with the JDK, and
   // PNG's filter reconstruction is integer byte math — so 8-bit
   // non-interlaced gray/RGB(A) PNGs decode to REAL pixels with no
-  // codec library. JPEG/GIF pixel decode genuinely needs a codec and
-  // stays behind the documented stub fallback.
+  // codec library. GIF gets the same treatment (pure-JVM LZW below);
+  // JPEG's DCT codec comes from the JDK itself (javax.imageio —
+  // see decodeJpeg). Only payloads NO decoder recognizes fall back
+  // to the documented byte-stride stub.
 
   /** Decoded raster: row-major `pixels`, `channels` bytes per pixel
     * (1 = gray, 2 = gray+alpha, 3 = RGB, 4 = RGBA), 8 bits each. */
@@ -554,15 +556,118 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Pixel decode dispatch: PNG and GIF are real; everything else
-    * (JPEG needs a DCT codec this container lacks) is None. */
-  def decodeImage(bytes: Array[Byte]): Option[PngImage] =
-    decodePng(bytes).orElse(decodeGif(bytes))
+  // JPEG's DCT entropy decode is NOT hand-rolled like PNG/GIF — the
+  // JDK ships a full baseline+progressive JPEG codec in java.desktop
+  // (javax.imageio; headless-safe, no external library), the same
+  // reader the PNG/GIF specs already trust as their cross-check
+  // oracle. Disk caching off: ImageIO otherwise spools every decode
+  // through an executor temp file.
+  private lazy val imageIoReady: Boolean = {
+    try { javax.imageio.ImageIO.setUseCache(false); true }
+    catch { case _: Throwable => false }
+  }
 
-  /** REAL resize where the payload is a decodable PNG or GIF (decode
-    * → box-average → re-encode as PNG — resized outputs are always
-    * PNG); the documented byte-stride stub otherwise (JPEG needs a
-    * codec library this container lacks). */
+  /** Real JPEG pixel decode via the JDK's own codec (javax.imageio).
+    * Gray JPEGs decode to 1 channel, everything else lands as RGB
+    * (3 channels, sRGB — CMYK/YCCK variants the reader can't convert
+    * return None). Same contract as [[decodePng]]/[[decodeGif]]:
+    * None on truncated/header-only/corrupt/oversized input — callers
+    * fall back to the stub, never throw. */
+  def decodeJpeg(bytes: Array[Byte]): Option[PngImage] = {
+    if (bytes == null || bytes.length < 4 ||
+        (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8 ||
+        !imageIoReady) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      // same 64 MPixel executor-allocation bound as decodePng
+      if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+      val gray = img.getColorModel.getNumComponents == 1
+      if (gray) {
+        val out = new Array[Byte](w * h)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = raster.getSample(x, y, 0).toByte; x += 1
+          }
+          y += 1
+        }
+        Some(PngImage(w, h, 1, out))
+      } else {
+        val argb = img.getRGB(0, 0, w, h, null, 0, w)
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < argb.length) {
+          val p = argb(i)
+          out(i * 3) = ((p >> 16) & 0xff).toByte
+          out(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+          out(i * 3 + 2) = (p & 0xff).toByte
+          i += 1
+        }
+        Some(PngImage(w, h, 3, out))
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** Real JPEG encode via the JDK codec (gray or RGB only — JPEG has
+    * no alpha). `quality` ∈ (0, 1]; used by the specs to build
+    * genuine lossy payloads for the decode path. */
+  def encodeJpeg(img: PngImage, quality: Float = 0.95f): Array[Byte] = {
+    require(img.channels == 1 || img.channels == 3,
+      s"JPEG supports gray or RGB, got ${img.channels} channels")
+    val btype =
+      if (img.channels == 1) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    val bi = new java.awt.image.BufferedImage(img.width, img.height, btype)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val base = (y * img.width + x) * img.channels
+        if (img.channels == 1)
+          // raster samples, NOT setRGB: setRGB on TYPE_BYTE_GRAY
+          // routes through an sRGB→linear-gray color conversion that
+          // silently rewrites the sample values (measured: 40 → 5)
+          bi.getRaster.setSample(x, y, 0, img.pixels(base) & 0xff)
+        else
+          bi.setRGB(x, y,
+            ((img.pixels(base) & 0xff) << 16) |
+              ((img.pixels(base + 1) & 0xff) << 8) |
+              (img.pixels(base + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(
+      javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Pixel decode dispatch — all three container formats are real:
+    * PNG and GIF via the pure-JVM codecs above, JPEG via the JDK's
+    * built-in javax.imageio reader. None only for genuinely
+    * undecodable payloads (unknown container, corrupt stream). */
+  def decodeImage(bytes: Array[Byte]): Option[PngImage] =
+    decodePng(bytes).orElse(decodeGif(bytes)).orElse(decodeJpeg(bytes))
+
+  /** REAL resize where the payload is a decodable PNG, GIF or JPEG
+    * (decode → box-average → re-encode as PNG — resized outputs are
+    * always PNG); the documented byte-stride stub only for payloads
+    * no decoder recognizes. */
   def resizeReal(bytes: Array[Byte], factor: Int): Array[Byte] =
     decodeImage(bytes) match {
       case Some(img) => encodePng(resizePngBox(img, factor))
@@ -601,8 +706,8 @@ object Multimodal {
 
   /** Attach a resized copy of a binary `payloadCol` (per-partition
     * batches, like [[withDecodedMeta]]): REAL pixel resize for
-    * decodable PNGs, the byte-stride stub otherwise (see
-    * [[resizeReal]]). */
+    * decodable PNG/GIF/JPEG payloads, the byte-stride stub otherwise
+    * (see [[resizeReal]]). */
   def withResized(df: DataFrame, payloadCol: String, factor: Int,
                   out: String = "resized"): DataFrame = {
     val schema = df.schema.add(out, BinaryType, nullable = true)

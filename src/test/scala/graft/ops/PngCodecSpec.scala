@@ -272,6 +272,70 @@ class PngCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG: encode->decode round-trip via the JDK codec is " +
+      "tolerance-exact (lossy), dimension-exact, channel-exact") {
+    import Multimodal.{decodeJpeg, encodeJpeg}
+    // solid color: every 8x8 block is DC-only, so high-quality decode
+    // lands within quantization rounding of the original
+    val solid = PngImage(32, 24, 3,
+      Array.fill(32 * 24 * 3)(0: Byte).zipWithIndex.map { case (_, i) =>
+        (i % 3 match { case 0 => 120; case 1 => 64; case _ => 200 }).toByte
+      })
+    val dec = decodeJpeg(encodeJpeg(solid, 1.0f)).get
+    assert((dec.width, dec.height, dec.channels) == (32, 24, 3))
+    val maxErr = dec.pixels.indices.map(i =>
+      math.abs((dec.pixels(i) & 0xff) - (solid.pixels(i) & 0xff))).max
+    assert(maxErr <= 3, s"solid-color decode drifted by $maxErr")
+    // SMOOTH gradient: the mean must survive the DCT round-trip
+    // closely. (mkImage's sawtooth is deliberately NOT used here:
+    // ±93/pixel channel swings alias under 4:2:0 chroma subsampling
+    // and clip in YCbCr — a real JPEG artifact, not a codec bug.)
+    val gw = 40; val gh = 26
+    val gpx = new Array[Byte](gw * gh * 3)
+    for (y <- 0 until gh; x <- 0 until gw) {
+      val base = (y * gw + x) * 3
+      gpx(base) = (x * 255 / (gw - 1)).toByte
+      gpx(base + 1) = (y * 255 / (gh - 1)).toByte
+      gpx(base + 2) = 96.toByte
+    }
+    val grad = PngImage(gw, gh, 3, gpx)
+    val gd = decodeJpeg(encodeJpeg(grad, 0.95f)).get
+    def mean(p: Array[Byte]) = p.map(_ & 0xff).sum.toDouble / p.length
+    assert(math.abs(mean(gd.pixels) - mean(grad.pixels)) < 2.0,
+      s"mean drifted: ${mean(gd.pixels)} vs ${mean(grad.pixels)}")
+    // grayscale path keeps 1 channel (smooth ramp here too — the
+    // sawtooth's mod-256 wraps ring and clip even luma-only)
+    val gray = PngImage(17, 9, 1,
+      Array.tabulate(17 * 9)(i => (40 + (i % 17) * 10).toByte))
+    val gy = decodeJpeg(encodeJpeg(gray, 1.0f)).get
+    assert((gy.width, gy.height, gy.channels) == (17, 9, 1))
+    assert(math.abs(mean(gy.pixels) - mean(gray.pixels)) < 2.0)
+  }
+
+  test("JPEG: header-only payloads still stub (the multimodal_resize " +
+      "oracle depends on it); resizeReal resizes real JPEGs to PNG") {
+    import Multimodal.{decodeJpeg, encodeJpeg}
+    // doc 100 in multimodal_resize: SOF present, no scan data — the
+    // decoder must return None so the byte-stride stub keeps serving
+    // the oracled fallback row
+    assert(decodeJpeg(Multimodal.jpegHeader(800, 600)).isEmpty)
+    assert(decodeJpeg(Multimodal.jpegHeader(64, 64, progressive = true)).isEmpty)
+    // a REAL JPEG now takes the decode → box-resize → PNG path
+    val img = mkImage(20, 14, 3, 8)
+    val resized = resizeReal(encodeJpeg(img, 1.0f), 2)
+    val out = decodePng(resized).get
+    assert((out.width, out.height, out.channels) == (10, 7, 3))
+    // fuzz: mutate/truncate a real JPEG everywhere — None or pixels,
+    // never a throw (same contract as the PNG/GIF decoders)
+    val jpeg = encodeJpeg(mkImage(9, 7, 3, 1), 0.9f)
+    for (i <- jpeg.indices) {
+      val m = jpeg.clone(); m(i) = (m(i) ^ 0x5a).toByte
+      Multimodal.decodeImage(m)
+    }
+    for (n <- 0 until jpeg.length)
+      Multimodal.decodeImage(java.util.Arrays.copyOf(jpeg, n))
+  }
+
   test("sampleFramesPng splits concatenated PNGs and decodes each") {
     val spark = SharedSpark.spark
     import spark.implicits._
