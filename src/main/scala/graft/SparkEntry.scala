@@ -2043,6 +2043,50 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: REAL audio decode + features (RIFF/WAVE PCM)
+    // Payloads are genuine WAV files (canonical RIFF containers built
+    // by Audio.encodeWav) carrying integer triangle waves; the op
+    // walks the container, extracts PCM-16 samples and computes
+    // RMS / zero-crossing rate / peak / duration DISTRIBUTED. The
+    // oracle replays every sample with DuckDB integer arithmetic
+    // (generate_series) and aggregates the identical features — the
+    // full decode path is value-pinned, not just shapes. Doc 100 is
+    // a truncated container, 101 an MP3-magic payload (compressed
+    // audio genuinely needs a codec → NULL), 102 a NULL payload.
+    "multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.Audio
+      val monoDocs = (1 to 8).map { id =>
+        val n = 1600 + 200 * id; val p = 23 + 6 * id; val a = 500 * id
+        val sr = 8000 * (1 + id % 3)
+        (id.toLong, Option(Audio.encodeWav(
+          Audio.WavClip(sr, 1, Audio.triangleSamples(n, p, a)))))
+      }
+      val st0 = Audio.triangleSamples(1200, 41, 1500)
+      val st1 = Audio.triangleSamples(1200, 29, 2500)
+      val inter = Array.tabulate(2400)(i =>
+        if (i % 2 == 0) st0(i / 2) else st1(i / 2))
+      val edges = Seq(
+        (9L, Option(Audio.encodeWav(Audio.WavClip(16000, 2, inter)))),
+        (100L, Option(Audio.encodeWav(
+          Audio.WavClip(8000, 1, Audio.triangleSamples(100, 29, 400)))
+          .take(30))),
+        (101L, Option("ID3junk-not-actually-audio-data"
+          .getBytes("US-ASCII"))),
+        (102L, Option.empty[Array[Byte]]))
+      val df = (monoDocs ++ edges).toDF("doc_id", "payload")
+      Audio.withAudioFeatures(df.repartition(4), "payload", out = "a")
+        .select(col("doc_id"),
+          col("a.sample_rate").as("sample_rate"),
+          col("a.n_channels").as("n_channels"),
+          col("a.n_frames").as("n_frames"),
+          col("a.duration_ms").as("duration_ms"),
+          r(col("a.rms"), 6).as("rms"),
+          col("a.zero_crossings").as("zero_crossings"),
+          col("a.peak").as("peak"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: REAL container-header parsing ---------------
     // Payloads carry genuine PNG IHDR / JPEG SOF0+SOF2 / GIF headers
     // (built by the pure-JVM writers in Multimodal); doc 6 is
@@ -3266,6 +3310,60 @@ object SparkEntry {
     "q_sort" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // Full-path audio replay: DuckDB re-derives every PCM sample of
+    // the triangle-wave fixtures with integer arithmetic (the same
+    // closed form Audio.triangleSamples evaluates), then aggregates
+    // the identical RMS / strict-sign zero crossings / peak /
+    // duration. Docs 100-102 pin the undecodable -> NULL contract
+    // (truncated container, compressed-audio magic, NULL payload).
+    "multimodal_audio" ->
+      """WITH params(doc_id, ch, n, p, a, sr) AS (VALUES
+        |  (1, 0, 1800, 29, 500, 16000),
+        |  (2, 0, 2000, 35, 1000, 24000),
+        |  (3, 0, 2200, 41, 1500, 8000),
+        |  (4, 0, 2400, 47, 2000, 16000),
+        |  (5, 0, 2600, 53, 2500, 24000),
+        |  (6, 0, 2800, 59, 3000, 8000),
+        |  (7, 0, 3000, 65, 3500, 16000),
+        |  (8, 0, 3200, 71, 4000, 24000),
+        |  (9, 0, 1200, 41, 1500, 16000),
+        |  (9, 1, 1200, 29, 2500, 16000)),
+        |samp AS (
+        |  SELECT doc_id, ch, i,
+        |    abs(((i * 4 * a) // p) % (4 * a) - 2 * a) - a AS s
+        |  FROM params, unnest(generate_series(0, n - 1)) AS t(i)),
+        |flips AS (
+        |  SELECT doc_id, ch, s,
+        |    lag(s) OVER (PARTITION BY doc_id, ch ORDER BY i) AS prev
+        |  FROM samp),
+        |agg AS (
+        |  SELECT doc_id, max(sr) AS sample_rate,
+        |    (max(ch) + 1) AS n_channels, max(n) AS n_frames,
+        |    max(n) * 1000 // max(sr) AS duration_ms
+        |  FROM params GROUP BY doc_id),
+        |sagg AS (
+        |  SELECT doc_id,
+        |    sqrt(sum(CAST(s AS DOUBLE) * s) / count(*)) AS rms,
+        |    count(CASE WHEN s * prev < 0 THEN 1 END) AS zero_crossings,
+        |    max(abs(s)) AS peak
+        |  FROM flips GROUP BY doc_id)
+        |SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+        |  CAST(sample_rate AS INTEGER) AS sample_rate,
+        |  CAST(n_channels AS INTEGER) AS n_channels,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(duration_ms AS BIGINT) AS duration_ms,
+        |  r(rms, 6) AS rms,
+        |  CAST(zero_crossings AS BIGINT) AS zero_crossings,
+        |  CAST(peak AS INTEGER) AS peak
+        |FROM agg a JOIN sagg USING (doc_id)
+        |UNION ALL
+        |SELECT CAST(doc_id AS BIGINT), CAST(NULL AS INTEGER),
+        |  CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS INTEGER)
+        |FROM (VALUES (100), (101), (102)) v(doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // Expected JPEG decode results from the GENERATOR parameters
     // (w = 16+id, h = 12+(id%5), ch = 1 when id%3=0 else 3) — the

@@ -12,14 +12,15 @@ import org.apache.spark.sql.types._
   *
   * Metadata extraction (format/width/height) is REAL for PNG, JPEG
   * and GIF — pure-JVM container-header parsing, no codec library
-  * needed ([[parseHeader]]). PIXEL decode is REAL for 8-bit
-  * non-interlaced gray/RGB(A) PNG ([[decodePng]]: JDK zlib + filter
-  * reconstruction, cross-validated against javax.imageio), so resize
-  * ([[resizeReal]]) and frame extraction ([[sampleFramesPng]])
-  * operate on true pixels there. JPEG/GIF pixel work genuinely needs
-  * a codec library this container lacks and falls back to the
-  * clearly-marked deterministic STUBs; unrecognized bytes likewise
-  * ([[decodeStub]]) so text-shaped fixtures stay deterministic.
+  * needed ([[parseHeader]]). PIXEL decode is REAL for all three:
+  * 8-bit non-interlaced gray/RGB(A) PNG ([[decodePng]]: JDK zlib +
+  * filter reconstruction), GIF ([[decodeGif]]: pure-JVM LZW +
+  * palette), and JPEG ([[decodeJpeg]]: the JDK's own javax.imageio
+  * codec) — so resize ([[resizeReal]]) and frame extraction operate
+  * on true pixels. Only payloads no decoder recognizes fall back to
+  * the clearly-marked deterministic STUBs ([[decodeStub]]) so
+  * text-shaped fixtures stay deterministic. Audio (RIFF/WAVE PCM)
+  * lives in [[Audio]].
   */
 object Multimodal {
 

@@ -557,9 +557,16 @@ class ProfilePlugin(options: Map[String, Any], configDir: Path, label: String)
   * ([[graft.ops.Multimodal]]) over an opaque binary payload column:
   *
   *   method = "decode_meta"   — attach the decoded metadata struct
-  *          | "resize"        — binary→binary stub downsample
-  *                              (factor = keep every k-th byte)
+  *          | "resize"        — binary→binary downsample (real pixel
+  *                              box-average for PNG/GIF/JPEG; stub
+  *                              byte-stride for unrecognized bytes)
   *          | "sample_frames" — one row per sampled payload slice
+  *          | "audio_features" — attach the RIFF/WAVE PCM feature
+  *                              struct (sample_rate, n_channels,
+  *                              n_frames, duration_ms, rms,
+  *                              zero_crossings, peak; NULL for
+  *                              undecodable payloads — see
+  *                              [[graft.ops.Audio]])
   */
 class MultimodalPlugin(options: Map[String, Any], configDir: Path, label: String)
     extends BaseTransformPlugin(options, configDir, label) {
@@ -585,6 +592,9 @@ class MultimodalPlugin(options: Map[String, Any], configDir: Path, label: String
               options.getOrElse("id_column", "doc_id").toString,
               payloadColumn,
               options.get("frames").map(_.toString.toDouble.toInt).getOrElse(4))
+          case "audio_features" =>
+            graft.ops.Audio.withAudioFeatures(df, payloadColumn,
+              options.getOrElse("output_column", "audio").toString)
           case other => throw new PluginExecutionError(
             s"Unknown multimodal method: '$other'")
         }

@@ -354,6 +354,27 @@ class PluginSpec extends AnyFunSuite {
     assert(noCol.left.toOption.get.getMessage.contains("'nope' not found"))
   }
 
+  test("multimodal plugin: audio_features decodes WAV payloads and " +
+      "NULLs everything else") {
+    import org.apache.spark.sql.functions.col
+    val wav = graft.ops.Audio.encodeWav(graft.ops.Audio.WavClip(
+      8000, 1, graft.ops.Audio.triangleSamples(400, 29, 900)))
+    val df = Seq((1L, Option(wav)),
+      (2L, Option("not audio at all, just text".getBytes("US-ASCII"))),
+      (3L, Option.empty[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val out = new MultimodalPlugin(Map("method" -> "audio_features"),
+      dir, "default").execute(df).fold(e => throw e, identity)
+    val rows = out.select(col("doc_id"), col("audio.sample_rate"),
+        col("audio.peak")).orderBy("doc_id").collect()
+    assert(rows(0).getInt(1) == 8000 && rows(0).getInt(2) == 900)
+    assert(rows(1).isNullAt(1) && rows(2).isNullAt(1))
+    // dry-run propagates the struct column
+    val dry = new MultimodalPlugin(Map("method" -> "audio_features"),
+      dir, "default").dryRun(df.schema)
+    assert(dry.toOption.get.fieldNames.contains("audio"))
+  }
+
   test("sessionize plugin: gap sessions from config options") {
     val ns = 1000000000L
     val df = Seq(
