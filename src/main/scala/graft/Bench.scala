@@ -56,7 +56,7 @@ object Bench {
     "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q20", "q_tpch_q22",
     "q_dpp_prune",
     "multimodal_headers", "multimodal_resize", "multimodal_frames_png",
-    "multimodal_jpeg", "multimodal_audio",
+    "multimodal_jpeg", "multimodal_audio", "multimodal_video",
     // ANN scale paths on the clustered fixture (brute = baseline;
     // recall gated by the oracled sim_recall_knn_clustered)
     "sim_knn_brute_clustered", "sim_knn_lsh_clustered",

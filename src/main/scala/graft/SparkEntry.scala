@@ -2043,6 +2043,63 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: REAL video frame sampling (AVI / MJPG) ------
+    // Payloads are genuine Motion-JPEG AVIs (RIFF container with
+    // hdrl/movi LISTs built by Video.encodeAvi; JPEG frames from the
+    // JDK codec). The op walks the container and explodes per-frame
+    // rows with decoded pixel stats — distributed, one pass per clip.
+    // The oracle re-derives frame timing from the container fps and
+    // the dims from the generator parameters, and pins decoded frame
+    // means within ±3 (mean_ok). Doc 3 carries one undecodable frame
+    // (inter-frame-codec stand-in) → NULL stats row; doc 100 is a
+    // truncated AVI and doc 101 a NULL payload → zero rows.
+    "multimodal_video" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.Video
+      def ramp(w: Int, h: Int, g: Int): (Array[Byte], Double) = {
+        val px = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < px.length) {
+          val p = i / 3; val x = p % w; val y = p / w
+          px(i) = (i % 3) match {
+            case 0 => (x * 255 / (w - 1)).toByte
+            case 1 => g.toByte
+            case _ => (y * 255 / (h - 1)).toByte
+          }
+          i += 1
+        }
+        val mean = px.map(_ & 0xff).map(_.toLong).sum.toDouble / px.length
+        (Multimodal.encodeJpeg(Multimodal.PngImage(w, h, 3, px), 0.95f),
+          mean)
+      }
+      val d1 = (0 until 6).map(f => ramp(24, 16, 50 + 20 * f))
+      val d2 = (0 until 4).map(f => ramp(20, 12, 30 + 25 * f))
+      val junk = Array.fill[Byte](500)(0x33)
+      val d3 = Seq(ramp(16, 10, 80), (junk, 0.0), ramp(16, 10, 120))
+      val docs = Seq(
+        (1L, Option(Video.encodeAvi(d1.map(_._1), 24, 16, fps = 10))),
+        (2L, Option(Video.encodeAvi(d2.map(_._1), 20, 12, fps = 25))),
+        (3L, Option(Video.encodeAvi(d3.map(_._1), 16, 10, fps = 15))),
+        (100L, Option(Video.encodeAvi(d2.take(1).map(_._1), 20, 12, 25)
+          .take(40))),
+        (101L, Option.empty[Array[Byte]]))
+      val means = (d1.zipWithIndex.map { case ((_, m), f) => (1L, f, m) } ++
+        d2.zipWithIndex.map { case ((_, m), f) => (2L, f, m) } ++
+        Seq((3L, 0, d3(0)._2), (3L, 2, d3(2)._2)))
+        .toDF("doc_id", "frame_idx", "orig_mean")
+      val frames = Video.sampleVideoFrames(
+        docs.toDF("doc_id", "payload").repartition(4),
+        "doc_id", "payload")
+      frames.join(broadcast(means), Seq("doc_id", "frame_idx"), "left")
+        .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+          col("frame_ms"), col("width"), col("height"), col("channels"),
+          col("n_values"),
+          when(col("n_values").isNotNull && col("orig_mean").isNotNull,
+            abs(col("pixel_sum") / col("n_values") - col("orig_mean"))
+              < 3.0).as("mean_ok"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // ---- multimodal: REAL audio decode + features (RIFF/WAVE PCM)
     // Payloads are genuine WAV files (canonical RIFF containers built
     // by Audio.encodeWav) carrying integer triangle waves; the op
@@ -3310,6 +3367,40 @@ object SparkEntry {
     "q_sort" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // Expected video frame rows from the GENERATOR parameters: frame
+    // timing re-derived from the container fps (floor(f·⌊1e6/fps⌋/
+    // 1000) ms), dims/value-counts from the ramp generator, decoded
+    // means pinned within ±3 (mean_ok). Doc 3 frame 1 is the
+    // undecodable-frame row (container real, pixels NULL); the
+    // truncated doc 100 and NULL doc 101 contribute zero rows.
+    "multimodal_video" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(n_frames AS INTEGER) AS n_frames,
+        |  CAST(frame_ms AS BIGINT) AS frame_ms,
+        |  CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height,
+        |  CAST(channels AS INTEGER) AS channels,
+        |  CAST(n_values AS BIGINT) AS n_values,
+        |  CAST(mean_ok AS BOOLEAN) AS mean_ok
+        |FROM (VALUES
+        |  (1, 0, 6, 0, 24, 16, 3, 1152, TRUE),
+        |  (1, 1, 6, 100, 24, 16, 3, 1152, TRUE),
+        |  (1, 2, 6, 200, 24, 16, 3, 1152, TRUE),
+        |  (1, 3, 6, 300, 24, 16, 3, 1152, TRUE),
+        |  (1, 4, 6, 400, 24, 16, 3, 1152, TRUE),
+        |  (1, 5, 6, 500, 24, 16, 3, 1152, TRUE),
+        |  (2, 0, 4, 0, 20, 12, 3, 720, TRUE),
+        |  (2, 1, 4, 40, 20, 12, 3, 720, TRUE),
+        |  (2, 2, 4, 80, 20, 12, 3, 720, TRUE),
+        |  (2, 3, 4, 120, 20, 12, 3, 720, TRUE),
+        |  (3, 0, 3, 0, 16, 10, 3, 480, TRUE),
+        |  (3, 1, 3, 66, NULL, NULL, NULL, NULL, NULL),
+        |  (3, 2, 3, 133, 16, 10, 3, 480, TRUE)
+        |) v(doc_id, frame_idx, n_frames, frame_ms, width, height,
+        |    channels, n_values, mean_ok)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // Full-path audio replay: DuckDB re-derives every PCM sample of
     // the triangle-wave fixtures with integer arithmetic (the same

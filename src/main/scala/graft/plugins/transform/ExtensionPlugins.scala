@@ -567,6 +567,10 @@ class ProfilePlugin(options: Map[String, Any], configDir: Path, label: String)
   *                              zero_crossings, peak; NULL for
   *                              undecodable payloads — see
   *                              [[graft.ops.Audio]])
+  *          | "video_frames"  — explode AVI/MJPG payloads into
+  *                              sampled frames with decoded pixel
+  *                              stats (stride, max_frames — see
+  *                              [[graft.ops.Video]])
   */
 class MultimodalPlugin(options: Map[String, Any], configDir: Path, label: String)
     extends BaseTransformPlugin(options, configDir, label) {
@@ -595,6 +599,14 @@ class MultimodalPlugin(options: Map[String, Any], configDir: Path, label: String
           case "audio_features" =>
             graft.ops.Audio.withAudioFeatures(df, payloadColumn,
               options.getOrElse("output_column", "audio").toString)
+          case "video_frames" =>
+            graft.ops.Video.sampleVideoFrames(df,
+              options.getOrElse("id_column", "doc_id").toString,
+              payloadColumn,
+              options.get("stride").map(_.toString.toDouble.toInt)
+                .getOrElse(1),
+              options.get("max_frames").map(_.toString.toDouble.toInt)
+                .getOrElse(256))
           case other => throw new PluginExecutionError(
             s"Unknown multimodal method: '$other'")
         }
