@@ -2043,6 +2043,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- image near-dup: perceptual dHash over real pixels -------
+    // The image sibling of dedup_simhash_pairs: genuine PNGs decode
+    // (pure-JVM codec), dHash63 fingerprints the luma structure, and
+    // the banded Hamming self-join finds near-identical images.
+    // Fixture: 10 distinct spatial-frequency gradients + 4 variants
+    // of the first four with a NON-uniform brightness edit (uniform
+    // shifts cancel in dHash by construction — that invariance is
+    // the point of a perceptual hash) + one undecodable payload.
+    // The oracle replays pixel generation → integer luma → 9×8 box
+    // means → bit packing → quadratic pair scan entirely in SQL; the
+    // op must find exactly the 4 variant pairs, banded (PlanSpec
+    // pins no all-pairs join).
+    "dedup_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      def img(base: Int, variant: Boolean): Array[Byte] = {
+        val w = 36; val h = 32
+        val px = Array.tabulate(w * h * 3) { i =>
+          val c = i % 3; val p = i / 3; val x = p % w; val y = p / w
+          val v = (x * (13 + 5 * base) + y * (7 + 3 * base) + c * 5) % 256
+          (if (variant && c == 1 && x % 5 == 0) math.min(v + 25, 255)
+           else v).toByte
+        }
+        Multimodal.encodePng(Multimodal.PngImage(w, h, 3, px))
+      }
+      val docs = (1 to 10).map(b => (b.toLong, Option(img(b, false)))) ++
+        (1 to 4).map(b => (20L + b, Option(img(b, true)))) :+
+        ((99L, Option("not an image payload".getBytes("US-ASCII"))))
+      graft.ops.Dedup.imageHashPairs(
+          docs.toDF("doc_id", "payload").repartition(4),
+          "doc_id", "payload", maxHamming = 6)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- multimodal: REAL video frame sampling (AVI / MJPG) ------
     // Payloads are genuine Motion-JPEG AVIs (RIFF container with
     // hdrl/movi LISTs built by Video.encodeAvi; JPEG frames from the
@@ -3367,6 +3402,57 @@ object SparkEntry {
     "q_sort" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // Full-path perceptual-hash replay: DuckDB regenerates every
+    // pixel, converts to integer luma (299/587/114 per mille), box-
+    // averages the 9×8 grid (4×4 cells at the 36×32 fixture dims, so
+    // the bucket formula equals the op's integer box bounds), packs
+    // the 63 horizontal comparisons, and scans pairs QUADRATICALLY —
+    // the oracle affords O(n²) at 15 docs; the op must reach the
+    // same pairs through the banded join. Doc 99 never decodes and
+    // must not appear.
+    "dedup_image_phash" ->
+      """WITH docs(doc_id, base, variant) AS (VALUES
+        |  (1, 1, FALSE), (2, 2, FALSE), (3, 3, FALSE), (4, 4, FALSE),
+        |  (5, 5, FALSE), (6, 6, FALSE), (7, 7, FALSE), (8, 8, FALSE),
+        |  (9, 9, FALSE), (10, 10, FALSE),
+        |  (21, 1, TRUE), (22, 2, TRUE), (23, 3, TRUE), (24, 4, TRUE)),
+        |px AS (
+        |  SELECT doc_id, x, y, c,
+        |    CASE WHEN variant AND c = 1 AND x % 5 = 0
+        |      THEN least((x * (13 + 5 * base) + y * (7 + 3 * base)
+        |        + c * 5) % 256 + 25, 255)
+        |      ELSE (x * (13 + 5 * base) + y * (7 + 3 * base)
+        |        + c * 5) % 256 END AS v
+        |  FROM docs,
+        |    unnest(generate_series(0, 35)) tx(x),
+        |    unnest(generate_series(0, 31)) ty(y),
+        |    unnest(generate_series(0, 2)) tc(c)),
+        |gray AS (
+        |  SELECT doc_id, x, y,
+        |    sum(CASE c WHEN 0 THEN 299 * v WHEN 1 THEN 587 * v
+        |      ELSE 114 * v END) // 1000 AS g
+        |  FROM px GROUP BY doc_id, x, y),
+        |cells AS (
+        |  SELECT doc_id, (x * 9) // 36 AS bx, (y * 8) // 32 AS by,
+        |    sum(g) // count(*) AS m
+        |  FROM gray GROUP BY doc_id, bx, by),
+        |bits AS (
+        |  SELECT l.doc_id, CAST(l.by * 8 + l.bx AS BIGINT) AS idx
+        |  FROM cells l JOIN cells r
+        |    ON r.doc_id = l.doc_id AND r.by = l.by AND r.bx = l.bx + 1
+        |  WHERE l.bx < 8 AND l.by * 8 + l.bx < 63 AND r.m > l.m),
+        |hash AS (
+        |  SELECT d.doc_id,
+        |    COALESCE(sum(1::BIGINT << b.idx), 0)::BIGINT AS h
+        |  FROM docs d LEFT JOIN bits b ON b.doc_id = d.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+        |  CAST(b.doc_id AS BIGINT) AS id_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+        |FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Expected video frame rows from the GENERATOR parameters: frame
     // timing re-derived from the container fps (floor(f·⌊1e6/fps⌋/

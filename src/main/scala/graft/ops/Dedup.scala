@@ -438,25 +438,61 @@ object Dedup {
     val bitsPer = 64 / chunks
     val sig = withSimhash(df.select(col(idCol), col(textCol)), textCol)
       .select(col(idCol), col("simhash"))
+    hammingPairs(sig, idCol, "simhash", maxHamming, chunks)
+  }
+
+  /** Banded Hamming self-join over a precomputed 64-bit hash column —
+    * the shared kernel behind [[simhashPairs]] (text) and
+    * [[imageHashPairs]] (pixels). Pigeonhole-EXACT for
+    * `chunks > maxHamming`: two hashes within the radius agree on at
+    * least one chunk, so the chunk-keyed equi-join (never all-pairs)
+    * loses nothing; the exact popcount filter then prunes the
+    * candidates. Shuffle mass is `chunks` skinny rows per item. */
+  private[ops] def hammingPairs(sig: DataFrame, idCol: String,
+                                hashCol: String, maxHamming: Int,
+                                chunks: Int): DataFrame = {
+    val bitsPer = 64 / chunks
     val pieces = array((0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * bitsPer)
+        shiftright(col(hashCol), c * bitsPer)
           .bitwiseAND(lit((1L << bitsPer) - 1)).as("piece"))
     }: _*)
-    val chunked = sig.select(col(idCol), col("simhash"),
+    val chunked = sig.select(col(idCol), col(hashCol),
       explode(pieces).as("cp"))
-      .select(col(idCol), col("simhash"),
+      .select(col(idCol), col(hashCol),
         col("cp.chunk").as("chunk"), col("cp.piece").as("piece"))
     val a = chunked.select(col("chunk"), col("piece"),
-      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+      col(idCol).as("id_a"), col(hashCol).as("sh_a"))
     val b = chunked.select(col("chunk"), col("piece"),
-      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+      col(idCol).as("id_b"), col(hashCol).as("sh_b"))
     a.join(b, Seq("chunk", "piece"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+
+  /** Perceptual IMAGE near-duplicate pairs: dHash fingerprints over
+    * the REAL decoded pixels ([[Multimodal.dHash63]] — PNG/GIF/JPEG
+    * all decode) + the banded Hamming self-join above. The image
+    * sibling of [[simhashPairs]]: near-identical images (brightness
+    * shifts, recompressions, small local edits) land within a few
+    * bits; undecodable payloads drop out before the join. Decode
+    * runs per-partition (one pass per payload, no shuffle); the join
+    * shuffles `chunks` skinny (id, hash) rows per image — at 100 TB
+    * of images the candidate mass is banded, never quadratic. */
+  def imageHashPairs(df: DataFrame, idCol: String, payloadCol: String,
+                     maxHamming: Int = 6, chunks: Int = 8): DataFrame = {
+    require(chunks > maxHamming,
+      s"pigeonhole completeness needs chunks > maxHamming " +
+        s"(got chunks=$chunks, maxHamming=$maxHamming)")
+    require(64 % chunks == 0, s"chunks must divide 64 (got $chunks)")
+    val sig = Multimodal.withImageHash(
+      df.select(col(idCol), col(payloadCol)), payloadCol, out = "phash")
+      .filter(col("phash").isNotNull)
+      .select(col(idCol), col("phash"))
+    hammingPairs(sig, idCol, "phash", maxHamming, chunks)
   }
 
   // ------------------------------------------------------ n-gram Jaccard

@@ -665,6 +665,86 @@ object Multimodal {
   def decodeImage(bytes: Array[Byte]): Option[PngImage] =
     decodePng(bytes).orElse(decodeGif(bytes)).orElse(decodeJpeg(bytes))
 
+  /** 63-bit difference hash (dHash) over REAL decoded pixels — the
+    * perceptual fingerprint behind image near-dup detection: luma
+    * (ITU-R 601 integer weights, 299/587/114 ‰) → 9×8 grid of
+    * box-mean cells (integer bounds `[b·dim/grid, (b+1)·dim/grid)`,
+    * integer mean) → one bit per horizontally-adjacent cell
+    * comparison. Brightness/contrast shifts that move all cells
+    * together cancel; crops/recompressions flip only a few bits.
+    *
+    * 63 bits, not 64: the final comparison (grid position 7,7) is
+    * dropped so the packed hash never sets the sign bit — keeping
+    * every engine's signed-64 arithmetic (including the DuckDB
+    * oracle, which errors on `1::BIGINT << 63`) portable. The lost
+    * discrimination is one bit in 64.
+    *
+    * Images smaller than the grid (w < 9 or h < 8) return None —
+    * there is no meaningful 9×8 structure to hash. */
+  def dHash63(img: PngImage): Option[Long] = {
+    val gw = 9; val gh = 8
+    if (img.width < gw || img.height < gh) return None
+    def luma(p: Int): Int = img.channels match {
+      case 1 | 2 => img.pixels(p * img.channels) & 0xff
+      case _ =>
+        val base = p * img.channels
+        (299 * (img.pixels(base) & 0xff) +
+          587 * (img.pixels(base + 1) & 0xff) +
+          114 * (img.pixels(base + 2) & 0xff)) / 1000
+    }
+    val cells = Array.ofDim[Long](gh, gw)
+    var by = 0
+    while (by < gh) {
+      val y0 = by * img.height / gh; val y1 = (by + 1) * img.height / gh
+      var bx = 0
+      while (bx < gw) {
+        val x0 = bx * img.width / gw; val x1 = (bx + 1) * img.width / gw
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += luma(y * img.width + x); n += 1; x += 1 }
+          y += 1
+        }
+        cells(by)(bx) = sum / n
+        bx += 1
+      }
+      by += 1
+    }
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val idx = y * 8 + x
+        if (idx < 63 && cells(y)(x + 1) > cells(y)(x)) h |= 1L << idx
+        x += 1
+      }
+      y += 1
+    }
+    Some(h)
+  }
+
+  /** Attach the perceptual hash to a frame with a binary
+    * `payloadCol` — NULL where the payload doesn't decode (or is too
+    * small to hash). Same mapPartitions batch shape as the other
+    * decoders: per-executor, no shuffle, no driver. */
+  def withImageHash(df: DataFrame, payloadCol: String,
+                    out: String = "phash"): DataFrame = {
+    val schema = df.schema.add(out, LongType, nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val h = if (payload == null) null
+          else decodeImage(payload).flatMap(dHash63)
+            .map(java.lang.Long.valueOf).orNull
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }
+  }
+
   /** REAL resize where the payload is a decodable PNG, GIF or JPEG
     * (decode → box-average → re-encode as PNG — resized outputs are
     * always PNG); the documented byte-stride stub only for payloads

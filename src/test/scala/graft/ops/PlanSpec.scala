@@ -667,6 +667,15 @@ class PlanSpec extends AnyFunSuite {
       "expected per-part and threshold aggregates")
   }
 
+  test("imageHashPairs plans a banded join — never all-pairs") {
+    val img = Multimodal.encodePng(Multimodal.PngImage(12, 10, 1,
+      Array.tabulate(120)(i => (i * 7 % 256).toByte)))
+    val df = (0L until 6L).map(i => (i, img)).toDF("doc_id", "payload")
+    assertNoAllPairs(
+      Dedup.imageHashPairs(df, "doc_id", "payload"),
+      "imageHashPairs")
+  }
+
   test("dpp: the attribute-filtered dim join injects dynamic partition " +
       "pruning into the partitioned fact scan") {
     // q_dpp_prune's premise: is_peak lives only on the dim, so STATIC

@@ -336,6 +336,42 @@ class PngCodecSpec extends AnyFunSuite {
       Multimodal.decodeImage(java.util.Arrays.copyOf(jpeg, n))
   }
 
+  test("dHash63: brightness-shift invariant, local-edit sensitive, " +
+      "sign bit never set, tiny images refuse") {
+    import Multimodal.dHash63
+    // values bounded at 179 so the +40 brightness shift below never
+    // clips — clipping is a NON-uniform edit and legitimately moves
+    // the hash; the invariance claim is for pure shifts
+    val base = PngImage(36, 32, 3, Array.tabulate(36 * 32 * 3) { i =>
+      val c = i % 3; val p = i / 3
+      ((p % 36 * 31 + p / 36 * 17 + c * 5) % 180).toByte
+    })
+    val h = dHash63(base).get
+    assert(h >= 0, "bit 63 must never be set (signed-64 portability)")
+    // +40 uniform brightness — all cells shift together, every
+    // comparison is preserved: THE dHash invariance
+    val bright = PngImage(36, 32, 3, base.pixels.map(b =>
+      ((b & 0xff) + 40).toByte))
+    assert(dHash63(bright).get == h)
+    // a localized patch edit flips some bits but nowhere near all
+    val edited = PngImage(36, 32, 3, base.pixels.clone())
+    for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3)
+      edited.pixels((y * 36 + x) * 3 + c) = 255.toByte
+    val d = java.lang.Long.bitCount(dHash63(edited).get ^ h)
+    assert(d > 0 && d < 20, s"patch edit flipped $d bits")
+    // gray path uses the single channel directly
+    assert(dHash63(mkImage(18, 16, 1, 2)).isDefined)
+    // below the 9x8 grid there is nothing to hash
+    assert(dHash63(mkImage(8, 8, 3, 1)).isEmpty)
+    assert(dHash63(mkImage(9, 7, 3, 1)).isEmpty)
+    // full path: JPEG recompression of the SAME image stays within a
+    // few bits of the lossless original (the near-dup premise)
+    val jpegBytes = Multimodal.encodeJpeg(base, 0.95f)
+    val viaJpeg = Multimodal.decodeImage(jpegBytes).flatMap(dHash63).get
+    assert(java.lang.Long.bitCount(viaJpeg ^ h) <= 6,
+      s"JPEG recompression moved ${java.lang.Long.bitCount(viaJpeg ^ h)} bits")
+  }
+
   test("sampleFramesPng splits concatenated PNGs and decodes each") {
     val spark = SharedSpark.spark
     import spark.implicits._
