@@ -2043,6 +2043,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- audio near-dup: envelope hash over real PCM -------------
+    // The audio sibling of dedup_image_phash: amplitude-modulated
+    // clips (closed-form integer magnitudes, alternating sign) decode
+    // through the real WAV path, envHash63 fingerprints the loudness
+    // dynamics, and the shared banded Hamming join finds re-encoded
+    // copies. Docs 21-23 are gain-doubled copies of docs 1-3 — an
+    // exact integer gain preserves every envelope comparison, so
+    // they land at hamming 0; distinct modulation seeds land ≥ 23.
+    // Doc 99 is undecodable and must not appear.
+    "dedup_audio_pairs" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.Audio
+      def clip(seed: Int, gain: Int): Array[Byte] = {
+        val samples = Array.tabulate[Short](8192) { i =>
+          val w = i / 128
+          val amp = 200 + (w * w * (29 + 7 * seed) + seed * 533) % 3000
+          val m = ((i.toLong * 7919 % 2048) * amp / 2048).toInt * gain
+          (if (i % 2 == 0) m else -m).toShort
+        }
+        Audio.encodeWav(Audio.WavClip(16000, 1, samples))
+      }
+      val docs = (1 to 6).map(d => (d.toLong, Option(clip(d, 1)))) ++
+        (1 to 3).map(d => (20L + d, Option(clip(d, 2)))) :+
+        ((99L, Option("junk that is not a wav container at all"
+          .getBytes("US-ASCII"))))
+      graft.ops.Dedup.audioHashPairs(
+          docs.toDF("doc_id", "payload").repartition(4),
+          "doc_id", "payload", maxHamming = 6)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- image near-dup: perceptual dHash over real pixels -------
     // The image sibling of dedup_simhash_pairs: genuine PNGs decode
     // (pure-JVM codec), dHash63 fingerprints the luma structure, and
@@ -3402,6 +3435,42 @@ object SparkEntry {
     "q_sort" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // Full-path audio-envelope replay: DuckDB regenerates every
+    // sample magnitude, window-sums the 64 equal windows (8192
+    // frames / 64 = 128, so w = i // 128 equals the op's integer
+    // bounds), packs the 63 comparisons and scans pairs
+    // quadratically. The op must reach the same 3 gain-pairs via
+    // the banded join; doc 99 never decodes.
+    "dedup_audio_pairs" ->
+      """WITH docs(doc_id, seed, gain) AS (VALUES
+        |  (1, 1, 1), (2, 2, 1), (3, 3, 1), (4, 4, 1), (5, 5, 1),
+        |  (6, 6, 1), (21, 1, 2), (22, 2, 2), (23, 3, 2)),
+        |mono AS (
+        |  SELECT doc_id, i,
+        |    ((((i * 7919) % 2048) *
+        |      (200 + (((i // 128) * (i // 128)) * (29 + 7 * seed)
+        |        + seed * 533) % 3000)) // 2048) * gain AS m
+        |  FROM docs, unnest(generate_series(0, 8191)) t(i)),
+        |env AS (
+        |  SELECT doc_id, i // 128 AS w, (sum(m) * 4096) // 128 AS e
+        |  FROM mono GROUP BY doc_id, w),
+        |bits AS (
+        |  SELECT l.doc_id, CAST(l.w AS BIGINT) AS idx
+        |  FROM env l JOIN env r
+        |    ON r.doc_id = l.doc_id AND r.w = l.w + 1
+        |  WHERE l.w < 63 AND r.e > l.e),
+        |hash AS (
+        |  SELECT d.doc_id,
+        |    COALESCE(sum(1::BIGINT << b.idx), 0)::BIGINT AS h
+        |  FROM docs d LEFT JOIN bits b USING (doc_id)
+        |  GROUP BY d.doc_id)
+        |SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+        |  CAST(b.doc_id AS BIGINT) AS id_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+        |FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Full-path perceptual-hash replay: DuckDB regenerates every
     // pixel, converts to integer luma (299/587/114 per mille), box-

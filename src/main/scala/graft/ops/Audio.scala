@@ -183,6 +183,71 @@ object Audio {
     }
   }
 
+  /** 63-bit envelope hash — the audio sibling of
+    * [[Multimodal.dHash63]]: per-frame absolute amplitude (channels
+    * mixed by mean-of-abs, so stereo phase cancellation can't zero
+    * the envelope), 64 equal-rank time windows (integer bounds
+    * `[w·frames/64, (w+1)·frames/64)`), fixed-point window means
+    * `env(w) = (Σ|s|·4096)/n_w`, one bit per adjacent-window
+    * comparison. Loudness DYNAMICS survive gain changes: an exact
+    * integer gain k scales every window mean together, preserving
+    * all strict comparisons (floor ties can upgrade to strict bits —
+    * at 1/4096 resolution ties are rare, so the hash is gain-
+    * invariant in practice and exactly so for tie-free envelopes).
+    * 63 bits for the same signed-64 portability reason as dHash63.
+    * Clips shorter than 64 frames return None. */
+  def envHash63(clip: WavClip): Option[Long] = {
+    val frames = clip.samples.length / clip.channels
+    if (frames < 64) return None
+    val ch = clip.channels
+    val absMono = new Array[Long](frames)
+    var f = 0
+    while (f < frames) {
+      var s = 0L; var c = 0
+      while (c < ch) {
+        val v = clip.samples(f * ch + c).toInt
+        s += (if (v < 0) -v else v); c += 1
+      }
+      absMono(f) = s / ch
+      f += 1
+    }
+    val env = new Array[Long](64)
+    var w = 0
+    while (w < 64) {
+      val f0 = w * frames / 64; val f1 = (w + 1) * frames / 64
+      var sum = 0L; var i = f0
+      while (i < f1) { sum += absMono(i); i += 1 }
+      env(w) = sum * 4096 / (f1 - f0)
+      w += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 63) {
+      if (env(i + 1) > env(i)) h |= 1L << i
+      i += 1
+    }
+    Some(h)
+  }
+
+  /** Attach the envelope hash to a frame with a binary `payloadCol` —
+    * NULL where the payload is not decodable PCM WAV or is too short
+    * to hash. Per-partition batches like [[withAudioFeatures]]. */
+  def withAudioHash(df: DataFrame, payloadCol: String,
+                    out: String = "ahash"): DataFrame = {
+    val schema = df.schema.add(out, LongType, nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val h = if (payload == null) null
+          else decodeWav(payload).flatMap(envHash63)
+            .map(java.lang.Long.valueOf).orNull
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }
+  }
+
   /** Closed-form INTEGER triangle wave (period `p` frames, amplitude
     * `a`): s(i) = |((i·4a)/p mod 4a) − 2a| − a, integer division —
     * exactly replayable by the SQL oracle, unlike libm sine. Phase

@@ -495,6 +495,26 @@ object Dedup {
     hammingPairs(sig, idCol, "phash", maxHamming, chunks)
   }
 
+  /** Perceptual AUDIO near-duplicate pairs: envelope hashes over the
+    * REAL decoded PCM ([[Audio.envHash63]]) + the shared banded
+    * Hamming join. Catches re-encoded / gain-changed copies of the
+    * same clip (the loudness dynamics survive); undecodable or
+    * too-short payloads drop out before the join. Same 100 TB shape
+    * as [[imageHashPairs]]: per-partition decode, banded candidates,
+    * never all-pairs. */
+  def audioHashPairs(df: DataFrame, idCol: String, payloadCol: String,
+                     maxHamming: Int = 6, chunks: Int = 8): DataFrame = {
+    require(chunks > maxHamming,
+      s"pigeonhole completeness needs chunks > maxHamming " +
+        s"(got chunks=$chunks, maxHamming=$maxHamming)")
+    require(64 % chunks == 0, s"chunks must divide 64 (got $chunks)")
+    val sig = Audio.withAudioHash(
+      df.select(col(idCol), col(payloadCol)), payloadCol, out = "ahash")
+      .filter(col("ahash").isNotNull)
+      .select(col(idCol), col("ahash"))
+    hammingPairs(sig, idCol, "ahash", maxHamming, chunks)
+  }
+
   // ------------------------------------------------------ n-gram Jaccard
 
   /** Exact character-n-gram Jaccard similarity pairs ≥ threshold.

@@ -75,6 +75,36 @@ class AudioSpec extends AnyFunSuite {
     assert(st.getLong(2) == 2) // frames = samples / channels
   }
 
+  test("envHash63: gain-invariant, dynamics-sensitive, sign bit " +
+      "never set, short clips refuse") {
+    import Audio.envHash63
+    // amplitude-modulated fixture: envelope follows the modulation
+    def clip(seed: Int, gain: Int): WavClip = WavClip(16000, 1,
+      Array.tabulate[Short](4096) { i =>
+        val w = i / 64
+        val amp = 150 + (w * w * (17 + 5 * seed)) % 2000
+        val m = ((i * 997 % 512) * amp / 512) * gain
+        (if (i % 2 == 0) m else -m).toShort
+      })
+    val h = envHash63(clip(1, 1)).get
+    assert(h >= 0, "bit 63 must never be set")
+    // exact integer gain preserves every window comparison
+    assert(envHash63(clip(1, 3)).get == h)
+    // different modulation -> far hash
+    val other = envHash63(clip(5, 1)).get
+    assert(java.lang.Long.bitCount(other ^ h) > 10)
+    // stereo mean-of-abs mix: duplicating the mono channel into both
+    // stereo channels is envelope-identical
+    val mono = clip(2, 1)
+    val stereo = WavClip(16000, 2,
+      Array.tabulate[Short](mono.samples.length * 2)(i =>
+        mono.samples(i / 2)))
+    assert(envHash63(stereo).get == envHash63(mono).get)
+    // below 64 frames there is no envelope to hash
+    assert(envHash63(WavClip(8000, 1, new Array[Short](63))).isEmpty)
+    assert(envHash63(WavClip(8000, 2, new Array[Short](126))).isEmpty)
+  }
+
   test("decoder never throws on adversarial bytes") {
     val rnd = new scala.util.Random(7)
     for (n <- Seq(0, 1, 11, 43, 44, 45, 128)) {

@@ -676,6 +676,15 @@ class PlanSpec extends AnyFunSuite {
       "imageHashPairs")
   }
 
+  test("audioHashPairs plans a banded join — never all-pairs") {
+    val wav = Audio.encodeWav(Audio.WavClip(8000, 1,
+      Audio.triangleSamples(256, 29, 500)))
+    val df = (0L until 6L).map(i => (i, wav)).toDF("doc_id", "payload")
+    assertNoAllPairs(
+      Dedup.audioHashPairs(df, "doc_id", "payload"),
+      "audioHashPairs")
+  }
+
   test("dpp: the attribute-filtered dim join injects dynamic partition " +
       "pruning into the partitioned fact scan") {
     // q_dpp_prune's premise: is_peak lives only on the dim, so STATIC
