@@ -57,7 +57,7 @@ object Bench {
     "q_dpp_prune",
     "multimodal_headers", "multimodal_resize", "multimodal_frames_png",
     "multimodal_jpeg", "multimodal_audio", "multimodal_video",
-    "dedup_image_phash", "dedup_audio_pairs",
+    "dedup_image_phash", "dedup_audio_pairs", "pipeline_multimodal",
     // ANN scale paths on the clustered fixture (brute = baseline;
     // recall gated by the oracled sim_recall_knn_clustered)
     "sim_knn_brute_clustered", "sim_knn_lsh_clustered",

@@ -2043,6 +2043,97 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- composed multimodal pipeline (the flagship shape) -------
+    // What a real multimodal training-data pipeline does end to end:
+    // classify mixed payloads by ACTUAL decodability (image / audio /
+    // video / other), apply per-modality quality gates (min dims,
+    // min duration, min frames), remove perceptual near-duplicates
+    // (dHash63 / envHash63 banded joins on the gated subsets), and
+    // summarize survivors per modality. Every count is derived from
+    // the generator design and stated independently by the oracle:
+    // 12 images (2 near-dup variants, 2 below the dims gate),
+    // 6 audio clips (1 gain-duplicate, 1 below the duration gate),
+    // 3 videos (1 below the frame gate), 3 undecodable docs.
+    "pipeline_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.{Audio, Video}
+      def img(base: Int, variant: Boolean, w: Int = 36, h: Int = 32)
+          : Array[Byte] = {
+        val px = Array.tabulate(w * h * 3) { i =>
+          val c = i % 3; val p = i / 3; val x = p % w; val y = p / w
+          val v = (x * (13 + 5 * base) + y * (7 + 3 * base) + c * 5) % 256
+          (if (variant && c == 1 && x % 5 == 0) math.min(v + 25, 255)
+           else v).toByte
+        }
+        Multimodal.encodePng(Multimodal.PngImage(w, h, 3, px))
+      }
+      def wav(seed: Int, gain: Int, frames: Int = 8192, sr: Int = 16000)
+          : Array[Byte] = {
+        val samples = Array.tabulate[Short](frames) { i =>
+          val w = i / 128
+          val amp = 200 + (w * w * (29 + 7 * seed) + seed * 533) % 3000
+          val m = ((i.toLong * 7919 % 2048) * amp / 2048).toInt * gain
+          (if (i % 2 == 0) m else -m).toShort
+        }
+        Audio.encodeWav(Audio.WavClip(sr, 1, samples))
+      }
+      def avi(nFrames: Int, g: Int): Array[Byte] =
+        Video.encodeAvi((0 until nFrames).map { f =>
+          Multimodal.encodeJpeg(Multimodal.PngImage(12, 10, 3,
+            Array.tabulate(360)(i =>
+              (if (i % 3 == 1) (g + f * 20) % 200
+               else i / 3 % 12 * 23).toByte)), 0.9f)
+        }, 12, 10, fps = 10)
+      val docs: Seq[(Long, Option[Array[Byte]])] =
+        (1 to 8).map(b => (b.toLong, Option(img(b, false)))) ++
+        Seq((21L, Option(img(1, true))), (22L, Option(img(2, true))),
+          (31L, Option(img(3, false, w = 12, h = 10))),
+          (32L, Option(img(4, false, w = 8, h = 8)))) ++
+        (1 to 4).map(d => (40L + d, Option(wav(d, 1)))) ++
+        Seq((45L, Option(wav(1, 2))),
+          (46L, Option(wav(2, 1, frames = 100, sr = 8000))),
+          (51L, Option(avi(3, 40))), (52L, Option(avi(3, 120))),
+          (53L, Option(avi(1, 80))),
+          (61L, Option("ID3 not decodable media".getBytes("US-ASCII"))),
+          (62L, Option.empty[Array[Byte]]),
+          (63L, Option(avi(2, 50).take(40))))
+      val base = docs.toDF("doc_id", "payload").repartition(4)
+      val withImg = Multimodal.withPngStats(base, "payload", out = "st")
+      val withAud = Audio.withAudioFeatures(withImg, "payload", out = "au")
+      val vidMeta = Video.sampleVideoFrames(base, "doc_id", "payload")
+        .groupBy("doc_id").agg(max("n_frames").as("vid_frames"))
+      val classified = withAud
+        .join(vidMeta, Seq("doc_id"), "left")
+        .withColumn("modality",
+          when(col("st").isNotNull, "image")
+            .when(col("au").isNotNull, "audio")
+            .when(col("vid_frames").isNotNull, "video")
+            .otherwise("other"))
+        .withColumn("pass",
+          when(col("modality") === "image",
+            col("st.width") >= 16 && col("st.height") >= 16)
+          .when(col("modality") === "audio", col("au.duration_ms") >= 100)
+          .when(col("modality") === "video", col("vid_frames") >= 2)
+          .otherwise(lit(false)))
+      val gated = classified.filter(col("pass"))
+      val imgDups = graft.ops.Dedup.imageHashPairs(
+          gated.filter(col("modality") === "image"), "doc_id", "payload",
+          maxHamming = 6)
+        .select(col("id_b").as("doc_id")).distinct()
+      val audDups = graft.ops.Dedup.audioHashPairs(
+          gated.filter(col("modality") === "audio"), "doc_id", "payload",
+          maxHamming = 6)
+        .select(col("id_b").as("doc_id")).distinct()
+      val dupIds = imgDups.unionByName(audDups)
+      classified
+        .join(dupIds.withColumn("_dup", lit(true)), Seq("doc_id"), "left")
+        .groupBy("modality")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("pass"), 1)).as("n_pass"),
+          count(when(col("pass") && col("_dup").isNull, 1)).as("n_kept"))
+        .orderBy("modality")
+    }),
+
     // ---- audio near-dup: envelope hash over real PCM -------------
     // The audio sibling of dedup_image_phash: amplitude-modulated
     // clips (closed-form integer magnitudes, alternating sign) decode
@@ -3435,6 +3526,26 @@ object SparkEntry {
     "q_sort" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // The flagship multimodal summary, stated independently from the
+    // generator design: image = 8 distinct + 2 variants + 2 below
+    // the 16×16 dims gate → 12 docs, 10 pass, 8 kept (the 2 variants
+    // pair with their bases and the higher id drops). audio = 4
+    // distinct + 1 gain-double + 1 short → 6 docs, 5 pass (the 12 ms
+    // clip fails the 100 ms gate), 4 kept. video = 2×3-frame +
+    // 1×1-frame → 3 docs, 2 pass, 2 kept. other = junk + NULL +
+    // truncated AVI → 3 docs.
+    "pipeline_multimodal" ->
+      """SELECT modality, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_pass AS BIGINT) AS n_pass,
+        |  CAST(n_kept AS BIGINT) AS n_kept
+        |FROM (VALUES
+        |  ('audio', 6, 5, 4),
+        |  ('image', 12, 10, 8),
+        |  ('other', 3, 0, 0),
+        |  ('video', 3, 2, 2)
+        |) v(modality, n_docs, n_pass, n_kept)
+        |ORDER BY modality""".stripMargin,
 
     // Full-path audio-envelope replay: DuckDB regenerates every
     // sample magnitude, window-sums the 64 equal windows (8192

@@ -14,7 +14,10 @@ import graft.ops.{Dedup, Text}
   *   method = "exact" | "fingerprint" | "minhash" | "simhash_pairs" |
   *            "ngram_pairs" | "embedding_pairs" | "boilerplate_lines" |
   *            "span_removal" (cut corpus-duplicated k-token spans) |
-  *            "semantic" (SemDeDup over an embedding column)
+  *            "semantic" (SemDeDup over an embedding column) |
+  *            "image_pairs" (perceptual dHash63 near-dups over a
+  *            binary payload column) | "audio_pairs" (envelope-hash
+  *            near-dups over PCM WAV payloads)
   */
 class DedupPlugin(options: Map[String, Any], configDir: Path, label: String)
     extends BaseTransformPlugin(options, configDir, label) {
@@ -58,6 +61,16 @@ class DedupPlugin(options: Map[String, Any], configDir: Path, label: String)
           case "simhash_pairs" =>
             Dedup.simhashPairs(df, idCol, textColumn,
               maxHamming = numOpt("max_hamming", 3).toInt)
+          case "image_pairs" =>
+            Dedup.imageHashPairs(df, idCol,
+              options.getOrElse("payload_column", "payload").toString,
+              maxHamming = numOpt("max_hamming", 6).toInt,
+              chunks = numOpt("chunks", 8).toInt)
+          case "audio_pairs" =>
+            Dedup.audioHashPairs(df, idCol,
+              options.getOrElse("payload_column", "payload").toString,
+              maxHamming = numOpt("max_hamming", 6).toInt,
+              chunks = numOpt("chunks", 8).toInt)
           case "ngram_pairs" =>
             Dedup.ngramJaccardPairs(df, idCol, textColumn,
               n = numOpt("n", 3).toInt,
