@@ -95,6 +95,26 @@ object SparkEntry {
   private def tBalanced(s: SparkSession, dir: String, name: String): DataFrame =
     t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
 
+  /** Shared fixture for the Naive Bayes classifier queries: weak
+    * quality label ('hi' iff count of fast/big tokens >= count of
+    * slow/small) over normalized-nonempty documents, split 80/20 by
+    * `doc_id % 5`. Returns (train, test, labeled-all). The label
+    * counts are computed on the same token stream the classifier
+    * tokenizes ([[graft.ops.Text.normalize]] + single-space split),
+    * so the oracle's toks CTE reproduces them exactly. */
+  private def nbSplit(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val norm = graft.ops.Text.normalize(col("text"))
+    val toks = split(norm, " ")
+    val pos = size(filter(toks, tk => tk === "fast" || tk === "big"))
+    val neg = size(filter(toks, tk => tk === "slow" || tk === "small"))
+    val labeled = tBalanced(s, dir, "documents")
+      .filter(length(norm) > 0)
+      .withColumn("label", when(pos >= neg, "hi").otherwise("lo"))
+    (labeled.filter(col("doc_id") % 5 =!= 0),
+      labeled.filter(col("doc_id") % 5 === 0), labeled)
+  }
+
   /** Morton-interleave of two `bits`-bit dims as explicit DuckDB
     * shift/mask terms — the SQL twin of
     * [[graft.expressions.ZOrderCode]] (bit i of dim c → output bit
@@ -135,6 +155,28 @@ object SparkEntry {
     "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "o" -> "r",
     "a" -> "n", "s" -> "t", "a" -> "t", "in" -> "d", "o" -> "w",
     "ind" -> "ow", "l" -> "e")
+
+  /** Shared oracle CTE prefix for the `text_classify_*` queries:
+    * normalize/tokenize (identical CTEs to text_tfidf's oracle), the
+    * weak quality label, and the train-side token stream. NOT
+    * pre-stripped — callers concatenate then `.stripMargin` once. */
+  private val nbCommonCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+      |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(t, ' ')) AS term
+      |  FROM d WHERE length(t) > 0
+      |), lab AS (
+      |  SELECT doc_id,
+      |    CASE WHEN count(*) FILTER (WHERE term IN ('fast', 'big')) >=
+      |              count(*) FILTER (WHERE term IN ('slow', 'small'))
+      |      THEN 'hi' ELSE 'lo' END AS label
+      |  FROM toks GROUP BY doc_id
+      |), trtoks AS (
+      |  SELECT toks.doc_id, lab.label, term
+      |  FROM toks JOIN lab USING (doc_id) WHERE toks.doc_id % 5 <> 0)"""
 
   /** Fixed query set for `text_bm25` — shared literal-for-literal
     * with its oracle's VALUES list; terms drawn from the synthetic
@@ -1825,6 +1867,41 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens_blocked"),
           r(col("blocked_ratio"), 4).as("blocked_ratio"))
         .orderBy("doc_id")),
+
+    // ---- model-based quality filter (multinomial Naive Bayes) ----
+    // The fastText-classifier pattern of real pretraining pipelines
+    // (CCNet/RedPajama): a heuristic weak label on a slice trains a
+    // bag-of-words model that scores the rest of the corpus. Weak
+    // label here = 'hi' iff positive marker tokens (fast/big) >=
+    // negative ones (slow/small); train = doc_id % 5 != 0, test =
+    // the held-out fifth. Output is the integer confusion matrix —
+    // scores are r()-rounded BEFORE the argmax so both engines rank
+    // bit-identical values (see NaiveBayes scaladoc).
+    "text_classify_nb" -> ((s, dir) => {
+      val (train, test, labeled) = nbSplit(s, dir)
+      graft.ops.NaiveBayes
+        .trainPredict(train, test, "doc_id", "text", "label")
+        .join(labeled.select(col("doc_id"), col("label").as("actual")),
+          Seq("doc_id"))
+        .groupBy(col("actual"), col("pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("actual", "pred")
+    }),
+
+    // ---- NB feature diagnostics (smoothed odds ratio) ------------
+    // Top-15 terms by the exact rational odds ratio hi-vs-lo; the
+    // rank key is two IEEE divisions and a multiply of exactly-
+    // representable integers — never ln (Tfidf's determinism trick).
+    // The weak-label marker tokens must dominate by construction,
+    // which makes this a live end-to-end check that training saw the
+    // signal.
+    "text_classify_feats" -> ((s, dir) => {
+      val (train, _, _) = nbSplit(s, dir)
+      graft.ops.NaiveBayes.featureOdds(
+          train.select(col("label"), col("text")),
+          "text", "label", "hi", "lo", k = 15)
+        .orderBy("rank")
+    }),
 
     // ---- vocab-id encoding (token_ids sequences) -----------------
     // Top-100 vocab built from the corpus itself (bounded driver
@@ -4313,6 +4390,76 @@ object SparkEntry {
         |  r(CASE WHEN len(toks) = 0 THEN 0.0
         |    ELSE CAST(hits AS DOUBLE) / len(toks) END, 4) AS blocked_ratio
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Full NB replay: same normalize/tokenize as text_tfidf, same
+    // add-one smoothing, same r()-before-argmax. ln last-bit noise is
+    // ~1e-13 absolute after the token sum — 9 orders below the p=4
+    // rounding grid, so both engines argmax identical values.
+    "text_classify_nb" ->
+      (nbCommonCtes +
+        """, tetoks AS (
+        |  SELECT doc_id, term, count(*) AS cnt FROM toks
+        |  WHERE doc_id % 5 = 0 GROUP BY doc_id, term
+        |), tok_counts AS (
+        |  SELECT label, term, count(*) AS n_tc FROM trtoks GROUP BY 1, 2
+        |), class_tot AS (
+        |  SELECT label, count(*) AS n_c FROM trtoks GROUP BY 1
+        |), vsize AS (SELECT count(DISTINCT term) AS v FROM trtoks),
+        |class_docs AS (
+        |  SELECT label, count(DISTINCT doc_id) AS docs_c
+        |  FROM trtoks GROUP BY 1
+        |), tot AS (SELECT sum(docs_c) AS docs_n FROM class_docs),
+        |vocab AS (SELECT DISTINCT term FROM trtoks),
+        |dense AS (
+        |  SELECT v.term, c.label,
+        |    ln(CAST(coalesce(tc.n_tc, 0) + 1 AS DOUBLE) / (c.n_c + s.v))
+        |      AS loglik
+        |  FROM vocab v CROSS JOIN class_tot c CROSS JOIN vsize s
+        |  LEFT JOIN tok_counts tc
+        |    ON tc.term = v.term AND tc.label = c.label
+        |), priors AS (
+        |  SELECT label, ln(CAST(docs_c AS DOUBLE) / docs_n) AS logprior
+        |  FROM class_docs CROSS JOIN tot
+        |), evidence AS (
+        |  SELECT te.doc_id, d2.label, sum(te.cnt * d2.loglik) AS tok_score
+        |  FROM tetoks te JOIN dense d2 USING (term) GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT ids.doc_id, p.label,
+        |    r(p.logprior + coalesce(e.tok_score, 0.0), 4) AS score
+        |  FROM (SELECT DISTINCT doc_id FROM tetoks) ids
+        |  CROSS JOIN priors p
+        |  LEFT JOIN evidence e
+        |    ON e.doc_id = ids.doc_id AND e.label = p.label
+        |), pred AS (
+        |  SELECT doc_id, label AS pred, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+        |  FROM scored)
+        |SELECT lab.label AS actual, pred.pred, count(*) AS n_docs
+        |FROM pred JOIN lab USING (doc_id) WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin,
+
+    "text_classify_feats" ->
+      (nbCommonCtes +
+        """, counts AS (
+        |  SELECT term,
+        |    count(*) FILTER (WHERE label = 'hi') AS n_a,
+        |    count(*) FILTER (WHERE label = 'lo') AS n_b
+        |  FROM trtoks GROUP BY term
+        |), totals AS (
+        |  SELECT count(*) FILTER (WHERE label = 'hi') AS tot_a,
+        |    count(*) FILTER (WHERE label = 'lo') AS tot_b,
+        |    count(DISTINCT term) AS v
+        |  FROM trtoks
+        |), odds AS (
+        |  SELECT term, n_a, n_b,
+        |    (CAST(n_a + 1 AS DOUBLE) / (tot_a + v)) *
+        |      (CAST(tot_b + v AS DOUBLE) / (n_b + 1)) AS odds_exact
+        |  FROM counts CROSS JOIN totals)
+        |SELECT CAST(row_number() OVER (
+        |    ORDER BY odds_exact DESC, term ASC) AS BIGINT) AS rank,
+        |  term, n_a, n_b, r(odds_exact, 4) AS odds
+        |FROM odds ORDER BY odds_exact DESC, term ASC LIMIT 15""")
+        .stripMargin,
 
     "q_vocab_encode" ->
       """WITH vocab AS (

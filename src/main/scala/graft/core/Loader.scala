@@ -91,6 +91,7 @@ object Loader {
     "graph" -> "graft.plugins.transform.GraphPlugin",
     "c4_filter" -> "graft.plugins.transform.C4Plugin",
     "lm_score" -> "graft.plugins.transform.LmScorePlugin",
+    "classify_nb" -> "graft.plugins.transform.ClassifyNbPlugin",
     "blocklist" -> "graft.plugins.transform.BlocklistPlugin",
     "unpivot" -> "graft.plugins.transform.UnpivotPlugin",
     "parquet_stream_scan" -> "graft.plugins.streaming.ParquetStreamScanPlugin",

@@ -1635,3 +1635,54 @@ class TextAnalysisPlugin(options: Map[String, Any], configDir: Path, label: Stri
     else propagateSchema(schema)(df => Text.analyze(df, tc))
   }
 }
+
+/** Config-driven multinomial Naive Bayes classifier
+  * ([[graft.ops.NaiveBayes]]): the model-based quality-filter stage —
+  * train a bag-of-words model on a labeled slice of the stream,
+  * predict the configured slice. Options: id_column (req),
+  * label_column (req), text_column (default "text"), train_filter
+  * (SQL predicate selecting training rows; default
+  * "<label_column> IS NOT NULL"), predict_filter (SQL predicate
+  * selecting rows to score; default "true" = all rows), round
+  * (decimal places of the emitted score, default 4). Output:
+  * (id_column, pred, score). */
+class ClassifyNbPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "classify_nb"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      idCol <- requiredString("id_column")
+      labelCol <- requiredString("label_column")
+      out <- graft.core.Errors.safe {
+        import org.apache.spark.sql.functions.expr
+        val tc = options.getOrElse("text_column", "text").toString
+        val trainF = options.getOrElse(
+          "train_filter", s"$labelCol IS NOT NULL").toString
+        val predictF = options.getOrElse("predict_filter", "true").toString
+        graft.ops.NaiveBayes.trainPredict(
+          df.filter(expr(trainF)), df.filter(expr(predictF)),
+          idCol, tc, labelCol,
+          options.get("round").map(_.toString.toDouble.toInt).getOrElse(4))
+      }
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    for {
+      idCol <- requiredString("id_column")
+      labelCol <- requiredString("label_column")
+      out <- {
+        val tc = options.getOrElse("text_column", "text").toString
+        val missing = Seq(idCol, labelCol, tc)
+          .filterNot(schema.fieldNames.contains)
+        if (missing.nonEmpty)
+          Left(new SchemaValidationError(
+            s"Column(s) ${missing.mkString(", ")} not found in schema"))
+        else Right(StructType(Seq(
+          schema(idCol),
+          StructField("pred", schema(labelCol).dataType, nullable = true),
+          StructField("score", org.apache.spark.sql.types.DoubleType,
+            nullable = true))))
+      }
+    } yield out
+}

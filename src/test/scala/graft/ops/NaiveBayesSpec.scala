@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Multinomial NB: hand-computed posteriors on a tiny corpus,
+  * all-OOV prior fallback, deterministic tie-break, feature odds. */
+class NaiveBayesSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SharedSpark.spark
+  import spark.implicits._
+
+  // V = {cat, dog, fish} = 3; N_a = 3 tokens, N_b = 2 tokens
+  private def train = Seq(
+    (1L, "a", "cat cat dog"),
+    (2L, "b", "dog fish")
+  ).toDF("doc_id", "label", "text")
+
+  test("posterior matches the hand-computed add-one-smoothed score") {
+    val test = Seq((10L, "cat cat"), (11L, "fish fish dog"))
+      .toDF("doc_id", "text")
+    val out = NaiveBayes
+      .trainPredict(train, test, "doc_id", "text", "label")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    // doc 10 | a: ln(1/2) + 2*ln((2+1)/(3+3)) = 3*ln(0.5) = -2.0794
+    //        | b: ln(1/2) + 2*ln((0+1)/(2+3)) = -3.9120  -> pred a
+    assert(out(10L)._1 == "a")
+    assert(math.abs(out(10L)._2 - (3 * math.log(0.5))) < 1e-3)
+    // doc 11 | a: ln(.5) + 2*ln(1/6) + ln(2/6) = -5.3753
+    //        | b: ln(.5) + 2*ln(2/5) + ln(2/5) = -3.4420 -> pred b
+    assert(out(11L)._1 == "b")
+    assert(math.abs(out(11L)._2 -
+      (math.log(0.5) + 3 * math.log(0.4))) < 1e-3)
+  }
+
+  test("all-OOV doc falls back to priors; exact tie breaks label asc") {
+    val out = NaiveBayes
+      .trainPredict(train, Seq((12L, "zebra")).toDF("doc_id", "text"),
+        "doc_id", "text", "label")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // equal priors ln(1/2) on both classes -> rounded tie -> 'a'
+    assert(out.toSeq == Seq((12L, "a",
+      math.floor(math.log(0.5) * 1e4 + 0.5 + 1e-6) / 1e4)))
+  }
+
+  test("featureOdds ranks by the exact smoothed odds ratio") {
+    val out = NaiveBayes
+      .featureOdds(train.select($"label", $"text"), "text", "label",
+        "a", "b", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // cat: ((2+1)/(3+3)) / ((0+1)/(2+3)) = 0.5/0.2  = 2.5
+    // dog: ((1+1)/6)     / ((1+1)/5)    = (1/3)/0.4 = 0.8333
+    // fish:((0+1)/6)     / ((1+1)/5)    = (1/6)/0.4 = 0.4167
+    assert(out.map(t => (t._1, t._2)).toSeq ==
+      Seq((1L, "cat"), (2L, "dog"), (3L, "fish")))
+    assert(math.abs(out(0)._5 - 2.5) < 1e-9)
+    assert(math.abs(out(1)._5 - 0.8333) < 1e-9)
+    assert(out(0)._3 == 2L && out(0)._4 == 0L) // raw counts surface
+  }
+
+  test("label never present degenerates cleanly (single-class argmax)") {
+    val oneClass = Seq((1L, "a", "cat dog")).toDF("doc_id", "label", "text")
+    val out = NaiveBayes
+      .trainPredict(oneClass, Seq((9L, "cat")).toDF("doc_id", "text"),
+        "doc_id", "text", "label")
+      .collect()
+    assert(out.length == 1 && out(0).getString(1) == "a")
+  }
+}
