@@ -27,7 +27,7 @@ object Bench {
     "q_having", "q_union", "q_distinct", "q_when_then", "events_window",
     "events_sessionize", "q_range_join", "q_approx_sketch",
     "q_pipeline_e2e", "q_asof_join", "q_rollup", "q_cube", "q_percentile",
-    "q_tpch_q3", "q_tpch_q5", "q_zorder",
+    "q_tpch_q3", "q_tpch_q5", "q_zorder", "q_hilbert",
     "q_array_funcs",
     "dedup_exact", "dedup_fingerprint", "dedup_incremental",
     "dedup_minhash_pairs",

@@ -108,5 +108,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("sorted_bucket", 2,
       "sorted_bucket(v, boundaries) - equi-depth bucket of v against sorted array<double>")(
       args => SortedBucket(args.head, args(1)))
+
+    inject("hilbert_code", 2,
+      "hilbert_code(dims, bits) - Hilbert-curve index of 2 array<int> bucket indices")(
+      args => HilbertCode(args.head, args(1)))
   }
 }

@@ -1024,6 +1024,21 @@ object SparkEntry {
               (col("l_partkey") % 256).cast("int")), 8).as("zcode"))
         .orderBy("l_orderkey", "l_partkey", "zcode")),
 
+    // ---- write-layout: Hilbert-curve kernel ----------------------
+    // Same deterministic modular-bucket spelling as q_zorder; the
+    // oracle replays the xy2d reflect/rotate walk as a recursive CTE
+    // (8 levels, s = 128 → 1 — integer-only, exact). The full layout
+    // path (sampled boundaries + range-shuffle write via
+    // cluster_curve = "hilbert") is pinned by HilbertSpec's
+    // adjacency/file-span assertions.
+    "q_hilbert" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          graft.expressions.HilbertCode.hilbert_code(
+            array((col("l_orderkey") % 256).cast("int"),
+              (col("l_partkey") % 256).cast("int")), 8).as("hcode"))
+        .orderBy("l_orderkey", "l_partkey", "hcode")),
+
     // ---- fact ⋈ broadcast dimension ------------------------------
     "q_join_broadcast" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -3975,6 +3990,36 @@ object SparkEntry {
         |SELECT l_orderkey, l_partkey,
         |  CAST((${mortonTerms("a", "b", 8)}) AS BIGINT) AS zcode
         |FROM m ORDER BY l_orderkey, l_partkey, zcode""".stripMargin,
+
+    // hilbert xy2d replayed as a recursive CTE: each level consumes
+    // the current top bit s, accumulates the quadrant term
+    // s²·xor(3·rx, ry), and applies the s-1 reflect + swap — integer
+    // arithmetic only, so the replay is exact.
+    "q_hilbert" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT l_orderkey, l_partkey,
+        |    CAST(l_orderkey % 256 AS BIGINT) AS x0,
+        |    CAST(l_partkey % 256 AS BIGINT) AS y0
+        |  FROM lineitem
+        |), h AS (
+        |  SELECT l_orderkey, l_partkey, x0 AS x, y0 AS y,
+        |    CAST(128 AS BIGINT) AS s, CAST(0 AS BIGINT) AS d
+        |  FROM m
+        |  UNION ALL
+        |  SELECT l_orderkey, l_partkey,
+        |    CASE WHEN (y & s) = 0 THEN
+        |      (CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END)
+        |      ELSE x END AS x,
+        |    CASE WHEN (y & s) = 0 THEN
+        |      (CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END)
+        |      ELSE y END AS y,
+        |    s // 2 AS s,
+        |    d + s * s * xor(CASE WHEN (x & s) > 0 THEN 3 ELSE 0 END,
+        |                    CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END) AS d
+        |  FROM h WHERE s > 0)
+        |SELECT l_orderkey, l_partkey, d AS hcode
+        |FROM h WHERE s = 0
+        |ORDER BY l_orderkey, l_partkey, hcode""".stripMargin,
 
     "q_when_then" ->
       """SELECT o_orderpriority,

@@ -135,3 +135,80 @@ object SortedBucket {
     ColumnShim.column(SortedBucket(
       ColumnShim.expression(v), ColumnShim.expression(boundaries)))
 }
+
+/** Hilbert-curve index of TWO pre-bucketed dimensions — the
+  * better-locality sibling of [[ZOrderCode]] (Delta/Iceberg expose
+  * both for OPTIMIZE). Unlike the Z curve, consecutive Hilbert codes
+  * are always grid-adjacent (no Morton "jumps" across the space), so
+  * a range of codes maps to a tighter spatial region and parquet
+  * min/max skipping prunes more files for 2-column range predicates.
+  *
+  * Algorithm: the classic iterative xy2d walk (quadrant bit →
+  * reflect/rotate, public domain — the `s-1` reflection variant, so
+  * each step is self-contained in `s`), top bit down; `bits` per
+  * dimension, code in [0, 4^bits). Same null contract as
+  * [[ZOrderCode]]: null array → null, null ELEMENT → bucket 0,
+  * out-of-range buckets masked to `bits` bits. Exactly 2 dims — for
+  * k > 2 use the Z curve (the Hilbert state machine in k-D buys
+  * little over Morton for typical lakehouse layouts and costs a
+  * per-row table walk).
+  */
+case class HilbertCode(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_code"
+
+  private def bitsOf(e: Expression): Option[Int] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => Some(v)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), IntegerType) =>
+        bitsOf(right) match {
+          case Some(b) if b >= 1 && b <= 31 => TypeCheckResult.TypeCheckSuccess
+          case Some(b) => TypeCheckResult.TypeCheckFailure(
+            s"hilbert_code bits must be in [1, 31], got $b")
+          case None => TypeCheckResult.TypeCheckFailure(
+            "hilbert_code bits must be an integer literal")
+        }
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"hilbert_code requires (array<int>, int literal), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(dims: Any, bitsAny: Any): Any = {
+    val a = dims.asInstanceOf[ArrayData]
+    val bits = bitsAny.asInstanceOf[Int]
+    require(a.numElements() == 2,
+      s"hilbert_code requires exactly 2 dims, got ${a.numElements()}")
+    val mask = if (bits == 31) Int.MaxValue else (1 << bits) - 1
+    var x = (if (a.isNullAt(0)) 0 else a.getInt(0)) & mask
+    var y = (if (a.isNullAt(1)) 0 else a.getInt(1)) & mask
+    var d = 0L
+    var s = 1 << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s.toLong * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertCode =
+    copy(left = newLeft, right = newRight)
+}
+
+object HilbertCode {
+  def hilbert_code(dims: Column, bits: Int): Column =
+    ColumnShim.column(HilbertCode(ColumnShim.expression(dims),
+      org.apache.spark.sql.catalyst.expressions.Literal(bits)))
+}

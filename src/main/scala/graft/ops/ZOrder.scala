@@ -62,10 +62,13 @@ object ZOrder {
       case _ => xxhash64(col(c))
     }
 
-  /** Adds the interleaved code column; no shuffle, no action. */
+  /** Adds the interleaved code column; no shuffle, no action.
+    * `curve` = "z" (Morton, any k) | "hilbert" (exactly 2 dims,
+    * tighter locality — see [[graft.expressions.HilbertCode]]). */
   def withCode(df: DataFrame, cols: Seq[String], bits: Int,
                bounds: Map[String, Array[Double]],
-               codeCol: String = "_zcode"): DataFrame = {
+               codeCol: String = "_zcode",
+               curve: String = "z"): DataFrame = {
     require(cols.nonEmpty, "cluster columns must be non-empty")
     require(cols.size * bits <= 63,
       s"${cols.size} dims x $bits bits exceeds 63 output bits")
@@ -73,7 +76,17 @@ object ZOrder {
       val bs = lit(bounds(c))
       coalesce(sorted_bucket(numericized(df, c).cast("double"), bs), lit(0))
     }
-    df.withColumn(codeCol, zorder_code(array(dims: _*), bits))
+    curve match {
+      case "z" => df.withColumn(codeCol, zorder_code(array(dims: _*), bits))
+      case "hilbert" =>
+        require(cols.size == 2,
+          s"hilbert curve requires exactly 2 cluster columns, got ${cols.size}")
+        df.withColumn(codeCol,
+          graft.expressions.HilbertCode.hilbert_code(array(dims: _*), bits))
+      case other =>
+        throw new IllegalArgumentException(
+          s"curve must be 'z' or 'hilbert', got '$other'")
+    }
   }
 
   /** Full layout transform: code → range-shuffle → local sort → drop.
@@ -81,9 +94,9 @@ object ZOrder {
     * them near-equal-sized by construction — the sampled range
     * boundaries are equi-depth over the code). */
   def clustered(df: DataFrame, cols: Seq[String], bits: Int = 8,
-                numFiles: Int = 0): DataFrame = {
+                numFiles: Int = 0, curve: String = "z"): DataFrame = {
     val bs = boundaries(df, cols, bits)
-    val coded = withCode(df, cols, bits, bs)
+    val coded = withCode(df, cols, bits, bs, curve = curve)
     val ranged =
       if (numFiles > 0) coded.repartitionByRange(numFiles, col("_zcode"))
       else coded.repartitionByRange(col("_zcode"))

@@ -79,7 +79,8 @@ class ParquetWriterPlugin(options: Map[String, Any], configDir: Path, label: Str
             }
             val bits = options.get("cluster_bits").map(_.toString.toInt).getOrElse(8)
             val files = options.get("cluster_files").map(_.toString.toInt).getOrElse(0)
-            graft.ops.ZOrder.clustered(sized00, cols, bits, files)
+            val curve = options.getOrElse("cluster_curve", "z").toString
+            graft.ops.ZOrder.clustered(sized00, cols, bits, files, curve)
           case None => sized00
         }
         // cluster_by IS the layout shuffle: stacking repartition_by /
