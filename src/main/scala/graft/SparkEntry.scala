@@ -2709,6 +2709,35 @@ object SparkEntry {
         .orderBy("fingerprint")
     }),
 
+    // ---- STREAMING model-based quality scoring -------------------
+    // The deployment face of text_classify_nb: a bounded 64-term
+    // log-odds model trains BATCH-side on the labeled split, then
+    // scores the document stream STATELESSLY — the model rides in the
+    // plan as a map literal, so the streaming stage has no join, no
+    // shuffle and no state store (the only shape that scores an
+    // unbounded stream at wire speed). Oracle = the identical capped
+    // model and scoring replayed in SQL; scores r()-rounded before
+    // the sign decision.
+    "stream_classify" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val work = scratch("stream_cls")
+      val (train, _, _) = nbSplit(s, dir)
+      val (prior, weights) = graft.ops.NaiveBayes.logOddsModel(
+        train, "text", "label", "hi", "lo", maxTerms = 64)
+      val inDir = sharedLanding(dir, "documents")
+      val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
+        Map("input_path" -> inDir.toString), work, "default")
+      val docs = scan.execute().fold(e => throw e, identity)
+        .filter(length(graft.ops.Text.normalize(col("text"))) > 0)
+      val scored = graft.ops.NaiveBayes.scoreWithModel(
+        docs, "text", prior, weights, "hi", "lo")
+        .select(col("doc_id"), col("pred"), col("score"))
+      val sink = new graft.plugins.streaming.StreamParquetWriterPlugin(
+        Map("output_path" -> work.resolve("out").toString), work, "default")
+      sink.execute(scored).fold(e => throw e, _ => ())
+      s.read.parquet(work.resolve("out").toString).orderBy("doc_id")
+    }),
+
     // ---- stream-stream interval join under the oracle ------------
     // Purchase→click attribution: each purchase joins the same user's
     // clicks from the preceding 30 minutes. Event times truncate to
@@ -5414,6 +5443,49 @@ object SparkEntry {
       """SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY fingerprint""".stripMargin,
+
+    // batch replay of the stream-scored NB model: same capped 64-term
+    // selection (exact-rational deviation key), same ln-difference
+    // weights, r()-rounded score before the >= 0 sign decision
+    "stream_classify" ->
+      (nbCommonCtes +
+        """, counts AS (
+        |  SELECT term,
+        |    count(*) FILTER (WHERE label = 'hi') AS n_a,
+        |    count(*) FILTER (WHERE label = 'lo') AS n_b
+        |  FROM trtoks GROUP BY term
+        |), totals AS (
+        |  SELECT count(*) FILTER (WHERE label = 'hi') AS tot_a,
+        |    count(*) FILTER (WHERE label = 'lo') AS tot_b,
+        |    count(DISTINCT term) AS v
+        |  FROM trtoks
+        |), wts AS (
+        |  SELECT term,
+        |    ln(CAST(n_a + 1 AS DOUBLE) / (tot_a + v)) -
+        |      ln(CAST(n_b + 1 AS DOUBLE) / (tot_b + v)) AS w,
+        |    (CAST(n_a + 1 AS DOUBLE) / (tot_a + v)) *
+        |      (CAST(tot_b + v AS DOUBLE) / (n_b + 1)) AS odds_exact
+        |  FROM counts CROSS JOIN totals
+        |), model AS (
+        |  SELECT term, w FROM wts
+        |  ORDER BY greatest(odds_exact, 1.0 / odds_exact) DESC, term ASC
+        |  LIMIT 64
+        |), prior AS (
+        |  SELECT ln(CAST(count(*) FILTER (WHERE label = 'hi') AS DOUBLE)) -
+        |    ln(CAST(count(*) FILTER (WHERE label = 'lo') AS DOUBLE)) AS p
+        |  FROM lab WHERE doc_id % 5 <> 0
+        |), contrib AS (
+        |  SELECT toks.doc_id, sum(m.w) AS s
+        |  FROM toks JOIN model m USING (term)
+        |  GROUP BY toks.doc_id
+        |), scored AS (
+        |  SELECT d.doc_id, r(prior.p + coalesce(contrib.s, 0.0), 4) AS score
+        |  FROM d CROSS JOIN prior
+        |  LEFT JOIN contrib ON d.doc_id = contrib.doc_id
+        |  WHERE length(d.t) > 0)
+        |SELECT doc_id, CASE WHEN score >= 0 THEN 'hi' ELSE 'lo' END AS pred,
+        |  score
+        |FROM scored ORDER BY doc_id""").stripMargin,
 
     // exact batch recomputation of the streaming interval join:
     // whole-second truncation (integer //), 30-minute lookback,

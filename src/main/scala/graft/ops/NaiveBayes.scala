@@ -115,18 +115,14 @@ object NaiveBayes {
       .select(col(idCol), col(labelCol).as("pred"), col("score"))
   }
 
-  /** Two-class feature diagnostics: per train-vocabulary term, the
-    * smoothed class-conditional odds ratio
-    * `((n_a+1)/(N_a+V)) / ((n_b+1)/(N_b+V))` for `labelA` over
-    * `labelB`. The RANK key is that exact rational computed by a
-    * fixed IEEE expression shape (two divisions, one multiply —
-    * bit-identical in any IEEE engine; see [[Tfidf]]'s determinism
-    * note for why rank never touches `ln`); ties break term
-    * ascending. Returns top-`k`: (rank, term, n_a, n_b, odds). */
-  def featureOdds(train: DataFrame, textCol: String, labelCol: String,
-                  labelA: String, labelB: String, k: Int,
-                  roundDecimals: Int = 4): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
+  /** Per train-vocabulary term: class counts, the exact-rational
+    * smoothed odds ratio (the deterministic rank key — see
+    * [[Tfidf]]'s determinism note for why rank never touches `ln`),
+    * and the log-odds weight `ln(p_a) − ln(p_b)`. Shared by
+    * [[featureOdds]] and [[logOddsModel]]. */
+  private def termOdds(train: DataFrame, textCol: String,
+                       labelCol: String, labelA: String,
+                       labelB: String): DataFrame = {
     val trainToks = toks(train.select(col(labelCol), col(textCol))
         .withColumn("_id", monotonically_increasing_id()),
       "_id", textCol, Seq(labelCol))
@@ -139,12 +135,30 @@ object NaiveBayes {
       sum(when(col(labelCol) === labelA, 1L).otherwise(0L)).as("tot_a"),
       sum(when(col(labelCol) === labelB, 1L).otherwise(0L)).as("tot_b"),
       countDistinct(col("term")).as("v_size"))
-    val odds = counts.crossJoin(totals).select(
+    counts.crossJoin(totals).select(
       col("term"), col("n_a"), col("n_b"),
       (((col("n_a") + lit(1L)).cast("double") /
         (col("tot_a") + col("v_size"))) *
         ((col("tot_b") + col("v_size")).cast("double") /
-          (col("n_b") + lit(1L)))).as("odds_exact"))
+          (col("n_b") + lit(1L)))).as("odds_exact"),
+      (log((col("n_a") + lit(1L)).cast("double") /
+          (col("tot_a") + col("v_size"))) -
+        log((col("n_b") + lit(1L)).cast("double") /
+          (col("tot_b") + col("v_size")))).as("w"))
+  }
+
+  /** Two-class feature diagnostics: per train-vocabulary term, the
+    * smoothed class-conditional odds ratio
+    * `((n_a+1)/(N_a+V)) / ((n_b+1)/(N_b+V))` for `labelA` over
+    * `labelB`. The RANK key is that exact rational computed by a
+    * fixed IEEE expression shape (two divisions, one multiply —
+    * bit-identical in any IEEE engine); ties break term ascending.
+    * Returns top-`k`: (rank, term, n_a, n_b, odds). */
+  def featureOdds(train: DataFrame, textCol: String, labelCol: String,
+                  labelA: String, labelB: String, k: Int,
+                  roundDecimals: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val odds = termOdds(train, textCol, labelCol, labelA, labelB)
     // top-k first (plans TakeOrderedAndProject — distributed), THEN
     // the rank window runs over only k rows; a global row_number over
     // the full vocabulary would single-partition vocabulary-sized data
@@ -155,5 +169,58 @@ object NaiveBayes {
       .select(col("rank").cast("long").as("rank"), col("term"),
         col("n_a"), col("n_b"),
         r(col("odds_exact"), roundDecimals).as("odds"))
+  }
+
+  /** Bounded DEPLOYABLE two-class model: the ln prior odds
+    * `ln(docs_a) − ln(docs_b)` plus the `maxTerms` most
+    * class-discriminating per-term log-odds weights — feature
+    * selection by the exact-rational deviation key
+    * `greatest(odds, 1/odds)` (term-asc ties), so the selected set is
+    * engine-deterministic. Small enough to ride along as a plan
+    * literal, which is what makes [[scoreWithModel]] a STATELESS
+    * per-row transform: no join, no shuffle, no streaming state — the
+    * shape a classifier needs to score an unbounded stream (or a
+    * 100 TB scan) at wire speed. The two aggregations here are
+    * vocabulary-sized; only `maxTerms` rows reach the driver. */
+  def logOddsModel(train: DataFrame, textCol: String, labelCol: String,
+                   labelA: String, labelB: String,
+                   maxTerms: Int = 64): (Double, Seq[(String, Double)]) = {
+    require(maxTerms >= 1 && maxTerms <= 100000,
+      s"maxTerms must be in [1, 100000], got $maxTerms")
+    val odds = termOdds(train, textCol, labelCol, labelA, labelB)
+    val weights = odds
+      .orderBy(greatest(col("odds_exact"),
+        lit(1.0) / col("odds_exact")).desc, col("term").asc)
+      .limit(maxTerms)
+      .select(col("term"), col("w"))
+      .collect().map(row => (row.getString(0), row.getDouble(1))).toSeq
+    val docCounts = train
+      .filter(length(Text.normalize(col(textCol))) > 0)
+      .agg(
+        sum(when(col(labelCol) === labelA, 1L).otherwise(0L)).as("da"),
+        sum(when(col(labelCol) === labelB, 1L).otherwise(0L)).as("db"))
+      .collect()(0)
+    val prior = math.log(docCounts.getLong(0).toDouble) -
+      math.log(docCounts.getLong(1).toDouble)
+    (prior, weights)
+  }
+
+  /** Stateless scoring with a [[logOddsModel]]: adds `score`
+    * (r()-rounded prior + Σ token-weight over the model map, token
+    * order — a fixed fold both engines replay identically after
+    * rounding) and `pred` (`labelA` iff score ≥ 0, the deterministic
+    * boundary convention). Works unchanged on a streaming DataFrame —
+    * the model is a map literal, so the plan has no join and no
+    * state. */
+  def scoreWithModel(df: DataFrame, textCol: String, prior: Double,
+                     weights: Seq[(String, Double)], labelA: String,
+                     labelB: String, roundDecimals: Int = 4): DataFrame = {
+    val m = map(weights.flatMap { case (t, w) => Seq(lit(t), lit(w)) }: _*)
+    val toksArr = split(Text.normalize(col(textCol)), " ")
+    val raw = lit(prior) + aggregate(toksArr, lit(0.0),
+      (acc, tk) => acc + coalesce(element_at(m, tk), lit(0.0)))
+    df.withColumn("score", r(raw, roundDecimals))
+      .withColumn("pred",
+        when(col("score") >= 0, labelA).otherwise(labelB))
   }
 }

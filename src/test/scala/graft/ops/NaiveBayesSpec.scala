@@ -61,6 +61,36 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(out(0)._3 == 2L && out(0)._4 == 0L) // raw counts surface
   }
 
+  test("logOddsModel selects by deviation; scoreWithModel is a " +
+    "shuffle-free projection with hand-computed scores") {
+    // deviation key greatest(odds, 1/odds):
+    //   cat 2.5, fish 1/0.4167=2.4, dog 1/0.8333=1.2 -> top-2 keeps
+    //   cat + fish, drops dog
+    val (prior, weights) = NaiveBayes.logOddsModel(
+      train, "text", "label", "a", "b", maxTerms = 2)
+    assert(prior == 0.0) // 1 doc per class
+    assert(weights.map(_._1).toSet == Set("cat", "fish"))
+    val wCat = weights.toMap.apply("cat")
+    assert(math.abs(wCat - math.log(2.5)) < 1e-12)
+
+    val scored = NaiveBayes.scoreWithModel(
+      Seq((10L, "cat cat"), (11L, "fish"), (12L, "zebra"), (13L, "dog"))
+        .toDF("doc_id", "text"),
+      "text", prior, weights, "a", "b")
+    val out = scored.collect()
+      .map(row => row.getLong(0) -> (row.getString(3), row.getDouble(2)))
+      .toMap
+    assert(out(10L)._1 == "a" &&
+      math.abs(out(10L)._2 - 1.8326) < 1e-9) // 2*ln(2.5) r4
+    assert(out(11L)._1 == "b") // ln(1/6)-ln(2/5) < 0
+    assert(out(12L)._1 == "a" && out(12L)._2 == 0.0) // OOV -> prior, >=0
+    assert(out(13L)._1 == "a" && out(13L)._2 == 0.0) // dog dropped by cap
+    // the scoring stage must be a pure per-row projection — no
+    // exchange, no aggregation: that is the stateless-stream contract
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring plan shuffles:\n$plan")
+  }
+
   test("label never present degenerates cleanly (single-class argmax)") {
     val oneClass = Seq((1L, "a", "cat dog")).toDF("doc_id", "label", "text")
     val out = NaiveBayes
