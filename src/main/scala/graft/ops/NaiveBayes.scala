@@ -82,15 +82,18 @@ object NaiveBayes {
     // dense (term, class) likelihood table over the TRAIN vocabulary:
     // vocab × classes, missing counts -> 0 -> the smoothing floor
     val vocab = trainToks.select(col("term")).distinct()
+    // cross joins MUST broadcast one side; hint the PROVABLY tiny
+    // ones (C rows / 1 row) so the planner can never pick the
+    // corpus-derived side at scale
     val dense = vocab
-      .crossJoin(classTotals)
+      .crossJoin(broadcast(classTotals))
       .join(tokCounts, Seq("term", labelCol), "left")
-      .crossJoin(vocabSize)
+      .crossJoin(broadcast(vocabSize))
       .select(col("term"), col(labelCol),
         log((coalesce(col("n_tc"), lit(0L)) + lit(1L)).cast("double") /
           (col("n_c") + col("v_size"))).as("loglik"))
 
-    val priors = classDocs.crossJoin(totalDocs)
+    val priors = classDocs.crossJoin(broadcast(totalDocs))
       .select(col(labelCol),
         log(col("docs_c").cast("double") / col("docs_n")).as("logprior"))
 
@@ -102,7 +105,7 @@ object NaiveBayes {
 
     // dense doc × class fan-out so all-OOV docs still score (priors)
     val testIds = testToks.select(col(idCol)).distinct()
-    val scored = testIds.crossJoin(priors)
+    val scored = testIds.crossJoin(broadcast(priors))
       .join(evidence, Seq(idCol, labelCol), "left")
       .select(col(idCol), col(labelCol),
         r(col("logprior") + coalesce(col("tok_score"), lit(0.0)),
@@ -135,7 +138,7 @@ object NaiveBayes {
       sum(when(col(labelCol) === labelA, 1L).otherwise(0L)).as("tot_a"),
       sum(when(col(labelCol) === labelB, 1L).otherwise(0L)).as("tot_b"),
       countDistinct(col("term")).as("v_size"))
-    counts.crossJoin(totals).select(
+    counts.crossJoin(broadcast(totals)).select(
       col("term"), col("n_a"), col("n_b"),
       (((col("n_a") + lit(1L)).cast("double") /
         (col("tot_a") + col("v_size"))) *
