@@ -48,6 +48,7 @@ object Bench {
     "q_orc_roundtrip", "q_emb_gram", "sim_pca_norm", "text_bm25",
     "text_top_ngrams", "q_percentile_band", "sim_knn_graph",
     "sim_knn_components", "q_fuzzy_pairs", "q_mix_tokens",
+    "q_mix_temperature",
     "q_interval_join", "dedup_incr_neardup", "sim_outliers",
     "q_fuzzy_match", "q_tpch_q7", "q_tpch_q1", "q_tpch_q18",
     "q_tpch_q4", "q_tpch_q13", "q_tpch_q10", "q_tpch_q14", "q_tpch_q19",

@@ -1765,6 +1765,17 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // ---- temperature-flattened source mixing ---------------------
+    // p^(1/T) rebalancing at T=2 over the char budget: weights are
+    // sqrt(mass) — IEEE sqrt is correctly rounded in every engine,
+    // so each band boundary the oracle recomputes is bit-identical
+    // (see Sampling.mixByTemperature's determinism note).
+    "q_mix_temperature" -> ((s, dir) =>
+      Sampling.mixByTemperature(t(s, dir, "documents"), "source",
+          "doc_id", temperature = 2.0, budgetCol = Some("n_chars"))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // ---- skew-salted join (semantics-preserving plan change) -----
     // Salting must change the SHUFFLE, not the RESULT: output is
     // hash-compared against the plain SQL join.
@@ -5030,6 +5041,32 @@ object SparkEntry {
         |      ELSE least(CAST(1.0 AS DOUBLE), scale * w / CAST(c AS DOUBLE)) END
         |      * 4294967296) AS BIGINT) AS band
         |  FROM counts JOIN weights USING (source), sc
+        |)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN bands USING (source)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |  < band
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // T=2 temperature mix: w = sqrt(mass) (exactly-rounded IEEE op),
+    // then the identical scale/band derivation as q_mix_tokens —
+    // operand-for-operand the same IEEE expression shapes the Scala
+    // driver code evaluates, so bands match bit-for-bit
+    "q_mix_temperature" ->
+      """WITH counts AS (
+        |  SELECT source, sum(n_chars) AS c FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT source, c, sqrt(CAST(c AS DOUBLE)) AS w FROM counts
+        |  WHERE c > 0
+        |), sc AS (
+        |  SELECT min(CAST(c AS DOUBLE) / w) AS scale FROM w
+        |), bands AS (
+        |  SELECT source,
+        |    CAST(floor(CASE WHEN CAST(c AS DOUBLE) / w = scale
+        |      THEN CAST(1.0 AS DOUBLE)
+        |      ELSE least(CAST(1.0 AS DOUBLE), scale * w / CAST(c AS DOUBLE)) END
+        |      * 4294967296) AS BIGINT) AS band
+        |  FROM w, sc
         |)
         |SELECT d.doc_id, d.source, d.n_chars
         |FROM documents d JOIN bands USING (source)

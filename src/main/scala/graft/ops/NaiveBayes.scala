@@ -66,13 +66,15 @@ object NaiveBayes {
     val testToks = toks(test, idCol, textCol, Seq.empty)
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("cnt"))
 
-    // class-conditional token counts (V×C sparse) and class totals
+    // class-conditional token counts (V×C sparse); class totals and
+    // the vocabulary DERIVE from this aggregate rather than
+    // re-aggregating the exploded stream — the (label, term) shuffle
+    // is computed once and every consumer plans a ReusedExchange on
+    // it (one corpus explode instead of four)
     val tokCounts = trainToks.groupBy(col(labelCol), col("term"))
       .agg(count(lit(1)).as("n_tc"))
-    val classTotals = trainToks.groupBy(col(labelCol))
-      .agg(count(lit(1)).as("n_c"))
-    val vocabSize = trainToks.agg(
-      countDistinct(col("term")).as("v_size"))
+    val classTotals = tokCounts.groupBy(col(labelCol))
+      .agg(sum(col("n_tc")).as("n_c"))
     // per-class doc counts for priors
     val classDocs = train
       .filter(length(Text.normalize(col(textCol))) > 0)
@@ -81,7 +83,8 @@ object NaiveBayes {
 
     // dense (term, class) likelihood table over the TRAIN vocabulary:
     // vocab × classes, missing counts -> 0 -> the smoothing floor
-    val vocab = trainToks.select(col("term")).distinct()
+    val vocab = tokCounts.select(col("term")).distinct()
+    val vocabSize = vocab.agg(count(lit(1)).as("v_size"))
     // cross joins MUST broadcast one side; hint the PROVABLY tiny
     // ones (C rows / 1 row) so the planner can never pick the
     // corpus-derived side at scale
@@ -134,10 +137,11 @@ object NaiveBayes {
       .agg(
         sum(when(col(labelCol) === labelA, 1L).otherwise(0L)).as("n_a"),
         sum(when(col(labelCol) === labelB, 1L).otherwise(0L)).as("n_b"))
-    val totals = trainToks.agg(
-      sum(when(col(labelCol) === labelA, 1L).otherwise(0L)).as("tot_a"),
-      sum(when(col(labelCol) === labelB, 1L).otherwise(0L)).as("tot_b"),
-      countDistinct(col("term")).as("v_size"))
+    // totals derive from `counts` (ReusedExchange on the term
+    // shuffle), not from a second pass over the exploded corpus
+    val totals = counts.agg(
+      sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"),
+      count(lit(1)).as("v_size"))
     counts.crossJoin(broadcast(totals)).select(
       col("term"), col("n_a"), col("n_b"),
       (((col("n_a") + lit(1L)).cast("double") /

@@ -164,6 +164,46 @@ object Sampling {
     src.filter(keyHash(col(keyCol)) < bandCol)
   }
 
+  /** Temperature-flattened source mixing — the multilingual /
+    * multi-source rebalancing move of real pretraining mixes
+    * (sample source s with probability ∝ p_s^(1/T)): target weights
+    * derive from each source's OWN mass, `w_s = mass_s^(1/T)`, then
+    * the usual banded downsample brings every source to that share.
+    * T = 1 keeps the natural distribution (every rate 1, no rows
+    * dropped); larger T flattens toward uniform, upweighting tail
+    * sources RELATIVELY by downsampling heads. `budgetCol` switches
+    * mass from row counts to that column's sum (tokens/chars) — the
+    * units mixes are actually specified in.
+    *
+    * Engine determinism: at T = 2 the weight is `sqrt(mass)` — IEEE
+    * sqrt is correctly rounded everywhere, so every band boundary is
+    * bit-identical across engines (the oracled configuration). Other
+    * T use `pow`, which may differ in the last ulp across libm
+    * implementations — band edges can move by 1 part in 2^32.
+    *
+    * Scale shape: one aggregation collected O(#sources), one
+    * broadcast-sized CASE filter — same as [[mixToWeights]]. */
+  def mixByTemperature(df: DataFrame, groupCol: String, keyCol: String,
+                       temperature: Double,
+                       budgetCol: Option[String] = None,
+                       persistInput: Boolean = false): DataFrame = {
+    require(temperature >= 1.0,
+      s"temperature must be >= 1.0, got $temperature")
+    val src = if (persistInput) df.persist() else df
+    val totals: Map[String, Long] = (budgetCol match {
+      case Some(b) => src.groupBy(groupCol)
+        .agg(sum(col(b).cast("long")).as("_m"))
+      case None => src.groupBy(groupCol).count()
+    }).collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    val present = totals.filter(_._2 > 0)
+    require(present.nonEmpty, "no non-empty source present in the data")
+    val weights = present.map { case (s, n) =>
+      s -> (if (temperature == 2.0) math.sqrt(n.toDouble)
+            else math.pow(n.toDouble, 1.0 / temperature))
+    }
+    mixFilter(src, groupCol, keyCol, weights, present)
+  }
+
   /** Weighted sampling without replacement, Efraimidis–Spirakis
     * (IPL 2006): each row draws `u ∈ (0,1]` and scores
     * `srk = u^(1/w)`; the global top-`k` by `srk` is a weighted

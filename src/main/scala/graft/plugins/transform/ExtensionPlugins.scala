@@ -217,6 +217,17 @@ class SamplePlugin(options: Map[String, Any], configDir: Path, label: String)
               }
             }
           } yield out
+        case "mix_temperature" =>
+          // p^(1/T) source flattening; weights derive from the data's
+          // own per-source mass, so no weights table is needed
+          for {
+            groupCol <- requiredString("group_column")
+            tv <- required("temperature")
+            out <- graft.core.Errors.safe(
+              graft.ops.Sampling.mixByTemperature(df, groupCol, keyCol,
+                tv.toString.toDouble,
+                options.get("budget_column").map(_.toString)))
+          } yield out
         case other => Left(new PluginExecutionError(
           s"Unknown sample method: '$other'"))
       }

@@ -69,6 +69,9 @@ object MeasureZOrder {
     measure(
       graft.ops.ZOrder.clustered(li, Seq("l_partkey", "l_suppkey"),
         bits = 8, numFiles = nFiles), "z-ordered")
+    measure(
+      graft.ops.ZOrder.clustered(li, Seq("l_partkey", "l_suppkey"),
+        bits = 8, numFiles = nFiles, curve = "hilbert"), "hilbert")
     spark.stop()
   }
 }

@@ -295,4 +295,30 @@ class E2ESpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sliding(2)
       .forall(w => w.length < 2 || w(0) >= w(1)))
   }
+
+  test("examples/classify_quality.toml: temperature mix -> NB scoring") {
+    val src = java.nio.file.Paths.get("examples/classify_quality.toml")
+    assume(java.nio.file.Files.exists(src))
+    val tmp = java.nio.file.Files.createTempDirectory("clscfg")
+    val cfg = tmp.resolve("classify_quality.toml")
+    java.nio.file.Files.copy(src, cfg)
+    val config = Config.loadConfig(cfg).fold(e => fail(e.getMessage), identity)
+    val reg = Loader.loadPlugins(config, cfg).fold(e => fail(e.getMessage), identity)
+    val result = Pipeline.runPipeline(reg.inputs, reg.transforms, reg.outputs)
+    assert(result.isRight, result.left.toOption.map(_.getMessage))
+
+    val preds = spark.read
+      .parquet(tmp.resolve("out/predictions").toString)
+    assert(preds.columns.toSeq == Seq("doc_id", "pred", "score"))
+    val n = preds.count()
+    assert(n > 100 && n <= 500, s"n=$n") // flattened stream, all scored
+    // predictions stay inside the label alphabet of the train slice
+    val langs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    val predSet = preds.select("pred").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(predSet.subsetOf(langs), s"$predSet not in $langs")
+  }
 }

@@ -174,6 +174,35 @@ class OpsSpec extends AnyFunSuite {
     assert(again == out.select("id").as[Long].collect().toSet)
   }
 
+  test("mixByTemperature flattens toward uniform; T=1 keeps all rows") {
+    import spark.implicits._
+    // head source 400 rows, tail source 100: at T=2 weights are
+    // 20:10, tail binds (kept whole), head downsampled to ~200
+    val df = ((0L until 400L).map(i => (i, "head")) ++
+      (400L until 500L).map(i => (i, "tail"))).toDF("id", "src")
+    val out = Sampling.mixByTemperature(df, "src", "id", temperature = 2.0)
+    val byS = out.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("tail") == 100)                  // binding source whole
+    val h = byS("head")
+    assert(h > 150 && h < 250, s"head=$h expected ~200")
+    // T=1: weights proportional to counts -> every rate 1, no drops
+    val all = Sampling.mixByTemperature(df, "src", "id", temperature = 1.0)
+    assert(all.count() == 500)
+    // budget form: mass = value column, not row count
+    val wdf = Seq((1L, "a", 900L), (2L, "b", 100L), (3L, "b", 0L))
+      .toDF("id", "src", "chars")
+    val bud = Sampling.mixByTemperature(wdf, "src", "id",
+      temperature = 2.0, budgetCol = Some("chars"))
+    // b binds (mass 100, weight 10 -> ratio 10 < a's 900/30=30);
+    // its rows survive regardless of hash
+    assert(bud.filter($"src" === "b").count() == 2)
+    val err = intercept[IllegalArgumentException] {
+      Sampling.mixByTemperature(df, "src", "id", temperature = 0.5)
+    }
+    assert(err.getMessage.contains(">= 1.0"))
+  }
+
   test("mixToWeights persistInput runs the upstream plan once (count + sink)") {
     import spark.implicits._
     val acc = spark.sparkContext.longAccumulator("mix-upstream")
