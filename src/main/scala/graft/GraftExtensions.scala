@@ -110,7 +110,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => SortedBucket(args.head, args(1)))
 
     inject("hilbert_code", 2,
-      "hilbert_code(dims, bits) - Hilbert-curve index of 2 array<int> bucket indices")(
+      "hilbert_code(dims, bits) - Hilbert-curve index of k>=2 array<int> bucket indices")(
       args => HilbertCode(args.head, args(1)))
   }
 }

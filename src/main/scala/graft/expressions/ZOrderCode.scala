@@ -143,15 +143,24 @@ object SortedBucket {
   * a range of codes maps to a tighter spatial region and parquet
   * min/max skipping prunes more files for 2-column range predicates.
   *
-  * Algorithm: the classic iterative xy2d walk (quadrant bit →
-  * reflect/rotate, public domain — the `s-1` reflection variant, so
-  * each step is self-contained in `s`), top bit down; `bits` per
-  * dimension, code in [0, 4^bits). Same null contract as
-  * [[ZOrderCode]]: null array → null, null ELEMENT → bucket 0,
-  * out-of-range buckets masked to `bits` bits. Exactly 2 dims — for
-  * k > 2 use the Z curve (the Hilbert state machine in k-D buys
-  * little over Morton for typical lakehouse layouts and costs a
-  * per-row table walk).
+  * Algorithm, 2 dims: the classic iterative xy2d walk (quadrant
+  * bit → reflect/rotate, public domain — the `s-1` reflection
+  * variant, so each step is self-contained in `s`), top bit down;
+  * code in [0, 4^bits). This is the path `q_hilbert`'s recursive-CTE
+  * oracle replays exactly.
+  *
+  * Algorithm, k ≥ 3 dims: Skilling's transpose transform
+  * ("Programming the Hilbert curve", AIP Conf. Proc. 707, 2004 —
+  * public domain): inverse-undo + Gray decode over the coordinate
+  * array, then MSB-first bit interleave of the transposed axes. The
+  * two paths produce different (both valid) Hilbert orders, so k = 2
+  * stays on the oracled walk; HilbertSpec certifies BOTH by the
+  * defining properties (bijection + unit-step grid adjacency,
+  * exhaustive on small grids).
+  *
+  * Same null contract as [[ZOrderCode]]: null array → null, null
+  * ELEMENT → bucket 0, out-of-range buckets masked to `bits` bits;
+  * k·bits ≤ 63.
   */
 case class HilbertCode(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -182,24 +191,71 @@ case class HilbertCode(left: Expression, right: Expression)
   override def nullSafeEval(dims: Any, bitsAny: Any): Any = {
     val a = dims.asInstanceOf[ArrayData]
     val bits = bitsAny.asInstanceOf[Int]
-    require(a.numElements() == 2,
-      s"hilbert_code requires exactly 2 dims, got ${a.numElements()}")
+    val k = a.numElements()
+    require(k >= 2, s"hilbert_code requires >= 2 dims, got $k")
+    require(k.toLong * bits <= 63,
+      s"hilbert_code: $k dims x $bits bits exceeds 63 output bits")
     val mask = if (bits == 31) Int.MaxValue else (1 << bits) - 1
-    var x = (if (a.isNullAt(0)) 0 else a.getInt(0)) & mask
-    var y = (if (a.isNullAt(1)) 0 else a.getInt(1)) & mask
-    var d = 0L
-    var s = 1 << (bits - 1)
-    while (s > 0) {
-      val rx = if ((x & s) > 0) 1 else 0
-      val ry = if ((y & s) > 0) 1 else 0
-      d += s.toLong * s * ((3 * rx) ^ ry)
-      if (ry == 0) {
-        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
-        val t = x; x = y; y = t
+    if (k == 2) {
+      var x = (if (a.isNullAt(0)) 0 else a.getInt(0)) & mask
+      var y = (if (a.isNullAt(1)) 0 else a.getInt(1)) & mask
+      var d = 0L
+      var s = 1 << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s.toLong * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
       }
-      s >>= 1
+      d
+    } else {
+      // Skilling AxesToTranspose, then MSB-first interleave
+      val x = new Array[Int](k)
+      var i = 0
+      while (i < k) {
+        x(i) = (if (a.isNullAt(i)) 0 else a.getInt(i)) & mask
+        i += 1
+      }
+      var q = 1 << (bits - 1)
+      while (q > 1) {
+        val p = q - 1
+        i = 0
+        while (i < k) {
+          if ((x(i) & q) != 0) x(0) ^= p
+          else {
+            val t = (x(0) ^ x(i)) & p
+            x(0) ^= t; x(i) ^= t
+          }
+          i += 1
+        }
+        q >>= 1
+      }
+      i = 1
+      while (i < k) { x(i) ^= x(i - 1); i += 1 }
+      var t = 0
+      q = 1 << (bits - 1)
+      while (q > 1) {
+        if ((x(k - 1) & q) != 0) t ^= q - 1
+        q >>= 1
+      }
+      i = 0
+      while (i < k) { x(i) ^= t; i += 1 }
+      var d = 0L
+      var bit = bits - 1
+      while (bit >= 0) {
+        i = 0
+        while (i < k) {
+          d = (d << 1) | ((x(i) >> bit) & 1L)
+          i += 1
+        }
+        bit -= 1
+      }
+      d
     }
-    d
   }
 
   override protected def withNewChildrenInternal(

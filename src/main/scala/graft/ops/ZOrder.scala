@@ -63,7 +63,7 @@ object ZOrder {
     }
 
   /** Adds the interleaved code column; no shuffle, no action.
-    * `curve` = "z" (Morton, any k) | "hilbert" (exactly 2 dims,
+    * `curve` = "z" (Morton, any k) | "hilbert" (k >= 2 dims,
     * tighter locality — see [[graft.expressions.HilbertCode]]). */
   def withCode(df: DataFrame, cols: Seq[String], bits: Int,
                bounds: Map[String, Array[Double]],
@@ -79,8 +79,8 @@ object ZOrder {
     curve match {
       case "z" => df.withColumn(codeCol, zorder_code(array(dims: _*), bits))
       case "hilbert" =>
-        require(cols.size == 2,
-          s"hilbert curve requires exactly 2 cluster columns, got ${cols.size}")
+        require(cols.size >= 2,
+          s"hilbert curve requires >= 2 cluster columns, got ${cols.size}")
         df.withColumn(codeCol,
           graft.expressions.HilbertCode.hilbert_code(array(dims: _*), bits))
       case other =>

@@ -82,10 +82,33 @@ class HilbertSpec extends AnyFunSuite {
       .select(hilbert_code(array($"a", $"b"), 8).as("h")).as[Long].head()
     assert(masked == xy2d(8, 1, 1))
     val err = intercept[Exception] {
-      Seq((1, 2, 3)).toDF("a", "b", "c")
-        .select(hilbert_code(array($"a", $"b", $"c"), 4)).collect()
+      Seq(Tuple1(7)).toDF("a")
+        .select(hilbert_code(array($"a"), 4)).collect()
     }
-    assert(err.getMessage.contains("exactly 2 dims"))
+    assert(err.getMessage.contains(">= 2 dims"))
+  }
+
+  test("k-D Skilling path: bijection + unit-step adjacency " +
+    "(3-D bits=2/3 and 4-D bits=2, exhaustive)") {
+    for ((k, bits) <- Seq((3, 2), (3, 3), (4, 2))) {
+      val n = 1 << bits
+      val cells = Seq.tabulate(math.pow(n, k).toInt) { idx =>
+        var v = idx
+        val c = Array.fill(k) { val x = v % n; v /= n; x }
+        c.toSeq
+      }
+      val df = cells.map(c => Tuple1(c)).toDF("dims")
+        .select($"dims",
+          hilbert_code(col("dims").cast("array<int>"), bits).as("h"))
+      val coded = df.as[(Seq[Int], Long)].collect().sortBy(_._2)
+      assert(coded.map(_._2).toSeq ==
+        (0L until math.pow(n, k).toLong).toSeq,
+        s"k=$k bits=$bits: not a permutation")
+      coded.sliding(2).foreach { case Array((c1, _), (c2, _)) =>
+        val dist = c1.zip(c2).map { case (a, b) => math.abs(a - b) }.sum
+        assert(dist == 1, s"k=$k bits=$bits: $c1 -> $c2 not adjacent")
+      }
+    }
   }
 
   test("hilbert clustered write shrinks per-file ranges on BOTH axes " +
