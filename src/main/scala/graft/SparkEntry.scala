@@ -2630,6 +2630,17 @@ object SparkEntry {
         .withColumn("sum_value", r(col("sum_value"), 2))
         .orderBy("user_id", "session_id")),
 
+    // ---- events: 6-hour grid resample + forward fill -------------
+    // Gap-filling alignment: per user, a dense 21600 s grid over the
+    // user's own [min, max] slots, each empty slot carrying the last
+    // observation forward. Values ride untouched (no arithmetic) and
+    // the slot representative is a total order (latest second, ties
+    // by max value), so the hash matches exactly.
+    "events_resample" -> ((s, dir) =>
+      graft.ops.Resample.forwardFill(events(s, dir), "user_id", "ts",
+          "value", stepSeconds = 21600L)
+        .orderBy("user_id", "slot_start")),
+
     // ---- events: NATIVE session_window sessionization ------------
     // Spark's built-in merge-on-gap session operator (the idiomatic
     // alternative to the window-function islands in Sessionize.batch;
@@ -5433,6 +5444,42 @@ object SparkEntry {
         |  r(sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    // dense per-user grid + forward fill; representative = latest
+    // second in the slot, ties by max value (total order both
+    // engines replay); range() end-exclusive -> hi + 1 includes hi
+    "events_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, value
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, (sec // 21600) * 21600 AS slot, sec, value
+        |  FROM e
+        |), rep AS (
+        |  SELECT user_id, slot, value,
+        |    row_number() OVER (PARTITION BY user_id, slot
+        |      ORDER BY sec DESC, value DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, slot) AS n_obs
+        |  FROM s
+        |), obs AS (
+        |  SELECT user_id, slot, value AS v_obs, n_obs FROM rep WHERE rn = 1
+        |), bounds AS (
+        |  SELECT user_id, min(slot) AS lo, max(slot) AS hi
+        |  FROM s GROUP BY user_id
+        |), grid AS (
+        |  SELECT user_id, unnest(range(lo, hi + 1, 21600)) AS slot
+        |  FROM bounds
+        |), j AS (
+        |  SELECT g.user_id, g.slot, o.v_obs,
+        |    coalesce(o.n_obs, 0) AS n_obs
+        |  FROM grid g LEFT JOIN obs o
+        |    ON g.user_id = o.user_id AND g.slot = o.slot)
+        |SELECT user_id, slot AS slot_start,
+        |  last_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY slot ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS value,
+        |  CAST(n_obs AS BIGINT) AS n_obs
+        |FROM j ORDER BY user_id, slot_start""".stripMargin,
 
     // session_window semantics: same 30-min gap islands; window end =
     // last event + gap (the operator's contract), no session_id in

@@ -92,6 +92,7 @@ object Loader {
     "c4_filter" -> "graft.plugins.transform.C4Plugin",
     "lm_score" -> "graft.plugins.transform.LmScorePlugin",
     "classify_nb" -> "graft.plugins.transform.ClassifyNbPlugin",
+    "resample" -> "graft.plugins.transform.ResamplePlugin",
     "blocklist" -> "graft.plugins.transform.BlocklistPlugin",
     "unpivot" -> "graft.plugins.transform.UnpivotPlugin",
     "parquet_stream_scan" -> "graft.plugins.streaming.ParquetStreamScanPlugin",

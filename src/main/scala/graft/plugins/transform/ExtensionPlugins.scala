@@ -1697,3 +1697,46 @@ class ClassifyNbPlugin(options: Map[String, Any], configDir: Path, label: String
       }
     } yield out
 }
+
+/** Config-driven time-grid resampling ([[graft.ops.Resample]]): per
+  * key, snap events to `step_seconds` slots, emit the key's dense
+  * [min, max] slot grid and forward-fill gaps with the last observed
+  * value. Options: key_column (req), ts_column (req — native
+  * timestamp, or integral epoch NANOS), value_column (req),
+  * step_seconds (req). Output: (key_column, slot_start, value,
+  * n_obs). */
+class ResamplePlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "resample"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      keyCol <- requiredString("key_column")
+      tsCol <- requiredString("ts_column")
+      valueCol <- requiredString("value_column")
+      step <- required("step_seconds")
+      out <- graft.core.Errors.safe(
+        graft.ops.Resample.forwardFill(df, keyCol, tsCol, valueCol,
+          step.toString.toDouble.toLong))
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    for {
+      keyCol <- requiredString("key_column")
+      tsCol <- requiredString("ts_column")
+      valueCol <- requiredString("value_column")
+      _ <- required("step_seconds")
+      out <- {
+        val missing = Seq(keyCol, tsCol, valueCol)
+          .filterNot(schema.fieldNames.contains)
+        if (missing.nonEmpty)
+          Left(new SchemaValidationError(
+            s"Column(s) ${missing.mkString(", ")} not found in schema"))
+        else Right(StructType(Seq(
+          schema(keyCol),
+          StructField("slot_start", LongType, nullable = false),
+          StructField("value", schema(valueCol).dataType, nullable = true),
+          StructField("n_obs", LongType, nullable = false))))
+      }
+    } yield out
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Time-grid resample + forward fill: hand-computed grids, gap fill,
+  * slot-representative tie-break, per-key independence. Timestamps
+  * are epoch-NANOS longs (the integral-column contract). */
+class ResampleSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SharedSpark.spark
+  import spark.implicits._
+
+  private def ns(sec: Long): Long = sec * 1000000000L
+
+  test("dense grid over [min,max] slots; gaps carry the last value") {
+    val df = Seq(
+      ("u", ns(10), 1.0),   // slot 0
+      ("u", ns(130), 2.0),  // slot 120; slot 60 is a gap
+      ("v", ns(70), 9.0)    // v: single slot 60, no gaps
+    ).toDF("k", "ts", "value")
+    val out = Resample.forwardFill(df, "k", "ts", "value", 60L)
+      .orderBy("k", "slot_start")
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      ("u", 0L, 1.0, 1L),
+      ("u", 60L, 1.0, 0L),   // forward-filled gap
+      ("u", 120L, 2.0, 1L),
+      ("v", 60L, 9.0, 1L)))  // v's grid starts at ITS min slot
+  }
+
+  test("slot representative: latest second wins; same-second ties by max value") {
+    val df = Seq(
+      ("u", ns(5), 8.0), ("u", ns(30), 3.0),   // later sec 30 wins
+      ("w", ns(40), 5.0), ("w", ns(40), 7.0)   // tie at sec 40 -> 7.0
+    ).toDF("k", "ts", "value")
+    val out = Resample.forwardFill(df, "k", "ts", "value", 60L)
+      .as[(String, Long, Double, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(("u", 0L, 3.0, 2L), ("w", 0L, 7.0, 2L)))
+  }
+
+  test("native timestamp columns resolve through TimeCols") {
+    val df = Seq(("u", 10L, 1.0), ("u", 200L, 4.0))
+      .toDF("k", "sec", "value")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_seconds($"sec"))
+    val out = Resample.forwardFill(df, "k", "ts", "value", 60L)
+      .orderBy("slot_start")
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(out.map(_._2) == Seq(0L, 60L, 120L, 180L))
+    assert(out.map(_._3) == Seq(1.0, 1.0, 1.0, 4.0))
+    assert(out.map(_._4) == Seq(1L, 0L, 0L, 1L))
+    val err = intercept[IllegalArgumentException] {
+      Resample.forwardFill(df, "k", "ts", "value", 0L)
+    }
+    assert(err.getMessage.contains("positive"))
+  }
+}
