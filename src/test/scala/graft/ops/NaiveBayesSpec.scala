@@ -91,6 +91,68 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"scoring plan shuffles:\n$plan")
   }
 
+  test("randomized corpora match an independent scalar NB reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+
+    val word = Gen.oneOf("x", "y", "z", "w", "q")
+    val doc = Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val genCase = for {
+      nTrain <- Gen.choose(2, 6)
+      nTest <- Gen.choose(1, 4)
+      trainDocs <- Gen.listOfN(nTrain, Gen.zip(Gen.oneOf("a", "b"), doc))
+      testDocs <- Gen.listOfN(nTest, doc)
+    } yield (trainDocs, testDocs)
+
+    def refNb(tr: Seq[(String, String)], te: Seq[(Long, String)])
+        : Map[Long, (String, Double)] = {
+      def toks(s: String) = s.split(" ").filter(_.nonEmpty).toSeq
+      val tt = tr.flatMap { case (lab, t) => toks(t).map(lab -> _) }
+      val nTc = tt.groupBy(identity).map { case (k, v) => k -> v.size }
+      val nC = tt.groupBy(_._1).map { case (k, v) => k -> v.size }
+      val vocab = tt.map(_._2).distinct.toSet
+      val v = vocab.size
+      val docsC = tr.filter(d => toks(d._2).nonEmpty)
+        .groupBy(_._1).map { case (k, xs) => k -> xs.size }
+      val total = docsC.values.sum
+      val labels = docsC.keys.toSeq.sorted
+      def r4(x: Double) = math.floor(x * 1e4 + 0.5 + 1e-6) / 1e4
+      te.map { case (id, t) =>
+        val cnt = toks(t).filter(vocab).groupBy(identity)
+          .map { case (k, v2) => k -> v2.size }
+        val scored = labels.map { c =>
+          val s = math.log(docsC(c).toDouble / total) + cnt.map {
+            case (tk, n) => n * math.log(
+              (nTc.getOrElse((c, tk), 0) + 1).toDouble / (nC(c) + v))
+          }.sum
+          c -> r4(s)
+        }
+        id -> scored.sortBy { case (c, s) => (-s, c) }.head
+      }.toMap
+    }
+
+    samples(genCase, 6).foreach { case (trainDocs, testDocs) =>
+      val tr = trainDocs.zipWithIndex
+        .map { case ((lab, t), i) => (i.toLong, lab, t) }
+        .toDF("doc_id", "label", "text")
+      val te = testDocs.zipWithIndex
+        .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      val got = NaiveBayes.trainPredict(tr, te, "doc_id", "text", "label")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+        .toMap
+      val want = refNb(trainDocs, testDocs.zipWithIndex
+        .map { case (t, i) => (100L + i, t) })
+      assert(got.keySet == want.keySet)
+      got.foreach { case (id, (p, s)) =>
+        assert(p == want(id)._1, s"pred mismatch doc $id: $got vs $want")
+        assert(math.abs(s - want(id)._2) < 1e-9, s"score mismatch doc $id")
+      }
+    }
+  }
+
   test("label never present degenerates cleanly (single-class argmax)") {
     val oneClass = Seq((1L, "a", "cat dog")).toDF("doc_id", "label", "text")
     val out = NaiveBayes
