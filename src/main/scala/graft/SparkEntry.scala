@@ -3242,6 +3242,23 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // ---- exact triangle counting (co-purchase graph) -------------
+    // Parts are connected when they ship in the same order; per-node
+    // triangle counts are the clustering-coefficient numerator. The
+    // Spark side orients edges by (degree, id) — the O(m^1.5) bound
+    // that survives hub skew — while the oracle replays the simple
+    // id-ordered enumeration: the wedge sets differ, the triangle
+    // SET is identical (each counted once), so the hash matches.
+    "q_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      val edges = a.join(b, Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .select(col("pa"), col("pb")).distinct()
+      graft.ops.Graph.triangles(edges, "pa", "pb").orderBy("node")
+    }),
+
     // ---- C4 line-level cleaning rules (Raffel et al. 2020) -------
     // Terminal-punctuation + min-words-per-line retention, javascript
     // line drop, lorem-ipsum/brace/min-sentences page gates. The
@@ -6150,6 +6167,26 @@ object SparkEntry {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN rm ON n.n_regionkey = rm.n_regionkey
         |ORDER BY c_custkey""".stripMargin,
+
+    // id-ordered triangle enumeration over the canonical (a < b)
+    // co-purchase edge set; every triangle appears exactly once with
+    // x < y < z, so the 3-way node credit matches the degree-ordered
+    // Spark enumeration
+    "q_triangles" ->
+      """WITH pp AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |), tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM pp e1
+        |  JOIN pp e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN pp e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT node, count(*) AS n_triangles FROM (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     "text_c4" ->
       """WITH src AS (

@@ -179,4 +179,52 @@ object Graph {
         coalesce(col("in_degree"), lit(0L)).as("in_degree"))
       .withColumn("degree", col("out_degree") + col("in_degree"))
   }
+
+  /** Exact per-node triangle counts of the UNDIRECTED simple graph
+    * (self-loops dropped, directions/duplicates collapsed) — the
+    * clustering-coefficient numerator and the classic local-community
+    * density signal.
+    *
+    * Algorithm: degree-ordered orientation (each edge points from the
+    * lower (degree, id) endpoint to the higher), then one wedge
+    * self-join + one closing-edge join. The orientation is THE scale
+    * move: out-degrees are bounded by O(√m) on any graph, so the
+    * wedge count is O(m^1.5) worst-case instead of Σ deg² — a hub
+    * node's quadratic wedge explosion cannot happen. Which wedges
+    * get enumerated changes with the order; the triangle SET does not
+    * (each triangle is counted exactly once, at its smallest
+    * endpoint), which is why an id-ordered SQL replay hash-matches.
+    *
+    * Three shuffles (canonical dedupe, degree agg + joins, wedge
+    * join keyed on the wedge apex) — all on keys, no driver state.
+    * Output: `(node, n_triangles)`, nodes in ≥1 triangle. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    // orient low (degree, id) -> high; a < b by construction, so the
+    // degree tie falls back to id order
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("u"),
+      when(fwd, col("b")).otherwise(col("a")).as("v"),
+      when(fwd, col("db")).otherwise(col("da")).as("dv"))
+    val x = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val y = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val wedges = x.join(y, Seq("u"))
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
+    val tri = wedges.join(closing, Seq("v1", "v2"))
+    tri.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

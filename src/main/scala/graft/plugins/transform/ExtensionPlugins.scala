@@ -1541,6 +1541,9 @@ class ScdPlugin(options: Map[String, Any], configDir: Path, label: String)
   *            (like vocab_encode's driver-side vocabulary build, this
   *            plugin runs jobs at execute time, not sink time).
   *          | "degrees"  — per-node out/in/total degree (lazy)
+  *          | "triangles" — exact per-node triangle counts of the
+  *            undirected simple graph (degree-ordered orientation)
+  *          | "components" — connected components to the min member
   *
   * Options: src_column, dst_column (req). */
 class GraphPlugin(options: Map[String, Any], configDir: Path, label: String)
@@ -1567,6 +1570,7 @@ class GraphPlugin(options: Map[String, Any], configDir: Path, label: String)
               tol = options.get("tol")
                 .map(_.toString.toDouble).getOrElse(0.0))
           case "degrees" => graft.ops.Graph.degrees(df, src, dst)
+          case "triangles" => graft.ops.Graph.triangles(df, src, dst)
           case "components" =>
             // connected components of the (undirected) edge list to
             // the min member id; algorithm = "alternating" (default,
@@ -1618,6 +1622,9 @@ class GraphPlugin(options: Map[String, Any], configDir: Path, label: String)
             StructField("out_degree", LongType, nullable = false),
             StructField("in_degree", LongType, nullable = false),
             StructField("degree", LongType, nullable = false))))
+          case "triangles" => Right(StructType(Seq(
+            StructField("node", schema(src).dataType),
+            StructField("n_triangles", LongType, nullable = false))))
           case "components" => Right(StructType(Seq(
             StructField("node", schema(src).dataType),
             StructField("cluster_id", schema(src).dataType))))

@@ -180,6 +180,25 @@ class Round5Spec extends AnyFunSuite {
     assert(deg("c") == (0L, 2L, 2L))
   }
 
+  test("Graph.triangles: exact counts, direction/dup/self-loop immune") {
+    // triangle 1-2-3, pendant 3-4, plus a duplicate reversed edge and
+    // a self loop that must not change anything
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (2L, 1L), (5L, 5L)).toDF("s", "d")
+    val out = Graph.triangles(edges, "s", "d")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    // K4: every node sits in C(3,2)=3 triangles
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("s", "d")
+    val got = Graph.triangles(k4, "s", "d")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == (1L to 4L).map(_ -> 3L))
+    // triangle-free bipartite graph -> empty
+    val bip = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)).toDF("s", "d")
+    assert(Graph.triangles(bip, "s", "d").count() == 0)
+  }
+
   // ----------------------------------------------------------------- Scd
 
   test("Scd.scd2 collapses runs and closes intervals") {
