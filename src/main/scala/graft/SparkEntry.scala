@@ -3242,6 +3242,23 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // ---- data-contract expectations gate -------------------------
+    // Deequ-style pre-promotion validation: four row rules compile
+    // into ONE conditional-count aggregation over a single scan, the
+    // uniqueness rule into one groupBy — per-rule violation counts,
+    // not a boolean, so failures are triaged from the report. The
+    // fixture genuinely violates two rules (high discounts, repeated
+    // (orderkey, linenumber) keys), so pass=false paths are live.
+    "q_expectations" -> ((s, dir) =>
+      graft.ops.Expectations.check(t(s, dir, "lineitem"),
+        rowRules = Seq(
+          "discount_low" -> "l_discount <= 0.08",
+          "flag_domain" -> "l_returnflag IN ('A', 'N', 'R')",
+          "price_positive" -> "l_extendedprice > 0",
+          "qty_range" -> "l_quantity BETWEEN 1 AND 50"),
+        uniqueRules = Seq(
+          "pk_unique" -> Seq("l_orderkey", "l_linenumber")))),
+
     // ---- exact triangle counting (co-purchase graph) -------------
     // Parts are connected when they ship in the same order; per-node
     // triangle counts are the clustering-coefficient numerator. The
@@ -6167,6 +6184,35 @@ object SparkEntry {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN rm ON n.n_regionkey = rm.n_regionkey
         |ORDER BY c_custkey""".stripMargin,
+
+    // violation = NOT coalesce(pred, FALSE) — unevaluable rows count
+    // as violations, mirroring Expectations.check's null-hostile
+    // contract; uniqueness counts rows beyond the first per dup key
+    "q_expectations" ->
+      """SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+        |  n_violations = 0 AS pass
+        |FROM (
+        |  SELECT 'discount_low' AS rule, sum(CASE WHEN
+        |    coalesce(l_discount <= 0.08, FALSE) THEN 0 ELSE 1 END)
+        |    AS n_violations FROM lineitem
+        |  UNION ALL
+        |  SELECT 'flag_domain', sum(CASE WHEN
+        |    coalesce(l_returnflag IN ('A', 'N', 'R'), FALSE)
+        |    THEN 0 ELSE 1 END) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'price_positive', sum(CASE WHEN
+        |    coalesce(l_extendedprice > 0, FALSE) THEN 0 ELSE 1 END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'qty_range', sum(CASE WHEN
+        |    coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
+        |    THEN 0 ELSE 1 END) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'pk_unique', coalesce(sum(CASE WHEN n > 1
+        |    THEN n - 1 ELSE 0 END), 0)
+        |  FROM (SELECT count(*) AS n FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber))
+        |ORDER BY rule""".stripMargin,
 
     // id-ordered triangle enumeration over the canonical (a < b)
     // co-purchase edge set; every triangle appears exactly once with

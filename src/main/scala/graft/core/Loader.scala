@@ -93,6 +93,7 @@ object Loader {
     "lm_score" -> "graft.plugins.transform.LmScorePlugin",
     "classify_nb" -> "graft.plugins.transform.ClassifyNbPlugin",
     "resample" -> "graft.plugins.transform.ResamplePlugin",
+    "expect" -> "graft.plugins.transform.ExpectPlugin",
     "blocklist" -> "graft.plugins.transform.BlocklistPlugin",
     "unpivot" -> "graft.plugins.transform.UnpivotPlugin",
     "parquet_stream_scan" -> "graft.plugins.streaming.ParquetStreamScanPlugin",

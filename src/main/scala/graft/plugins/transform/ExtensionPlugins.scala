@@ -1747,3 +1747,61 @@ class ResamplePlugin(options: Map[String, Any], configDir: Path, label: String)
       }
     } yield out
 }
+
+/** Config-driven data-contract validation
+  * ([[graft.ops.Expectations]]). Options: `rules` (inline table
+  * name -> SQL predicate rows must satisfy), `unique` (inline table
+  * name -> key column list that must not repeat), at least one of
+  * the two; `mode` = "report" (default — emit the per-rule
+  * `(rule, n_violations, pass)` report) or "gate" (EAGER: run the
+  * checks at execute time; all pass -> the input stream flows
+  * through untouched, any failure -> the pipeline stops with the
+  * failing rules and counts in the error). The gate is the
+  * pre-promotion contract: bad data never reaches the sink. */
+class ExpectPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "expect"
+
+  private def tableOpt(key: String): Map[String, Any] =
+    options.get(key) match {
+      case Some(m: Map[_, _]) => m.map { case (k, v) => k.toString -> v }
+      case Some(other) => throw new PluginExecutionError(
+        s"Option '$key' must be a table, got: $other")
+      case None => Map.empty
+    }
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    graft.core.Errors.safe {
+      val rowRules = tableOpt("rules").toSeq
+        .map { case (k, v) => k -> v.toString }.sortBy(_._1)
+      val uniqueRules = tableOpt("unique").toSeq.map {
+        case (k, xs: Seq[_]) => k -> xs.map(_.toString)
+        case (k, s) => k -> Seq(s.toString)
+      }.sortBy(_._1)
+      val report = graft.ops.Expectations.check(df, rowRules, uniqueRules)
+      options.getOrElse("mode", "report").toString match {
+        case "report" => report
+        case "gate" =>
+          // bounded collect: one row per rule
+          val failed = report.collect().filter(!_.getBoolean(2))
+          if (failed.nonEmpty) throw new PluginExecutionError(
+            "expectations failed: " + failed.map(row =>
+              s"${row.getString(0)} (${row.getLong(1)} violations)")
+              .mkString(", "))
+          df
+        case other => throw new PluginExecutionError(
+          s"Unknown expect mode: '$other'")
+      }
+    }
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    graft.core.Errors.safe {
+      options.getOrElse("mode", "report").toString match {
+        case "gate" => schema
+        case _ => StructType(Seq(
+          StructField("rule", StringType, nullable = false),
+          StructField("n_violations", LongType, nullable = true),
+          StructField("pass", BooleanType, nullable = true)))
+      }
+    }
+}
