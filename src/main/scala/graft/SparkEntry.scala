@@ -2001,6 +2001,22 @@ object SparkEntry {
     // ---- similarity: IVF top-k recall gate (driver-checkable) ----
     "sim_recall_ivf" -> ((s, dir) =>
       recallGate(benchOnly("sim_topk_ivf")(s, dir), s, dir)),
+
+    // ---- persisted IVF index: build -> disk -> query -------------
+    // The deployment shape: the index is WRITTEN (partitioned
+    // postings + centroid table), then queried from disk with a
+    // static list_id partition filter — unprobed lists' files are
+    // never opened. Recall-gated against the same brute truth as the
+    // in-memory ANN paths.
+    "sim_recall_index" -> ((s, dir) => {
+      val work = scratch("vindex")
+      val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      graft.ops.VectorIndex.build(e, "vec_id", "embedding",
+        work.resolve("idx").toString, nlist = 8)
+      recallGate(graft.ops.VectorIndex.topK(s,
+        work.resolve("idx").toString, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 7, rerank = 64), s, dir)
+    }),
     "sim_recall_ivfpq" -> ((s, dir) =>
       recallGate(benchOnly("sim_topk_ivfpq")(s, dir), s, dir)),
 
@@ -5199,6 +5215,12 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "sim_recall_ivf" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(count(*) * 5 AS BIGINT) AS n_possible,
+        |  true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "sim_recall_index" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  CAST(count(*) * 5 AS BIGINT) AS n_possible,
         |  true AS recall_ok

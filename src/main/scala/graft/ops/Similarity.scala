@@ -233,7 +233,7 @@ object Similarity {
   }
 
   /** Top-`rerank` approx-scored candidates per query. */
-  private def topRerank(approx: DataFrame, queryIdOut: String,
+  private[ops] def topRerank(approx: DataFrame, queryIdOut: String,
                         rerank: Int): DataFrame = {
     val w = Window.partitionBy(queryIdOut)
       .orderBy(col("approx").desc, col("neighbor_id").asc)
@@ -246,7 +246,7 @@ object Similarity {
     * surviving candidates re-attach full fp vectors; query vectors
     * broadcast under the bounded-query contract (`hintBroadcast`),
     * keyed shuffle join when the query table IS the corpus. */
-  private def exactRerank(candidates: DataFrame, c: DataFrame, q: DataFrame,
+  private[ops] def exactRerank(candidates: DataFrame, c: DataFrame, q: DataFrame,
                           queryIdOut: String, k: Int,
                           hintBroadcast: Boolean = true): DataFrame = {
     val qSide = if (hintBroadcast) broadcast(q) else q

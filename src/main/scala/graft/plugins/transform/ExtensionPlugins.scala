@@ -713,6 +713,30 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
             lo = num("band_lo", 0.0), hi = num("band_hi", 0.95),
             distCol = options.getOrElse("output_column", "centroid_dist")
               .toString)))
+    // persisted-index pair: build writes the partitioned IVF index
+    // (EAGER, stream passes through for downstream stages); query
+    // serves the stream's rows against an index built in THIS run or
+    // any earlier one — build once, query many
+    if (options.getOrElse("method", "brute").toString == "index_build")
+      return for {
+        idCol <- requiredString("id_column")
+        dir <- requiredString("index_dir")
+        out <- graft.core.Errors.safe {
+          graft.ops.VectorIndex.build(df, idCol, embCol0,
+            resolvePath(dir).toString, nlist = num("nlist", 64).toInt)
+          df
+        }
+      } yield out
+    if (options.getOrElse("method", "brute").toString == "index_query")
+      return for {
+        idCol <- requiredString("id_column")
+        dir <- requiredString("index_dir")
+        out <- graft.core.Errors.safe(
+          graft.ops.VectorIndex.topK(df.sparkSession,
+            resolvePath(dir).toString, df, idCol, embCol0,
+            k = num("k", 10).toInt, nprobe = num("nprobe", 7).toInt,
+            rerank = num("rerank", 64).toInt))
+      } yield out
     for {
       idCol <- requiredString("id_column")
       ql <- requiredString("queries_label")

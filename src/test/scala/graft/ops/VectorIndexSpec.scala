@@ -1,0 +1,64 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Persisted IVF index: build/query round trip, exactness under full
+  * probe, partition pruning of unprobed lists, cross-session reuse. */
+class VectorIndexSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SharedSpark.spark
+  import spark.implicits._
+
+  private def corpus = SyntheticEmbeddings
+    .mixtureOfGaussians(spark, n = 256, d = 16, k = 8, sigma = 0.02)
+    .select(col("vec_id"), col("embedding"))
+
+  test("full probe + exact rerank reproduces brute-force top-k exactly") {
+    val dir = Files.createTempDirectory("vindex").toString
+    VectorIndex.build(corpus, "vec_id", "embedding", dir, nlist = 4)
+    val queries = corpus.filter(col("vec_id") < 8)
+    val got = VectorIndex.topK(spark, dir, queries, "vec_id", "embedding",
+        k = 3, nprobe = 4, rerank = 64)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val want = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("partial probe prunes unprobed list partitions from the scan") {
+    val dir = Files.createTempDirectory("vindex2").toString
+    VectorIndex.build(corpus, "vec_id", "embedding", dir, nlist = 8)
+    val one = corpus.filter(col("vec_id") === 0L)
+    val res = VectorIndex.topK(spark, dir, one, "vec_id", "embedding",
+      k = 3, nprobe = 2, rerank = 16)
+    // the plan's postings scan must carry the static list_id filter
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("list_id"), s"no partition filter in plan:\n$plan")
+    assert(res.count() == 3)
+    // probing the home cluster of a tight mixture finds true neighbors
+    val brute = Similarity.bruteForceTopK(corpus, one,
+        "vec_id", "embedding", k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    val gotN = res.select("neighbor_id").as[Long].collect().toSet
+    assert((gotN & brute).size >= 2, s"recall too low: $gotN vs $brute")
+  }
+
+  test("a fresh read of the same directory serves queries (no rebuild)") {
+    val dir = Files.createTempDirectory("vindex3").toString
+    VectorIndex.build(corpus, "vec_id", "embedding", dir, nlist = 4)
+    // second call never touches the corpus frame
+    val res = VectorIndex.topK(spark, dir,
+      Seq((999L, Array.fill(16)(0.25f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 5, nprobe = 4, rerank = 32)
+    assert(res.count() == 5)
+    assert(res.select(min(col("cosine"))).as[Double].head() >= -1.0)
+  }
+}
