@@ -55,6 +55,31 @@ object VectorIndex {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
   }
 
+  /** Enroll a NEW batch into an existing index without retraining:
+    * assign against the SAVED centroids, quantize, append postings.
+    * The incremental-ingestion contract — centroids drift only on an
+    * explicit rebuild, exactly like FAISS's add-after-train. Eager. */
+  def append(batch: DataFrame, idCol: String, embCol: String,
+             dir: String): Unit = {
+    val spark = batch.sparkSession
+    val centroids: Array[Array[Double]] = spark.read
+      .parquet(s"$dir/centroids").orderBy("list_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val c = Similarity.withNormalized(
+      batch.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
+      "_e", "v").select(col("neighbor_id"), col("v"))
+    import graft.expressions.NearestCentroids.nearest_centroids
+    import graft.expressions.Int8Candidates.int8_code
+    c.withColumn("list_id",
+        element_at(nearest_centroids(col("v"), centroids, 1), 1))
+      .withColumn("_q8", int8_code(col("v")))
+      .select(col("list_id"), col("neighbor_id"),
+        col("_q8.code").as("code"), col("_q8.mn").as("mn"),
+        col("_q8.scale").as("scale"), col("v"))
+      .write.mode(SaveMode.Append).partitionBy("list_id")
+      .parquet(s"$dir/postings")
+  }
+
   /** Top-`k` cosine neighbors of `queries` against the persisted
     * index: `(queryIdOut, neighbor_id, cosine, rank)`. */
   def topK(spark: SparkSession, dir: String, queries: DataFrame,

@@ -727,6 +727,16 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
           df
         }
       } yield out
+    if (options.getOrElse("method", "brute").toString == "index_append")
+      return for {
+        idCol <- requiredString("id_column")
+        dir <- requiredString("index_dir")
+        out <- graft.core.Errors.safe {
+          graft.ops.VectorIndex.append(df, idCol, embCol0,
+            resolvePath(dir).toString)
+          df
+        }
+      } yield out
     if (options.getOrElse("method", "brute").toString == "index_query")
       return for {
         idCol <- requiredString("id_column")

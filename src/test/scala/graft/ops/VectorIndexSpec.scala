@@ -51,6 +51,25 @@ class VectorIndexSpec extends AnyFunSuite {
     assert((gotN & brute).size >= 2, s"recall too low: $gotN vs $brute")
   }
 
+  test("append enrolls a new batch against saved centroids (no retrain)") {
+    val dir = Files.createTempDirectory("vindex4").toString
+    val first = corpus.filter(col("vec_id") % 2 === 0)
+    val second = corpus.filter(col("vec_id") % 2 =!= 0)
+    VectorIndex.build(first, "vec_id", "embedding", dir, nlist = 4)
+    VectorIndex.append(second, "vec_id", "embedding", dir)
+    // full probe + rerank over the merged postings == brute over ALL
+    val queries = corpus.filter(col("vec_id") < 6)
+    val got = VectorIndex.topK(spark, dir, queries, "vec_id", "embedding",
+        k = 3, nprobe = 4, rerank = 64)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val want = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("a fresh read of the same directory serves queries (no rebuild)") {
     val dir = Files.createTempDirectory("vindex3").toString
     VectorIndex.build(corpus, "vec_id", "embedding", dir, nlist = 4)
