@@ -37,7 +37,7 @@ object Bench {
     "text_entropy", "text_vocab", "q_vocab_encode", "q_bpe_encode", "q_split",
     "q_chunk_windows", "q_profile",
     "q_gopher_rules",
-    "text_blocklist", "text_classify_nb",
+    "text_blocklist", "text_classify_nb", "text_hash_embed",
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivfpq",
     "sim_quantize_raw",
     "multimodal_meta", "q_pivot", "q_unpivot",

@@ -1894,6 +1894,20 @@ object SparkEntry {
           r(col("blocked_ratio"), 4).as("blocked_ratio"))
         .orderBy("doc_id")),
 
+    // ---- feature-hashing embeddings (hashing trick) --------------
+    // Signed md5 token hashing into 16 dims + L2 normalize — dense
+    // vectors with NO model/vocab, the bridge from raw text to the
+    // ANN/embedding-dedup family. Every value is bit-identical
+    // cross-engine (integer ±1 sums, one exact sqrt, one division);
+    // r4 is cosmetic. Exploded to cells for the hash compare.
+    "text_hash_embed" -> ((s, dir) =>
+      graft.ops.HashEmbed.embed(tBalanced(s, dir, "documents"),
+          "doc_id", "text", d = 16)
+        .select(col("doc_id"), posexplode(col("embedding")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          r(col("col"), 4).as("v"))
+        .orderBy("doc_id", "pos")),
+
     // ---- model-based quality filter (multinomial Naive Bayes) ----
     // The fastText-classifier pattern of real pretraining pipelines
     // (CCNet/RedPajama): a heuristic weak label on a slice trains a
@@ -4536,6 +4550,39 @@ object SparkEntry {
         |  r(CASE WHEN len(toks) = 0 THEN 0.0
         |    ELSE CAST(hits AS DOUBLE) / len(toks) END, 4) AS blocked_ratio
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // md5-hashed dims/signs, integer per-dim sums, exact norm — the
+    // same normalize/tokenize CTEs as text_tfidf
+    "text_hash_embed" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(t, ' ')) AS term
+        |  FROM d WHERE length(t) > 0
+        |), h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(term), 1, 8))::BIGINT AS hh
+        |  FROM toks
+        |), sums AS (
+        |  SELECT doc_id, CAST(hh % 16 AS INTEGER) AS dim,
+        |    sum(CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END) AS v
+        |  FROM h GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT doc_id, u.p AS pos
+        |  FROM (SELECT DISTINCT doc_id FROM toks),
+        |    LATERAL (SELECT unnest(range(0, 16)) AS p) u
+        |), dense AS (
+        |  SELECT g.doc_id, g.pos, CAST(coalesce(s.v, 0) AS DOUBLE) AS raw
+        |  FROM grid g LEFT JOIN sums s
+        |    ON g.doc_id = s.doc_id AND g.pos = s.dim
+        |), nrm AS (
+        |  SELECT doc_id, sqrt(sum(raw * raw)) AS nn FROM dense GROUP BY 1)
+        |SELECT dense.doc_id, CAST(pos AS BIGINT) AS pos,
+        |  r(CASE WHEN nn = 0 THEN raw ELSE raw / nn END, 4) AS v
+        |FROM dense JOIN nrm USING (doc_id)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // Full NB replay: same normalize/tokenize as text_tfidf, same
     // add-one smoothing, same r()-before-argmax. ln last-bit noise is

@@ -94,6 +94,7 @@ object Loader {
     "classify_nb" -> "graft.plugins.transform.ClassifyNbPlugin",
     "resample" -> "graft.plugins.transform.ResamplePlugin",
     "expect" -> "graft.plugins.transform.ExpectPlugin",
+    "hash_embed" -> "graft.plugins.transform.HashEmbedPlugin",
     "blocklist" -> "graft.plugins.transform.BlocklistPlugin",
     "unpivot" -> "graft.plugins.transform.UnpivotPlugin",
     "parquet_stream_scan" -> "graft.plugins.streaming.ParquetStreamScanPlugin",

@@ -1839,3 +1839,39 @@ class ExpectPlugin(options: Map[String, Any], configDir: Path, label: String)
       }
     }
 }
+
+/** Config-driven feature-hashing embeddings ([[graft.ops.HashEmbed]]):
+  * attach a model-free dense vector per document — the bridge from
+  * raw text to the similarity/embedding-dedup stages when the corpus
+  * ships no embeddings. Options: id_column (req), text_column
+  * (default "text"), dim (default 64), output joined back as
+  * `embedding`. */
+class HashEmbedPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "hash_embed"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      idCol <- requiredString("id_column")
+      out <- graft.core.Errors.safe {
+        val tc = options.getOrElse("text_column", "text").toString
+        val d = options.get("dim").map(_.toString.toDouble.toInt).getOrElse(64)
+        df.join(graft.ops.HashEmbed.embed(df, idCol, tc, d), Seq(idCol))
+      }
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    for {
+      idCol <- requiredString("id_column")
+      out <- {
+        val tc = options.getOrElse("text_column", "text").toString
+        val missing = Seq(idCol, tc).filterNot(schema.fieldNames.contains)
+        if (missing.nonEmpty)
+          Left(new SchemaValidationError(
+            s"Column(s) ${missing.mkString(", ")} not found in schema"))
+        else Right(StructType(schema.fields :+
+          StructField("embedding", ArrayType(DoubleType, containsNull = true),
+            nullable = true)))
+      }
+    } yield out
+}
