@@ -2761,6 +2761,36 @@ object SparkEntry {
         .orderBy("fingerprint")
     }),
 
+    // ---- STREAMING grid resample (custom O(1) state) -------------
+    // The continuous twin of events_resample: explicit per-key state
+    // holds only the open slot's accumulators (flatMapGroupsWithState
+    // — never an event buffer); closing a slot emits it plus the
+    // forward-filled gap slots. Under the AvailableNow single-batch
+    // replay the output equals the batch operator exactly, which is
+    // what the shared oracle asserts.
+    "stream_resample" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val work = scratch("stream_rs")
+      val inDir = sharedLanding(dir, "events")
+      val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
+        Map("input_path" -> inDir.toString), work, "default")
+      val ev = graft.streaming.Streams.tsToNanos(
+          scan.execute().fold(e => throw e, identity))
+        .select(col("user_id").as("key"),
+          expr("timestamp_micros(ts div 1000)").as("event_time"),
+          col("value"))
+        .as[graft.streaming.Streams.Obs]
+      val filled = graft.streaming.Streams.resampleStream(ev, 21600L)
+      val sink = new graft.plugins.streaming.StreamParquetWriterPlugin(
+        Map("output_path" -> work.resolve("out").toString), work, "default")
+      sink.execute(filled.toDF()).fold(e => throw e, _ => ())
+      s.read.parquet(work.resolve("out").toString)
+        .select(col("key").as("user_id"), col("slot_start"),
+          col("value"), col("n_obs"))
+        .orderBy("user_id", "slot_start")
+    }),
+
     // ---- STREAMING model-based quality scoring -------------------
     // The deployment face of text_classify_nb: a bounded 64-term
     // log-odds model trains BATCH-side on the labeled split, then
@@ -5630,6 +5660,41 @@ object SparkEntry {
       """SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY fingerprint""".stripMargin,
+
+    // identical to events_resample: the streaming operator's
+    // single-batch replay must equal the batch grid row for row
+    "stream_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, value
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, (sec // 21600) * 21600 AS slot, sec, value
+        |  FROM e
+        |), rep AS (
+        |  SELECT user_id, slot, value,
+        |    row_number() OVER (PARTITION BY user_id, slot
+        |      ORDER BY sec DESC, value DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, slot) AS n_obs
+        |  FROM s
+        |), obs AS (
+        |  SELECT user_id, slot, value AS v_obs, n_obs FROM rep WHERE rn = 1
+        |), bounds AS (
+        |  SELECT user_id, min(slot) AS lo, max(slot) AS hi
+        |  FROM s GROUP BY user_id
+        |), grid AS (
+        |  SELECT user_id, unnest(range(lo, hi + 1, 21600)) AS slot
+        |  FROM bounds
+        |), j AS (
+        |  SELECT g.user_id, g.slot, o.v_obs,
+        |    coalesce(o.n_obs, 0) AS n_obs
+        |  FROM grid g LEFT JOIN obs o
+        |    ON g.user_id = o.user_id AND g.slot = o.slot)
+        |SELECT user_id, slot AS slot_start,
+        |  last_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY slot ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS value,
+        |  CAST(n_obs AS BIGINT) AS n_obs
+        |FROM j ORDER BY user_id, slot_start""".stripMargin,
 
     // batch replay of the stream-scored NB model: same capped 64-term
     // selection (exact-rational deviation key), same ln-difference

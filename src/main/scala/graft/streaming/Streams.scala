@@ -127,6 +127,89 @@ object Streams {
       }
   }
 
+  final case class Obs(key: Long, event_time: java.sql.Timestamp,
+                       value: Double)
+  final case class FillState(lastSlot: Long, lastSec: Long,
+                             lastValue: Double, lastN: Long)
+  final case class FilledSlot(key: Long, slot_start: Long, value: Double,
+                              n_obs: Long)
+
+  /** Streaming time-grid resample + forward fill — the continuous
+    * twin of [[graft.ops.Resample.forwardFill]], with explicit O(1)
+    * per-key state (flatMapGroupsWithState): the state is the last
+    * open slot's accumulators, never a buffer of events. When a new
+    * event lands past the open slot, the open slot is emitted, gap
+    * slots emit carrying its value forward, and the new slot opens.
+    *
+    * Emission contract (append mode): a slot is FINAL once emitted —
+    * events arriving later for an emitted slot drop as late data,
+    * the same horizon tradeoff as every watermarked operator here.
+    * Within a batch, events process in (event_time, value) order, so
+    * the slot representative is the batch operator's exact total
+    * order (latest second, ties → max value); under an AvailableNow
+    * single-batch replay the output EQUALS the batch operator row
+    * for row, which is what the oracle checks. */
+  def resampleStream(events: Dataset[Obs], stepSeconds: Long)(
+      implicit spark: SparkSession): Dataset[FilledSlot] = {
+    import spark.implicits._
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[FillState, FilledSlot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Obs], state: GroupState[FillState]) =>
+          val sorted = rows.toSeq
+            .sortBy(e => (e.event_time.getTime, e.value))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val out = scala.collection.mutable.ListBuffer.empty[FilledSlot]
+            // resume from the last EMITTED slot: its value feeds the
+            // gap fill, its slot bound classifies late arrivals
+            var cur: Option[FillState] = None
+            val prev = state.getOption
+            sorted.foreach { e =>
+              val sec = e.event_time.getTime / 1000
+              val slot = (sec / stepSeconds) * stepSeconds
+              cur match {
+                case None =>
+                  prev match {
+                    case Some(p) if slot <= p.lastSlot =>
+                      () // late for an already-emitted slot -> drop
+                    case Some(p) =>
+                      // gap-fill forward from the last emitted slot
+                      var g = p.lastSlot + stepSeconds
+                      while (g < slot) {
+                        out += FilledSlot(key, g, p.lastValue, 0L)
+                        g += stepSeconds
+                      }
+                      cur = Some(FillState(slot, sec, e.value, 1L))
+                    case None =>
+                      cur = Some(FillState(slot, sec, e.value, 1L))
+                  }
+                case Some(s) if slot == s.lastSlot =>
+                  val replace = sec > s.lastSec ||
+                    (sec == s.lastSec && e.value > s.lastValue)
+                  cur = Some(if (replace)
+                    FillState(slot, sec, e.value, s.lastN + 1)
+                  else s.copy(lastN = s.lastN + 1))
+                case Some(s) => // slot > s.lastSlot (input is sorted)
+                  out += FilledSlot(key, s.lastSlot, s.lastValue, s.lastN)
+                  var g = s.lastSlot + stepSeconds
+                  while (g < slot) {
+                    out += FilledSlot(key, g, s.lastValue, 0L)
+                    g += stepSeconds
+                  }
+                  cur = Some(FillState(slot, sec, e.value, 1L))
+              }
+            }
+            cur.foreach { s =>
+              out += FilledSlot(key, s.lastSlot, s.lastValue, s.lastN)
+              state.update(s)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming exact/fingerprint dedup:
     * `dropDuplicatesWithinWatermark` on the md5-of-normalized-text
     * fingerprint, so the dedup state stores one fingerprint per

@@ -419,4 +419,32 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows == Set((1L, 10L), (2L, 20L))) // 999 hits no band
   }
+  test("resampleStream: O(1) state across batches, gap fill, late drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ms = MemoryStream[Streams.Obs]
+    val q = Streams.resampleStream(ms.toDS(), 60L)
+      .writeStream.format("memory").queryName("rs_state_test")
+      .outputMode("append").start()
+    try {
+      ms.addData(Streams.Obs(1L, ts(10), 1.0), Streams.Obs(1L, ts(15), 5.0))
+      q.processAllAvailable()
+      val after1 = spark.table("rs_state_test")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      // open slot 0 emitted with the latest-second representative
+      assert(after1 == Set((1L, 0L, 5.0, 2L)))
+
+      // batch 2: a late event for the emitted slot drops; the new
+      // event closes the gap with forward-filled slots
+      ms.addData(Streams.Obs(1L, ts(20), 9.0), Streams.Obs(1L, ts(250), 2.0))
+      q.processAllAvailable()
+      val after2 = spark.table("rs_state_test")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(after2 == Set(
+        (1L, 0L, 5.0, 2L),
+        (1L, 60L, 5.0, 0L), (1L, 120L, 5.0, 0L), (1L, 180L, 5.0, 0L),
+        (1L, 240L, 2.0, 1L)))
+    } finally q.stop()
+  }
 }
