@@ -3302,6 +3302,30 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // ---- snapshot versioning (manifest-pinned time travel) -------
+    // Two commits (even orderkeys, then odd); reading v1 AFTER the
+    // second commit must return exactly the first commit's rows —
+    // the reproducible-training-set guarantee — while the latest
+    // version sees both. Committed as data-files-first/manifest-last.
+    "q_snapshot" -> ((s, dir) => {
+      val work = scratch("snap")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val snapDir = work.resolve("snaps").toString
+      graft.sources.Snapshots.write(
+        li.filter(col("l_orderkey") % 2 === 0), snapDir)
+      graft.sources.Snapshots.write(
+        li.filter(col("l_orderkey") % 2 =!= 0), snapDir)
+      def report(v: Int, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            r(sum(col("l_quantity")), 2).as("sum_qty"))
+          .select(lit(v.toLong).as("version"), col("n_rows"),
+            col("sum_qty"))
+      report(1, graft.sources.Snapshots.read(s, snapDir, 1))
+        .unionByName(report(2, graft.sources.Snapshots.read(s, snapDir)))
+        .orderBy("version")
+    }),
+
     // ---- data-contract expectations gate -------------------------
     // Deequ-style pre-promotion validation: four row rules compile
     // into ONE conditional-count aggregation over a single scan, the
@@ -6318,6 +6342,16 @@ object SparkEntry {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN rm ON n.n_regionkey = rm.n_regionkey
         |ORDER BY c_custkey""".stripMargin,
+
+    // v1 = the even-orderkey commit, v2 (latest) = everything
+    "q_snapshot" ->
+      """SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+        |  r(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*), r(sum(l_quantity), 2)
+        |FROM lineitem
+        |ORDER BY version""".stripMargin,
 
     // violation = NOT coalesce(pred, FALSE) — unevaluable rows count
     // as violations, mirroring Expectations.check's null-hostile

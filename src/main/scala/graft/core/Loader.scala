@@ -50,6 +50,8 @@ object Loader {
     "json_scan" -> "graft.plugins.input.JsonScanPlugin",
     "ipc_scan" -> "graft.plugins.input.IpcScanPlugin",
     "orc_scan" -> "graft.plugins.input.OrcScanPlugin",
+    "snapshot_scan" -> "graft.plugins.input.SnapshotScanPlugin",
+    "snapshot_writer" -> "graft.plugins.output.SnapshotWriterPlugin",
     "orc_writer" -> "graft.plugins.output.OrcWriterPlugin",
     "column_multiplier" -> "graft.plugins.transform.ColumnMultiplierPlugin",
     "filter" -> "graft.plugins.transform.FilterPlugin",

@@ -377,3 +377,22 @@ object ArrowIpc {
     }
   }
 }
+
+/** Snapshot source ([[graft.sources.Snapshots]]): read EXACTLY the
+  * rows of one committed snapshot version, immune to later appends —
+  * the reproducible-training-set scan. Options: input_path (req, the
+  * snapshot directory), version (optional int; default latest). */
+class SnapshotScanPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends FileInputPlugin(options, configDir, label) {
+  def name: String = "snapshot_scan"
+
+  private def versionOpt: Int =
+    options.get("version").map(_.toString.toDouble.toInt).getOrElse(-1)
+
+  def execute()(implicit spark: SparkSession): Either[Throwable, DataFrame] =
+    inputPath().flatMap(p => Errors.safe(
+      graft.sources.Snapshots.read(spark, p.toString, versionOpt)))
+
+  def dryRun()(implicit spark: SparkSession): Either[Throwable, StructType] =
+    execute().map(_.schema)
+}

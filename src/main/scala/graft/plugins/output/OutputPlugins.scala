@@ -261,3 +261,22 @@ class IpcWriterPlugin(options: Map[String, Any], configDir: Path, label: String)
       }
     }
 }
+
+/** Snapshot sink ([[graft.sources.Snapshots]]): every pipeline run
+  * COMMITS a new immutable version (data files first, manifest last)
+  * instead of overwriting — `snapshot_scan` then pins any past
+  * version forever. Options: output_path (req, the snapshot
+  * directory). */
+class SnapshotWriterPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends FileOutputPlugin(options, configDir, label) {
+  def name: String = "snapshot_writer"
+
+  def execute(df: DataFrame): Either[Throwable, Unit] =
+    outputPath().flatMap { p =>
+      Errors.safe {
+        ensureParent(p)
+        graft.sources.Snapshots.write(df, p.toString)
+        ()
+      }
+    }
+}

@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-based snapshot versioning on plain parquet — the
+  * reproducibility primitive a training pipeline needs from a
+  * lakehouse without adopting one: every write commits an immutable
+  * version whose manifest lists EXACTLY the data files visible, so
+  * `read(dir, v)` returns the same rows forever, no matter how many
+  * appends land afterwards. "Which snapshot trained this model" stays
+  * answerable.
+  *
+  * Layout:
+  *   <dir>/v00001/part-*.parquet       (each version's own files)
+  *   <dir>/manifest-v00001.json        ({"version":1,"files":[...]})
+  *
+  * A version's manifest lists its predecessors' files plus its own —
+  * append semantics without ever rewriting data. Commit order: data
+  * files first, manifest LAST (rename-free single-file write), so a
+  * torn job leaves garbage data files but never a manifest pointing
+  * at missing data — readers only ever see complete versions. File
+  * paths are dir-relative, so a snapshot tree survives relocation.
+  *
+  * Scale: the manifest holds file PATHS (thousands of entries, KBs),
+  * not row data; reads hand Spark the explicit file list, which skips
+  * directory listing entirely — on object stores that listing is the
+  * scan-planning bottleneck this layout removes.
+  */
+object Snapshots {
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val manifestRe = "^manifest-v(\\d{5})\\.json$".r
+
+  /** Versions present, ascending (empty for a fresh dir). */
+  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+    val f = fs(spark, dir)
+    val d = new HPath(dir)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).map(_.getPath.getName).toSeq
+      .flatMap(n => manifestRe.findFirstMatchIn(n).map(_.group(1).toInt))
+      .sorted
+  }
+
+  /** Append `df` as a NEW version; returns the version number.
+    * Eager (runs the write job + manifest commit). */
+  def write(df: DataFrame, dir: String): Int = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    val prev = versions(spark, dir)
+    val v = prev.lastOption.getOrElse(0) + 1
+    val vDir = f"$dir/v$v%05d"
+    df.write.parquet(vDir)
+    val newFiles = f.listStatus(new HPath(vDir))
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+      .sorted
+      .map(n => f"v$v%05d/$n")
+    val carried: Seq[String] = prev.lastOption match {
+      case Some(p) => readManifest(spark, dir, p)
+      case None => Seq.empty
+    }
+    val all = carried ++ newFiles
+    val json = all.map(p => "\"" + p + "\"").mkString(
+      s"""{"version":$v,"files":[""", ",", "]}")
+    // manifest LAST: single create+write+close; readers never observe
+    // a version whose data is incomplete
+    val out = f.create(new HPath(f"$dir/manifest-v$v%05d.json"), false)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
+    v
+  }
+
+  private def readManifest(spark: SparkSession, dir: String,
+                           v: Int): Seq[String] = {
+    val f = fs(spark, dir)
+    val in = f.open(new HPath(f"$dir/manifest-v$v%05d.json"))
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(raw).map(_.group(1)).toSeq
+  }
+
+  /** The EXACT rows of `version` (default: latest), regardless of any
+    * later appends. */
+  def read(spark: SparkSession, dir: String,
+           version: Int = -1): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no snapshot versions under $dir")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v),
+      s"version $v not found under $dir (have ${vs.mkString(", ")})")
+    val files = readManifest(spark, dir, v).map(p => s"$dir/$p")
+    spark.read.parquet(files: _*)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Snapshot versioning: append-only commits, version isolation,
+  * latest default, plugin faces, error surface. */
+class SnapshotsSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SharedSpark.spark
+  import spark.implicits._
+
+  test("versions are immutable under later appends; latest sees all") {
+    val dir = Files.createTempDirectory("snaps").toString
+    assert(Snapshots.versions(spark, dir).isEmpty)
+    val v1 = Snapshots.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    val v2 = Snapshots.write(Seq((3L, "c")).toDF("id", "s"), dir)
+    assert((v1, v2) == ((1, 2)))
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2))
+    // v1 still returns EXACTLY its rows after the append
+    assert(Snapshots.read(spark, dir, 1).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    assert(Snapshots.read(spark, dir).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("missing version / empty dir error clearly") {
+    val dir = Files.createTempDirectory("snaps2").toString
+    val e1 = intercept[IllegalArgumentException] {
+      Snapshots.read(spark, dir)
+    }
+    assert(e1.getMessage.contains("no snapshot versions"))
+    Snapshots.write(Seq(Tuple1(1L)).toDF("id"), dir)
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.read(spark, dir, 7)
+    }
+    assert(e2.getMessage.contains("version 7 not found"))
+  }
+
+  test("snapshot_scan / snapshot_writer plugins round-trip") {
+    val tmp = Files.createTempDirectory("snapplug")
+    val w = new graft.plugins.output.SnapshotWriterPlugin(
+      Map("output_path" -> "store"), tmp, "default")
+    assert(w.execute(Seq((1L, 2.0)).toDF("id", "v")).isRight)
+    assert(w.execute(Seq((2L, 3.0)).toDF("id", "v")).isRight)
+    val r1 = new graft.plugins.input.SnapshotScanPlugin(
+      Map("input_path" -> "store", "version" -> 1), tmp, "default")
+    assert(r1.execute()(spark).fold(e => fail(e.getMessage), _.count()) == 1)
+    val rLatest = new graft.plugins.input.SnapshotScanPlugin(
+      Map("input_path" -> "store"), tmp, "default")
+    assert(rLatest.execute()(spark)
+      .fold(e => fail(e.getMessage), _.count()) == 2)
+    assert(rLatest.dryRun()(spark)
+      .fold(e => fail(e.getMessage), _.fieldNames.toSeq) == Seq("id", "v"))
+  }
+}
