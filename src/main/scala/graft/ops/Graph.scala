@@ -213,18 +213,28 @@ object Graph {
     // degree tie falls back to id order
     val fwd = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
+    // the oriented edge list feeds THREE consumers (both wedge sides
+    // and the closing join on a different key) — persist it once
+    // instead of re-running the self-join + distinct + degree joins
+    // per consumer; EAGER like pagerank (result is node-sized, so the
+    // localCheckpoint is cheap) so the cache can be dropped before
+    // returning
     val oriented = withDeg.select(
-      when(fwd, col("a")).otherwise(col("b")).as("u"),
-      when(fwd, col("b")).otherwise(col("a")).as("v"),
-      when(fwd, col("db")).otherwise(col("da")).as("dv"))
-    val x = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
-    val y = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
-    val wedges = x.join(y, Seq("u"))
-      .filter(col("dv1") < col("dv2") ||
-        (col("dv1") === col("dv2") && col("v1") < col("v2")))
-    val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
-    val tri = wedges.join(closing, Seq("v1", "v2"))
-    tri.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+        when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("v"),
+        when(fwd, col("db")).otherwise(col("da")).as("dv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val x = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+      val y = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+      val wedges = x.join(y, Seq("u"))
+        .filter(col("dv1") < col("dv2") ||
+          (col("dv1") === col("dv2") && col("v1") < col("v2")))
+      val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
+      val tri = wedges.join(closing, Seq("v1", "v2"))
+      tri.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+        .localCheckpoint(true)
+    } finally oriented.unpersist(false)
   }
 }

@@ -296,6 +296,28 @@ class E2ESpec extends AnyFunSuite {
       .forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("examples/vector_index.toml: build index, serve queries from disk") {
+    val src = java.nio.file.Paths.get("examples/vector_index.toml")
+    assume(java.nio.file.Files.exists(src))
+    val tmp = java.nio.file.Files.createTempDirectory("vidxcfg")
+    val cfg = tmp.resolve("vector_index.toml")
+    java.nio.file.Files.copy(src, cfg)
+    val config = Config.loadConfig(cfg).fold(e => fail(e.getMessage), identity)
+    val reg = Loader.loadPlugins(config, cfg).fold(e => fail(e.getMessage), identity)
+    val result = Pipeline.runPipeline(reg.inputs, reg.transforms, reg.outputs)
+    assert(result.isRight, result.left.toOption.map(_.getMessage))
+
+    assert(java.nio.file.Files.exists(tmp.resolve("out/ann_index/centroids")))
+    val nb = spark.read.parquet(tmp.resolve("out/neighbors.parquet").toString)
+    assert(nb.columns.toSeq == Seq("query_id", "neighbor_id", "cosine", "rank"))
+    assert(nb.count() == 50) // 10 probes x k=5
+    // index_build passed the corpus through untouched
+    val idx = spark.read
+      .parquet(tmp.resolve("out/indexed_corpus.parquet").toString)
+    assert(idx.count() == spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").count())
+  }
+
   test("examples/classify_quality.toml: temperature mix -> NB scoring") {
     val src = java.nio.file.Paths.get("examples/classify_quality.toml")
     assume(java.nio.file.Files.exists(src))
