@@ -206,6 +206,31 @@ class PlanSpec extends AnyFunSuite {
       "vec_id", "embedding", k = 3), "lshTopK")
   }
 
+  test("NB cross joins broadcast the tiny aggregates, never corpus columns") {
+    // a cross join MUST broadcast one side; the hints in NaiveBayes
+    // pin it to the provably-tiny aggregates (class totals, priors,
+    // vocab size). If a refactor drops a hint, the planner can pick
+    // the corpus-derived side (doc ids / terms) at fixture scale —
+    // the scale-cliff class the r7 verdict flagged on the LSH path.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", ($"doc_id" % 2 === 0).cast("string").as("lab"))
+    val pred = NaiveBayes.trainPredict(
+      docs.filter($"doc_id" % 5 =!= 0), docs.filter($"doc_id" % 5 === 0),
+      "doc_id", "text", "lab")
+    pred.write.format("noop").mode("overwrite").save() // finalize AQE
+    val bnlj = nodes(pred).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.nonEmpty, "expected cross joins in the NB plan")
+    bnlj.foreach { j =>
+      val build =
+        (if (j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight)
+          j.right else j.left).output.map(_.name)
+      assert(!build.exists(n => n == "doc_id" || n == "term"),
+        s"corpus-derived side under a cross-join broadcast: $build")
+    }
+  }
+
   test("ANN candidate joins broadcast skinny probes, never fp vectors") {
     // the probe side is multiprobe-EXPLODED (#masks x queries), so a
     // vector there multiplies the broadcast by probes x vector width —
