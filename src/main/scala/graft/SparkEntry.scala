@@ -2034,6 +2034,21 @@ object SparkEntry {
     "sim_recall_ivfpq" -> ((s, dir) =>
       recallGate(benchOnly("sim_topk_ivfpq")(s, dir), s, dir)),
 
+    // ---- MMR diversified retrieval -------------------------------
+    // Greedy maximal-marginal-relevance over a 10-candidate pool
+    // (λ=0.7, k=4): each step's score is r()-rounded before the
+    // argmax, so the oracle's recursive-CTE replay of the same walk
+    // picks identical chains. The pool/pair frames are bounded by
+    // queries × poolSize, never corpus-sized.
+    "sim_mmr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      graft.ops.Similarity.mmrTopK(e, e.filter(col("vec_id") < 3),
+          "vec_id", "embedding", k = 4, poolSize = 10, lambda = 0.7)
+        .select(col("query_id"), col("mmr_rank"), col("neighbor_id"),
+          r(col("rel"), 4).as("rel"))
+        .orderBy("query_id", "mmr_rank")
+    }),
+
     // ---- int8 embedding quantization -----------------------------
     // Exploded to (vec_id, pos, q) — every quantized cell under the
     // hash oracle; the floats (q_min/q_scale) stay implicit via q.
@@ -6227,6 +6242,61 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, cosine, rank FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // the same greedy MMR walk as a recursive CTE: step 1 = best
+    // relevance; step i picks the candidate maximizing the r4-rounded
+    // λ·rel − (1−λ)·max-sim-to-picked, ties by neighbor id
+    "sim_mmr" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |), nrm AS (
+        |  SELECT vec_id,
+        |    CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0 THEN v
+        |         ELSE list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
+        |    END AS v
+        |  FROM e
+        |), pool AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+        |      AS rel,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+        |        DESC, c.vec_id) AS rk
+        |  FROM nrm q JOIN nrm c ON q.vec_id < 3 AND c.vec_id <> q.vec_id
+        |  QUALIFY rk <= 10
+        |), pairs AS (
+        |  SELECT p1.query_id, p1.neighbor_id AS a, p2.neighbor_id AS b,
+        |    list_sum(list_transform(list_zip(n1.v, n2.v), p -> p[1] * p[2]))
+        |      AS sim
+        |  FROM pool p1 JOIN pool p2
+        |    ON p1.query_id = p2.query_id AND p1.neighbor_id <> p2.neighbor_id
+        |  JOIN nrm n1 ON n1.vec_id = p1.neighbor_id
+        |  JOIN nrm n2 ON n2.vec_id = p2.neighbor_id
+        |), sel AS (
+        |  SELECT query_id, CAST(1 AS BIGINT) AS step,
+        |    [neighbor_id] AS picked, neighbor_id AS chosen
+        |  FROM pool WHERE rk = 1
+        |  UNION ALL
+        |  SELECT s.query_id, s.step + 1, list_append(s.picked, c.nid), c.nid
+        |  FROM sel s, LATERAL (
+        |    SELECT p.neighbor_id AS nid
+        |    FROM pool p
+        |    WHERE p.query_id = s.query_id
+        |      AND NOT list_contains(s.picked, p.neighbor_id)
+        |    ORDER BY floor((0.7 * p.rel - (1.0 - 0.7) * (
+        |        SELECT max(pr.sim) FROM pairs pr
+        |        WHERE pr.query_id = s.query_id AND pr.a = p.neighbor_id
+        |          AND list_contains(s.picked, pr.b))) * 10000
+        |        + 0.5 + 0.000001) DESC,
+        |      p.neighbor_id
+        |    LIMIT 1) c
+        |  WHERE s.step < 4)
+        |SELECT sel.query_id, sel.step AS mmr_rank,
+        |  sel.chosen AS neighbor_id, r(pool.rel, 4) AS rel
+        |FROM sel JOIN pool
+        |  ON pool.query_id = sel.query_id AND pool.neighbor_id = sel.chosen
+        |ORDER BY sel.query_id, mmr_rank""".stripMargin,
 
     // components of the thresholded kNN graph via a recursive
     // reachability CTE; cluster_id = min reachable id.

@@ -729,4 +729,85 @@ object Similarity {
       .select((df.columns.map(col) :+ col(distCol)): _*)
     Percentiles.filterByBand(dist, groupCols, distCol, lo, hi)
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998): greedily pick `k` results from each query's
+    * `poolSize`-candidate relevance pool, each step maximizing
+    * `λ·relevance − (1−λ)·max-similarity-to-already-picked` — the
+    * diversified-retrieval move that keeps a near-duplicate-heavy
+    * corpus from returning k copies of one document.
+    *
+    * Determinism: each greedy step rounds its score with the shared
+    * fixed-point `r(x, 4)` BEFORE the argmax (ties → neighbor id
+    * asc), so a SQL replay of the same greedy walk picks identical
+    * chains; the oracle does exactly that with a recursive CTE.
+    *
+    * Scale shape: the POOL is the bounded object (queries × poolSize
+    * rows, localCheckpointed), pairwise sims are queries × poolSize²
+    * — both independent of corpus size; the greedy loop is k driver
+    * ROUNDS of distributed ops over all queries at once (rounds
+    * scale with k, never with data). The corpus-sized work is only
+    * the initial relevance scan ([[bruteForceTopK]] here; swap in
+    * any ANN path for the pool at larger scale). */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, k: Int, poolSize: Int = 20,
+              lambda: Double = 0.7,
+              queryIdOut: String = "query_id"): DataFrame = {
+    require(k >= 1 && poolSize >= k,
+      s"need k >= 1 and poolSize >= k, got k=$k poolSize=$poolSize")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0, 1], got $lambda")
+    def r4(c: Column): Column = floor(c * 1e4 + 0.5 + 1e-6) / 1e4
+    val c = withNormalized(
+      corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
+      "_e", "v_c").select("neighbor_id", "v_c")
+    val pool = bruteForceTopK(corpus, queries, idCol, embCol, poolSize,
+        queryIdOut)
+      .select(col(queryIdOut), col("neighbor_id"),
+        col("cosine").as("rel"), col("rank"))
+      .localCheckpoint(true)
+    val pv = pool.join(c, Seq("neighbor_id"))
+      .select(col(queryIdOut), col("neighbor_id"), col("v_c"))
+    val pa = pv.select(col(queryIdOut), col("neighbor_id").as("a"),
+      col("v_c").as("va"))
+    val pb = pv.select(col(queryIdOut), col("neighbor_id").as("b"),
+      col("v_c").as("vb"))
+    val pairs = pa.join(pb, Seq(queryIdOut))
+      .filter(col("a") =!= col("b"))
+      .select(col(queryIdOut), col("a"), col("b"),
+        dot(col("va"), col("vb")).as("sim"))
+      .localCheckpoint(true)
+
+    var selected = pool.filter(col("rank") === 1)
+      .select(col(queryIdOut), col("neighbor_id"),
+        lit(1L).as("mmr_rank"))
+      .localCheckpoint(true)
+    for (step <- 2 to k) {
+      val remaining = pool.join(
+        selected.select(col(queryIdOut), col("neighbor_id")),
+        Seq(queryIdOut, "neighbor_id"), "left_anti")
+      val div = remaining
+        .join(pairs.withColumnRenamed("a", "neighbor_id"),
+          Seq(queryIdOut, "neighbor_id"))
+        .join(selected.select(col(queryIdOut), col("neighbor_id").as("b")),
+          Seq(queryIdOut, "b"))
+        .groupBy(col(queryIdOut), col("neighbor_id"))
+        .agg(max(col("sim")).as("_div"))
+      val w = Window.partitionBy(queryIdOut)
+        .orderBy(col("_score").desc, col("neighbor_id").asc)
+      val picked = remaining.join(div, Seq(queryIdOut, "neighbor_id"))
+        .withColumn("_score",
+          r4(lit(lambda) * col("rel") - lit(1.0 - lambda) * col("_div")))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col(queryIdOut), col("neighbor_id"),
+          lit(step.toLong).as("mmr_rank"))
+      selected = selected.unionByName(picked).localCheckpoint(true)
+    }
+    selected.join(pool.select(col(queryIdOut), col("neighbor_id"),
+        col("rel")), Seq(queryIdOut, "neighbor_id"))
+      .select(col(queryIdOut), col("mmr_rank"), col("neighbor_id"),
+        col("rel"))
+  }
+
 }

@@ -765,6 +765,10 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
           case "ivf" =>
             graft.ops.Similarity.ivfTopK(df, queries, idCol, embCol, k,
               nlist = num("nlist", 8).toInt, nprobe = num("nprobe", 7).toInt)
+          case "mmr" =>
+            graft.ops.Similarity.mmrTopK(df, queries, idCol, embCol, k,
+              poolSize = num("pool_size", 20).toInt,
+              lambda = num("lambda", 0.7))
           case "ivfpq" =>
             graft.ops.Similarity.ivfPqTopK(df, queries, idCol, embCol, k,
               nlist = num("nlist", 8).toInt, nprobe = num("nprobe", 7).toInt,

@@ -70,6 +70,35 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("mmrTopK diversifies a near-duplicate pool; lambda=1 is pure relevance") {
+    // three clones of the query direction, one diverse mid-relevance
+    // vector, one orthogonal: pure relevance returns the clones,
+    // MMR at lambda=0.3 breaks out to the diverse vector at step 2
+    val corpus = Seq(
+      (1L, Array(0.99f, 0.141f)), (2L, Array(0.992f, 0.139f)),
+      (3L, Array(0.991f, 0.14f)), (4L, Array(0.2f, 0.98f)),
+      (5L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(brute.toSet == Set(1L, 2L, 3L)) // clones dominate relevance
+
+    val diverse = Similarity.mmrTopK(corpus, queries, "vec_id", "embedding",
+        k = 3, poolSize = 5, lambda = 0.3)
+      .orderBy("mmr_rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(diverse.head == brute.head) // step 1 = best relevance
+    // step 2 must break out of the clone cluster (λ=0.3 weights
+    // diversity at 0.7, so the most orthogonal candidate wins)
+    assert(Set(4L, 5L).contains(diverse(1)),
+      s"expected a non-clone second: $diverse")
+
+    val pure = Similarity.mmrTopK(corpus, queries, "vec_id", "embedding",
+        k = 3, poolSize = 5, lambda = 1.0)
+      .orderBy("mmr_rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(pure == brute, s"lambda=1 must reproduce relevance order: $pure")
+  }
+
   test("a fresh read of the same directory serves queries (no rebuild)") {
     val dir = Files.createTempDirectory("vindex3").toString
     VectorIndex.build(corpus, "vec_id", "embedding", dir, nlist = 4)
