@@ -47,7 +47,7 @@ object Bench {
     "q_scd1_latest", "q_components", "q_triangles", "q_expectations", "q_snapshot", "text_c4", "text_lm_score",
     "q_orc_roundtrip", "q_emb_gram", "sim_pca_norm", "text_bm25",
     "text_top_ngrams", "q_percentile_band", "sim_knn_graph",
-    "sim_knn_components", "q_fuzzy_pairs", "q_mix_tokens",
+    "sim_knn_components", "sim_mmr", "q_fuzzy_pairs", "q_mix_tokens",
     "q_mix_temperature",
     "q_interval_join", "dedup_incr_neardup", "sim_outliers",
     "q_fuzzy_match", "q_tpch_q7", "q_tpch_q1", "q_tpch_q18",

@@ -82,6 +82,45 @@ object Snapshots {
     "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(raw).map(_.group(1)).toSeq
   }
 
+  /** Small-files compaction — the maintenance pass every append-heavy
+    * snapshot tree eventually needs: rewrite the LATEST version's
+    * rows into ~`targetFileBytes`-sized files committed as a NEW
+    * version. Older versions keep reading their original files
+    * (manifests pin paths, nothing is deleted); readers of "latest"
+    * switch atomically when the new manifest lands. File count is
+    * sized from the actual input bytes (manifest file sizes — no
+    * extra job), so compaction adapts to growth without tuning.
+    * Returns the new version number. */
+  def compact(spark: SparkSession, dir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0,
+      s"targetFileBytes must be positive, got $targetFileBytes")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no snapshot versions under $dir")
+    val f = fs(spark, dir)
+    val files = readManifest(spark, dir, vs.last).map(p => s"$dir/$p")
+    val totalBytes = files.map(p => f.getFileStatus(new HPath(p)).getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1)
+      / targetFileBytes).toInt
+    val df = spark.read.parquet(files: _*).repartition(nFiles)
+    // commit as a FULL new version: write the data dir, then write a
+    // manifest listing ONLY the new files (not carried + new)
+    val v = vs.last + 1
+    val vDir = f"$dir/v$v%05d"
+    df.write.parquet(vDir)
+    val newFiles = f.listStatus(new HPath(vDir))
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+      .sorted
+      .map(n => f"v$v%05d/$n")
+    val json = newFiles.map(p => "\"" + p + "\"").mkString(
+      s"""{"version":$v,"files":[""", ",", "]}")
+    val out = f.create(new HPath(f"$dir/manifest-v$v%05d.json"), false)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
+    v
+  }
+
   /** The EXACT rows of `version` (default: latest), regardless of any
     * later appends. */
   def read(spark: SparkSession, dir: String,

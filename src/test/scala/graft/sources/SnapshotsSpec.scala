@@ -27,6 +27,31 @@ class SnapshotsSpec extends AnyFunSuite {
       .collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("compact rewrites latest into fewer files; old versions untouched") {
+    val dir = Files.createTempDirectory("snaps3").toString
+    // many tiny commits -> many tiny files
+    (1 to 5).foreach { i =>
+      Snapshots.write(spark.range(i * 100L, i * 100L + 50)
+        .toDF("id").repartition(4), dir)
+    }
+    val before = Snapshots.read(spark, dir)
+    val beforeIds = before.select("id").as[Long].collect().sorted.toSeq
+    val beforeFiles = before.select(
+      org.apache.spark.sql.functions.col("_metadata.file_path"))
+      .distinct().count()
+    val v = Snapshots.compact(spark, dir, targetFileBytes = 512L * 1024)
+    assert(v == 6)
+    val after = Snapshots.read(spark, dir)
+    assert(after.select("id").as[Long].collect().sorted.toSeq == beforeIds)
+    val afterFiles = after.select(
+      org.apache.spark.sql.functions.col("_metadata.file_path"))
+      .distinct().count()
+    assert(afterFiles < beforeFiles,
+      s"compaction did not reduce files: $beforeFiles -> $afterFiles")
+    // pre-compaction versions still read their ORIGINAL row sets
+    assert(Snapshots.read(spark, dir, 2).count() == 100)
+  }
+
   test("missing version / empty dir error clearly") {
     val dir = Files.createTempDirectory("snaps2").toString
     val e1 = intercept[IllegalArgumentException] {
