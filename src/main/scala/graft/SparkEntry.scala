@@ -2675,6 +2675,15 @@ object SparkEntry {
         .withColumn("sum_value", r(col("sum_value"), 2))
         .orderBy("user_id", "session_id")),
 
+    // ---- events: ordered funnel (view -> click -> purchase) ------
+    // Greedy earliest-match per user; pure integer min/compare on
+    // epoch nanos, one keyed agg per step — no window over raw
+    // events, no floats.
+    "events_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.depth(events(s, dir), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+
     // ---- events: 6-hour grid resample + forward fill -------------
     // Gap-filling alignment: per user, a dense 21600 s grid over the
     // user's own [min, max] slots, each empty slot carrying the last
@@ -5616,6 +5625,33 @@ object SparkEntry {
         |  r(sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    // greedy earliest-match funnel: each step's match is the minimum
+    // event time strictly after the previous step's match
+    "events_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS t, event_type FROM events
+        |), u AS (SELECT DISTINCT user_id FROM e),
+        |s1 AS (
+        |  SELECT user_id, min(t) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.t) AS t2 FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.t) AS t3 FROM e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY 1)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |    WHEN t2 IS NOT NULL THEN 2
+        |    WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS funnel_depth,
+        |  t1 AS t_view, t2 AS t_click, t3 AS t_purchase
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     // dense per-user grid + forward fill; representative = latest
     // second in the slot, ties by max value (total order both

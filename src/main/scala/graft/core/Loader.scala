@@ -97,6 +97,7 @@ object Loader {
     "resample" -> "graft.plugins.transform.ResamplePlugin",
     "expect" -> "graft.plugins.transform.ExpectPlugin",
     "hash_embed" -> "graft.plugins.transform.HashEmbedPlugin",
+    "funnel" -> "graft.plugins.transform.FunnelPlugin",
     "blocklist" -> "graft.plugins.transform.BlocklistPlugin",
     "unpivot" -> "graft.plugins.transform.UnpivotPlugin",
     "parquet_stream_scan" -> "graft.plugins.streaming.ParquetStreamScanPlugin",

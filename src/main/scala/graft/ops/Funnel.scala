@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered funnel analysis: for each key, how deep into the step
+  * sequence did it get, matching each step to its EARLIEST event
+  * strictly after the previous step's match (the standard greedy
+  * funnel — earliest-match maximizes reachable depth, so the result
+  * is unambiguous). Emits the matched epoch-nano timestamps per
+  * step, null from the first uncompleted step on.
+  *
+  * Determinism: pure integer min/compare arithmetic on epoch nanos —
+  * no floats anywhere.
+  *
+  * Scale shape: one keyed aggregation PER STEP (each a partial-agg
+  * shuffle on the key, joined back to the previous step's matches);
+  * passes scale with the number of steps, never with data volume
+  * beyond the scans. No collect, no window over raw events. */
+object Funnel {
+
+  /** `(keyCol, funnel_depth, t_<step1>, t_<step2>, ...)`. */
+  def depth(df: DataFrame, keyCol: String, tsCol: String,
+            typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(steps.distinct.size == steps.size,
+      s"duplicate steps: ${steps.diff(steps.distinct).mkString(", ")}")
+    val ev = df.select(col(keyCol),
+      TimeCols.epochNanos(df, tsCol).as("_t"), col(typeCol).as("_ty"))
+    val keys = ev.select(col(keyCol)).distinct()
+    val withTimes = steps.zipWithIndex.foldLeft(keys) {
+      case (acc, (step, i)) =>
+        val tc = s"t_$step"
+        val prevT: org.apache.spark.sql.Column =
+          if (i == 0) lit(Long.MinValue)
+          else col(s"t_${steps(i - 1)}")
+        acc.join(
+          acc.select(col(keyCol), prevT.as("_prev"))
+            .join(ev, Seq(keyCol))
+            .filter(col("_ty") === step && col("_t") > col("_prev"))
+            .groupBy(col(keyCol)).agg(min(col("_t")).as(tc)),
+          Seq(keyCol), "left")
+    }
+    // fold FORWARD so the deepest step's check is built last (and
+    // therefore evaluated first — a completed step always implies the
+    // shallower ones are set too)
+    val depthCol = steps.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (step, i)) =>
+        when(col(s"t_$step").isNotNull, lit((i + 1).toLong)).otherwise(acc)
+    }
+    withTimes.select(
+      (col(keyCol) +: depthCol.as("funnel_depth") +:
+        steps.map(s => col(s"t_$s"))): _*)
+  }
+}

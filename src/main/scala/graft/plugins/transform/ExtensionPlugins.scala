@@ -1879,3 +1879,42 @@ class HashEmbedPlugin(options: Map[String, Any], configDir: Path, label: String)
       }
     } yield out
 }
+
+/** Config-driven funnel analysis ([[graft.ops.Funnel]]): per-key
+  * ordered-step completion depth with the matched event times.
+  * Options: key_column (req), ts_column (req), type_column (req),
+  * steps (req, ordered list of event types). Output:
+  * (key, funnel_depth, t_<step>...). */
+class FunnelPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "funnel"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      keyCol <- requiredString("key_column")
+      tsCol <- requiredString("ts_column")
+      tyCol <- requiredString("type_column")
+      steps <- stringList("steps")
+      out <- graft.core.Errors.safe(
+        graft.ops.Funnel.depth(df, keyCol, tsCol, tyCol, steps))
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    for {
+      keyCol <- requiredString("key_column")
+      tsCol <- requiredString("ts_column")
+      tyCol <- requiredString("type_column")
+      steps <- stringList("steps")
+      out <- {
+        val missing = Seq(keyCol, tsCol, tyCol)
+          .filterNot(schema.fieldNames.contains)
+        if (missing.nonEmpty)
+          Left(new SchemaValidationError(
+            s"Column(s) ${missing.mkString(", ")} not found in schema"))
+        else Right(StructType(
+          schema(keyCol) +:
+            StructField("funnel_depth", LongType, nullable = false) +:
+            steps.map(st => StructField(s"t_$st", LongType, nullable = true))))
+      }
+    } yield out
+}

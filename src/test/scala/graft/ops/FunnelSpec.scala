@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Funnel depth: earliest-match greedy, strict ordering, equal-ts
+  * and out-of-order edges. Timestamps are epoch-nano longs. */
+class FunnelSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SharedSpark.spark
+  import spark.implicits._
+
+  private def ns(s: Long) = s * 1000000000L
+
+  test("greedy earliest-match per step, strictly after the previous") {
+    val ev = Seq(
+      ("a", ns(10), "view"), ("a", ns(5), "click"),  // pre-view click ignored
+      ("a", ns(20), "click"), ("a", ns(15), "purchase"), // pre-click purchase ignored
+      ("a", ns(30), "purchase"),
+      ("b", ns(5), "click"), ("b", ns(10), "view"),  // no click after view
+      ("c", ns(1), "error"),                          // depth 0
+      ("d", ns(10), "view"), ("d", ns(10), "click")   // equal ts: NOT after
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnel.depth(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))
+      .toMap
+    assert(out("a") == ((3L, Some(ns(10)), Some(ns(20)), Some(ns(30)))))
+    assert(out("b") == ((1L, Some(ns(10)), None, None)))
+    assert(out("c") == ((0L, None, None, None)))
+    assert(out("d") == ((1L, Some(ns(10)), None, None)))
+  }
+
+  test("option validation") {
+    val ev = Seq(("a", ns(1), "x")).toDF("user_id", "ts", "event_type")
+    assert(intercept[IllegalArgumentException] {
+      Funnel.depth(ev, "user_id", "ts", "event_type", Seq.empty)
+    }.getMessage.contains("non-empty"))
+    assert(intercept[IllegalArgumentException] {
+      Funnel.depth(ev, "user_id", "ts", "event_type", Seq("x", "x"))
+    }.getMessage.contains("duplicate"))
+  }
+}
