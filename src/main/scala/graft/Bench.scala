@@ -25,7 +25,7 @@ object Bench {
     "q_set_ops", "q_grouping_sets", "q_array_hof", "q_from_json",
     "q_agg_stats", "q_date_funcs", "q_json", "q_semi_join", "q_anti_join",
     "q_having", "q_union", "q_distinct", "q_when_then", "events_window",
-    "events_sessionize", "events_resample", "events_funnel", "q_range_join", "q_approx_sketch",
+    "events_sessionize", "events_resample", "events_funnel", "events_cohort", "q_range_join", "q_approx_sketch",
     "q_pipeline_e2e", "q_asof_join", "q_rollup", "q_cube", "q_percentile",
     "q_tpch_q3", "q_tpch_q5", "q_zorder", "q_hilbert",
     "q_array_funcs",

@@ -2684,6 +2684,15 @@ object SparkEntry {
           "event_type", Seq("view", "click", "purchase"))
         .orderBy("user_id")),
 
+    // ---- events: weekly cohort retention -------------------------
+    // Cohort = the 7-day period of each user's first event; the
+    // retention triangle counts distinct active users per (cohort,
+    // offset). Integer epoch grids, three partial-agg shuffles.
+    "events_cohort" -> ((s, dir) =>
+      graft.ops.Cohorts.retention(events(s, dir), "user_id", "ts",
+          periodSeconds = 604800L)
+        .orderBy("cohort_period", "period_offset")),
+
     // ---- events: 6-hour grid resample + forward fill -------------
     // Gap-filling alignment: per user, a dense 21600 s grid over the
     // user's own [min, max] slots, each empty slot carrying the last
@@ -5625,6 +5634,19 @@ object SparkEntry {
         |  r(sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    // retention triangle over integer 7-day period grids
+    "events_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000000000) // 604800 AS p
+        |  FROM events
+        |), fp AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, p FROM e)
+        |SELECT fp.cohort AS cohort_period,
+        |  act.p - fp.cohort AS period_offset,
+        |  count(DISTINCT act.user_id) AS n_active
+        |FROM act JOIN fp USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // greedy earliest-match funnel: each step's match is the minimum
     // event time strictly after the previous step's match

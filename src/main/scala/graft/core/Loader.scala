@@ -98,6 +98,7 @@ object Loader {
     "expect" -> "graft.plugins.transform.ExpectPlugin",
     "hash_embed" -> "graft.plugins.transform.HashEmbedPlugin",
     "funnel" -> "graft.plugins.transform.FunnelPlugin",
+    "cohorts" -> "graft.plugins.transform.CohortsPlugin",
     "blocklist" -> "graft.plugins.transform.BlocklistPlugin",
     "unpivot" -> "graft.plugins.transform.UnpivotPlugin",
     "parquet_stream_scan" -> "graft.plugins.streaming.ParquetStreamScanPlugin",

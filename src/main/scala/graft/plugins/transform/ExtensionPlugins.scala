@@ -1918,3 +1918,40 @@ class FunnelPlugin(options: Map[String, Any], configDir: Path, label: String)
       }
     } yield out
 }
+
+/** Config-driven cohort retention ([[graft.ops.Cohorts]]): group keys
+  * by first-event period, count distinct actives per (cohort,
+  * offset). Options: key_column (req), ts_column (req),
+  * period_seconds (req). Output:
+  * (cohort_period, period_offset, n_active). */
+class CohortsPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "cohorts"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      keyCol <- requiredString("key_column")
+      tsCol <- requiredString("ts_column")
+      p <- required("period_seconds")
+      out <- graft.core.Errors.safe(
+        graft.ops.Cohorts.retention(df, keyCol, tsCol,
+          p.toString.toDouble.toLong))
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    for {
+      keyCol <- requiredString("key_column")
+      tsCol <- requiredString("ts_column")
+      _ <- required("period_seconds")
+      out <- {
+        val missing = Seq(keyCol, tsCol).filterNot(schema.fieldNames.contains)
+        if (missing.nonEmpty)
+          Left(new SchemaValidationError(
+            s"Column(s) ${missing.mkString(", ")} not found in schema"))
+        else Right(StructType(Seq(
+          StructField("cohort_period", LongType, nullable = true),
+          StructField("period_offset", LongType, nullable = true),
+          StructField("n_active", LongType, nullable = false))))
+      }
+    } yield out
+}
