@@ -19,9 +19,14 @@ import org.apache.spark.sql.functions._
   * beyond the scans. No collect, no window over raw events. */
 object Funnel {
 
-  /** `(keyCol, funnel_depth, t_<step1>, t_<step2>, ...)`. */
+  /** `(keyCol, funnel_depth, t_<step1>, t_<step2>, ...)`.
+    * `maxSpanSeconds`: when set, steps beyond the first must also
+    * land within that span of the FIRST step's match (the
+    * conversion-window form; the window anchors at the earliest
+    * first-step event — the standard product-analytics contract). */
   def depth(df: DataFrame, keyCol: String, tsCol: String,
-            typeCol: String, steps: Seq[String]): DataFrame = {
+            typeCol: String, steps: Seq[String],
+            maxSpanSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
     require(steps.distinct.size == steps.size,
       s"duplicate steps: ${steps.diff(steps.distinct).mkString(", ")}")
@@ -34,10 +39,21 @@ object Funnel {
         val prevT: org.apache.spark.sql.Column =
           if (i == 0) lit(Long.MinValue)
           else col(s"t_${steps(i - 1)}")
+        val spanOk: org.apache.spark.sql.Column = maxSpanSeconds match {
+          case Some(span) if i > 0 =>
+            col("_t") <= col(s"_anchor") + lit(span * 1000000000L)
+          case _ => lit(true)
+        }
+        val anchored =
+          if (i == 0) acc.select(col(keyCol), prevT.as("_prev"),
+            lit(0L).as("_anchor"))
+          else acc.select(col(keyCol), prevT.as("_prev"),
+            col(s"t_${steps.head}").as("_anchor"))
         acc.join(
-          acc.select(col(keyCol), prevT.as("_prev"))
+          anchored
             .join(ev, Seq(keyCol))
-            .filter(col("_ty") === step && col("_t") > col("_prev"))
+            .filter(col("_ty") === step && col("_t") > col("_prev") &&
+              spanOk)
             .groupBy(col(keyCol)).agg(min(col("_t")).as(tc)),
           Seq(keyCol), "left")
     }

@@ -1896,7 +1896,8 @@ class FunnelPlugin(options: Map[String, Any], configDir: Path, label: String)
       tyCol <- requiredString("type_column")
       steps <- stringList("steps")
       out <- graft.core.Errors.safe(
-        graft.ops.Funnel.depth(df, keyCol, tsCol, tyCol, steps))
+        graft.ops.Funnel.depth(df, keyCol, tsCol, tyCol, steps,
+          options.get("within_seconds").map(_.toString.toDouble.toLong)))
     } yield out
 
   def dryRun(schema: StructType): Either[Throwable, StructType] =

@@ -121,6 +121,37 @@ object Snapshots {
     v
   }
 
+  /** Expire history: keep the newest `keepVersions` manifests, delete
+    * older manifests AND any data file no kept manifest references.
+    * Append-carried files survive (a v1 file referenced by v5's
+    * manifest is retained even when v1's manifest expires) — the
+    * reference set is computed from manifests, never from directory
+    * age. Returns (versions deleted, data files deleted). */
+  def vacuum(spark: SparkSession, dir: String,
+             keepVersions: Int = 2): (Int, Int) = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    if (drop.isEmpty) return (0, 0)
+    val referenced = keep.flatMap(v => readManifest(spark, dir, v)).toSet
+    var deletedFiles = 0
+    drop.foreach { v =>
+      readManifest(spark, dir, v).foreach { rel =>
+        if (!referenced.contains(rel)) {
+          if (f.delete(new HPath(s"$dir/$rel"), false)) deletedFiles += 1
+        }
+      }
+      f.delete(new HPath(f"$dir/manifest-v$v%05d.json"), false)
+    }
+    // sweep now-empty version directories (cosmetic; readers never list)
+    f.listStatus(new HPath(dir)).foreach { st =>
+      if (st.isDirectory && f.listStatus(st.getPath).isEmpty)
+        f.delete(st.getPath, false)
+    }
+    (drop.size, deletedFiles)
+  }
+
   /** The EXACT rows of `version` (default: latest), regardless of any
     * later appends. */
   def read(spark: SparkSession, dir: String,

@@ -33,6 +33,18 @@ class FunnelSpec extends AnyFunSuite {
     assert(out("d") == ((1L, Some(ns(10)), None, None)))
   }
 
+  test("conversion window bounds later steps to the first match") {
+    val ev = Seq(
+      ("a", ns(0), "view"), ("a", ns(50), "click"), ("a", ns(200), "purchase"),
+      ("b", ns(0), "view"), ("b", ns(50), "click"), ("b", ns(90), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnel.depth(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxSpanSeconds = Some(100L))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") == 2L) // purchase at +200 s falls out of the window
+    assert(out("b") == 3L) // completes inside 100 s
+  }
+
   test("option validation") {
     val ev = Seq(("a", ns(1), "x")).toDF("user_id", "ts", "event_type")
     assert(intercept[IllegalArgumentException] {

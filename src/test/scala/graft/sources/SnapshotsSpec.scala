@@ -52,6 +52,26 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir, 2).count() == 100)
   }
 
+  test("vacuum drops expired manifests but keeps append-carried files") {
+    val dir = Files.createTempDirectory("snaps4").toString
+    Snapshots.write(Seq((1L, "a")).toDF("id", "s"), dir)   // v1
+    Snapshots.write(Seq((2L, "b")).toDF("id", "s"), dir)   // v2 carries v1
+    Snapshots.compact(spark, dir)                          // v3 = rewrite
+    Snapshots.write(Seq((3L, "c")).toDF("id", "s"), dir)   // v4 carries v3
+    val (vDel, fDel) = Snapshots.vacuum(spark, dir, keepVersions = 2)
+    assert(vDel == 2) // v1, v2 expired
+    assert(fDel > 0)  // v1/v2 original files unreferenced by v3/v4
+    assert(Snapshots.versions(spark, dir) == Seq(3, 4))
+    // kept versions still read completely (v3's rewritten files and
+    // v4's append survive)
+    assert(Snapshots.read(spark, dir, 3).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    assert(Snapshots.read(spark, dir).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // keeping everything is a no-op
+    assert(Snapshots.vacuum(spark, dir, keepVersions = 10) == ((0, 0)))
+  }
+
   test("missing version / empty dir error clearly") {
     val dir = Files.createTempDirectory("snaps2").toString
     val e1 = intercept[IllegalArgumentException] {
