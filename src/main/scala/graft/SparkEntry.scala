@@ -2824,6 +2824,26 @@ object SparkEntry {
         .orderBy("user_id", "slot_start")
     }),
 
+    // ---- STREAMING snapshot commits (effectively-once) -----------
+    // Continuous ingestion with time travel: each micro-batch commits
+    // an immutable snapshot version keyed by its batch id (replays
+    // are no-ops), so any past version stays pinned while new data
+    // lands. The gated output is the latest version's row set.
+    "stream_snapshot" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val work = scratch("stream_snap")
+      val inDir = sharedLanding(dir, "documents")
+      val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
+        Map("input_path" -> inDir.toString), work, "default")
+      val docs = scan.execute().fold(e => throw e, identity)
+        .select("doc_id", "lang", "source", "n_chars")
+      val sink = new graft.plugins.streaming.StreamSnapshotWriterPlugin(
+        Map("output_path" -> work.resolve("store").toString), work, "default")
+      sink.execute(docs).fold(e => throw e, _ => ())
+      graft.sources.Snapshots.read(s, work.resolve("store").toString)
+        .orderBy("doc_id")
+    }),
+
     // ---- STREAMING model-based quality scoring -------------------
     // The deployment face of text_classify_nb: a bounded 64-term
     // log-odds model trains BATCH-side on the labeled split, then
@@ -5757,6 +5777,10 @@ object SparkEntry {
       """SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY fingerprint""".stripMargin,
+
+    "stream_snapshot" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // identical to events_resample: the streaming operator's
     // single-batch replay must equal the batch grid row for row

@@ -104,6 +104,7 @@ object Loader {
     "parquet_stream_scan" -> "graft.plugins.streaming.ParquetStreamScanPlugin",
     "stream_parquet_writer" -> "graft.plugins.streaming.StreamParquetWriterPlugin",
     "stream_upsert_writer" -> "graft.plugins.streaming.StreamUpsertWriterPlugin",
+    "stream_snapshot_writer" -> "graft.plugins.streaming.StreamSnapshotWriterPlugin",
     "parquet_writer" -> "graft.plugins.output.ParquetWriterPlugin",
     "csv_writer" -> "graft.plugins.output.CsvWriterPlugin",
     "json_writer" -> "graft.plugins.output.JsonWriterPlugin",

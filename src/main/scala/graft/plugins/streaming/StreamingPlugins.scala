@@ -161,3 +161,49 @@ class StreamUpsertWriterPlugin(val options: Map[String, Any],
         })
     } yield out
 }
+
+/** Streaming snapshot sink: every micro-batch COMMITS an immutable
+  * [[graft.sources.Snapshots]] version via foreachBatch, keyed by the
+  * batch id — a replayed batch (failure retry, checkpoint restart)
+  * is a no-op, so the version history is effectively-once without a
+  * transaction log. Continuous ingestion with time travel: any past
+  * version stays readable via `snapshot_scan` while new batches land.
+  * Options: output_path (req — the snapshot directory), checkpoint
+  * (default <output_path>_checkpoint). */
+class StreamSnapshotWriterPlugin(val options: Map[String, Any],
+                                 val configDir: Path,
+                                 override val label: String)
+    extends OutputPlugin {
+  def name: String = "stream_snapshot_writer"
+
+  private def outputPath(): Either[Throwable, Path] =
+    options.get("output_path") match {
+      case None => Left(new PluginExecutionError("Option 'output_path' is required"))
+      case Some(p) => Right(resolvePath(p.toString))
+    }
+
+  def execute(df: DataFrame): Either[Throwable, Unit] =
+    outputPath().flatMap { p =>
+      Errors.safe {
+        if (!df.isStreaming)
+          throw new PluginExecutionError(
+            s"$name requires a streaming input (use parquet_stream_scan)")
+        val checkpoint = options.get("checkpoint")
+          .map(c => resolvePath(c.toString).toString)
+          .getOrElse(p.toString + "_checkpoint")
+        val q = df.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.sources.Snapshots.writeBatch(batch, p.toString, batchId)
+            ()
+          }
+          .option("checkpointLocation", checkpoint)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+
+  def dryRun(schema: org.apache.spark.sql.types.StructType)
+      : Either[Throwable, org.apache.spark.sql.types.StructType] =
+    outputPath().map(_ => schema)
+}

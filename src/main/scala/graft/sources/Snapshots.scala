@@ -46,7 +46,11 @@ object Snapshots {
 
   /** Append `df` as a NEW version; returns the version number.
     * Eager (runs the write job + manifest commit). */
-  def write(df: DataFrame, dir: String): Int = {
+  def write(df: DataFrame, dir: String): Int =
+    writeInternal(df, dir, None)
+
+  private def writeInternal(df: DataFrame, dir: String,
+                            batchId: Option[Long]): Int = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val prev = versions(spark, dir)
@@ -63,8 +67,9 @@ object Snapshots {
       case None => Seq.empty
     }
     val all = carried ++ newFiles
+    val bidField = batchId.map(b => s""""batch_id":$b,""").getOrElse("")
     val json = all.map(p => "\"" + p + "\"").mkString(
-      s"""{"version":$v,"files":[""", ",", "]}")
+      s"""{"version":$v,$bidField"files":[""", ",", "]}")
     // manifest LAST: single create+write+close; readers never observe
     // a version whose data is incomplete
     val out = f.create(new HPath(f"$dir/manifest-v$v%05d.json"), false)
@@ -73,12 +78,38 @@ object Snapshots {
     v
   }
 
-  private def readManifest(spark: SparkSession, dir: String,
-                           v: Int): Seq[String] = {
+  /** Commit a micro-batch as a version EXACTLY ONCE per `batchId`:
+    * replays of an already-committed batch (streaming retry /
+    * checkpoint restart) are no-ops, detected from the batch_id
+    * field stored in each manifest. Returns Some(version) when a
+    * commit happened. This is what makes a foreachBatch snapshot
+    * sink effectively-once without a transaction log. */
+  def writeBatch(df: DataFrame, dir: String,
+                 batchId: Long): Option[Int] = {
+    val spark = df.sparkSession
+    val committed = versions(spark, dir).flatMap(v =>
+      manifestBatchId(spark, dir, v))
+    if (committed.contains(batchId)) None
+    else Some(writeInternal(df, dir, Some(batchId)))
+  }
+
+  private def manifestBatchId(spark: SparkSession, dir: String,
+                              v: Int): Option[Long] = {
+    val raw = manifestRaw(spark, dir, v)
+    "\"batch_id\":(\\d+)".r.findFirstMatchIn(raw).map(_.group(1).toLong)
+  }
+
+  private def manifestRaw(spark: SparkSession, dir: String,
+                          v: Int): String = {
     val f = fs(spark, dir)
     val in = f.open(new HPath(f"$dir/manifest-v$v%05d.json"))
-    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
+  }
+
+  private def readManifest(spark: SparkSession, dir: String,
+                           v: Int): Seq[String] = {
+    val raw = manifestRaw(spark, dir, v)
     "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(raw).map(_.group(1)).toSeq
   }
 

@@ -85,6 +85,21 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("version 7 not found"))
   }
 
+  test("writeBatch is effectively-once per batch id") {
+    val dir = Files.createTempDirectory("snaps5").toString
+    val b0 = Seq((1L, "a")).toDF("id", "s")
+    assert(Snapshots.writeBatch(b0, dir, batchId = 0L) == Some(1))
+    // replay of the SAME batch id: no new version, no new rows
+    assert(Snapshots.writeBatch(b0, dir, batchId = 0L).isEmpty)
+    assert(Snapshots.writeBatch(Seq((2L, "b")).toDF("id", "s"),
+      dir, batchId = 1L) == Some(2))
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2))
+    assert(Snapshots.read(spark, dir).count() == 2)
+    // plain writes interleave fine (no batch id recorded)
+    Snapshots.write(Seq((3L, "c")).toDF("id", "s"), dir)
+    assert(Snapshots.writeBatch(b0, dir, batchId = 0L).isEmpty)
+  }
+
   test("snapshot_scan / snapshot_writer plugins round-trip") {
     val tmp = Files.createTempDirectory("snapplug")
     val w = new graft.plugins.output.SnapshotWriterPlugin(
