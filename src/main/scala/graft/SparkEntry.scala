@@ -3379,6 +3379,26 @@ object SparkEntry {
         .orderBy("version")
     }),
 
+    // ---- snapshot change feed (manifest diff) --------------------
+    // Incremental consumption: the diff of v2 over v1 reads ONLY the
+    // files v2's manifest added — exactly the odd-orderkey commit —
+    // with no data comparison anywhere.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val work = scratch("snapdiff")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val snapDir = work.resolve("snaps").toString
+      graft.sources.Snapshots.write(
+        li.filter(col("l_orderkey") % 2 === 0), snapDir)
+      graft.sources.Snapshots.write(
+        li.filter(col("l_orderkey") % 2 =!= 0), snapDir)
+      graft.sources.Snapshots.changesSince(s, snapDir, fromVersion = 1)
+        .groupBy((col("l_orderkey") % 100).as("okey_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          r(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("okey_bucket")
+    }),
+
     // ---- data-contract expectations gate -------------------------
     // Deequ-style pre-promotion validation: four row rules compile
     // into ONE conditional-count aggregation over a single scan, the
@@ -6504,6 +6524,13 @@ object SparkEntry {
         |SELECT CAST(2 AS BIGINT), count(*), r(sum(l_quantity), 2)
         |FROM lineitem
         |ORDER BY version""".stripMargin,
+
+    // the diff of the append chain = the odd-orderkey rows only
+    "q_snapshot_diff" ->
+      """SELECT l_orderkey % 100 AS okey_bucket, count(*) AS n_rows,
+        |  r(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 2 <> 0
+        |GROUP BY 1 ORDER BY okey_bucket""".stripMargin,
 
     // violation = NOT coalesce(pred, FALSE) — unevaluable rows count
     // as violations, mirroring Expectations.check's null-hostile

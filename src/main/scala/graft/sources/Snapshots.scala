@@ -152,6 +152,33 @@ object Snapshots {
     v
   }
 
+  /** Incremental change feed: the rows ADDED between `fromVersion`
+    * (exclusive) and `toVersion` (inclusive, default latest) — read
+    * from exactly the files in `to`'s manifest that `from`'s lacks, a
+    * pure manifest diff with no data comparison. This is how a
+    * downstream consumer (tokenizer, trainer, index append) processes
+    * only what landed since its last run. Valid along an APPEND
+    * chain; a compaction in between rewrites files, so the diff
+    * equals the full compacted set (file-level semantics, documented
+    * — consumers should checkpoint before compaction windows). */
+  def changesSince(spark: SparkSession, dir: String, fromVersion: Int,
+                   toVersion: Int = -1): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no snapshot versions under $dir")
+    val to = if (toVersion < 0) vs.last else toVersion
+    require(vs.contains(fromVersion) && vs.contains(to),
+      s"need versions $fromVersion and $to under $dir (have ${vs.mkString(", ")})")
+    require(fromVersion <= to,
+      s"fromVersion $fromVersion is after toVersion $to")
+    val fromFiles = readManifest(spark, dir, fromVersion).toSet
+    val newFiles = readManifest(spark, dir, to)
+      .filterNot(fromFiles).map(p => s"$dir/$p")
+    if (newFiles.isEmpty)
+      spark.read.parquet(s"$dir/${readManifest(spark, dir, to).head}")
+        .limit(0)
+    else spark.read.parquet(newFiles: _*)
+  }
+
   /** Expire history: keep the newest `keepVersions` manifests, delete
     * older manifests AND any data file no kept manifest references.
     * Append-carried files survive (a v1 file referenced by v5's

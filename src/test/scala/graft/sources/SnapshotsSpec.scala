@@ -85,6 +85,23 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("version 7 not found"))
   }
 
+  test("changesSince reads only the files later manifests added") {
+    val dir = Files.createTempDirectory("snaps6").toString
+    Snapshots.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    Snapshots.write(Seq((3L, "c")).toDF("id", "s"), dir)
+    Snapshots.write(Seq((4L, "d")).toDF("id", "s"), dir)
+    assert(Snapshots.changesSince(spark, dir, 1).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(3L, 4L))
+    assert(Snapshots.changesSince(spark, dir, 2, 3).select("id").as[Long]
+      .collect().toSeq == Seq(4L))
+    // self-diff is empty with the right schema
+    val empty = Snapshots.changesSince(spark, dir, 3, 3)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "s"))
+    assert(intercept[IllegalArgumentException] {
+      Snapshots.changesSince(spark, dir, 3, 1)
+    }.getMessage.contains("after"))
+  }
+
   test("writeBatch is effectively-once per batch id") {
     val dir = Files.createTempDirectory("snaps5").toString
     val b0 = Seq((1L, "a")).toDF("id", "s")
