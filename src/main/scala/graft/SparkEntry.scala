@@ -1894,6 +1894,16 @@ object SparkEntry {
           r(col("blocked_ratio"), 4).as("blocked_ratio"))
         .orderBy("doc_id")),
 
+    // ---- winnowing fingerprints (MOSS) ---------------------------
+    // Schleimer et al. 2003: k=5 char-gram md5 hashes, w=4 window
+    // minima with the rightmost-tie rule — any shared substring of
+    // length >= w+k-1 = 8 yields a shared fingerprint. Integer
+    // min/argmax selection, exact replay.
+    "text_winnow" -> ((s, dir) =>
+      graft.ops.Text.winnow(tBalanced(s, dir, "documents"),
+          "doc_id", "text", k = 5, w = 4)
+        .orderBy("doc_id", "pos", "fp")),
+
     // ---- feature-hashing embeddings (hashing trick) --------------
     // Signed md5 token hashing into 16 dims + L2 normalize — dense
     // vectors with NO model/vocab, the bridge from raw text to the
@@ -4677,6 +4687,36 @@ object SparkEntry {
         |  r(CASE WHEN len(toks) = 0 THEN 0.0
         |    ELSE CAST(hits AS DOUBLE) / len(toks) END, 4) AS blocked_ratio
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // same winnowing walk: windowed min over k-gram hashes,
+    // rightmost position on ties, distinct selected fingerprints
+    "text_winnow" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, u.p AS pos,
+        |    ('0x' || substr(md5(substr(t, CAST(u.p AS INTEGER), 5)), 1, 8))::BIGINT
+        |      AS h,
+        |    length(t) - 4 AS n
+        |  FROM d, LATERAL (SELECT unnest(range(1, length(t) - 3)) AS p) u
+        |  WHERE length(t) >= 5
+        |), wm AS (
+        |  SELECT doc_id, pos AS wstart, n,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM g
+        |), starts AS (
+        |  SELECT doc_id, wstart, wmin FROM wm WHERE wstart <= n - 3
+        |), sel AS (
+        |  SELECT st.doc_id, st.wstart, max(g2.pos) AS pos, st.wmin AS fp
+        |  FROM starts st JOIN g g2 ON g2.doc_id = st.doc_id
+        |    AND g2.pos BETWEEN st.wstart AND st.wstart + 3
+        |    AND g2.h = st.wmin
+        |  GROUP BY st.doc_id, st.wstart, st.wmin)
+        |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
+        |FROM sel ORDER BY doc_id, pos, fp""".stripMargin,
 
     // md5-hashed dims/signs, integer per-dim sums, exact norm — the
     // same normalize/tokenize CTEs as text_tfidf

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -429,5 +430,54 @@ object Text {
         round(graft.expressions.CharEntropy.char_entropy(t), 4))
       .withColumn("fingerprint", fingerprint(t))
       .drop("_len", "_praw", "_sraw", "_mraw")
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    * SIGMOD 2003, the MOSS algorithm): hash every character k-gram of
+    * the normalized text, slide a w-wide window over the hash
+    * sequence, and keep each window's MINIMUM hash (rightmost
+    * position on ties). Guarantees: any shared substring of length
+    * >= w + k - 1 between two documents yields at least one shared
+    * fingerprint — the bounded-density local sampling that makes
+    * substring-level matching work at corpus scale without storing
+    * every shingle.
+    *
+    * Hashes are the first 32 md5 bits (the repo's cross-engine hash),
+    * selection is integer min/argmax — the replay is exact.
+    *
+    * Scale shape: one position explode (len - k + 1 rows per doc),
+    * one windowed min, one bounded self-join (fan-out <= w) and a
+    * distinct — all keyed on the doc. Returns distinct
+    * `(idCol, pos, fp)` selected fingerprints. */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+             k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 2, s"need k >= 2 and w >= 2, got k=$k w=$w")
+    val grams = df
+      .select(col(idCol), normalize(col(textCol)).as("_t"))
+      .filter(length(col("_t")) >= k)
+      .select(col(idCol), col("_t"),
+        explode(sequence(lit(1), length(col("_t")) - (k - 1))).as("pos"))
+      .select(col(idCol), col("pos"),
+        conv(substring(md5(substring(col("_t"), col("pos"), lit(k))), 1, 8),
+          16, 10).cast("long").as("h"))
+    // per window start i: the minimum hash over positions [i, i+w-1]
+    val winFrame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val nGramsW = Window.partitionBy(col(idCol))
+    val starts = grams
+      .withColumn("_wmin", min(col("h")).over(winFrame))
+      .withColumn("_n", count(lit(1)).over(nGramsW))
+      .filter(col("pos") <= col("_n") - (w - 1)) // only full windows
+      .select(col(idCol), col("pos").as("wstart"), col("_wmin"))
+    // rightmost position holding the window minimum
+    val members = grams.select(col(idCol), col("pos"), col("h"))
+    starts.join(members, Seq(idCol))
+      .filter(col("pos") >= col("wstart") &&
+        col("pos") <= col("wstart") + (w - 1) &&
+        col("h") === col("_wmin"))
+      .groupBy(col(idCol), col("wstart"))
+      .agg(max(col("pos")).as("pos"), first(col("_wmin")).as("fp"))
+      .select(col(idCol), col("pos"), col("fp"))
+      .distinct()
   }
 }
