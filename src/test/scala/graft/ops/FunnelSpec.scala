@@ -45,6 +45,49 @@ class FunnelSpec extends AnyFunSuite {
     assert(out("b") == 3L) // completes inside 100 s
   }
 
+  test("random event streams match a scalar greedy reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(23L + i)))
+    val steps = Seq("s1", "s2", "s3")
+    val genEvents = for {
+      n <- Gen.choose(1, 25)
+      evs <- Gen.listOfN(n, for {
+        k <- Gen.choose(0, 2)
+        sec <- Gen.choose(0L, 40L) // small range forces collisions
+        ty <- Gen.oneOf("s1", "s2", "s3", "zz")
+      } yield (k.toString, sec, ty))
+    } yield evs
+
+    def ref(evs: Seq[(String, Long, String)])
+        : Map[String, (Long, Seq[Option[Long]])] =
+      evs.groupBy(_._1).map { case (k, es) =>
+        var prev = Long.MinValue
+        val ts = steps.map { st =>
+          val cands = es.filter(e => e._3 == st && e._2 * 1000000000L > prev)
+          if (cands.isEmpty) { prev = Long.MaxValue; None }
+          else {
+            val t = cands.map(_._2 * 1000000000L).min
+            prev = t
+            Some(t)
+          }
+        }
+        k -> (ts.count(_.isDefined).toLong, ts)
+      }
+
+    samples(genEvents, 6).foreach { evs =>
+      val df = evs.map { case (k, sec, ty) => (k, ns(sec), ty) }
+        .toDF("user_id", "ts", "event_type")
+      val got = Funnel.depth(df, "user_id", "ts", "event_type", steps)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), Seq(Option(r.get(2)).map(_.asInstanceOf[Long]),
+            Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Long]))))).toMap
+      assert(got == ref(evs), s"mismatch for $evs")
+    }
+  }
+
   test("option validation") {
     val ev = Seq(("a", ns(1), "x")).toDF("user_id", "ts", "event_type")
     assert(intercept[IllegalArgumentException] {

@@ -40,6 +40,51 @@ class ResampleSpec extends AnyFunSuite {
     assert(out == Seq(("u", 0L, 3.0, 2L), ("w", 0L, 7.0, 2L)))
   }
 
+  test("random event streams match a scalar reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(11L + i)))
+
+    val genEvents = for {
+      nKeys <- Gen.choose(1, 3)
+      n <- Gen.choose(1, 20)
+      evs <- Gen.listOfN(n, for {
+        k <- Gen.choose(0, nKeys - 1)
+        sec <- Gen.choose(0L, 500L)
+        v <- Gen.choose(-5, 5).map(_.toDouble)
+      } yield (k.toString, sec, v))
+    } yield evs
+
+    def ref(evs: Seq[(String, Long, Double)], step: Long)
+        : Set[(String, Long, Double, Long)] = {
+      evs.groupBy(_._1).flatMap { case (k, es) =>
+        val bySlot = es.groupBy(e => (e._2 / step) * step)
+        val reps = bySlot.map { case (slot, xs) =>
+          val rep = xs.maxBy(e => (e._2, e._3)) // latest sec, tie max v
+          slot -> (rep._3, xs.size.toLong)
+        }
+        val lo = reps.keys.min
+        val hi = reps.keys.max
+        var last = 0.0
+        (lo to hi by step).map { slot =>
+          reps.get(slot) match {
+            case Some((v, n)) => last = v; (k, slot, v, n)
+            case None => (k, slot, last, 0L)
+          }
+        }
+      }.toSet
+    }
+
+    samples(genEvents, 6).foreach { evs =>
+      val df = evs.map { case (k, sec, v) => (k, ns(sec), v) }
+        .toDF("k", "ts", "value")
+      val got = Resample.forwardFill(df, "k", "ts", "value", 60L)
+        .as[(String, Long, Double, Long)].collect().toSet
+      assert(got == ref(evs, 60L), s"mismatch for $evs")
+    }
+  }
+
   test("native timestamp columns resolve through TimeCols") {
     val df = Seq(("u", 10L, 1.0), ("u", 200L, 4.0))
       .toDF("k", "sec", "value")
