@@ -38,7 +38,7 @@ object Bench {
     "q_chunk_windows", "q_profile",
     "q_gopher_rules",
     "text_blocklist", "text_classify_nb", "text_hash_embed",
-    "text_winnow",
+    "text_winnow", "dedup_winnow_pairs",
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivfpq",
     "sim_quantize_raw",
     "multimodal_meta", "q_pivot", "q_unpivot",

@@ -1894,6 +1894,16 @@ object SparkEntry {
           r(col("blocked_ratio"), 4).as("blocked_ratio"))
         .orderBy("doc_id")),
 
+    // ---- winnow-based substring-overlap candidate pairs ----------
+    // Partial-overlap dedup: docs sharing >= 3 winnow fingerprints
+    // after dropping corpus-boilerplate fingerprints (> 20 docs) —
+    // the spliced-passage detector whole-doc minhash under-weighs.
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      graft.ops.Dedup.winnowCandidatePairs(
+          tBalanced(s, dir, "documents"), "doc_id", "text",
+          k = 5, w = 4, minShared = 3, maxFpFreq = 20)
+        .orderBy("id_a", "id_b")),
+
     // ---- winnowing fingerprints (MOSS) ---------------------------
     // Schleimer et al. 2003: k=5 char-gram md5 hashes, w=4 window
     // minima with the rightmost-tie rule — any shared substring of
@@ -4687,6 +4697,38 @@ object SparkEntry {
         |  r(CASE WHEN len(toks) = 0 THEN 0.0
         |    ELSE CAST(hits AS DOUBLE) / len(toks) END, 4) AS blocked_ratio
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // winnow walk + frequency-capped fingerprint join
+    "dedup_winnow_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, u.p AS pos,
+        |    ('0x' || substr(md5(substr(t, CAST(u.p AS INTEGER), 5)), 1, 8))::BIGINT
+        |      AS h,
+        |    length(t) - 4 AS n
+        |  FROM d, LATERAL (SELECT unnest(range(1, length(t) - 3)) AS p) u
+        |  WHERE length(t) >= 5
+        |), wm AS (
+        |  SELECT doc_id, pos AS wstart, n,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM g
+        |), starts AS (
+        |  SELECT doc_id, wstart, wmin FROM wm WHERE wstart <= n - 3
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, wmin AS fp FROM starts
+        |), freq AS (
+        |  SELECT fp, count(*) AS c FROM fps GROUP BY fp
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM fps a
+        |JOIN (SELECT fp FROM freq WHERE c <= 20) ok ON a.fp = ok.fp
+        |JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // same winnowing walk: windowed min over k-gram hashes,
     // rightmost position on ties, distinct selected fingerprints

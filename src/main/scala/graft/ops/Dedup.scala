@@ -848,4 +848,35 @@ object Dedup {
           .otherwise(coalesce(col("_n_removed"), lit(0L))))
       .drop("_kept", "_n_removed")
   }
+
+  /** Substring-overlap candidate pairs via winnowing fingerprints
+    * ([[Text.winnow]]): documents sharing >= `minShared` selected
+    * fingerprints — the PARTIAL-overlap detector (quotation,
+    * boilerplate blocks, spliced passages) that whole-document
+    * minhash under-weighs: winnowing guarantees any shared run of
+    * w + k - 1 chars leaves a common fingerprint, so even a single
+    * long shared sentence surfaces. `maxFpFreq` drops fingerprints
+    * shared by too many documents (corpus boilerplate k-grams) —
+    * the same flooded-bucket escape as the minhash band cap, and the
+    * reason the join stays linear in shared-content volume instead
+    * of quadratic in corpus size.
+    *
+    * Output: `(id_a, id_b, n_shared)`, id_a < id_b. */
+  def winnowCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 5, w: Int = 4, minShared: Int = 3,
+                           maxFpFreq: Int = 20): DataFrame = {
+    require(minShared >= 1 && maxFpFreq >= 2,
+      s"need minShared >= 1 and maxFpFreq >= 2, got $minShared/$maxFpFreq")
+    val fps = Text.winnow(df, idCol, textCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+    val ok = fps.groupBy(col("fp")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") <= maxFpFreq).select(col("fp"))
+    val a = fps.join(ok, Seq("fp")).select(col("fp"), col(idCol).as("id_a"))
+    val b = fps.select(col("fp"), col(idCol).as("id_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -58,6 +58,11 @@ class DedupPlugin(options: Map[String, Any], configDir: Path, label: String)
               shingleK = numOpt("shingle_k", 5).toInt,
               numHashes = numOpt("num_hashes", 64).toInt,
               bands = numOpt("bands", 16).toInt)
+            case "winnow_pairs" =>
+            Dedup.winnowCandidatePairs(df, idCol, textColumn,
+              k = numOpt("k", 5).toInt, w = numOpt("w", 4).toInt,
+              minShared = numOpt("min_shared", 3).toInt,
+              maxFpFreq = numOpt("max_fp_freq", 20).toInt)
           case "simhash_pairs" =>
             Dedup.simhashPairs(df, idCol, textColumn,
               maxHamming = numOpt("max_hamming", 3).toInt)

@@ -41,6 +41,28 @@ class WinnowSpec extends AnyFunSuite {
     assert(byDoc(1L).size <= nWindows)
   }
 
+  test("winnowCandidatePairs finds spliced passages, caps boilerplate") {
+    val shared = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      (1L, s"intro words here $shared closing remark"),
+      (2L, s"different opening $shared and another tail"),
+      (3L, "nothing in common with anything at all today")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowCandidatePairs(docs, "doc_id", "text",
+        minShared = 2, maxFpFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(pairs.contains((1L, 2L)), s"spliced pair missed: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
+    // a fingerprint present in EVERY doc is boilerplate: with the cap
+    // at 2 and a 3-doc corpus sharing one passage, pairs built only
+    // from that passage vanish
+    val all3 = Seq((1L, shared), (2L, shared), (3L, shared))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowCandidatePairs(all3, "doc_id", "text",
+      minShared = 1, maxFpFreq = 2).count() == 0)
+  }
+
   test("texts shorter than k emit nothing; bad params rejected") {
     val docs = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
     assert(Text.winnow(docs, "doc_id", "text", k = 5, w = 4).count() == 0)
