@@ -296,6 +296,29 @@ class E2ESpec extends AnyFunSuite {
       .forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("examples/snapshot_ingest.toml: gate -> commit; rerun appends a version") {
+    val src = java.nio.file.Paths.get("examples/snapshot_ingest.toml")
+    assume(java.nio.file.Files.exists(src))
+    val tmp = java.nio.file.Files.createTempDirectory("snapcfg")
+    val cfg = tmp.resolve("snapshot_ingest.toml")
+    java.nio.file.Files.copy(src, cfg)
+    def runOnce(): Unit = {
+      val config = Config.loadConfig(cfg).fold(e => fail(e.getMessage), identity)
+      val reg = Loader.loadPlugins(config, cfg).fold(e => fail(e.getMessage), identity)
+      val r = Pipeline.runPipeline(reg.inputs, reg.transforms, reg.outputs)
+      assert(r.isRight, r.left.toOption.map(_.getMessage))
+    }
+    runOnce()
+    val store = tmp.resolve("out/corpus_snapshots").toString
+    assert(graft.sources.Snapshots.versions(spark, store) == Seq(1))
+    val v1 = graft.sources.Snapshots.read(spark, store, 1).count()
+    assert(v1 > 0)
+    runOnce() // same config again: a NEW version, v1 untouched
+    assert(graft.sources.Snapshots.versions(spark, store) == Seq(1, 2))
+    assert(graft.sources.Snapshots.read(spark, store, 1).count() == v1)
+    assert(graft.sources.Snapshots.read(spark, store).count() == 2 * v1)
+  }
+
   test("examples/vector_index.toml: build index, serve queries from disk") {
     val src = java.nio.file.Paths.get("examples/vector_index.toml")
     assume(java.nio.file.Files.exists(src))
