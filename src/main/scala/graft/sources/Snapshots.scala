@@ -152,6 +152,27 @@ object Snapshots {
     v
   }
 
+  /** Restore: commit a NEW version whose manifest is an exact copy of
+    * `version`'s file list — latest now reads as the past version did,
+    * history stays intact (the bad versions remain readable for
+    * forensics until vacuumed), and no data moves. The Delta RESTORE
+    * semantics as a pure manifest operation. Returns the new
+    * version. */
+  def restore(spark: SparkSession, dir: String, version: Int): Int = {
+    val vs = versions(spark, dir)
+    require(vs.contains(version),
+      s"version $version not found under $dir (have ${vs.mkString(", ")})")
+    val f = fs(spark, dir)
+    val files = readManifest(spark, dir, version)
+    val v = vs.last + 1
+    val json = files.map(p => "\"" + p + "\"").mkString(
+      s"""{"version":$v,"restored_from":$version,"files":[""", ",", "]}")
+    val out = f.create(new HPath(f"$dir/manifest-v$v%05d.json"), false)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
+    v
+  }
+
   /** Incremental change feed: the rows ADDED between `fromVersion`
     * (exclusive) and `toVersion` (inclusive, default latest) — read
     * from exactly the files in `to`'s manifest that `from`'s lacks, a

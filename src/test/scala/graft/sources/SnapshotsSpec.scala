@@ -85,6 +85,25 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("version 7 not found"))
   }
 
+  test("restore re-publishes a past version as latest, data untouched") {
+    val dir = Files.createTempDirectory("snaps7").toString
+    Snapshots.write(Seq((1L, "a")).toDF("id", "s"), dir)
+    Snapshots.write(Seq((2L, "bad")).toDF("id", "s"), dir)
+    val v = Snapshots.restore(spark, dir, 1)
+    assert(v == 3)
+    // latest reads like v1; the bad v2 stays inspectable
+    assert(Snapshots.read(spark, dir).select("id").as[Long]
+      .collect().toSeq == Seq(1L))
+    assert(Snapshots.read(spark, dir, 2).count() == 2)
+    // appends continue from the restored state
+    Snapshots.write(Seq((3L, "c")).toDF("id", "s"), dir)
+    assert(Snapshots.read(spark, dir).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L))
+    assert(intercept[IllegalArgumentException] {
+      Snapshots.restore(spark, dir, 99)
+    }.getMessage.contains("not found"))
+  }
+
   test("changesSince reads only the files later manifests added") {
     val dir = Files.createTempDirectory("snaps6").toString
     Snapshots.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
