@@ -54,6 +54,21 @@ object Snapshots {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val prev = versions(spark, dir)
+    // appends must match the store's schema: a silently-mixed store
+    // would drop or mistype columns at read time, which is far worse
+    // than failing the commit here (names + types, order-insensitive;
+    // nullability may widen)
+    prev.lastOption.foreach { p =>
+      val existing = read(spark, dir, p).schema
+      val incoming = df.schema
+      val e = existing.fields.map(x => x.name -> x.dataType).sortBy(_._1)
+      val i = incoming.fields.map(x => x.name -> x.dataType).sortBy(_._1)
+      require(e.sameElements(i),
+        s"append schema mismatch: store has ${e.map(_._1).mkString(",")} " +
+          s"(${e.map(_._2.simpleString).mkString(",")}), batch has " +
+          s"${i.map(_._1).mkString(",")} " +
+          s"(${i.map(_._2.simpleString).mkString(",")})")
+    }
     val v = prev.lastOption.getOrElse(0) + 1
     val vDir = f"$dir/v$v%05d"
     df.write.parquet(vDir)

@@ -85,6 +85,22 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("version 7 not found"))
   }
 
+  test("append rejects schema drift before committing anything") {
+    val dir = Files.createTempDirectory("snaps8").toString
+    Snapshots.write(Seq((1L, "a")).toDF("id", "s"), dir)
+    val err = intercept[IllegalArgumentException] {
+      Snapshots.write(Seq((2L, 3.0)).toDF("id", "v"), dir)
+    }
+    assert(err.getMessage.contains("append schema mismatch"))
+    assert(Snapshots.versions(spark, dir) == Seq(1)) // nothing committed
+    // column ORDER is not drift (parquet resolves columns by name)
+    Snapshots.write(Seq(("b", 2L)).toDF("s", "id"), dir)
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2))
+    assert(Snapshots.read(spark, dir)
+      .select("id", "s").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
   test("restore re-publishes a past version as latest, data untouched") {
     val dir = Files.createTempDirectory("snaps7").toString
     Snapshots.write(Seq((1L, "a")).toDF("id", "s"), dir)
