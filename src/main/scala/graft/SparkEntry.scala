@@ -95,6 +95,18 @@ object SparkEntry {
   private def tBalanced(s: SparkSession, dir: String, name: String): DataFrame =
     t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
 
+  /** Bounded deterministic query sample for the exact-recall gates:
+    * the first `n` rows of `df` ordered by md5(id) — a pseudo-random
+    * but engine-reproducible pick (DuckDB spells it
+    * `ORDER BY md5(CAST(id AS VARCHAR)) LIMIT n`). Broadcasting this
+    * fixed-size sample against the full table turns the old O(n²)
+    * cross-join oracle spellings into O(sample·n) linear scans that
+    * survive any corpus scale, while at sf ≤ 0.01 (≤ 512 rows) the
+    * sample covers the whole table, so the driver's hash gate keeps
+    * full strength. */
+  private def md5Sample(df: DataFrame, idCol: String, n: Int): DataFrame =
+    df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(n)
+
   /** Shared fixture for the Naive Bayes classifier queries: weak
     * quality label ('hi' iff count of fast/big tokens >= count of
     * slow/small) over normalized-nonempty documents, split 80/20 by
@@ -1450,16 +1462,30 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     // ---- embedding cosine near-dup pairs (exact, for oracle) -----
+    // Bounded spelling: a ≤512-id md5Sample is broadcast against the
+    // full normalized table (one BroadcastNestedLoopJoin, 512·n dot
+    // products — linear at any corpus scale), emitting every exact
+    // cosine ≥ 0.4 pair that touches a sampled id. Pairs with BOTH
+    // endpoints sampled arrive twice (s,o) and (o,s); dot is
+    // bitwise-commutative (same zip order), so canonicalize with
+    // least/greatest + distinct. At sf ≤ 0.01 the sample is the whole
+    // table and the output equals the old full cross-join gate.
     "dedup_embedding_pairs" -> ((s, dir) => {
       val e = Similarity.withNormalized(
-        t(s, dir, "embeddings"), "embedding", "v")
-      val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          Similarity.dot(col("v_a"), col("v_b")).as("cosine"))
+          t(s, dir, "embeddings"), "embedding", "v")
+        .select(col("vec_id"), col("v"))
+      val sample = md5Sample(e, "vec_id", 512)
+        .select(col("vec_id").as("id_s"), col("v").as("v_s"))
+      broadcast(sample)
+        .join(e.select(col("vec_id").as("id_o"), col("v").as("v_o")),
+          col("id_s") =!= col("id_o"))
+        .select(
+          least(col("id_s"), col("id_o")).as("id_a"),
+          greatest(col("id_s"), col("id_o")).as("id_b"),
+          Similarity.dot(col("v_s"), col("v_o")).as("cosine"))
         .filter(col("cosine") >= 0.4)
         .withColumn("cosine", r(col("cosine"), 6))
+        .distinct()
         .orderBy("id_a", "id_b")
     }),
 
@@ -1482,22 +1508,28 @@ object SparkEntry {
     // ---- embedding LSH pair recall gate (driver-checkable) -------
     // The LSH-blocked pair set is approximate, so its rows have no
     // hash oracle; what the oracle CAN verify is the recall floor:
-    // the exact cross-join pair set (itself hash-verified green as
-    // dedup_embedding_pairs) is recomputed and left-joined against
-    // the LSH candidates, and the single result row asserts hits ≥
-    // ⌈0.9 · n_pairs⌉. Measured recall at planes=4/probeBits=3 is
-    // 0.976-0.985 across sf0.001-0.1 (see BASELINE.md) — on these
-    // isotropic fixtures with near-dups planted at cosine ≈ 0.3-0.6,
-    // the adversarial regime for hyperplane LSH.
+    // the exact pair set over a bounded md5Sample (512 ids broadcast
+    // against the full table — linear, never O(n²); the same sampled
+    // spelling hash-verifies green as dedup_embedding_pairs) is
+    // recomputed and left-joined against the LSH candidates, and the
+    // single result row asserts hits ≥ ⌈0.9 · n_pairs⌉. Measured
+    // recall at planes=4/probeBits=3 is 0.976-0.985 across
+    // sf0.001-0.1 (see BASELINE.md) — on these isotropic fixtures
+    // with near-dups planted at cosine ≈ 0.3-0.6, the adversarial
+    // regime for hyperplane LSH.
     "dedup_emb_lsh_recall" -> ((s, dir) => {
       val e = tBalanced(s, dir, "embeddings")
       val norm = Similarity.withNormalized(e, "embedding", "v")
         .select(col("vec_id"), col("v"))
-      val a = norm.select(col("vec_id").as("id_a"), col("v").as("v_a"))
-      val b = norm.select(col("vec_id").as("id_b"), col("v").as("v_b"))
-      val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .filter(Similarity.dot(col("v_a"), col("v_b")) >= 0.3)
-        .select("id_a", "id_b")
+      val sample = md5Sample(norm, "vec_id", 512)
+        .select(col("vec_id").as("id_s"), col("v").as("v_s"))
+      val exact = broadcast(sample)
+        .join(norm.select(col("vec_id").as("id_o"), col("v").as("v_o")),
+          col("id_s") =!= col("id_o"))
+        .filter(Similarity.dot(col("v_s"), col("v_o")) >= 0.3)
+        .select(least(col("id_s"), col("id_o")).as("id_a"),
+          greatest(col("id_s"), col("id_o")).as("id_b"))
+        .distinct()
       val lsh = Dedup.embeddingCosinePairs(e, "vec_id", "embedding",
           threshold = 0.3, planes = 4, probeBits = 3)
         .select(col("id_a"), col("id_b"), lit(1).as("_hit"))
@@ -1520,24 +1552,33 @@ object SparkEntry {
 
     // ---- SemDeDup kmeans gate (driver-checkable) -----------------
     // kmeans cluster boundaries are not SQL-replayable, so the oracle
-    // verifies the exact global count plus the two claims that ARE
-    // engine-independent: every drop is a true duplicate (soundness)
-    // and the op catches ≥ 75% of globally-droppable rows. The
+    // verifies the exact sampled-droppable count plus the two claims
+    // that ARE engine-independent: every sampled drop is a true
+    // duplicate (soundness) and the op catches ≥ 75% of
+    // sampled-droppable rows. The
     // fixtures are isotropic with near-dups planted at cosine
     // 0.3-0.6 — the adversarial regime for any cluster blocking —
     // and nAssign=2 (IVF-style multi-enrollment) lifts measured
     // recall at nClusters=8 from 0.36-0.59 to 0.826-0.868 across
     // sf0.001-0.1 (tools/TuneSemDeDup).
+    // Bounded spelling: "droppable" is judged on the md5Sample ids
+    // only — for each sampled id, a broadcast scan of the full table
+    // for an EARLIER (<) true duplicate at cosine ≥ 0.4. Soundness
+    // and the recall floor are then asserted over sampled ids, which
+    // keeps the gate O(sample·n) at any scale; at sf ≤ 0.01 the
+    // sample is the whole table and the gate is the old global one.
     "dedup_semantic_recall" -> ((s, dir) => {
       val e = tBalanced(s, dir, "embeddings")
       val norm = Similarity.withNormalized(e, "embedding", "v")
         .select(col("vec_id"), col("v"))
-      val a = norm.select(col("vec_id").as("id_a"), col("v").as("v_a"))
-      val b = norm.select(col("vec_id").as("id_b"), col("v").as("v_b"))
-      val droppable = a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .filter(Similarity.dot(col("v_a"), col("v_b")) >= 0.4)
-        .select(col("id_b").as("vec_id")).distinct()
-      val dropped = e.select("vec_id").join(
+      val sample = md5Sample(norm, "vec_id", 512)
+        .select(col("vec_id").as("id_s"), col("v").as("v_s"))
+      val droppable = broadcast(sample)
+        .join(norm.select(col("vec_id").as("id_o"), col("v").as("v_o")),
+          col("id_o") < col("id_s"))
+        .filter(Similarity.dot(col("v_s"), col("v_o")) >= 0.4)
+        .select(col("id_s").as("vec_id")).distinct()
+      val dropped = sample.select(col("id_s").as("vec_id")).join(
         Dedup.semDeDup(e, "vec_id", "embedding", threshold = 0.4,
           nClusters = 8, assign = "kmeans", nAssign = 2).select("vec_id"),
         Seq("vec_id"), "left_anti")
@@ -4985,12 +5026,16 @@ object SparkEntry {
         |    CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0 THEN v
         |         ELSE list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
         |    END AS v
-        |  FROM e)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  r(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])), 6)
+        |  FROM e
+        |), smp AS (
+        |  SELECT vec_id, v FROM nrm
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 512)
+        |SELECT DISTINCT least(s.vec_id, o.vec_id) AS id_a,
+        |  greatest(s.vec_id, o.vec_id) AS id_b,
+        |  r(list_sum(list_transform(list_zip(s.v, o.v), p -> p[1] * p[2])), 6)
         |    AS cosine
-        |FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
-        |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) >= 0.4
+        |FROM smp s JOIN nrm o ON s.vec_id <> o.vec_id
+        |WHERE list_sum(list_transform(list_zip(s.v, o.v), p -> p[1] * p[2])) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Exact 5-gram Jaccard pairs, unblocked: the quadratic DuckDB
@@ -5410,10 +5455,16 @@ object SparkEntry {
         |    CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0 THEN v
         |         ELSE list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
         |    END AS v
-        |  FROM e)
+        |  FROM e
+        |), smp AS (
+        |  SELECT vec_id, v FROM nrm
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 512)
         |SELECT CAST(count(*) AS BIGINT) AS n_pairs, true AS recall_ok
-        |FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
-        |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) >= 0.3""".stripMargin,
+        |FROM (
+        |  SELECT DISTINCT least(s.vec_id, o.vec_id) AS id_a,
+        |    greatest(s.vec_id, o.vec_id) AS id_b
+        |  FROM smp s JOIN nrm o ON s.vec_id <> o.vec_id
+        |  WHERE list_sum(list_transform(list_zip(s.v, o.v), p -> p[1] * p[2])) >= 0.3)""".stripMargin,
 
     // SemDeDup hash-cluster mode: DuckDB replays the identical md5
     // bucket map and the NOT EXISTS min-id survivor rule, so the full
@@ -5439,9 +5490,9 @@ object SparkEntry {
         |    AND list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) >= 0.4)
         |ORDER BY vec_id""".stripMargin,
 
-    // kmeans-mode gate: the oracle pins the exact global droppable
-    // count; soundness and the recall floor are engine-independent
-    // booleans the Spark side must prove true.
+    // kmeans-mode gate: the oracle pins the exact droppable count
+    // over the bounded md5 sample; soundness and the recall floor are
+    // engine-independent booleans the Spark side must prove true.
     "dedup_semantic_recall" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -5451,11 +5502,14 @@ object SparkEntry {
         |    CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0 THEN v
         |         ELSE list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
         |    END AS v
-        |  FROM e)
-        |SELECT CAST(count(DISTINCT b.vec_id) AS BIGINT) AS n_droppable,
+        |  FROM e
+        |), smp AS (
+        |  SELECT vec_id, v FROM nrm
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 512)
+        |SELECT CAST(count(DISTINCT s.vec_id) AS BIGINT) AS n_droppable,
         |  true AS drops_sound, true AS recall_ok
-        |FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
-        |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) >= 0.4""".stripMargin,
+        |FROM smp s JOIN nrm o ON o.vec_id < s.vec_id
+        |WHERE list_sum(list_transform(list_zip(s.v, o.v), p -> p[1] * p[2])) >= 0.4""".stripMargin,
 
     "q_approx_sketch" ->
       """SELECT l_returnflag,

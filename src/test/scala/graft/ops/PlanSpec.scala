@@ -710,6 +710,25 @@ class PlanSpec extends AnyFunSuite {
       "audioHashPairs")
   }
 
+  test("bounded recall gates: the exact side is a broadcast sample, " +
+      "never a CartesianProduct") {
+    // These three gates used to cross-join the embedding table with
+    // itself (O(n²) — fine at sf0.1, a suite-killer at 100×). The
+    // bounded spelling broadcasts a ≤512-row md5 sample against the
+    // full table: the plan must show BroadcastNestedLoopJoin (the
+    // 512·n linear scan) and no CartesianProductExec anywhere —
+    // including under semDeDup / embeddingCosinePairs subtrees.
+    for (q <- Seq("dedup_embedding_pairs", "dedup_emb_lsh_recall",
+        "dedup_semantic_recall")) {
+      val df = tpch(q)
+      val ns = nodes(df)
+      assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$q plans a CartesianProduct")
+      assert(ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        s"$q lost its broadcast-sample join shape")
+    }
+  }
+
   test("dpp: the attribute-filtered dim join injects dynamic partition " +
       "pruning into the partitioned fact scan") {
     // q_dpp_prune's premise: is_peak lives only on the dim, so STATIC
