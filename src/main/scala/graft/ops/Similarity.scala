@@ -71,6 +71,21 @@ object Similarity {
     * per query is a partial aggregation (window over query id ranks
     * only (corpus × queries) rows, bounded by the broadcast side).
     */
+  /** Size guard for the paths that materialize a frame driver- or
+    * broadcast-side (brute baselines, config query streams): counts
+    * at most `maxRows + 1` rows (the limit makes the probe itself
+    * cheap — no full scan of an oversized input) and fails with a
+    * redirect to the bucketed methods instead of letting a 100 GB
+    * table reach a collect/broadcast. */
+  private[graft] def requireBounded(df: DataFrame, maxRows: Int,
+                                    what: String): Unit = {
+    val n = df.limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"$what materializes its input driver/broadcast-side and found " +
+        s"> $maxRows rows; use the bucketed methods (lsh/ivf) for " +
+        "large inputs, or raise the cap explicitly if the size is intended")
+  }
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, embCol: String, k: Int,
                      queryIdOut: String = "query_id"): DataFrame = {
@@ -629,14 +644,17 @@ object Similarity {
   def knnGraph(df: DataFrame, idCol: String, embCol: String, k: Int,
                method: String = "lsh", minCosine: Double = -1.0,
                planes: Int = 4, probeBits: Int = 3,
-               rerank: Int = 64, maxBucket: Int = 1000): DataFrame = {
+               rerank: Int = 64, maxBucket: Int = 1000,
+               maxBrute: Int = 100000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val topk = method match {
       case "brute"
           if df.schema(idCol).dataType ==
             org.apache.spark.sql.types.LongType =>
-        bruteSelfTopK(df, idCol, embCol, k)
-      case "brute" => bruteForceTopK(df, df, idCol, embCol, k)
+        bruteSelfTopK(df, idCol, embCol, k, maxBrute)
+      case "brute" =>
+        requireBounded(df, maxBrute, "knnGraph(method=\"brute\")")
+        bruteForceTopK(df, df, idCol, embCol, k)
       case "lsh" => lshTopK(df, df, idCol, embCol, k,
         planes = planes, probeBits = probeBits, rerank = rerank,
         selfGraph = true, maxBucket = maxBucket)
@@ -656,11 +674,19 @@ object Similarity {
     * same (cosine desc, id asc) order). EAGER: collects the
     * normalized matrix at call time, like the ANN trainers. */
   private def bruteSelfTopK(df: DataFrame, idCol: String,
-                            embCol: String, k: Int): DataFrame = {
+                            embCol: String, k: Int,
+                            maxBrute: Int = 100000): DataFrame = {
     val n = withNormalized(
       df.select(col(idCol).as("query_id"), col(embCol).as("_e")),
       "_e", "_v").select("query_id", "_v")
-    val collected = n.collect()
+    // limit(max+1) bounds the driver materialization itself: an
+    // oversized corpus fails the check below with a clear redirect
+    // instead of OOM-ing the driver mid-collect.
+    val collected = n.limit(maxBrute + 1).collect()
+    require(collected.length <= maxBrute,
+      s"knnGraph(method=\"brute\") collects the corpus matrix to the " +
+        s"driver and found > $maxBrute rows; use method=\"lsh\" (or " +
+        "ivfTopK/lshTopK) for large corpora — bucketed and distributed")
     val ids = collected.map(_.getLong(0))
     val mat = collected.map(_.getSeq[Double](1).toArray)
     // posexplode_OUTER + a cheap attribute filter, not plain

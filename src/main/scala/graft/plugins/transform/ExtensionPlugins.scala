@@ -762,6 +762,11 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
         val k = num("k", 10).toInt
         options.getOrElse("method", "brute").toString match {
           case "brute" =>
+            // brute broadcasts the query stream — guard a mislabeled
+            // big table before it reaches the broadcast exchange
+            graft.ops.Similarity.requireBounded(queries,
+              num("max_queries", 100000).toInt,
+              s"similarity method=\"brute\" (query stream '$ql')")
             graft.ops.Similarity.bruteForceTopK(df, queries, idCol, embCol, k)
           case "lsh" =>
             graft.ops.Similarity.lshTopK(df, queries, idCol, embCol, k,
@@ -1216,7 +1221,17 @@ class Bm25Plugin(options: Map[String, Any], configDir: Path, label: String)
           qdf => graft.core.Errors.safe {
             val idc = options.getOrElse("query_id_column", "query_id").toString
             val txc = options.getOrElse("query_text_column", "query_text").toString
-            val qs = qdf.select(idc, txc).collect()
+            // the collect is the operator's broadcast-side contract,
+            // but a mislabeled BIG table must fail with a clear cap
+            // error, not OOM the driver — limit bounds the fetch.
+            val maxQ = options.get("max_queries")
+              .map(_.toString.toDouble.toInt).getOrElse(10000)
+            val rows = qdf.select(idc, txc).limit(maxQ + 1).collect()
+            require(rows.length <= maxQ,
+              s"query stream '$ql' has > $maxQ rows; bm25 collects " +
+                "queries driver-side — point 'queries_label' at a " +
+                "bounded query table or raise 'max_queries' explicitly")
+            val qs = rows
               .map(r => r.getString(0) -> r.getString(1)).toSeq.sortBy(_._1)
             require(qs.nonEmpty, s"query stream '$ql' is empty")
             qs

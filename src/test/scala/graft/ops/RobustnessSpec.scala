@@ -175,4 +175,29 @@ class RobustnessSpec extends AnyFunSuite {
       Embeddings.pcaProject(one, "embedding", k = 1).collect()
     }
   }
+
+  test("brute-force paths refuse oversized inputs with a redirect " +
+      "to the bucketed methods") {
+    // brute collects/broadcasts — a user pointing it at a big corpus
+    // must get a capped, actionable error, never a driver OOM
+    val emb = (0L until 10L).map(i => (i, Seq(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val eLong = intercept[IllegalArgumentException] {
+      Similarity.knnGraph(emb, "vec_id", "embedding", k = 2,
+        method = "brute", maxBrute = 5)
+    }
+    assert(eLong.getMessage.contains("lsh"))
+    // non-long id routes through the generic broadcast baseline —
+    // same guard, same redirect
+    val embStr = emb.withColumn("vec_id", col("vec_id").cast("string"))
+    val eStr = intercept[IllegalArgumentException] {
+      Similarity.knnGraph(embStr, "vec_id", "embedding", k = 2,
+        method = "brute", maxBrute = 5)
+    }
+    assert(eStr.getMessage.contains("lsh"))
+    // under the cap, both paths still work
+    assert(Similarity.knnGraph(emb, "vec_id", "embedding", k = 2,
+      method = "brute", maxBrute = 100).count() > 0)
+  }
 }

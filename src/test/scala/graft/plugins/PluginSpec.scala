@@ -253,6 +253,13 @@ class PluginSpec extends AnyFunSuite {
         "id_column" -> "vec_id", "queries_label" -> "nope"), dir, "default")
       .executeWith(emb, streams)
     assert(missing.left.toOption.get.getMessage.contains("label 'nope'"))
+    // brute broadcasts the query stream: an over-cap query table must
+    // fail with a redirect to the bucketed methods, not broadcast-OOM
+    val oversized = new SimilarityPlugin(Map("method" -> "brute",
+        "id_column" -> "vec_id", "queries_label" -> "queries",
+        "max_queries" -> 1), dir, "default")
+      .executeWith(emb, streams)
+    assert(oversized.left.toOption.get.getMessage.contains("lsh"))
     // centroids mode needs no query stream
     val cents = new SimilarityPlugin(Map("method" -> "centroids",
         "group_by" -> Seq("vec_id")), dir, "default")

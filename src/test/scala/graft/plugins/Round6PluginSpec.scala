@@ -275,6 +275,12 @@ class Round6PluginSpec extends AnyFunSuite {
       .fold(e => fail(e.getMessage), identity)
     assert(dry.fieldNames.toSeq == out.columns.toSeq)
     assert(plug.executeWith(docs, Map.empty).isLeft) // missing label
+    // a mislabeled BIG query table must fail the driver-collect cap
+    // with an actionable error, not OOM the driver
+    val capped = new Bm25Plugin(Map("id_column" -> "doc_id",
+      "queries_label" -> "probes", "max_queries" -> 1), dir, "default")
+      .executeWith(docs, Map("probes" -> Right(queries)))
+    assert(capped.left.toOption.get.getMessage.contains("max_queries"))
   }
 
   test("top_ngrams plugin: frequency-ranked grams; dry-run static schema") {
