@@ -120,8 +120,12 @@ object VectorIndex {
         int8_dot(col("v_q"), col("code"), col("mn"), col("scale"))
           .as("approx"))
     val survivors = Similarity.topRerank(approx, queryIdOut, rerank)
+    // every survivor came from a probed list, so the exact re-rank
+    // reads the PRUNED postings too — the same static list_id
+    // partition filter covers both scans; joining the full postings
+    // here would re-open every unprobed list's files for nothing
     Similarity.exactRerank(survivors,
-      postings.select(col("neighbor_id"), col("v").as("v_c")),
+      pruned.select(col("neighbor_id"), col("v").as("v_c")),
       q, queryIdOut, k)
   }
 }

@@ -39,9 +39,30 @@ class VectorIndexSpec extends AnyFunSuite {
     val one = corpus.filter(col("vec_id") === 0L)
     val res = VectorIndex.topK(spark, dir, one, "vec_id", "embedding",
       k = 3, nprobe = 2, rerank = 16)
-    // the plan's postings scan must carry the static list_id filter
-    val plan = res.queryExecution.executedPlan.toString
-    assert(plan.contains("list_id"), s"no partition filter in plan:\n$plan")
+    // EVERY postings scan — the int8 candidate scan AND the exact
+    // re-rank read — must carry the static list_id partition filter;
+    // an unfiltered re-rank join would re-open every unprobed list's
+    // files and void the index's whole point
+    def flat(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p.children ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case _ => Seq.empty
+      })
+      p +: kids.flatMap(flat)
+    }
+    val postingsScans = flat(res.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("postings")) => s
+    }
+    assert(postingsScans.nonEmpty, "no postings scan in plan")
+    postingsScans.foreach { s =>
+      assert(s.partitionFilters.exists(_.references.exists(
+          _.name == "list_id")),
+        s"postings scan missing list_id partition filter: $s")
+    }
     assert(res.count() == 3)
     // probing the home cluster of a tight mixture finds true neighbors
     val brute = Similarity.bruteForceTopK(corpus, one,
