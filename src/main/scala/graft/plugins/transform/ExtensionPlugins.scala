@@ -1880,7 +1880,12 @@ class HashEmbedPlugin(options: Map[String, Any], configDir: Path, label: String)
       out <- graft.core.Errors.safe {
         val tc = options.getOrElse("text_column", "text").toString
         val d = options.get("dim").map(_.toString.toDouble.toInt).getOrElse(64)
-        df.join(graft.ops.HashEmbed.embed(df, idCol, tc, d), Seq(idCol))
+        // LEFT join: the op only emits rows with non-empty normalized
+        // text, but the plugin's contract (dryRun) is an appended
+        // nullable column — empty-text rows keep flowing with a NULL
+        // embedding instead of being silently dropped
+        df.join(graft.ops.HashEmbed.embed(df, idCol, tc, d),
+          Seq(idCol), "left")
       }
     } yield out
 

@@ -26,6 +26,22 @@ class Round6PluginSpec extends AnyFunSuite {
     (2L, "totally different words in this document here now extra")
   ).toDF("doc_id", "text")
 
+  test("hash_embed plugin: empty-text rows keep flowing with a NULL " +
+      "embedding (the dryRun nullable-append contract)") {
+    val withEmpty = docs.unionByName(
+      Seq((3L, ""), (4L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val plug = new HashEmbedPlugin(
+      Map("id_column" -> "doc_id", "dim" -> 8), dir, "default")
+    val out = plug.execute(withEmpty).fold(e => fail(e.getMessage), identity)
+    assert(out.count() == 5) // no silent row drop
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(3L).isNullAt(2) && byId(4L).isNullAt(2))
+    assert(!byId(0L).isNullAt(2))
+    val dry = plug.dryRun(withEmpty.schema).fold(e => fail(e.getMessage),
+      identity)
+    assert(dry.fieldNames.toSeq == out.columns.toSeq)
+  }
+
   // ------------------------------------------------------------ dup_spans
 
   test("dup_spans plugin: stats and filter modes, dry-run schemas") {
