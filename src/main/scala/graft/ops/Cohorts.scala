@@ -24,7 +24,10 @@ object Cohorts {
       s"periodSeconds must be positive, got $periodSeconds")
     val ev = df
       .select(col(keyCol), TimeCols.epochNanos(df, tsCol).as("_ns"))
-      .withColumn("_p", expr(s"(_ns div 1000000000) div $periodSeconds"))
+      // floor division (see TimeCols.floorDivSql): pre-1970 events
+      // must land in the EARLIER period, matching DuckDB's `//`
+      .withColumn("_p", expr(TimeCols.floorDivSql(
+        TimeCols.floorDivSql("_ns", 1000000000L), periodSeconds)))
       .select(col(keyCol), col("_p"))
     val firstP = ev.groupBy(col(keyCol)).agg(min(col("_p")).as("_cohort"))
     val active = ev.distinct()

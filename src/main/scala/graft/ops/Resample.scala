@@ -38,14 +38,17 @@ object Resample {
   def forwardFill(df: DataFrame, keyCol: String, tsCol: String,
                   valueCol: String, stepSeconds: Long): DataFrame = {
     require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
-    // `div` (not `/`): Column./ on longs is DOUBLE division, and epoch
-    // nanos (~1.7e18) sit beyond double's 2^53 integer range — the
-    // slot arithmetic must stay exact 64-bit
+    // floorDivSql (not `/`, not bare `div`): Column./ on longs is
+    // DOUBLE division and epoch nanos (~1.7e18) sit beyond double's
+    // 2^53 integer range, while `div` truncates toward zero and would
+    // snap pre-1970 (negative epoch) events UP a slot — the grid must
+    // floor-divide in exact 64-bit, like the DuckDB oracle's `//`
     val snapped = df
       .select(col(keyCol), TimeCols.epochNanos(df, tsCol).as("_ns"),
         col(valueCol).as("_v"))
-      .withColumn("_sec", expr("_ns div 1000000000"))
-      .withColumn("slot", expr(s"(_sec div $stepSeconds) * $stepSeconds"))
+      .withColumn("_sec", expr(TimeCols.floorDivSql("_ns", 1000000000L)))
+      .withColumn("slot",
+        expr(s"${TimeCols.floorDivSql("_sec", stepSeconds)} * $stepSeconds"))
       .select(col(keyCol), col("slot"), col("_sec"), col("_v"))
 
     val repW = Window.partitionBy(col(keyCol), col("slot"))

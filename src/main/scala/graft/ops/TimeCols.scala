@@ -26,4 +26,17 @@ object TimeCols {
         unix_micros(col(c).cast("timestamp")) * 1000L
       case _ => col(c).cast("long")
     }
+
+  /** Exact 64-bit FLOOR division as a SQL fragment (DuckDB's `//`):
+    * Spark's `div` truncates toward zero, so pre-1970 (negative
+    * epoch) values would snap UP to the next grid slot and diverge
+    * from every floor-dividing engine. `div` adjusted down by one
+    * when the remainder is negative restores floor semantics; stays
+    * in pure long arithmetic (epoch nanos exceed double's 2^53 exact
+    * range, so float `floor(a / b)` is not an option). `b` must be a
+    * positive literal — every grid step is. */
+  def floorDivSql(a: String, b: Long): String = {
+    require(b > 0, s"floorDivSql needs a positive divisor, got $b")
+    s"(($a div $b) - (CASE WHEN ($a % $b) < 0 THEN 1 ELSE 0 END))"
+  }
 }

@@ -36,4 +36,20 @@ class CohortsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("positive"))
   }
+
+  test("pre-1970 events floor into the EARLIER period (no trunc-up)") {
+    // -10 s is period -1 under floor division (trunc would say 0 and
+    // merge it with the 10 s event's cohort); -5 ns is second -1,
+    // also period -1. Offsets stay non-negative from the true first.
+    val ev = Seq(
+      ("a", ns(-10)), ("a", ns(10)),
+      ("b", -5L)
+    ).toDF("user_id", "ts")
+    val out = Cohorts.retention(ev, "user_id", "ts", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(
+      (-1L, 0L) -> 2L,  // a's first event AND b land in period -1
+      (-1L, 1L) -> 1L)) // a active again in period 0 = offset 1
+  }
 }

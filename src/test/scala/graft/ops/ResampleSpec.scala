@@ -51,7 +51,9 @@ class ResampleSpec extends AnyFunSuite {
       n <- Gen.choose(1, 20)
       evs <- Gen.listOfN(n, for {
         k <- Gen.choose(0, nKeys - 1)
-        sec <- Gen.choose(0L, 500L)
+        // negative seconds included: pre-1970 events must FLOOR to
+        // the earlier slot (truncating div would snap them up)
+        sec <- Gen.choose(-500L, 500L)
         v <- Gen.choose(-5, 5).map(_.toDouble)
       } yield (k.toString, sec, v))
     } yield evs
@@ -59,7 +61,7 @@ class ResampleSpec extends AnyFunSuite {
     def ref(evs: Seq[(String, Long, Double)], step: Long)
         : Set[(String, Long, Double, Long)] = {
       evs.groupBy(_._1).flatMap { case (k, es) =>
-        val bySlot = es.groupBy(e => (e._2 / step) * step)
+        val bySlot = es.groupBy(e => Math.floorDiv(e._2, step) * step)
         val reps = bySlot.map { case (slot, xs) =>
           val rep = xs.maxBy(e => (e._2, e._3)) // latest sec, tie max v
           slot -> (rep._3, xs.size.toLong)
@@ -83,6 +85,20 @@ class ResampleSpec extends AnyFunSuite {
         .as[(String, Long, Double, Long)].collect().toSet
       assert(got == ref(evs, 60L), s"mismatch for $evs")
     }
+  }
+
+  test("pre-1970 nanos floor to the earlier second and slot") {
+    // -5 ns is second -1 (floor), slot -60 — truncating div would
+    // put it at second 0 / slot 0 and diverge from the `//` oracle
+    val df = Seq(("u", -5L, 1.0), ("u", ns(70), 2.0))
+      .toDF("k", "ts", "value")
+    val out = Resample.forwardFill(df, "k", "ts", "value", 60L)
+      .orderBy("slot_start")
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      ("u", -60L, 1.0, 1L),
+      ("u", 0L, 1.0, 0L),
+      ("u", 60L, 2.0, 1L)))
   }
 
   test("native timestamp columns resolve through TimeCols") {
