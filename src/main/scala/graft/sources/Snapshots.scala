@@ -59,7 +59,10 @@ object Snapshots {
     // than failing the commit here (names + types, order-insensitive;
     // nullability may widen)
     prev.lastOption.foreach { p =>
-      val existing = read(spark, dir, p).schema
+      // prefer the schema recorded in the manifest (no footer read;
+      // also the only source when the previous commit was empty)
+      val existing = manifestSchema(spark, dir, p)
+        .getOrElse(read(spark, dir, p).schema)
       val incoming = df.schema
       val e = existing.fields.map(x => x.name -> x.dataType).sortBy(_._1)
       val i = incoming.fields.map(x => x.name -> x.dataType).sortBy(_._1)
@@ -83,8 +86,14 @@ object Snapshots {
     }
     val all = carried ++ newFiles
     val bidField = batchId.map(b => s""""batch_id":$b,""").getOrElse("")
+    // the schema rides in every manifest so a version with ZERO data
+    // files (an empty DataFrame write emits no part files) stays
+    // readable as a schema-only empty frame instead of bricking the
+    // store: read() of it would otherwise throw and the next append's
+    // drift check (which consults the previous version) would fail
+    val schemaField = s""""schema":${jsonStr(df.schema.toDDL)},"""
     val json = all.map(p => "\"" + p + "\"").mkString(
-      s"""{"version":$v,$bidField"files":[""", ",", "]}")
+      s"""{"version":$v,$bidField$schemaField"files":[""", ",", "]}")
     // manifest LAST: single create+write+close; readers never observe
     // a version whose data is incomplete
     val out = f.create(new HPath(f"$dir/manifest-v$v%05d.json"), false)
@@ -113,6 +122,21 @@ object Snapshots {
     val raw = manifestRaw(spark, dir, v)
     "\"batch_id\":(\\d+)".r.findFirstMatchIn(raw).map(_.group(1).toLong)
   }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** The schema recorded at commit time, if the manifest carries one
+    * (manifests written before schemas were recorded don't). */
+  private def manifestSchema(spark: SparkSession, dir: String,
+                             v: Int): Option[org.apache.spark.sql.types.StructType] =
+    "\"schema\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findFirstMatchIn(manifestRaw(spark, dir, v))
+      .map(m => org.apache.spark.sql.types.StructType.fromDDL(
+        // single-pass unescape (\x -> x); sequential replaces would
+        // mis-handle a backslash followed by an escaped quote
+        "\\\\(.)".r.replaceAllIn(m.group(1),
+          mm => scala.util.matching.Regex.quoteReplacement(mm.group(1)))))
 
   private def manifestRaw(spark: SparkSession, dir: String,
                           v: Int): String = {
@@ -148,7 +172,10 @@ object Snapshots {
     val totalBytes = files.map(p => f.getFileStatus(new HPath(p)).getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1)
       / targetFileBytes).toInt
-    val df = spark.read.parquet(files: _*).repartition(nFiles)
+    // read() rather than a raw parquet scan: compacting a store whose
+    // latest version is an empty commit must not throw — the result
+    // is simply another schema-carrying empty version
+    val df = read(spark, dir, vs.last).repartition(nFiles)
     // commit as a FULL new version: write the data dir, then write a
     // manifest listing ONLY the new files (not carried + new)
     val v = vs.last + 1
@@ -160,7 +187,8 @@ object Snapshots {
       .sorted
       .map(n => f"v$v%05d/$n")
     val json = newFiles.map(p => "\"" + p + "\"").mkString(
-      s"""{"version":$v,"files":[""", ",", "]}")
+      s"""{"version":$v,"schema":${jsonStr(df.schema.toDDL)},"files":[""",
+      ",", "]}")
     val out = f.create(new HPath(f"$dir/manifest-v$v%05d.json"), false)
     out.write(json.getBytes("UTF-8"))
     out.close()
@@ -180,8 +208,14 @@ object Snapshots {
     val f = fs(spark, dir)
     val files = readManifest(spark, dir, version)
     val v = vs.last + 1
+    // carry the restored version's schema (or resolve it from its
+    // files for pre-schema manifests) so the new latest stays
+    // readable even when the restored version was an empty commit
+    val schema = manifestSchema(spark, dir, version)
+      .getOrElse(read(spark, dir, version).schema)
     val json = files.map(p => "\"" + p + "\"").mkString(
-      s"""{"version":$v,"restored_from":$version,"files":[""", ",", "]}")
+      s"""{"version":$v,"restored_from":$version,""" +
+        s""""schema":${jsonStr(schema.toDDL)},"files":[""", ",", "]}")
     val out = f.create(new HPath(f"$dir/manifest-v$v%05d.json"), false)
     out.write(json.getBytes("UTF-8"))
     out.close()
@@ -209,9 +243,9 @@ object Snapshots {
     val fromFiles = readManifest(spark, dir, fromVersion).toSet
     val newFiles = readManifest(spark, dir, to)
       .filterNot(fromFiles).map(p => s"$dir/$p")
-    if (newFiles.isEmpty)
-      spark.read.parquet(s"$dir/${readManifest(spark, dir, to).head}")
-        .limit(0)
+    // empty diff via read(to): resolves the schema even when `to`
+    // itself has zero data files (the old `.head` spelling threw)
+    if (newFiles.isEmpty) read(spark, dir, to).limit(0)
     else spark.read.parquet(newFiles: _*)
   }
 
@@ -256,6 +290,17 @@ object Snapshots {
     require(vs.contains(v),
       s"version $v not found under $dir (have ${vs.mkString(", ")})")
     val files = readManifest(spark, dir, v).map(p => s"$dir/$p")
-    spark.read.parquet(files: _*)
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else {
+      // an empty commit has no data files; the manifest-recorded
+      // schema keeps the version (and the whole store) readable
+      val schema = manifestSchema(spark, dir, v).getOrElse(
+        throw new IllegalStateException(
+          s"version $v under $dir has no data files and no recorded " +
+            "schema (pre-schema manifest) — cannot reconstruct an " +
+            "empty frame; restore or vacuum past it"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 }

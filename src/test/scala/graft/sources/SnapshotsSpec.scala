@@ -101,6 +101,39 @@ class SnapshotsSpec extends AnyFunSuite {
       Set((1L, "a"), (2L, "b")))
   }
 
+  test("empty commits stay readable and never brick the store") {
+    val dir = Files.createTempDirectory("snaps9").toString
+    // v1 EMPTY: an empty write emits zero part files; the manifest's
+    // recorded schema must keep every downstream path working
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    assert(Snapshots.write(empty, dir) == 1)
+    val r1 = Snapshots.read(spark, dir, 1)
+    assert(r1.count() == 0 && r1.columns.toSeq == Seq("id", "s"))
+    // the next append's drift check consults v1 — must pass...
+    assert(Snapshots.write(Seq((1L, "a")).toDF("id", "s"), dir) == 2)
+    // ...and still reject actual drift against an empty predecessor
+    val emptyOnly = Files.createTempDirectory("snaps9b").toString
+    Snapshots.write(empty, emptyOnly)
+    val drift = intercept[IllegalArgumentException] {
+      Snapshots.write(Seq(Tuple1(2.0)).toDF("x"), emptyOnly)
+    }
+    assert(drift.getMessage.contains("append schema mismatch"))
+    assert(Snapshots.read(spark, dir).count() == 1)
+    // empty diff: same-version changesSince returns a schema-only
+    // frame (the old spelling threw on v1's empty manifest)
+    val diff11 = Snapshots.changesSince(spark, dir, 1, 1)
+    assert(diff11.count() == 0 && diff11.columns.toSeq == Seq("id", "s"))
+    assert(Snapshots.changesSince(spark, dir, 1, 2).count() == 1)
+    // compact / restore over a store whose version 1 is empty
+    val emptyDir = Files.createTempDirectory("snaps9c").toString
+    Snapshots.write(empty, emptyDir)
+    val vc = Snapshots.compact(spark, emptyDir)
+    assert(Snapshots.read(spark, emptyDir, vc).count() == 0)
+    val vr = Snapshots.restore(spark, emptyDir, 1)
+    assert(Snapshots.read(spark, emptyDir, vr).columns.toSeq ==
+      Seq("id", "s"))
+  }
+
   test("restore re-publishes a past version as latest, data untouched") {
     val dir = Files.createTempDirectory("snaps7").toString
     Snapshots.write(Seq((1L, "a")).toDF("id", "s"), dir)
