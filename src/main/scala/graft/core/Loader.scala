@@ -157,7 +157,8 @@ object Loader {
     * the JVM's `.py`). */
   private[core] def isFilesystemPath(module: String): Boolean =
     module.contains("/") || module.contains("\\") ||
-      module.endsWith(".jar") || module.startsWith(".")
+      module.endsWith(".jar") || module.endsWith(".scala") ||
+      module.startsWith(".")
 
   /** One classloader per resolved jar VERSION, shared by all config
     * entries pointing at it (like the reference's sys.modules
@@ -208,6 +209,8 @@ object Loader {
                       else configDir.resolve(p0)).normalize.toAbsolutePath
       if (!Files.exists(resolved))
         return Left(new PluginLoadError(s"Plugin file does not exist: $resolved"))
+      if (resolved.toString.endsWith(".scala"))
+        return loadFromSource(resolved, module, options, configDir, label)
       val loader = loaderFor(resolved)
       val jar = new java.util.jar.JarFile(resolved.toFile)
       val classNames =
@@ -216,38 +219,107 @@ object Loader {
           .map(n => n.stripSuffix(".class").replace('/', '.'))
           .toList
         finally jar.close()
-      val pluginClasses = classNames.flatMap { cn =>
-        // initialize = false: don't run static init of unrelated classes
-        val c = Class.forName(cn, false, loader)
-        if (classOf[BasePlugin].isAssignableFrom(c) && !c.isInterface &&
-            !java.lang.reflect.Modifier.isAbstract(c.getModifiers)) Some(c)
-        else None
-      }
-      if (pluginClasses.isEmpty)
-        Left(new PluginLoadError(
-          s"Plugin '$module': no BasePlugin subclasses found in module"))
-      else
-        pluginClasses.foldLeft[Either[Throwable, Vector[BasePlugin]]](
-          Right(Vector.empty)) { (acc, cls) =>
-          acc.flatMap { xs =>
-            try {
-              val ctor = cls.getConstructor(
-                classOf[Map[String, Any]], classOf[Path], classOf[String])
-              Right(xs :+ ctor.newInstance(options, configDir, label)
-                .asInstanceOf[BasePlugin])
-            } catch {
-              case scala.util.control.NonFatal(e) =>
-                Left(new PluginLoadError(
-                  s"Plugin '$module': failed to instantiate " +
-                    s"${cls.getSimpleName}: ${e.getMessage}", e))
-            }
-          }
-        }
+      discoverAndInstantiate(classNames, loader, module, options,
+        configDir, label)
     } catch {
       case scala.util.control.NonFatal(e) =>
         Left(new PluginLoadError(
           s"Plugin '$module': failed to load from file: ${e.getMessage}", e))
     }
+
+  /** Discovery + instantiation shared by the jar and source-file
+    * branches (loader.py:75-121): every concrete BasePlugin class,
+    * constructed with the (options, configDir, label) signature. */
+  private def discoverAndInstantiate(classNames: Seq[String],
+      loader: ClassLoader, module: String, options: Map[String, Any],
+      configDir: Path, label: String): Either[Throwable, Seq[BasePlugin]] = {
+    val pluginClasses = classNames.flatMap { cn =>
+      // initialize = false: don't run static init of unrelated classes
+      val c = Class.forName(cn, false, loader)
+      if (classOf[BasePlugin].isAssignableFrom(c) && !c.isInterface &&
+          !java.lang.reflect.Modifier.isAbstract(c.getModifiers)) Some(c)
+      else None
+    }
+    if (pluginClasses.isEmpty)
+      Left(new PluginLoadError(
+        s"Plugin '$module': no BasePlugin subclasses found in module"))
+    else
+      pluginClasses.foldLeft[Either[Throwable, Vector[BasePlugin]]](
+        Right(Vector.empty)) { (acc, cls) =>
+        acc.flatMap { xs =>
+          try {
+            val ctor = cls.getConstructor(
+              classOf[Map[String, Any]], classOf[Path], classOf[String])
+            Right(xs :+ ctor.newInstance(options, configDir, label)
+              .asInstanceOf[BasePlugin])
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              Left(new PluginLoadError(
+                s"Plugin '$module': failed to instantiate " +
+                  s"${cls.getSimpleName}: ${e.getMessage}", e))
+          }
+        }
+      }
+  }
+
+  /** One compiled-output (dir, classloader) per source-file VERSION —
+    * the `.scala` twin of [[jarLoaders]], keyed the same way so an
+    * edited file recompiles on the next pipeline run while live
+    * plugin instances keep their old classes. */
+  private val sourceLoaders = scala.collection.concurrent.TrieMap
+    .empty[(Path, Long, Long), (Path, java.net.URLClassLoader)]
+
+  /** Dynamic plugin loading from a SINGLE `.scala` source file — full
+    * workflow parity with the reference loading a `.py` file at
+    * runtime (loader.py:44-61): the user drops a source file next to
+    * the config, points `module` at it, and the engine compiles it
+    * in-process (scala-compiler ships in every Spark distribution)
+    * against the running classpath, then discovers and instantiates
+    * its BasePlugin classes exactly like the jar branch. Compile
+    * errors surface as PluginLoadError with source positions. */
+  private def loadFromSource(resolved: Path, module: String,
+      options: Map[String, Any], configDir: Path,
+      label: String): Either[Throwable, Seq[BasePlugin]] = {
+    val f = resolved.toFile
+    val key = (resolved, f.lastModified, f.length)
+    val (outDir, loader) = sourceLoaders.getOrElseUpdate(key, {
+      val out = Files.createTempDirectory("graft_plugin_src")
+      out.toFile.deleteOnExit()
+      val settings = new scala.tools.nsc.Settings()
+      settings.usejavacp.value = true // the forked JVM's -cp
+      // plus wherever graft.core itself lives (covers embedders whose
+      // classes are NOT on java.class.path, e.g. isolated loaders)
+      Option(classOf[BasePlugin].getProtectionDomain.getCodeSource)
+        .map(_.getLocation.toURI).foreach { u =>
+          settings.classpath.append(Paths.get(u).toString)
+        }
+      settings.outputDirs.setSingleOutput(out.toString)
+      val reporter = new scala.tools.nsc.reporters.StoreReporter(settings)
+      val global = new scala.tools.nsc.Global(settings, reporter)
+      new global.Run().compile(List(resolved.toString))
+      if (reporter.hasErrors) {
+        val msgs = reporter.infos.filter(_.severity.id >= 2).take(5)
+          .map(i => s"${i.pos.source.file.name}:${i.pos.line}: ${i.msg}")
+          .mkString("; ")
+        throw new PluginLoadError(
+          s"Plugin '$module': compilation failed: $msgs")
+      }
+      (out, new java.net.URLClassLoader(
+        Array(out.toUri.toURL), getClass.getClassLoader))
+    })
+    // retire superseded versions of the same path (see jarLoaders)
+    sourceLoaders.keys.filter(k => k._1 == resolved && k != key)
+      .foreach(k => sourceLoaders.remove(k)
+        .foreach(v => retiredLoaders.add(v._2)))
+    val classNames = Files.walk(outDir).iterator().asScala
+      .filter(p => p.toString.endsWith(".class") &&
+        !p.getFileName.toString.contains("$"))
+      .map(p => outDir.relativize(p).toString
+        .stripSuffix(".class").replace(java.io.File.separatorChar, '.'))
+      .toList
+    discoverAndInstantiate(classNames, loader, module, options,
+      configDir, label)
+  }
 
   /** Load all enabled plugins from a config; first failure wins
     * (loader.py:173-231). `configPath` is the config FILE; relative
