@@ -209,7 +209,9 @@ object ArrowIpc {
       case x: SmallIntVector => x.get(i)
       case x: IntVector => x.get(i)
       case x: BigIntVector => x.get(i)
-      case x: UInt1Vector => x.get(i).toShort
+      // get() returns the raw signed byte — mask before widening or
+      // values >= 128 arrive negative
+      case x: UInt1Vector => (x.get(i) & 0xff).toShort
       case x: UInt2Vector => x.get(i).toInt
       case x: UInt4Vector => java.lang.Integer.toUnsignedLong(x.get(i))
       case x: UInt8Vector => new java.math.BigDecimal(

@@ -64,11 +64,23 @@ class ColumnMultiplierPlugin(options: Map[String, Any], configDir: Path, label: 
   def execute(df: DataFrame): Either[Throwable, DataFrame] =
     opts().flatMap { case (c, m) =>
       Errors.safe {
-        // Integer multiplier keeps integer columns integral (Polars
-        // `col * 2` on Int64 stays Int64; Spark would widen via a
-        // double literal). Match by using a long literal when whole.
-        val k: Column = if (m == m.floor && !m.isInfinite) lit(m.toLong) else lit(m)
-        df.withColumn(c, col(c) * k)
+        // Match Polars dtype semantics (multiplier.py runs on Polars):
+        // a whole multiplier keeps the column's own dtype (Int8 stays
+        // Int8, Float32 stays Float32 — Spark's `*` would widen to
+        // long/double), and any multiplier keeps a float column's
+        // width. Only integral × fractional widens (to double, Polars
+        // f64). This also keeps execute consistent with dryRun's
+        // schema-unchanged contract for whole multipliers.
+        val whole = m == m.floor && !m.isInfinite
+        val k: Column = if (whole) lit(m.toLong) else lit(m)
+        val orig = df.schema(c).dataType
+        val prod = col(c) * k
+        val out =
+          if (whole || orig.isInstanceOf[org.apache.spark.sql.types.FloatType]
+              || orig.isInstanceOf[org.apache.spark.sql.types.DoubleType])
+            prod.cast(orig)
+          else prod
+        df.withColumn(c, out)
       }
     }
 

@@ -68,6 +68,66 @@ class ArrowIpcSourceSpec extends AnyFunSuite {
     assert(all.rdd.getNumPartitions == 2)
   }
 
+  test("unsigned int columns widen losslessly (UInt8/16/32/64)") {
+    // The reference accepts UInt8-64 (multiplier.py:67-78); Spark has
+    // no unsigned types, so the bridge widens (SURVEY §1). Values
+    // above the SIGNED max are the regression trap: the raw vector
+    // bytes are negative two's-complement and must be masked, not
+    // sign-extended.
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{UInt1Vector, UInt2Vector, UInt4Vector,
+      UInt8Vector, VectorSchemaRoot}
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType,
+      Schema => ASchema}
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    val alloc = new RootAllocator()
+    val fields = java.util.Arrays.asList(
+      new Field("u1", FieldType.nullable(new ArrowType.Int(8, false)), null),
+      new Field("u2", FieldType.nullable(new ArrowType.Int(16, false)), null),
+      new Field("u4", FieldType.nullable(new ArrowType.Int(32, false)), null),
+      new Field("u8", FieldType.nullable(new ArrowType.Int(64, false)), null))
+    val root = VectorSchemaRoot.create(new ASchema(fields), alloc)
+    root.getVector("u1").asInstanceOf[UInt1Vector].setSafe(0, 200)
+    root.getVector("u2").asInstanceOf[UInt2Vector].setSafe(0, 60000)
+    root.getVector("u4").asInstanceOf[UInt4Vector]
+      .setSafe(0, 4000000000L.toInt) // raw bits of 4e9
+    root.getVector("u8").asInstanceOf[UInt8Vector]
+      .setSafe(0, java.lang.Long.parseUnsignedLong("18446744073709551610"))
+    root.getVector("u1").asInstanceOf[UInt1Vector].setSafe(1, 7)
+    root.getVector("u2").asInstanceOf[UInt2Vector].setSafe(1, 7)
+    root.getVector("u4").asInstanceOf[UInt4Vector].setSafe(1, 7)
+    root.getVector("u8").asInstanceOf[UInt8Vector].setSafe(1, 7)
+    root.setRowCount(2)
+    val p = Files.createTempDirectory("ipcuint").resolve("u.arrow")
+    val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val w = new ArrowFileWriter(root, null, ch)
+    w.start(); w.writeBatch(); w.end(); w.close(); ch.close()
+    root.close(); alloc.close()
+
+    for (df <- Seq(ArrowIpc.readFile(p, spark),
+        spark.read.format("arrow-ipc").load(p.toString))) {
+      assert(df.schema.map(f => f.dataType.simpleString).toSeq ==
+        Seq("smallint", "int", "bigint", "decimal(20,0)"))
+      val rows = df.orderBy("u1").collect()
+      assert(rows(0).getShort(0) == 7 && rows(1).getShort(0) == 200)
+      assert(rows(1).getInt(1) == 60000)
+      assert(rows(1).getLong(2) == 4000000000L)
+      assert(rows(1).getDecimal(3) ==
+        new java.math.BigDecimal("18446744073709551610"))
+    }
+    // the reference's only shipped transform accepts the widened
+    // columns (numeric dtype whitelist, multiplier.py:67-78)
+    val mult = new graft.plugins.transform.ColumnMultiplierPlugin(
+      Map("column_name" -> "u2", "multiplier" -> 2),
+      java.nio.file.Paths.get("/tmp"), "default")
+    val out = mult.execute(ArrowIpc.readFile(p, spark))
+      .fold(e => fail(e.getMessage), identity)
+    assert(out.orderBy("u1").collect()(1).getInt(1) == 120000)
+    assert(mult.dryRun(ArrowIpc.readFile(p, spark).schema).isRight)
+  }
+
   test("reads the reference's Polars-written Utf8View file") {
     val ipc = java.nio.file.Paths.get(
       "/root/reference/examples/data/sample_sales.ipc")
