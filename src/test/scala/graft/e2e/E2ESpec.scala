@@ -366,4 +366,32 @@ class E2ESpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(predSet.subsetOf(langs), s"$predSet not in $langs")
   }
+
+  test("examples/custom_plugin.toml: a .scala source plugin composes " +
+      "with built-ins in one pipeline") {
+    val src = java.nio.file.Paths.get("examples/custom_plugin.toml")
+    assume(java.nio.file.Files.exists(src))
+    val tmp = java.nio.file.Files.createTempDirectory("srccfg")
+    val cfg = tmp.resolve("custom_plugin.toml")
+    java.nio.file.Files.copy(src, cfg)
+    // the plugin source travels with the config (relative module path)
+    java.nio.file.Files.createDirectories(tmp.resolve("plugins"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("examples/plugins/words_per_line.scala"),
+      tmp.resolve("plugins/words_per_line.scala"))
+    val config = Config.loadConfig(cfg).fold(e => fail(e.getMessage), identity)
+    val reg = Loader.loadPlugins(config, cfg).fold(e => fail(e.getMessage), identity)
+    assert(reg.transforms.map(_.name) == Seq("words_per_line", "filter"))
+    // dry-run (`check`) sees the user plugin's declared column too
+    val dry = Pipeline.runDryRunPipeline(reg.inputs, reg.transforms,
+      reg.outputs)
+    assert(dry.isRight, dry.left.toOption.map(_.getMessage))
+    val result = Pipeline.runPipeline(reg.inputs, reg.transforms, reg.outputs)
+    assert(result.isRight, result.left.toOption.map(_.getMessage))
+    val out = spark.read.parquet(tmp.resolve("out/prose_docs.parquet").toString)
+    assert(out.columns.contains("words_per_line"))
+    assert(out.count() > 0)
+    assert(out.agg(org.apache.spark.sql.functions.min("words_per_line"))
+      .collect()(0).getDouble(0) >= 2.0)
+  }
 }
