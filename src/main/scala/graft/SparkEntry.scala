@@ -3280,6 +3280,18 @@ object SparkEntry {
           r(col("srk"), 6).as("srk"))
         .orderBy("doc_id")),
 
+    // ---- seeded shuffle-shard (training-order prep) --------------
+    // Deterministic global permutation as (shard, pos): seeded md5
+    // hash → shard (mod 8) and in-shard rank. The oracle replays the
+    // identical hash, so the WHOLE permutation hash-verifies — the
+    // property a trainer needs (same seed = same data order on any
+    // engine). One shard exchange + per-shard sort; no global sort.
+    "q_shuffle_shard" -> ((s, dir) =>
+      Sampling.shuffleShard(t(s, dir, "documents"), "doc_id",
+          seed = 7L, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")),
+
     // ---- streaming sessionization under the oracle ---------------
     // flatMapGroupsWithState gap sessions on the event stream. With
     // AvailableNow the trailing session per user is still OPEN in
@@ -6596,6 +6608,19 @@ object SparkEntry {
         |SELECT doc_id, lang, source, r(srk, 6) AS srk FROM (
         |  SELECT * FROM h ORDER BY srk DESC, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+
+    // seeded shuffle-shard: identical md5('seed:id') hash on both
+    // engines, so the full (shard, pos) permutation hash-verifies
+    "q_shuffle_shard" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT AS _h
+        |  FROM documents)
+        |SELECT doc_id, CAST(_h % 8 AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY _h % 8
+        |    ORDER BY _h, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
 
     // batch sessionization minus each user's LAST session — the one
     // still open in flatMapGroupsWithState state when AvailableNow

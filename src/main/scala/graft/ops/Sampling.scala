@@ -239,4 +239,34 @@ object Sampling {
       case None => ranked.drop("_srk")
     }
   }
+
+  /** Seeded deterministic global shuffle + shard assignment — the
+    * training-order prep step between a cleaned corpus and the
+    * trainer's data loader: every row gets a pseudo-random but
+    * REPRODUCIBLE position, expressed as `(shard, pos)` so each
+    * output shard is an independently shuffled, balanced slice.
+    *
+    *   shard = seeded key hash mod `nShards`  (uniform → balanced)
+    *   pos   = rank of the hash inside its shard (ties by key)
+    *
+    * A different `seed` is a fresh, independent permutation — epoch
+    * reshuffles without rewriting source data, and a re-ingested row
+    * keeps its (shard, pos) on a backfill. Scale shape: one shuffle
+    * (the shard exchange) + a per-shard sort — exactly the exchange a
+    * sharded training write pays anyway; downstream writes
+    * `partition_by shard`, `sort_within_partitions pos` and readers
+    * stream shards in order. Engine-portable md5 hashing, so the
+    * permutation is oracle-verifiable (see q_shuffle_shard). */
+  def shuffleShard(df: DataFrame, keyCol: String, seed: Long, nShards: Int,
+                   shardCol: String = "shard",
+                   posCol: String = "pos"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val withH = df.withColumn("_h",
+      keyHash(concat_ws(":", lit(seed.toString), col(keyCol).cast("string"))))
+      .withColumn(shardCol, (col("_h") % nShards).cast("int"))
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(col("_h"), col(keyCol))
+    withH.withColumn(posCol, row_number().over(w).cast("long"))
+      .drop("_h")
+  }
 }

@@ -233,6 +233,17 @@ class SamplePlugin(options: Map[String, Any], configDir: Path, label: String)
                 tv.toString.toDouble,
                 options.get("budget_column").map(_.toString)))
           } yield out
+        case "shuffle_shard" =>
+          // seeded deterministic shuffle as (shard, pos) — epoch
+          // reshuffles = new seed, no source rewrite
+          for {
+            nv <- required("n_shards")
+            out <- graft.core.Errors.safe(
+              graft.ops.Sampling.shuffleShard(df, keyCol,
+                seed = options.get("seed")
+                  .map(_.toString.toDouble.toLong).getOrElse(0L),
+                nShards = nv.toString.toDouble.toInt))
+          } yield out
         case other => Left(new PluginExecutionError(
           s"Unknown sample method: '$other'"))
       }

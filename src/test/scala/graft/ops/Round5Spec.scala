@@ -293,4 +293,28 @@ class Round5Spec extends AnyFunSuite {
     // md5-hash order has no id bias: both halves represented
     assert(s.count(_ <= 500L) > 20 && s.count(_ > 500L) > 20)
   }
+
+  test("Sampling.shuffleShard: reproducible permutation, balanced " +
+      "shards, seed independence") {
+    val rows = (0L until 1000L).map(i => (i, s"d$i")).toDF("id", "s")
+    def run(seed: Long) = Sampling.shuffleShard(rows, "id", seed, 8)
+      .select("id", "shard", "pos")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2))))
+      .toMap
+    val a = run(7); val b = run(7); val c = run(8)
+    assert(a == b) // same seed = bit-identical order
+    assert(a != c) // new seed = fresh permutation (epoch reshuffle)
+    // every row present exactly once; positions dense 1..n per shard
+    assert(a.size == 1000)
+    val byShard = a.values.groupBy(_._1).view.mapValues(_.map(_._2).toSeq)
+    byShard.foreach { case (sh, ps) =>
+      assert(ps.sorted == (1L to ps.size), s"shard $sh positions not dense")
+    }
+    // uniform hash -> balanced shards (expected 125 per shard)
+    assert(byShard.values.map(_.size).forall(n => n > 80 && n < 170),
+      byShard.view.mapValues(_.size).toMap.toString)
+    // in-shard order is hash order, not id order (it IS a shuffle)
+    val shard0 = a.toSeq.filter(_._2._1 == 0).sortBy(_._2._2).map(_._1)
+    assert(shard0 != shard0.sorted)
+  }
 }

@@ -224,6 +224,16 @@ class PluginSpec extends AnyFunSuite {
     val bad = new SamplePlugin(Map("method" -> "uniform",
         "key_column" -> "doc_id"), dir, "default").execute(df)
     assert(bad.left.toOption.get.getMessage.contains("'rate' is required"))
+    // shuffle_shard: every row kept, (shard, pos) appended, dry-run
+    // declares the same shape
+    val plug = new SamplePlugin(Map("method" -> "shuffle_shard",
+      "key_column" -> "doc_id", "n_shards" -> 4, "seed" -> 3), dir, "default")
+    val sharded = plug.execute(df).fold(e => throw e, identity)
+    assert(sharded.count() == 400)
+    assert(sharded.columns.toSeq == Seq("doc_id", "lang", "shard", "pos"))
+    assert(sharded.select("shard").distinct().count() == 4)
+    val sdry = plug.dryRun(df.schema).fold(e => throw e, identity)
+    assert(sdry.fieldNames.toSeq == sharded.columns.toSeq)
   }
 
   test("similarity plugin: labeled query stream, all four methods, dry run") {
