@@ -1536,7 +1536,10 @@ object SparkEntry {
       exact.join(lsh, Seq("id_a", "id_b"), "left")
         .agg(
           count(lit(1)).as("n_pairs"),
-          (sum(coalesce(col("_hit"), lit(0))) >=
+          // coalesce: over ZERO exact pairs sum() is NULL and the
+          // comparison would go NULL instead of the vacuous true the
+          // oracle emits (reachable now that exact is a sample)
+          (coalesce(sum(coalesce(col("_hit"), lit(0))), lit(0L)) >=
             ceil(count(lit(1)) * 0.9)).as("recall_ok"))
     }),
 
@@ -1582,14 +1585,21 @@ object SparkEntry {
         Dedup.semDeDup(e, "vec_id", "embedding", threshold = 0.4,
           nClusters = 8, assign = "kmeans", nAssign = 2).select("vec_id"),
         Seq("vec_id"), "left_anti")
+      // outer coalesces: over ZERO droppable+dropped rows every sum()
+      // is NULL and all three outputs would go NULL instead of the
+      // (0, true, true) the oracle emits (reachable now that
+      // droppable is judged on a sample)
       droppable.withColumn("_p", lit(1))
         .join(dropped.withColumn("_d", lit(1)), Seq("vec_id"), "full_outer")
         .agg(
-          sum(coalesce(col("_p"), lit(0))).cast("long").as("n_droppable"),
-          (sum(when(col("_d") === 1 && col("_p").isNull, 1).otherwise(0))
-            === 0).as("drops_sound"),
-          (sum(when(col("_d") === 1 && col("_p") === 1, 1).otherwise(0)) >=
-            ceil(sum(coalesce(col("_p"), lit(0))) * 0.75)).as("recall_ok"))
+          coalesce(sum(coalesce(col("_p"), lit(0))), lit(0L))
+            .cast("long").as("n_droppable"),
+          (coalesce(sum(when(col("_d") === 1 && col("_p").isNull, 1)
+            .otherwise(0)), lit(0L)) === 0).as("drops_sound"),
+          (coalesce(sum(when(col("_d") === 1 && col("_p") === 1, 1)
+            .otherwise(0)), lit(0L)) >=
+            ceil(coalesce(sum(coalesce(col("_p"), lit(0))), lit(0L))
+              * 0.75)).as("recall_ok"))
     }),
 
     // ---- CSV source/sink roundtrip under the oracle --------------

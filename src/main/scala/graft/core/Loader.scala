@@ -177,7 +177,8 @@ object Loader {
 
   sys.addShutdownHook {
     import scala.jdk.CollectionConverters._
-    (jarLoaders.values ++ retiredLoaders.asScala)
+    (jarLoaders.values ++ sourceLoaders.values.map(_._2) ++
+        retiredLoaders.asScala)
       .foreach(l => try l.close() catch { case _: Throwable => () })
   }
 
@@ -307,16 +308,24 @@ object Loader {
       (out, new java.net.URLClassLoader(
         Array(out.toUri.toURL), getClass.getClassLoader))
     })
-    // retire superseded versions of the same path (see jarLoaders)
+    // retire superseded versions of the same path (see jarLoaders).
+    // The retired version's outDir is NOT deleted: its classloader
+    // stays open for live plugin instances whose deferred Spark plans
+    // may still lazily load classes from it — same contract as
+    // retired jar loaders. The leak is a few .class files per edit,
+    // process-lifetime only.
     sourceLoaders.keys.filter(k => k._1 == resolved && k != key)
       .foreach(k => sourceLoaders.remove(k)
         .foreach(v => retiredLoaders.add(v._2)))
-    val classNames = Files.walk(outDir).iterator().asScala
-      .filter(p => p.toString.endsWith(".class") &&
-        !p.getFileName.toString.contains("$"))
-      .map(p => outDir.relativize(p).toString
-        .stripSuffix(".class").replace(java.io.File.separatorChar, '.'))
-      .toList
+    val walk = Files.walk(outDir)
+    val classNames =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".class") &&
+          !p.getFileName.toString.contains("$"))
+        .map(p => outDir.relativize(p).toString
+          .stripSuffix(".class").replace(java.io.File.separatorChar, '.'))
+        .toList
+      finally walk.close() // walk holds open DirectoryStreams
     discoverAndInstantiate(classNames, loader, module, options,
       configDir, label)
   }

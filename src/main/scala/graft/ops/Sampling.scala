@@ -256,13 +256,20 @@ object Sampling {
     * sharded training write pays anyway; downstream writes
     * `partition_by shard`, `sort_within_partitions pos` and readers
     * stream shards in order. Engine-portable md5 hashing, so the
-    * permutation is oracle-verifiable (see q_shuffle_shard). */
+    * permutation is oracle-verifiable (see q_shuffle_shard).
+    *
+    * `keyCol` must be a UNIQUE, NON-NULL row id: duplicate keys tie
+    * on the full sort key and their relative positions become
+    * partitioning-dependent; a NULL key hashes to a NULL shard (the
+    * same contract as the DuckDB spelling `'seed:' || key`). */
   def shuffleShard(df: DataFrame, keyCol: String, seed: Long, nShards: Int,
                    shardCol: String = "shard",
                    posCol: String = "pos"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    // concat (not concat_ws): a NULL key must yield a NULL hash in
+    // BOTH engines, not silently hash as md5("seed:")
     val withH = df.withColumn("_h",
-      keyHash(concat_ws(":", lit(seed.toString), col(keyCol).cast("string"))))
+      keyHash(concat(lit(s"$seed:"), col(keyCol).cast("string"))))
       .withColumn(shardCol, (col("_h") % nShards).cast("int"))
     val w = Window.partitionBy(col(shardCol))
       .orderBy(col("_h"), col(keyCol))

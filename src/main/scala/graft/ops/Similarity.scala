@@ -79,7 +79,10 @@ object Similarity {
     * table reach a collect/broadcast. */
   private[graft] def requireBounded(df: DataFrame, maxRows: Int,
                                     what: String): Unit = {
-    val n = df.limit(maxRows + 1).count()
+    // long addition: maxRows = Int.MaxValue (the advertised "raise
+    // the cap" escape hatch) must not wrap into a negative limit
+    val probe = math.min(maxRows.toLong + 1, Int.MaxValue.toLong).toInt
+    val n = df.limit(probe).count()
     require(n <= maxRows,
       s"$what materializes its input driver/broadcast-side and found " +
         s"> $maxRows rows; use the bucketed methods (lsh/ivf) for " +

@@ -240,8 +240,14 @@ class SamplePlugin(options: Map[String, Any], configDir: Path, label: String)
             nv <- required("n_shards")
             out <- graft.core.Errors.safe(
               graft.ops.Sampling.shuffleShard(df, keyCol,
+                // parse as long, NOT via double: seeds above 2^53
+                // would silently round to a different permutation
                 seed = options.get("seed")
-                  .map(_.toString.toDouble.toLong).getOrElse(0L),
+                  .map(s => try s.toString.toLong catch {
+                    case _: NumberFormatException =>
+                      throw new PluginExecutionError(
+                        s"Option 'seed' must be an integer, got: $s")
+                  }).getOrElse(0L),
                 nShards = nv.toString.toDouble.toInt))
           } yield out
         case other => Left(new PluginExecutionError(

@@ -75,8 +75,15 @@ class ColumnMultiplierPlugin(options: Map[String, Any], configDir: Path, label: 
         val k: Column = if (whole) lit(m.toLong) else lit(m)
         val orig = df.schema(c).dataType
         val prod = col(c) * k
+        // Decimals are EXCLUDED from the cast-back: Spark's
+        // decimal-narrowing cast NULLs on overflow (silent data
+        // loss), so a decimal product keeps its widened precision
+        // instead. Integer cast-back wraps on overflow — the same
+        // behavior as the reference engine's fixed-width ints.
         val out =
-          if (whole || orig.isInstanceOf[org.apache.spark.sql.types.FloatType]
+          if (orig.isInstanceOf[org.apache.spark.sql.types.DecimalType]) prod
+          else if (whole
+              || orig.isInstanceOf[org.apache.spark.sql.types.FloatType]
               || orig.isInstanceOf[org.apache.spark.sql.types.DoubleType])
             prod.cast(orig)
           else prod
@@ -85,14 +92,23 @@ class ColumnMultiplierPlugin(options: Map[String, Any], configDir: Path, label: 
     }
 
   def dryRun(schema: StructType): Either[Throwable, StructType] =
-    opts().flatMap { case (c, _) =>
+    opts().flatMap { case (c, m) =>
       schema.fields.find(_.name == c) match {
         case None => Left(new SchemaValidationError(
           s"Column '$c' not found in schema"))
         case Some(f) if !f.dataType.isInstanceOf[NumericType] =>
           Left(new SchemaValidationError(
             s"Column '$c' has type ${f.dataType.simpleString}, expected numeric type"))
-        case Some(_) => Right(schema)
+        case Some(_) =>
+          // declare what execute actually produces, so `check` is
+          // trustworthy (integral/decimal x fractional widens to
+          // double, decimal x whole widens precision): symbolic
+          // propagation through execute on an empty frame — no
+          // hand-modeled type rules to drift (the reference's dry_run
+          // claims unchanged even where its runtime widens; accuracy
+          // wins here)
+          propagateSchema(schema)(df =>
+            execute(df).fold(e => throw e, identity))
       }
     }
 }
