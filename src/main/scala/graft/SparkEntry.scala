@@ -1505,6 +1505,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- quality-aware canonical selection -----------------------
+    // Production survivor policy: each near-dup component keeps its
+    // BEST member (max n_chars, ties min id), not its min-id one.
+    // Same exact hash-verified pair graph as dedup_cluster; the
+    // oracle replays components + the identical rank pick, so the
+    // full survivor set hash-verifies.
+    "dedup_cluster_best" -> ((s, dir) => {
+      val docs = tBalanced(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardVerified(docs, "doc_id", "text",
+          n = 5, threshold = 0.8)
+        .select("id_a", "id_b")
+      Dedup.keepBestPerCluster(docs, "doc_id", pairs, "n_chars")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+
     // ---- embedding LSH pair recall gate (driver-checkable) -------
     // The LSH-blocked pair set is approximate, so its rows have no
     // hash oracle; what the oracle CAN verify is the recall floor:
@@ -5105,6 +5120,41 @@ object SparkEntry {
         |  ) SELECT id, seen FROM rr)
         |SELECT id AS doc_id, min(seen) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Same components; survivor = max n_chars (ties min id) per
+    // cluster, replayed with an identical rank pick.
+    "dedup_cluster_best" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [substr(t, g, 5) for g in range(1, greatest(length(t) - 3, 2))]) AS shingles
+        |  FROM d
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  WITH RECURSIVE rr(id, seen) AS (
+        |    SELECT doc_id, doc_id FROM d
+        |    UNION
+        |    SELECT e.src, rr.seen FROM edges e JOIN rr ON rr.id = e.dst
+        |  ) SELECT id, seen FROM rr
+        |), comp AS (
+        |  SELECT id AS doc_id, min(seen) AS cluster_id
+        |  FROM reach GROUP BY id)
+        |SELECT doc_id, n_chars FROM (
+        |  SELECT c.doc_id, doc.n_chars,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY doc.n_chars DESC, c.doc_id) AS rk
+        |  FROM comp c JOIN documents doc USING (doc_id))
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     // The salted join must equal the plain join exactly.
     "q_skew_join" ->

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expressions.SimHash64.simhash64
@@ -398,6 +399,41 @@ object Dedup {
     val clusters = clusterPairs(df.select(col(idCol)), idCol, pairs)
     df.join(clusters.filter(col(idCol) =!= col("cluster_id"))
         .select(col(idCol)), Seq(idCol), "left_anti")
+  }
+
+  /** Quality-aware canonical selection: given near-dup `pairs`
+    * (id_a, id_b), keep exactly ONE representative per connected
+    * component — the member with the HIGHEST `scoreCol` (ties by
+    * smallest id) — instead of the arbitrary min-id survivor. This is
+    * the production dedup policy: when a boilerplate family
+    * collapses, keep its best-quality member, not its first-crawled
+    * one. Rows in no pair are singleton clusters and always survive.
+    * Scale shape: the O(log n) component contraction plus ONE
+    * per-cluster window — both keyed shuffles, no all-pairs. */
+  def keepBestPerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+                         scoreCol: String): DataFrame = {
+    val clusters = clusterPairs(df.select(col(idCol)), idCol, pairs)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.join(clusters, Seq(idCol))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_rk", "cluster_id")
+  }
+
+  /** [[byMinhashClustered]] with quality-aware survivor choice: the
+    * minhash-candidate component keeps its best-`scoreCol` member
+    * via [[keepBestPerCluster]]. */
+  def byMinhashClusteredBest(df: DataFrame, idCol: String, textCol: String,
+                             scoreCol: String, threshold: Double = 0.8,
+                             shingleK: Int = 5, numHashes: Int = 64,
+                             bands: Int = 16,
+                             maxBucket: Int = 1000): DataFrame = {
+    val pairs = minhashCandidatePairs(df, idCol, textCol, shingleK,
+        numHashes, bands, maxBucket, overCap = "star")
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b")
+    keepBestPerCluster(df, idCol, pairs, scoreCol)
   }
 
   /** Deduplicate: drop every doc that has a candidate partner with a

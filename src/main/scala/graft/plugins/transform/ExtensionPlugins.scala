@@ -42,6 +42,19 @@ class DedupPlugin(options: Map[String, Any], configDir: Path, label: String)
               numHashes = numOpt("num_hashes", 64).toInt,
               bands = numOpt("bands", 16).toInt,
               maxBucket = numOpt("max_bucket", 1000).toInt)
+          case "minhash_clustered_best" =>
+            // quality-aware survivor: keep each component's best
+            // score_column member instead of its min id
+            val sc = options.getOrElse("score_column",
+              throw new PluginExecutionError(
+                "Option 'score_column' is required for method " +
+                  "'minhash_clustered_best'")).toString
+            Dedup.byMinhashClusteredBest(df, idCol, textColumn, sc,
+              threshold = numOpt("threshold", 0.8),
+              shingleK = numOpt("shingle_k", 5).toInt,
+              numHashes = numOpt("num_hashes", 64).toInt,
+              bands = numOpt("bands", 16).toInt,
+              maxBucket = numOpt("max_bucket", 1000).toInt)
           case "exact" =>
             val keys = options.get("key_columns") match {
               case Some(xs: Seq[_]) => xs.map(_.toString)

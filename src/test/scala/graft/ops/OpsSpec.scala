@@ -254,6 +254,32 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.contains(3L)) // unrelated doc survives
   }
 
+  test("keepBestPerCluster keeps the best-scored member, not min id") {
+    val rows = Seq(
+      (10L, "a", 5.0), (11L, "a dup", 9.0), (12L, "a dup 2", 9.0),
+      (13L, "alone", 1.0)).toDF("id", "text", "quality")
+    val pairs = Seq((10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestPerCluster(rows, "id", pairs, "quality")
+      .select("id").as[Long].collect().sorted.toSeq
+    // component {10,11,12}: max quality 9.0 ties between 11 and 12 →
+    // smaller id 11 wins; singleton 13 always survives
+    assert(kept == Seq(11L, 13L))
+    // schema passes through untouched (no helper columns leak)
+    assert(Dedup.keepBestPerCluster(rows, "id", pairs, "quality")
+      .columns.toSeq == Seq("id", "text", "quality"))
+    // end-to-end minhash form: the 0~1 dup family keeps the LONGER
+    // doc regardless of id order
+    val scored = docs.withColumn("len",
+      org.apache.spark.sql.functions.length(col("text")))
+    val best = Dedup.byMinhashClusteredBest(scored, "doc_id", "text",
+        "len", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val minId = Dedup.byMinhashClustered(docs, "doc_id", "text",
+        threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(best.size == minId.size) // same component structure
+  }
+
   test("byMinhashClustered collapses an over-cap bucket via star edges") {
     import spark.implicits._
     // 12 identical docs flood every LSH bucket past maxBucket=5 —
