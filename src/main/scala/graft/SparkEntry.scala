@@ -6886,12 +6886,25 @@ object SparkEntry {
     // `click_t >= purchase_t - 1800` Spark keeps a left row while
     // watermark <= purchase_t + 1800, so the null-extension cutoff is
     // purchase_t < (max_t - 3600) - 1800.
+    // Final-watermark model: each SIDE carries its own watermark on
+    // its filtered stream, and Spark's global watermark is the MIN of
+    // the two stream maxima minus the delay — NOT the max over all
+    // event types (other types never pass the filters, so their
+    // timestamps never reach a watermark node). A left row null-emits
+    // exactly when purchase_t < that watermark (no extra lookback:
+    // a future click at wm can only match purchases with
+    // purchase_t >= wm). Verified row-set-equal at sf0.001 AND
+    // sf0.01 — the max-over-all-events spelling broke the moment a
+    // trailing 'view'/'purchase' outran the last click.
     "stream_left_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type,
         |    epoch_us(ts) // 1000000 AS t
         |  FROM events
-        |), mx AS (SELECT max(t) AS maxt FROM e),
+        |), wm AS (SELECT least(
+        |    (SELECT max(t) FROM e WHERE event_type = 'purchase'),
+        |    (SELECT max(t) FROM e WHERE event_type = 'click'))
+        |    - 3600 AS w),
         |p AS (SELECT event_id AS purchase_id, user_id, t AS purchase_t
         |      FROM e WHERE event_type = 'purchase'),
         |c AS (SELECT event_id AS click_id, user_id, t AS click_t
@@ -6904,9 +6917,9 @@ object SparkEntry {
         |o AS (
         |  SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id,
         |    p.user_id, p.purchase_t, CAST(NULL AS BIGINT) AS click_t
-        |  FROM p, mx
+        |  FROM p, wm
         |  WHERE p.purchase_id NOT IN (SELECT purchase_id FROM m)
-        |    AND p.purchase_t < mx.maxt - 3600 - 1800)
+        |    AND p.purchase_t < wm.w)
         |SELECT * FROM m
         |UNION ALL SELECT * FROM o
         |ORDER BY purchase_id, click_id""".stripMargin,

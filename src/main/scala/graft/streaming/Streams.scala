@@ -262,10 +262,15 @@ object Streams {
     * watermark guarantees no future right row can match (a right
     * match must satisfy `r.time <= l.time`, so a left row is safe to
     * emit-with-nulls as soon as the watermark passes `l.time`).
-    * Unmatched left rows inside the final watermark delay stay in
+    * Unmatched left rows at or past the final watermark stay in
     * state and never emit under AvailableNow — the same trailing-edge
-    * rule as windowed aggregation, which a batch oracle replicates
-    * with the explicit cutoff `l.time < max(time) - delay`. */
+    * rule as windowed aggregation. A batch oracle replicates it with
+    * the cutoff `l.time < min(max(l.time), max(r.time)) - delay`:
+    * the GLOBAL watermark is the minimum over both watermarked
+    * streams' maxima (each side's watermark only sees its own
+    * filtered rows), so when the right stream trails the left, the
+    * right side's maximum governs — a max-over-all-input spelling
+    * over-emits the moment the left stream outruns the right. */
   def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, keyCol: String,
                             timeCol: String, rightPrefix: String = "r_",
                             lookback: String = "30 minutes",
