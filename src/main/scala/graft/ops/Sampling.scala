@@ -186,15 +186,27 @@ object Sampling {
   def mixByTemperature(df: DataFrame, groupCol: String, keyCol: String,
                        temperature: Double,
                        budgetCol: Option[String] = None,
-                       persistInput: Boolean = false): DataFrame = {
+                       persistInput: Boolean = false,
+                       maxGroups: Int = 10000): DataFrame = {
     require(temperature >= 1.0,
       s"temperature must be >= 1.0, got $temperature")
     val src = if (persistInput) df.persist() else df
-    val totals: Map[String, Long] = (budgetCol match {
+    // unlike the weights-table variants (whose isin filter bounds the
+    // group set by config), temperature derives weights from the
+    // data's own groups — a mis-picked high-cardinality group column
+    // (an id!) would collect millions of rows AND build a when-chain
+    // per group. Bound the collect and fail with the actual mistake.
+    val grouped = (budgetCol match {
       case Some(b) => src.groupBy(groupCol)
         .agg(sum(col(b).cast("long")).as("_m"))
       case None => src.groupBy(groupCol).count()
-    }).collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    }).limit(maxGroups + 1).collect()
+    require(grouped.length <= maxGroups,
+      s"mixByTemperature found > $maxGroups distinct '$groupCol' values; " +
+        "domain mixing expects a domain-sized group column (source, " +
+        "lang), not an id")
+    val totals: Map[String, Long] =
+      grouped.map(row => row.getString(0) -> row.getLong(1)).toMap
     val present = totals.filter(_._2 > 0)
     require(present.nonEmpty, "no non-empty source present in the data")
     val weights = present.map { case (s, n) =>

@@ -176,6 +176,22 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("mixByTemperature refuses a high-cardinality group column") {
+    // passing an id as the domain column would collect one row per
+    // distinct value — must fail with the actual mistake named
+    val rows = (0L until 50L).map(i => (i, i.toString)).toDF("id", "g")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixByTemperature(rows, "g", "id", temperature = 2.0,
+        maxGroups = 10)
+    }
+    assert(e.getMessage.contains("domain-sized"))
+    // domain-sized groups still flow
+    val ok = Sampling.mixByTemperature(
+      rows.withColumn("g", (col("id") % 3).cast("string")),
+      "g", "id", temperature = 2.0, maxGroups = 10)
+    assert(ok.count() > 0)
+  }
+
   test("brute-force paths refuse oversized inputs with a redirect " +
       "to the bucketed methods") {
     // brute collects/broadcasts — a user pointing it at a big corpus
