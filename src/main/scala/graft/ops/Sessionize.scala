@@ -81,7 +81,10 @@ object Sessionize {
     val events = scaled.withColumn(tsCol,
       TimeCols.epochNanos(scaled, tsCol))
     events
-      .withColumn("_event_time", expr(s"timestamp_micros(`$tsCol` div 1000)"))
+      // floorDivSql, not bare `div`: pre-1970 nanos must floor to the
+      // EARLIER microsecond, like every engine converting ns→us
+      .withColumn("_event_time", expr(
+        s"timestamp_micros(${TimeCols.floorDivSql(s"`$tsCol`", 1000L)})"))
       .groupBy(col(userCol),
         session_window(col("_event_time"), s"$gapSeconds seconds").as("_sw"))
       .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))

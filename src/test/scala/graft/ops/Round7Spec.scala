@@ -241,6 +241,17 @@ class Round7Spec extends AnyFunSuite {
       ts(0).getTime * 1000000L)
   }
 
+  test("nativeSessionWindow floors pre-1970 nanos to the earlier " +
+      "microsecond") {
+    // -1500 ns is microsecond -2 under floor (truncating div says -1)
+    val ev = Seq((1L, -1500L, 1.0), (1L, 500L, 2.0))
+      .toDF("user_id", "ts", "value")
+    val got = Sessionize.nativeSessionWindow(ev, "user_id", "ts",
+      "value", gapSeconds = 10)
+    assert(got.count() == 1)
+    assert(got.head().getAs[Long]("session_start") == -2000L)
+  }
+
   test("session_window boundary: an event exactly gap-after MERGES " +
       "(inclusive, matching the oracle's strict-> islands)") {
     import org.apache.spark.sql.functions._
