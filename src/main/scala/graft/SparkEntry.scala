@@ -2717,7 +2717,7 @@ object SparkEntry {
     // ---- range (interval) join: bucketized equi-join -------------
     "q_range_join" -> ((s, dir) => {
       val ev = events(s, dir)
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", expr(graft.ops.TimeCols.floorDivSql("ts", 1000L)))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts_us").as("click_us"))
@@ -2755,7 +2755,7 @@ object SparkEntry {
       // truncate to MICROS first: DuckDB TIMESTAMP is us-precision, so
       // the oracle can only see us — align the session arithmetic
       graft.ops.Sessionize.batch(
-          events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+          events(s, dir).withColumn("ts_us", expr(graft.ops.TimeCols.floorDivSql("ts", 1000L))),
           "user_id", "ts_us", "event_id", "value",
           gapNanos = 1800L * 1000000L)
         .withColumn("sum_value", r(col("sum_value"), 2))
@@ -2794,12 +2794,12 @@ object SparkEntry {
     // Spark's built-in merge-on-gap session operator (the idiomatic
     // alternative to the window-function islands in Sessionize.batch;
     // also the streaming-capable form). Event time is built via
-    // timestamp_micros(ts div 1000) — EXACT micros, matching the
+    // timestamp_micros(floor(ts/1000)) — EXACT micros, matching the
     // DuckDB oracle's epoch_us islands; window end = last event +
     // gap, per the operator's contract.
     "events_session_window" -> ((s, dir) => {
       val ev = events(s, dir)
-        .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("event_time", expr(s"timestamp_micros(${graft.ops.TimeCols.floorDivSql("ts", 1000L)})"))
       ev.groupBy(col("user_id"),
           session_window(col("event_time"), "30 minutes").as("sw"))
         .agg(count(lit(1)).as("n_events"), r(sum("value"), 2).as("sum_value"))
@@ -2897,7 +2897,7 @@ object SparkEntry {
       val ev = graft.streaming.Streams.tsToNanos(
           scan.execute().fold(e => throw e, identity))
         .select(col("user_id").as("key"),
-          expr("timestamp_micros(ts div 1000)").as("event_time"),
+          expr(s"timestamp_micros(${graft.ops.TimeCols.floorDivSql("ts", 1000L)})").as("event_time"),
           col("value"))
         .as[graft.streaming.Streams.Obs]
       val filled = graft.streaming.Streams.resampleStream(ev, 21600L)
@@ -2974,7 +2974,7 @@ object SparkEntry {
         Map("input_path" -> inDir.toString), work, "default")
       val ev = graft.streaming.Streams.tsToNanos(
         scan.execute().fold(e => throw e, identity))
-        .withColumn("event_time", expr("ts div 1000000000").cast("timestamp"))
+        .withColumn("event_time", expr(graft.ops.TimeCols.floorDivSql("ts", 1000000000L)).cast("timestamp"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "event_time")
       val clicks = ev.filter(col("event_type") === "click")
@@ -3021,7 +3021,7 @@ object SparkEntry {
         graft.streaming.Streams.tsToNanos(
           scan.execute().fold(e => throw e, identity))
           .withColumn("event_time",
-            expr("ts div 1000000000").cast("timestamp"))
+            expr(graft.ops.TimeCols.floorDivSql("ts", 1000000000L)).cast("timestamp"))
           .select("event_id", "user_id", "event_time")
       }
       val joined = graft.streaming.Streams.intervalJoin(
@@ -3335,7 +3335,7 @@ object SparkEntry {
         Map("input_path" -> inDir.toString), work, "default")
       val events = graft.streaming.Streams.tsToNanos(
         scan.execute().fold(e => throw e, identity))
-        .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("event_time", expr(s"timestamp_micros(${graft.ops.TimeCols.floorDivSql("ts", 1000L)})"))
         .select(col("user_id"), col("event_time"), col("event_type"), col("value"))
         .as[graft.streaming.Streams.Event]
       val sessions = graft.streaming.Streams.sessionize(events,
@@ -3353,14 +3353,16 @@ object SparkEntry {
 
     // ---- stream-stream LEFT OUTER interval join ------------------
     // Same attribution shape as stream_interval_join, but purchases
-    // with no preceding click emit null-extended once their buffered
-    // state is provably match-free AND evicted: Spark holds a left
-    // row while watermark <= purchase_t + lookback (a future click at
-    // the watermark could still satisfy click_t >= purchase_t - 1800),
-    // so under AvailableNow the emitted outer rows are exactly those
-    // with purchase_t < (max_t - delay) - lookback — the cutoff the
-    // oracle replicates. The 1-hour delay (vs the inner join's
-    // fixture-spanning one) is what makes outer rows emit at all.
+    // with no preceding click emit null-extended once the final
+    // watermark proves no future click can match. Each side
+    // watermarks its own FILTERED stream, so the global watermark is
+    // min(max purchase_t, max click_t) - delay, and a left row
+    // null-emits exactly when purchase_t < that watermark (no
+    // lookback term: a future click at the watermark can only match
+    // purchases at or after it) — the cutoff the oracle replicates,
+    // row-set-verified at sf0.001/0.01/0.1. The 1-hour delay (vs the
+    // inner join's fixture-spanning one) is what makes outer rows
+    // emit at all.
     "stream_left_join" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       val work = scratch("stream_loj")
@@ -3369,7 +3371,7 @@ object SparkEntry {
         Map("input_path" -> inDir.toString), work, "default")
       val ev = graft.streaming.Streams.tsToNanos(
         scan.execute().fold(e => throw e, identity))
-        .withColumn("event_time", expr("ts div 1000000000").cast("timestamp"))
+        .withColumn("event_time", expr(graft.ops.TimeCols.floorDivSql("ts", 1000000000L)).cast("timestamp"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "event_time")
       val clicks = ev.filter(col("event_type") === "click")
@@ -3403,7 +3405,7 @@ object SparkEntry {
       val ev = graft.streaming.Streams.tsToNanos(
         scan.execute().fold(e => throw e, identity))
         .select(col("user_id"), col("event_id"), col("event_type"),
-          expr("ts div 1000000000").as("t"), col("value"))
+          expr(graft.ops.TimeCols.floorDivSql("ts", 1000000000L)).as("t"), col("value"))
       val statePath = work.resolve("state").toString
       graft.streaming.Streams.upsertLatest(ev,
         keyCols = Seq("user_id"), orderCols = Seq("t", "event_id"),

@@ -388,18 +388,25 @@ object Dedup {
                          threshold: Double = 0.8, shingleK: Int = 5,
                          numHashes: Int = 64, bands: Int = 16,
                          maxBucket: Int = 1000): DataFrame = {
-    // overCap = "star": over-cap buckets (dense boilerplate families)
-    // contribute hub-spoke edges instead of being dropped, so the
-    // component still collapses to one survivor — see
-    // minhashCandidatePairs scaladoc
-    val pairs = minhashCandidatePairs(df, idCol, textCol, shingleK, numHashes,
-        bands, maxBucket, overCap = "star")
-      .filter(col("est_jaccard") >= threshold)
-      .select("id_a", "id_b")
+    val pairs = clusteredCandidatePairs(df, idCol, textCol, threshold,
+      shingleK, numHashes, bands, maxBucket)
     val clusters = clusterPairs(df.select(col(idCol)), idCol, pairs)
     df.join(clusters.filter(col(idCol) =!= col("cluster_id"))
         .select(col(idCol)), Seq(idCol), "left_anti")
   }
+
+  /** Shared candidate graph for the clustered dedup variants.
+    * overCap = "star": over-cap buckets (dense boilerplate families)
+    * contribute hub-spoke edges instead of being dropped, so the
+    * component still collapses to one survivor — see
+    * minhashCandidatePairs scaladoc. */
+  private def clusteredCandidatePairs(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleK: Int, numHashes: Int,
+      bands: Int, maxBucket: Int): DataFrame =
+    minhashCandidatePairs(df, idCol, textCol, shingleK, numHashes,
+        bands, maxBucket, overCap = "star")
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b")
 
   /** Quality-aware canonical selection: given near-dup `pairs`
     * (id_a, id_b), keep exactly ONE representative per connected
@@ -428,13 +435,11 @@ object Dedup {
                              scoreCol: String, threshold: Double = 0.8,
                              shingleK: Int = 5, numHashes: Int = 64,
                              bands: Int = 16,
-                             maxBucket: Int = 1000): DataFrame = {
-    val pairs = minhashCandidatePairs(df, idCol, textCol, shingleK,
-        numHashes, bands, maxBucket, overCap = "star")
-      .filter(col("est_jaccard") >= threshold)
-      .select("id_a", "id_b")
-    keepBestPerCluster(df, idCol, pairs, scoreCol)
-  }
+                             maxBucket: Int = 1000): DataFrame =
+    keepBestPerCluster(df, idCol,
+      clusteredCandidatePairs(df, idCol, textCol, threshold, shingleK,
+        numHashes, bands, maxBucket),
+      scoreCol)
 
   /** Deduplicate: drop every doc that has a candidate partner with a
     * smaller id and est_jaccard ≥ threshold (greedy, one pass — the

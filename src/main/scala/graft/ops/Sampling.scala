@@ -200,7 +200,8 @@ object Sampling {
       case Some(b) => src.groupBy(groupCol)
         .agg(sum(col(b).cast("long")).as("_m"))
       case None => src.groupBy(groupCol).count()
-    }).limit(maxGroups + 1).collect()
+    }).limit(math.min(maxGroups.toLong + 1, Int.MaxValue.toLong).toInt)
+      .collect()
     require(grouped.length <= maxGroups,
       s"mixByTemperature found > $maxGroups distinct '$groupCol' values; " +
         "domain mixing expects a domain-sized group column (source, " +

@@ -261,7 +261,12 @@ class SamplePlugin(options: Map[String, Any], configDir: Path, label: String)
                       throw new PluginExecutionError(
                         s"Option 'seed' must be an integer, got: $s")
                   }).getOrElse(0L),
-                nShards = nv.toString.toDouble.toInt))
+                nShards = nv.toString.toDouble.toInt,
+                // overridable like split's output_column: a frame may
+                // already carry shard/pos columns
+                shardCol = options.getOrElse("shard_column", "shard")
+                  .toString,
+                posCol = options.getOrElse("pos_column", "pos").toString))
           } yield out
         case other => Left(new PluginExecutionError(
           s"Unknown sample method: '$other'"))
