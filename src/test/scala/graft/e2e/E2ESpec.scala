@@ -367,6 +367,36 @@ class E2ESpec extends AnyFunSuite {
     assert(predSet.subsetOf(langs), s"$predSet not in $langs")
   }
 
+  test("examples/train_order.toml: keep-best dedup -> seeded shuffle " +
+      "-> ordered shard layout") {
+    val src = java.nio.file.Paths.get("examples/train_order.toml")
+    assume(java.nio.file.Files.exists(src))
+    val tmp = java.nio.file.Files.createTempDirectory("ordercfg")
+    val cfg = tmp.resolve("train_order.toml")
+    java.nio.file.Files.copy(src, cfg)
+    val config = Config.loadConfig(cfg).fold(e => fail(e.getMessage), identity)
+    val reg = Loader.loadPlugins(config, cfg).fold(e => fail(e.getMessage), identity)
+    val result = Pipeline.runPipeline(reg.inputs, reg.transforms, reg.outputs)
+    assert(result.isRight, result.left.toOption.map(_.getMessage))
+    val out = spark.read.parquet(tmp.resolve("out/train_shards").toString)
+    val total = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").count()
+    val n = out.count()
+    assert(n > 0 && n < total, s"dedup should drop some of $total, kept $n")
+    // hive layout: one dir per shard; in-shard pos dense from 1
+    val dirs = java.nio.file.Files.list(tmp.resolve("out/train_shards"))
+      .filter(p => p.getFileName.toString.startsWith("shard="))
+      .count()
+    assert(dirs == 4, s"expected 4 shard dirs, got $dirs")
+    import org.apache.spark.sql.functions.{col => c, max => mx, count => cnt}
+    val perShard = out.groupBy("shard")
+      .agg(mx(c("pos")).as("mp"), cnt(c("pos")).as("np"))
+      .collect()
+    perShard.foreach(r =>
+      assert(r.getAs[Long]("mp") == r.getAs[Long]("np"),
+        s"positions not dense in shard ${r.get(0)}"))
+  }
+
   test("examples/custom_plugin.toml: a .scala source plugin composes " +
       "with built-ins in one pipeline") {
     val src = java.nio.file.Paths.get("examples/custom_plugin.toml")
