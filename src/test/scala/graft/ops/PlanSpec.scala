@@ -710,6 +710,18 @@ class PlanSpec extends AnyFunSuite {
       "audioHashPairs")
   }
 
+  test("shuffle_shard: one hash exchange + one window (the final " +
+      "range exchange is only the oracle's ORDER BY)") {
+    val df = tpch("q_shuffle_shard")
+    val ns = nodes(df)
+    val shuffles = ns.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 2, s"expected shard-hash + orderBy range " +
+      s"exchanges only, got ${shuffles.size}")
+    val windows = ns.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 1)
+  }
+
   test("bounded recall gates: the exact side is a broadcast sample, " +
       "never a CartesianProduct") {
     // These three gates used to cross-join the embedding table with
