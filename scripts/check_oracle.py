@@ -80,8 +80,14 @@ def compare_frames(got: pd.DataFrame, exp: pd.DataFrame):
 
 
 def compare_query(con, outdir: str, name: str, sql):
-    """(status, message): status 'OK' | 'ROWS-ONLY' | 'FAIL'."""
-    got = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf()
+    """(status, message): status 'OK' | 'ROWS-ONLY' | 'FAIL'. Never
+    raises — a missing/corrupt output dir is one FAIL, not a sweep
+    abort."""
+    try:
+        got = con.execute(
+            f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf()
+    except Exception as e:
+        return ("FAIL", f"OUTPUT-READ-ERROR {str(e)[:120]}")
     if sql is None:
         return ("ROWS-ONLY", f"rows={len(got)}"
                 + ("  ⚠ EMPTY" if len(got) == 0 else ""))

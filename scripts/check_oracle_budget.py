@@ -21,8 +21,11 @@ def one(args):
     sfdir, outdir, name, sql = args
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import check_oracle
-    con = check_oracle.connect(sfdir)
-    return (name,) + check_oracle.compare_query(con, outdir, name, sql)
+    try:
+        con = check_oracle.connect(sfdir)
+        return (name,) + check_oracle.compare_query(con, outdir, name, sql)
+    except Exception as e:  # one query's crash must not abort the sweep
+        return (name, "FAIL", f"WORKER-ERROR {str(e)[:120]}")
 
 
 def main(sfdir, outdir, budget, only=()):

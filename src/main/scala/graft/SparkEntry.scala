@@ -6903,10 +6903,16 @@ object SparkEntry {
         |  SELECT event_id, user_id, event_type,
         |    epoch_us(ts) // 1000000 AS t
         |  FROM events
-        |), wm AS (SELECT least(
-        |    (SELECT max(t) FROM e WHERE event_type = 'purchase'),
-        |    (SELECT max(t) FROM e WHERE event_type = 'click'))
-        |    - 3600 AS w),
+        |), wm AS (
+        |  -- NOT least(): DuckDB's least() ignores a NULL side, but
+        |  -- an EMPTY stream never initializes its Spark watermark
+        |  -- (global wm stays at epoch, zero outer rows emit) — a
+        |  -- NULL max must therefore null the cutoff, not be skipped
+        |  SELECT CASE WHEN mp.t IS NULL OR mc.t IS NULL THEN NULL
+        |    ELSE least(mp.t, mc.t) - 3600 END AS w
+        |  FROM (SELECT max(t) AS t FROM e
+        |        WHERE event_type = 'purchase') mp,
+        |       (SELECT max(t) AS t FROM e WHERE event_type = 'click') mc),
         |p AS (SELECT event_id AS purchase_id, user_id, t AS purchase_t
         |      FROM e WHERE event_type = 'purchase'),
         |c AS (SELECT event_id AS click_id, user_id, t AS click_t

@@ -175,11 +175,23 @@ object Loader {
   private val retiredLoaders =
     new java.util.concurrent.ConcurrentLinkedQueue[java.net.URLClassLoader]()
 
+  /** Every compiled-source output dir ever created — deleted
+    * RECURSIVELY at JVM exit (File.deleteOnExit is a no-op on a
+    * non-empty dir, so without this each run leaks a populated temp
+    * dir to the host). */
+  private val sourceOutDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+
   sys.addShutdownHook {
     import scala.jdk.CollectionConverters._
     (jarLoaders.values ++ sourceLoaders.values.map(_._2) ++
         retiredLoaders.asScala)
       .foreach(l => try l.close() catch { case _: Throwable => () })
+    sourceOutDirs.asScala.foreach { d =>
+      try Files.walk(d).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      catch { case _: Throwable => () }
+    }
   }
 
   private def loaderFor(resolved: Path): ClassLoader = {
@@ -285,7 +297,7 @@ object Loader {
     val key = (resolved, f.lastModified, f.length)
     val (outDir, loader) = sourceLoaders.getOrElseUpdate(key, {
       val out = Files.createTempDirectory("graft_plugin_src")
-      out.toFile.deleteOnExit()
+      sourceOutDirs.add(out) // recursive delete in the shutdown hook
       val settings = new scala.tools.nsc.Settings()
       settings.usejavacp.value = true // the forked JVM's -cp
       // plus wherever graft.core itself lives (covers embedders whose

@@ -684,8 +684,10 @@ object Similarity {
       "_e", "_v").select("query_id", "_v")
     // limit(max+1) bounds the driver materialization itself: an
     // oversized corpus fails the check below with a clear redirect
-    // instead of OOM-ing the driver mid-collect.
-    val collected = n.limit(maxBrute + 1).collect()
+    // instead of OOM-ing the driver mid-collect. Long addition: the
+    // Int.MaxValue escape hatch must not wrap into a negative limit.
+    val probe = math.min(maxBrute.toLong + 1, Int.MaxValue.toLong).toInt
+    val collected = n.limit(probe).collect()
     require(collected.length <= maxBrute,
       s"knnGraph(method=\"brute\") collects the corpus matrix to the " +
         s"driver and found > $maxBrute rows; use method=\"lsh\" (or " +

@@ -244,7 +244,11 @@ class SamplePlugin(options: Map[String, Any], configDir: Path, label: String)
             out <- graft.core.Errors.safe(
               graft.ops.Sampling.mixByTemperature(df, groupCol, keyCol,
                 tv.toString.toDouble,
-                options.get("budget_column").map(_.toString)))
+                options.get("budget_column").map(_.toString),
+                // the group-cardinality cap's escape hatch must be
+                // reachable from TOML (legit 20k-domain mixes exist)
+                maxGroups = options.get("max_groups")
+                  .map(_.toString.toDouble.toInt).getOrElse(10000)))
           } yield out
         case "shuffle_shard" =>
           // seeded deterministic shuffle as (shard, pos) — epoch
@@ -738,7 +742,9 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
             planes = num("planes", 4).toInt,
             probeBits = num("probe_bits", 3).toInt,
             rerank = num("rerank", 64).toInt,
-            maxBucket = num("max_bucket", 1000).toInt)))
+            maxBucket = num("max_bucket", 1000).toInt,
+            // the brute cap's escape hatch must be reachable from TOML
+            maxBrute = num("max_brute", 100000).toInt)))
     if (options.getOrElse("method", "brute").toString == "knn_components")
       return requiredString("id_column").flatMap(idCol =>
         graft.core.Errors.safe(
@@ -1261,7 +1267,9 @@ class Bm25Plugin(options: Map[String, Any], configDir: Path, label: String)
             // error, not OOM the driver — limit bounds the fetch.
             val maxQ = options.get("max_queries")
               .map(_.toString.toDouble.toInt).getOrElse(10000)
-            val rows = qdf.select(idc, txc).limit(maxQ + 1).collect()
+            val rows = qdf.select(idc, txc)
+              .limit(math.min(maxQ.toLong + 1, Int.MaxValue.toLong).toInt)
+              .collect()
             require(rows.length <= maxQ,
               s"query stream '$ql' has > $maxQ rows; bm25 collects " +
                 "queries driver-side — point 'queries_label' at a " +

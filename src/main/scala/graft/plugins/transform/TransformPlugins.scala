@@ -78,10 +78,16 @@ class ColumnMultiplierPlugin(options: Map[String, Any], configDir: Path, label: 
         // Decimals are EXCLUDED from the cast-back: Spark's
         // decimal-narrowing cast NULLs on overflow (silent data
         // loss), so a decimal product keeps its widened precision
-        // instead. Integer cast-back wraps on overflow — the same
-        // behavior as the reference engine's fixed-width ints.
+        // instead. Integer cast-back FAILS LOUDLY on overflow under
+        // Spark's default ANSI mode (CAST_OVERFLOW) — the honest
+        // fixed-width contract; `preserve_dtype = false` opts back
+        // into the widen-to-long/double behavior for pipelines whose
+        // values genuinely outgrow the column's type.
+        val preserve = options.get("preserve_dtype")
+          .forall(_.toString.toBoolean)
         val out =
-          if (orig.isInstanceOf[org.apache.spark.sql.types.DecimalType]) prod
+          if (!preserve ||
+              orig.isInstanceOf[org.apache.spark.sql.types.DecimalType]) prod
           else if (whole
               || orig.isInstanceOf[org.apache.spark.sql.types.FloatType]
               || orig.isInstanceOf[org.apache.spark.sql.types.DoubleType])
