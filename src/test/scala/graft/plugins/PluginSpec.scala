@@ -68,6 +68,34 @@ class PluginSpec extends AnyFunSuite {
     assert(dryBadType.contains("expected numeric type"))
   }
 
+  test("column multiplier dtype contract: preserve (ANSI-loud on " +
+      "overflow) vs preserve_dtype=false widening") {
+    val ints = Seq(1, 2000000000).toDF("v")
+    val x2 = new ColumnMultiplierPlugin(
+      Map("column_name" -> "v", "multiplier" -> 2), dir, "default")
+    val kept = x2.execute(ints).fold(e => fail(e.getMessage), identity)
+    assert(kept.schema("v").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // under default ANSI the out-of-range value fails LOUDLY at
+    // action time (never silently wraps)
+    intercept[Exception] { kept.collect() }
+    // widening opt-out restores the old always-succeeds behavior
+    val widened = new ColumnMultiplierPlugin(
+      Map("column_name" -> "v", "multiplier" -> 2,
+        "preserve_dtype" -> false), dir, "default")
+      .execute(ints).fold(e => fail(e.getMessage), identity)
+    assert(widened.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(widened.orderBy("v").as[Long].collect().toSeq ==
+      Seq(2L, 4000000000L))
+    // dryRun reflects the widened schema too (empty-frame propagation)
+    assert(new ColumnMultiplierPlugin(
+      Map("column_name" -> "v", "multiplier" -> 2,
+        "preserve_dtype" -> false), dir, "default")
+      .dryRun(ints.schema).toOption.get("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
   implicit private class MultCopy(p: ColumnMultiplierPlugin) {
     def copyWith(kv: (String, Any)): ColumnMultiplierPlugin =
       new ColumnMultiplierPlugin(p.options + kv, dir, "default")

@@ -356,6 +356,12 @@ class Round6PluginSpec extends AnyFunSuite {
     val gdry = graph.dryRunWith(vecs.schema, Map.empty)
       .fold(e => fail(e.getMessage), identity)
     assert(gdry.fieldNames.toSeq == g.columns.toSeq)
+    // the brute cap's escape hatch is reachable from config
+    val capped = new SimilarityPlugin(Map("method" -> "knn_graph",
+      "id_column" -> "vec_id", "knn_method" -> "brute", "k" -> 1,
+      "max_brute" -> 2), dir, "default")
+      .executeWith(vecs, Map.empty)
+    assert(capped.left.toOption.get.getMessage.contains("lsh"))
     val comp = new SimilarityPlugin(Map("method" -> "knn_components",
       "id_column" -> "vec_id", "knn_method" -> "brute", "k" -> 1,
       "min_cosine" -> 0.9), dir, "default")
