@@ -95,15 +95,6 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // best-of-2: one repeat filters scheduler/GC noise from the
-    // single-machine measurement (standard min-of-N practice)
-    def runOne(name: String): Double = {
-      val a = runOnce(name)
-      if (a < 0) return a
-      val b = runOnce(name)
-      if (b < 0) a else math.min(a, b)
-    }
-
     // Warm EVERY measured query once outside the clock. Partial
     // warmup (one query per family) left 35/41 queries paying
     // first-run codegen+JIT inside the clock: BENCH_r03 recorded
@@ -116,7 +107,20 @@ object Bench {
       catch { case _: Throwable => () /* runOnce reports the failure */ }
     }
 
-    val results = headline.map(n => n -> runOne(n))
+    // Best-of-2, INTERLEAVED across two full suite passes. The two
+    // samples of a query used to run back-to-back, so a multi-minute
+    // machine-contention burst landed on BOTH samples and the min
+    // couldn't filter it: BENCH_r08/r09 each recorded a contiguous
+    // run of 2-4x phantom regressions (q_triangles 18.1 s vs 8.2 s
+    // warm) that cost a manual TimeQuery per query to clear. With the
+    // suite at ~100 s/pass, separating a query's two samples by a
+    // full pass puts them minutes apart — far wider than the observed
+    // burst width — so min-of-2 recovers the uncontended time.
+    val pass1 = headline.map(n => n -> runOnce(n))
+    val pass2 = headline.map(n => n -> runOnce(n))
+    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
+      n -> (if (a < 0) a else if (b < 0) a else math.min(a, b))
+    }
     // milliseconds are plenty for wall-clock seconds, and rounding
     // halves the length of the one-line JSON the driver must capture
     // intact from a bounded stdout tail

@@ -184,7 +184,7 @@ object Loader {
 
   sys.addShutdownHook {
     import scala.jdk.CollectionConverters._
-    (jarLoaders.values ++ sourceLoaders.values.map(_._2) ++
+    (jarLoaders.values ++ sourceLoaders.values.asScala.map(_._2) ++
         retiredLoaders.asScala)
       .foreach(l => try l.close() catch { case _: Throwable => () })
     sourceOutDirs.asScala.foreach { d =>
@@ -278,9 +278,14 @@ object Loader {
   /** One compiled-output (dir, classloader) per source-file VERSION —
     * the `.scala` twin of [[jarLoaders]], keyed the same way so an
     * edited file recompiles on the next pipeline run while live
-    * plugin instances keep their old classes. */
-  private val sourceLoaders = scala.collection.concurrent.TrieMap
-    .empty[(Path, Long, Long), (Path, java.net.URLClassLoader)]
+    * plugin instances keep their old classes. ConcurrentHashMap (not
+    * TrieMap): `computeIfAbsent`'s mapping function runs at most once
+    * per key, so two threads first-loading the same `.scala` can't
+    * both pay the in-process compiler run and leak the losing
+    * URLClassLoader (TrieMap.getOrElseUpdate evaluates the thunk in
+    * every racing caller). */
+  private val sourceLoaders = new java.util.concurrent.ConcurrentHashMap[
+    (Path, Long, Long), (Path, java.net.URLClassLoader)]()
 
   /** Dynamic plugin loading from a SINGLE `.scala` source file — full
     * workflow parity with the reference loading a `.py` file at
@@ -295,7 +300,7 @@ object Loader {
       label: String): Either[Throwable, Seq[BasePlugin]] = {
     val f = resolved.toFile
     val key = (resolved, f.lastModified, f.length)
-    val (outDir, loader) = sourceLoaders.getOrElseUpdate(key, {
+    val (outDir, loader) = sourceLoaders.computeIfAbsent(key, { _ =>
       val out = Files.createTempDirectory("graft_plugin_src")
       sourceOutDirs.add(out) // recursive delete in the shutdown hook
       val settings = new scala.tools.nsc.Settings()
@@ -326,9 +331,11 @@ object Loader {
     // may still lazily load classes from it — same contract as
     // retired jar loaders. The leak is a few .class files per edit,
     // process-lifetime only.
-    sourceLoaders.keys.filter(k => k._1 == resolved && k != key)
-      .foreach(k => sourceLoaders.remove(k)
-        .foreach(v => retiredLoaders.add(v._2)))
+    sourceLoaders.keySet.asScala
+      .filter(k => k._1 == resolved && k != key)
+      .foreach { k =>
+        Option(sourceLoaders.remove(k)).foreach(v => retiredLoaders.add(v._2))
+      }
     val walk = Files.walk(outDir)
     val classNames =
       try walk.iterator().asScala

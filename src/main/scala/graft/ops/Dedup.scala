@@ -419,13 +419,20 @@ object Dedup {
     * per-cluster window — both keyed shuffles, no all-pairs. */
   def keepBestPerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
                          scoreCol: String): DataFrame = {
+    // Collision-proof helper names: the user's frame may legitimately
+    // carry a `cluster_id` (e.g. pre-clustered corpora) or `_rk`;
+    // joining clusterPairs' output unrenamed would make
+    // Window.partitionBy("cluster_id") ambiguous and fail analysis.
+    val cid = "__graft_cluster_id"
+    val rk = "__graft_rk"
     val clusters = clusterPairs(df.select(col(idCol)), idCol, pairs)
-    val w = Window.partitionBy(col("cluster_id"))
+      .withColumnRenamed("cluster_id", cid)
+    val w = Window.partitionBy(col(cid))
       .orderBy(col(scoreCol).desc, col(idCol))
     df.join(clusters, Seq(idCol))
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1)
-      .drop("_rk", "cluster_id")
+      .withColumn(rk, row_number().over(w))
+      .filter(col(rk) === 1)
+      .drop(rk, cid)
   }
 
   /** [[byMinhashClustered]] with quality-aware survivor choice: the

@@ -279,14 +279,18 @@ object Sampling {
                    shardCol: String = "shard",
                    posCol: String = "pos"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    // Collision-proof temp name: a plain `_h` would silently
+    // overwrite (then drop) a user column of that name, the exact
+    // collision the shard/pos output names are overridable for.
+    val h = "__graft_shuffle_h"
     // concat (not concat_ws): a NULL key must yield a NULL hash in
     // BOTH engines, not silently hash as md5("seed:")
-    val withH = df.withColumn("_h",
+    val withH = df.withColumn(h,
       keyHash(concat(lit(s"$seed:"), col(keyCol).cast("string"))))
-      .withColumn(shardCol, (col("_h") % nShards).cast("int"))
+      .withColumn(shardCol, (col(h) % nShards).cast("int"))
     val w = Window.partitionBy(col(shardCol))
-      .orderBy(col("_h"), col(keyCol))
+      .orderBy(col(h), col(keyCol))
     withH.withColumn(posCol, row_number().over(w).cast("long"))
-      .drop("_h")
+      .drop(h)
   }
 }

@@ -280,6 +280,22 @@ class OpsSpec extends AnyFunSuite {
     assert(best.size == minId.size) // same component structure
   }
 
+  test("keepBestPerCluster tolerates user columns named cluster_id/_rk") {
+    // Reachable from config via minhash_clustered_best on a frame that
+    // already carries these names: the helper columns must not collide
+    // (pre-fix this threw an ambiguous-reference AnalysisException).
+    val rows = Seq(
+      (10L, 99L, "x", 5.0), (11L, 98L, "y", 9.0), (13L, 97L, "z", 1.0))
+      .toDF("id", "cluster_id", "_rk", "quality")
+    val pairs = Seq((10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestPerCluster(rows, "id", pairs, "quality")
+    // user columns pass through untouched, survivor is best-scored
+    assert(kept.columns.toSeq == Seq("id", "cluster_id", "_rk", "quality"))
+    assert(kept.select("id").as[Long].collect().sorted.toSeq == Seq(11L, 13L))
+    assert(kept.filter(col("id") === 11L).select("cluster_id")
+      .as[Long].head() == 98L)
+  }
+
   test("byMinhashClustered collapses an over-cap bucket via star edges") {
     import spark.implicits._
     // 12 identical docs flood every LSH bucket past maxBucket=5 —

@@ -317,4 +317,14 @@ class Round5Spec extends AnyFunSuite {
     val shard0 = a.toSeq.filter(_._2._1 == 0).sortBy(_._2._2).map(_._1)
     assert(shard0 != shard0.sorted)
   }
+
+  test("Sampling.shuffleShard preserves a user column named _h") {
+    // The hash used to be written into a hard-coded `_h`, silently
+    // overwriting (then dropping) a user column of that name.
+    val rows = Seq((1L, "keep1"), (2L, "keep2")).toDF("id", "_h")
+    val out = Sampling.shuffleShard(rows, "id", seed = 7, nShards = 2)
+    assert(out.columns.toSeq == Seq("id", "_h", "shard", "pos"))
+    assert(out.select("_h").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("keep1", "keep2"))
+  }
 }
