@@ -27,10 +27,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * directory listing entirely — on object stores that listing is the
   * scan-planning bottleneck this layout removes.
   */
+/** Thrown when an append loses the manifest-last commit race: another
+  * writer committed (or is mid-commit on) the version this writer
+  * computed. The store is intact — exactly one writer owns each
+  * version — and the loser's recovery is to RE-RUN the append, which
+  * re-reads the latest version and commits on top of it.
+  *
+  * `winningVersion` is the latest version visible when the collision
+  * was detected: equal to `attemptedVersion` when the winner's
+  * manifest has landed; one less while the winner is still mid-commit
+  * (claim placed, manifest pending) — in that state a claim from a
+  * long-dead torn commit is indistinguishable from a live writer, so
+  * if no `manifest-v<attempted>.json` ever appears, delete the
+  * orphaned `.graft-claim-v<attempted>` file (and the `v<attempted>`
+  * directory, if present) and retry. */
+class ConcurrentCommitException(
+    val dir: String,
+    val attemptedVersion: Int,
+    val winningVersion: Int,
+    cause: Throwable)
+  extends RuntimeException(
+    f"concurrent commit on $dir: version v$attemptedVersion%05d was " +
+      f"claimed by another writer (latest committed manifest: " +
+      f"v$winningVersion%05d). Re-run the append to commit on top of " +
+      f"the winner; if no manifest-v$attemptedVersion%05d.json ever " +
+      f"appears, the claim is a torn commit — remove " +
+      f".graft-claim-v$attemptedVersion%05d and the v$attemptedVersion%05d " +
+      "directory (if present) and retry.", cause)
+
 object Snapshots {
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Serializes same-JVM version claims — see the claim comment in
+    * [[writeInternal]]. */
+  private val claimLock = new Object
 
   private val manifestRe = "^manifest-v(\\d{5})\\.json$".r
 
@@ -74,7 +106,70 @@ object Snapshots {
     }
     val v = prev.lastOption.getOrElse(0) + 1
     val vDir = f"$dir/v$v%05d"
-    df.write.parquet(vDir)
+    // Two racing writers can both compute this same v. The version is
+    // CLAIMED up front with an atomic create(overwrite=false) of a
+    // zero-byte claim file, so exactly one writer ever runs a write
+    // job against v's directory — without the claim, two jobs that
+    // slip past the ErrorIfExists check simultaneously would mix their
+    // part files in the same directory and the winner's manifest would
+    // absorb the loser's rows. The loser dies HERE, cheaply, before
+    // its write job starts, with a typed retryable error instead of a
+    // raw Hadoop/Spark failure a pipeline can't act on.
+    def lostRace(cause: Throwable): Nothing =
+      throw new ConcurrentCommitException(dir, v,
+        versions(spark, dir).lastOption.getOrElse(0), cause)
+    val claim = new HPath(f"$dir/.graft-claim-v$v%05d")
+    // The FS-level create(overwrite=false) is truly atomic on HDFS
+    // but check-then-create on RawLocalFileSystem (and historically on
+    // S3A), so two SAME-JVM writers could both "win" it. The JVM-wide
+    // lock closes that window completely for in-process racers (the
+    // local[*] and one-driver-many-threads cases); distinct JVMs are
+    // arbitrated by the FS create, i.e. atomically wherever the FS
+    // can promise it.
+    claimLock.synchronized {
+      if (f.exists(claim))
+        lostRace(new org.apache.hadoop.fs.FileAlreadyExistsException(
+          claim.toString))
+      try f.create(claim, false).close()
+      catch { case e: Throwable if f.exists(claim) => lostRace(e) }
+    }
+    // From here the claim is OURS: any in-process failure (lost-race
+    // on a pre-claim leftover, write-job fault, IO error) must release
+    // it on the way out, or this version number would stay wedged for
+    // every future append. A CRASH between claim and manifest is the
+    // one path that leaves the claim behind — that is the torn-commit
+    // state the exception message documents the cleanup for.
+    try {
+      commitClaimed(df, f, dir, v, vDir, prev, batchId, claim, lostRace)
+    } catch {
+      case t: Throwable =>
+        try { f.delete(claim, false); () } catch { case _: Throwable => () }
+        throw t
+    }
+  }
+
+  private def commitClaimed(df: DataFrame, f: FileSystem, dir: String,
+      v: Int, vDir: String, prev: Seq[Int], batchId: Option[Long],
+      claim: HPath, lostRace: Throwable => Nothing): Int = {
+    val spark = df.sparkSession
+    // Belt-and-braces: a version directory left by a pre-claim torn
+    // commit (or manual tampering) still surfaces as the typed error,
+    // whose message names both recoveries.
+    val dirPreExisted = f.exists(new HPath(vDir))
+    try df.write.parquet(vDir)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage != null && e.getMessage.contains("already exists") =>
+        lostRace(e)
+      case e: Throwable =>
+        // our own write job failed mid-way: remove OUR partial output
+        // so the released version number is re-claimable (a dir we did
+        // NOT create is never touched)
+        if (!dirPreExisted)
+          try { f.delete(new HPath(vDir), true); () }
+          catch { case _: Throwable => () }
+        throw e
+    }
     val newFiles = f.listStatus(new HPath(vDir))
       .map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
@@ -95,10 +190,25 @@ object Snapshots {
     val json = all.map(p => "\"" + p + "\"").mkString(
       s"""{"version":$v,$bidField$schemaField"files":[""", ",", "]}")
     // manifest LAST: single create+write+close; readers never observe
-    // a version whose data is incomplete
-    val out = f.create(new HPath(f"$dir/manifest-v$v%05d.json"), false)
+    // a version whose data is incomplete. Collision point 2: both
+    // writers slipped past the directory check (their jobs started
+    // simultaneously) and race on the atomic create(overwrite=false) —
+    // the loser's create throws, re-typed iff the winner's manifest is
+    // the reason (any other IO failure propagates untouched).
+    val mPath = new HPath(f"$dir/manifest-v$v%05d.json")
+    val out =
+      try f.create(mPath, false)
+      catch {
+        // only the create itself: once OUR create succeeded, a later
+        // write/close failure is an IO fault, not a lost race
+        case e: Throwable if f.exists(mPath) => lostRace(e)
+      }
     out.write(json.getBytes("UTF-8"))
     out.close()
+    // opportunistic claim cleanup — a claim whose manifest is
+    // committed blocks nothing (future writers compute v+1), so a
+    // failed delete here is harmless
+    try { f.delete(claim, false); () } catch { case _: Throwable => () }
     v
   }
 

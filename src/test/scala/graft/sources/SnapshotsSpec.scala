@@ -27,6 +27,90 @@ class SnapshotsSpec extends AnyFunSuite {
       .collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("concurrent commits: one winner per version, loser gets a " +
+      "typed retryable ConcurrentCommitException") {
+    val dir = Files.createTempDirectory("snaps_race").toString
+    Snapshots.write(Seq((1L, "base")).toDF("id", "s"), dir)
+
+    // Deterministic collision point 1: another writer holds the claim
+    // for the next version (mid-commit, or a crashed torn commit).
+    val claim = new java.io.File(dir, ".graft-claim-v00002")
+    assert(claim.createNewFile())
+    val e1 = intercept[ConcurrentCommitException] {
+      Snapshots.write(Seq((2L, "loser")).toDF("id", "s"), dir)
+    }
+    assert(e1.attemptedVersion == 2 && e1.winningVersion == 1)
+    assert(e1.getMessage.contains(".graft-claim-v00002") &&
+      e1.getMessage.contains("Re-run")) // actionable, both recoveries named
+    assert(claim.delete()) // the documented torn-commit cleanup
+
+    // Deterministic collision point 2: a version DIRECTORY left by a
+    // pre-claim torn commit. The loser must release its own claim on
+    // the way out or v2 would stay wedged forever.
+    val vDir = new java.io.File(dir, "v00002")
+    assert(vDir.mkdir())
+    val e2 = intercept[ConcurrentCommitException] {
+      Snapshots.write(Seq((2L, "loser")).toDF("id", "s"), dir)
+    }
+    assert(e2.attemptedVersion == 2 && e2.winningVersion == 1)
+    assert(!claim.exists(), "loser must release its claim on failure")
+    assert(vDir.delete()) // clear the simulated torn commit
+    // with both leftovers cleared, the documented recovery (re-run
+    // the append) succeeds
+    assert(Snapshots.write(Seq((2L, "recovered")).toDF("id", "s"), dir) == 2)
+
+    // Real two-thread race, barrier-aligned so both writers compute
+    // the same next version. Outcomes per round: both serialize (two
+    // commits) or one loses with the typed error (one commit) — never
+    // a raw Hadoop/Spark failure, never a half-visible version.
+    import java.util.concurrent.CyclicBarrier
+    var losses = 0
+    (0 until 5).foreach { round =>
+      val before = Snapshots.versions(spark, dir).size
+      val barrier = new CyclicBarrier(2)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[
+        Either[Throwable, Int]]()
+      val threads = (0 until 2).map { i =>
+        new Thread(() => {
+          val df = Seq((100L * round + i, s"w$i")).toDF("id", "s")
+          // build the DataFrame BEFORE the barrier; the race under
+          // test is the commit protocol, not plan construction
+          barrier.await()
+          try results.add(Right(Snapshots.write(df, dir)))
+          catch { case t: Throwable => results.add(Left(t)) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      val (failed, committed) = results.asScala.toList.partitionMap(identity)
+      failed.foreach { t =>
+        assert(t.isInstanceOf[ConcurrentCommitException],
+          s"loser must fail typed, got ${t.getClass}: ${t.getMessage}")
+        losses += 1
+      }
+      // every successful commit got its OWN version number
+      assert(committed.distinct.size == committed.size)
+      val vs = Snapshots.versions(spark, dir)
+      assert(vs.size == before + committed.size)
+      // the store stays fully readable after every round: each
+      // manifest resolves, latest sees one row per successful commit
+      assert(Snapshots.read(spark, dir).count() == vs.size.toLong)
+      // a loser's retry succeeds (the documented recovery) — clean up
+      // its torn data dir first if it lost at collision point 1
+      failed.foreach { t =>
+        val cce = t.asInstanceOf[ConcurrentCommitException]
+        val torn = new java.io.File(dir, f"v${cce.attemptedVersion}%05d")
+        if (torn.exists() &&
+            !new java.io.File(dir,
+              f"manifest-v${cce.attemptedVersion}%05d.json").exists()) {
+          torn.listFiles().foreach(_.delete()); torn.delete()
+        }
+        Snapshots.write(Seq((999L, "retry")).toDF("id", "s"), dir)
+      }
+    }
+    info(s"race rounds: 5, typed losses observed: $losses")
+  }
+
   test("compact rewrites latest into fewer files; old versions untouched") {
     val dir = Files.createTempDirectory("snaps3").toString
     // many tiny commits -> many tiny files
