@@ -108,8 +108,9 @@ object Main {
               if (cli.command == "run")
                 Pipeline.runPipeline(registry.inputs, registry.transforms,
                   registry.outputs,
+                  // on unless explicitly disabled: forall, not exists
                   persistMultiOutput = config.pipelineOptions
-                    .get("persist_multi_output").exists(_.toString.toBoolean)) match {
+                    .get("persist_multi_output").forall(_.toString.toBoolean)) match {
                   case Right(_) =>
                     println("[SUCCESS] Pipeline completed successfully"); 0
                   case Left(e) =>

@@ -35,7 +35,8 @@ final case class GraftConfig(
     outputPlugins: Seq[PluginConfig] = Seq.empty,
     // Engine options beyond the reference's surface (an optional
     // `[pipeline]` table; absent in every reference config, so parity
-    // configs parse unchanged). Known keys: persist_multi_output.
+    // configs parse unchanged). Known keys: persist_multi_output
+    // (default TRUE since round 10 — see docs/PLUGINS.md).
     pipelineOptions: Map[String, Any] = Map.empty)
 
 object Config {

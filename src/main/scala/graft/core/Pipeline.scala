@@ -58,13 +58,18 @@ object Pipeline {
 
   /** A12 — output fan-out: every sink receives the SAME transformed
     * frame; stop on first failure (pipeline.py:120-140). Each sink is
-    * its own Spark action (plan recomputed per sink, as Polars
-    * re-optimizes per `sink_*` call); pass `persistMultiOutput=true`
-    * to cache the frame across >1 sinks instead.
+    * its own Spark action; with `persistMultiOutput` (the DEFAULT
+    * since round 10) a >1-sink fan-out caches the frame so the
+    * upstream plan runs ONCE — at 100 TB, re-executing a dedup chain
+    * per sink costs hours where the cache costs one spillable copy of
+    * its OUTPUT. Pass `persistMultiOutput=false` for the reference's
+    * recompute-per-sink behavior (Polars re-optimizes per `sink_*`
+    * call), e.g. when the output is larger than the compute that
+    * produced it. Results are identical either way.
     */
   def executeOutput(data: Either[Throwable, DataFrame],
                     outputs: Seq[OutputPlugin],
-                    persistMultiOutput: Boolean = false): Either[Throwable, Unit] = {
+                    persistMultiOutput: Boolean = true): Either[Throwable, Unit] = {
     val frame =
       if (persistMultiOutput && outputs.size > 1) data.map(_.persist())
       else data
@@ -121,16 +126,20 @@ object Pipeline {
   /** A15 — labeled output routing (pipeline.py:165-186): missing label
     * ⇒ IMMEDIATE failure return (short-circuit, unlike A14).
     *
-    * `persistMultiOutput` caches each stream that MORE THAN ONE sink
-    * consumes, for the duration of the fan-out: without it every sink
-    * re-executes the whole upstream plan (reference parity — Polars
-    * re-optimizes per `sink_*` call), which doubles a 100 TB dedup
-    * chain for the price of a second copy of its OUTPUT. Labels with a
-    * single sink are never cached (caching would only cost memory).
+    * `persistMultiOutput` (DEFAULT since round 10) caches each stream
+    * that MORE THAN ONE sink consumes, for the duration of the
+    * fan-out: without it every sink re-executes the whole upstream
+    * plan (reference behavior — Polars re-optimizes per `sink_*`
+    * call), which doubles a 100 TB dedup chain for the price of a
+    * second copy of its OUTPUT. Labels with a single sink are never
+    * cached (caching would only cost memory), so the flag is inert
+    * for every 1-sink-per-label config. Opt out with
+    * `persist_multi_output = false` when a label's output is larger
+    * than the compute that produced it.
     */
   def executeLabeledOutput(dataMap: LabeledDataMap,
                            outputs: Seq[OutputPlugin],
-                           persistMultiOutput: Boolean = false): Either[Throwable, Unit] = {
+                           persistMultiOutput: Boolean = true): Either[Throwable, Unit] = {
     val multi: Set[String] =
       if (persistMultiOutput)
         outputs.groupBy(_.label).filter(_._2.size > 1).keySet

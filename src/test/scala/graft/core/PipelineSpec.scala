@@ -178,10 +178,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(acc.value == 100L,
       s"persisted fan-out should execute upstream once, saw ${acc.value / 100} runs")
 
-    // reference-parity default: every sink re-executes the plan
+    // the default IS persist-on-fan-out (round 10): one upstream run
     acc.reset()
     assert(Pipeline.executeLabeledOutput(
       Map("default" -> Right(upstream)), outs).isRight)
+    assert(acc.value == 100L,
+      s"default fan-out should persist, saw ${acc.value / 100} runs")
+
+    // explicit opt-out restores reference recompute-per-sink behavior
+    acc.reset()
+    assert(Pipeline.executeLabeledOutput(
+      Map("default" -> Right(upstream)), outs,
+      persistMultiOutput = false).isRight)
     assert(acc.value == 300L)
 
     // a single-sink label is never cached, even with the option on
