@@ -65,24 +65,57 @@ object Graph {
     * delta job runs at all (an L1 delta of exactly 0 is only reached
     * at a true fixed point, but we skip even computing it so the
     * oracle-matched plan shape is untouched).
+    *
+    * `saltBuckets > 1` is the HUB-SKEW control: the cached edge side
+    * is partitioned on `(_src, hash(_dst) % saltBuckets)` instead of
+    * `_src` alone, so a hub source whose out-edges would otherwise
+    * land in ONE join task (the cached side is not a shuffle, so
+    * AQE's skew-join split can never reach it) spreads across
+    * `saltBuckets` tasks; the ranks side is exploded ×saltBuckets to
+    * meet every bucket, which costs `saltBuckets·n` shuffled rows per
+    * iteration — node-sized, negligible against the edge side it
+    * de-skews. Results are bit-identical for any value (the
+    * contribution sum groups the same rows); HubSkewSpec pins the
+    * max-records-per-task bound. Default 1 = no salting (the right
+    * choice when degrees are bounded, e.g. after hub capping).
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 5, damping: Double = 0.85,
-               checkpointInterval: Int = 1, tol: Double = 0.0): DataFrame = {
+               checkpointInterval: Int = 1, tol: Double = 0.0,
+               saltBuckets: Int = 1): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1,
       s"damping must be in (0,1), got $damping")
     require(checkpointInterval >= 1,
       s"checkpointInterval must be >= 1, got $checkpointInterval")
     require(tol >= 0, s"tol must be >= 0, got $tol")
-    // Persist the edge table PRE-HASHED on the join key: a cached
-    // frame keeps its outputPartitioning, so every iteration's
-    // edges ⋈ ranks join reuses this one layout instead of
-    // re-shuffling the (big) edge side per iteration — at scale the
-    // per-iteration shuffle then moves only (node, rank) pairs.
-    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
-      .repartition(col("_src"))
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    // Persist the edge table PRE-HASHED on the per-iteration join
+    // key, straight off the (possibly expensive) source subtree so it
+    // is scanned exactly ONCE: a cached frame keeps its
+    // outputPartitioning, so every iteration's edges ⋈ ranks join
+    // reuses this one layout instead of re-shuffling the (big) edge
+    // side, and the join moves only node-sized pairs. With salting
+    // the layout key is (_src, hash(_dst) % saltBuckets), spreading a
+    // hub's out-edges; unsalted keeps the plain hash-by-source layout
+    // (and, below, the exact unsalted join chain — no constant salt
+    // column riding through the default path's cache and plans).
+    val salted = saltBuckets > 1
+    val eBase = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+    val e = (if (salted)
+        eBase.withColumn("_salt",
+            pmod(hash(col("_dst")), lit(saltBuckets)).cast("int"))
+          .repartition(col("_src"), col("_salt"))
+      else eBase.repartition(col("_src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // out-degree is static across iterations — computed once FROM THE
+    // CACHE (unsalted: groupBy on the exact partitioning key, no
+    // exchange; salted: partial aggregation emits ≤ saltBuckets rows
+    // per source per partition, so the exchange is node-sized) and
+    // kept for the dangling anti-join and the rank/deg fold
+    val outdeg = e.groupBy("_src").agg(count(lit(1)).as("_deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    outdeg.count()
     // explode, not union: one pass over the cached edges instead of
     // two cache reads feeding the distinct shuffle
     val nodes = e
@@ -90,22 +123,33 @@ object Graph {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // one setup action; O(1) driver result
-    // groupBy on e's own partitioning key: no exchange, and the
-    // result is co-partitioned with e for the per-iteration join.
-    val outdeg = e.groupBy("_src").agg(count(lit(1)).as("_deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    outdeg.count()
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
       .persist(StorageLevel.MEMORY_AND_DISK)
     ranks.count()
+    val saltVals = array((0 until saltBuckets).map(lit): _*)
     var it = 0
     while (it < iterations) {
-      val contrib = e
-        .join(outdeg, Seq("_src"))
-        .join(ranks.withColumnRenamed("node", "_src"), Seq("_src"))
+      // Salted: the NODE-SIZED side carries everything the edge join
+      // needs — rank(u)/outdeg(u), duplicated per salt bucket so
+      // every (src, salt) partition of the cached edges meets its
+      // row; the big cached side is never re-shuffled. Unsalted: the
+      // e ⋈ outdeg ⋈ ranks chain, all keyed on _src against e's
+      // cached layout.
+      val contrib = (if (salted) {
+        val saltedRanks = ranks
+          .join(outdeg.withColumnRenamed("_src", "node"), Seq("node"))
+          .select(col("node").as("_src"), explode(saltVals).as("_salt"),
+            (col("rank") / col("_deg")).as("_rd"))
+        e.join(saltedRanks, Seq("_src", "_salt"))
+          .select(col("_dst"), col("_rd"))
+      } else {
+        e.join(outdeg, Seq("_src"))
+          .join(ranks.withColumnRenamed("node", "_src"), Seq("_src"))
+          .select(col("_dst"), (col("rank") / col("_deg")).as("_rd"))
+      })
         .groupBy(col("_dst").as("node"))
-        .agg(sum(col("rank") / col("_deg")).as("_c"))
+        .agg(sum(col("_rd")).as("_c"))
       // Mass on dangling nodes (no out-edges): 1-row aggregate,
       // broadcast via crossJoin — no driver-side collect.
       val dangling = ranks.join(
@@ -197,8 +241,21 @@ object Graph {
     *
     * Three shuffles (canonical dedupe, degree agg + joins, wedge
     * join keyed on the wedge apex) — all on keys, no driver state.
-    * Output: `(node, n_triangles)`, nodes in ≥1 triangle. */
-  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    * Output: `(node, n_triangles)`, nodes in ≥1 triangle.
+    *
+    * `saltBuckets > 1` de-skews the two DEGREE-ANNOTATION joins: the
+    * orientation bounds the wedge join, but annotating each edge with
+    * its endpoints' degrees joins on a single node column, and a hub
+    * key funnels its whole adjacency through one task there. AQE's
+    * skew split cannot be relied on for these joins (the canonical
+    * edge exchange is reused by the degree aggregation, which blocks
+    * the skew reader), so the fix is the same salt move as
+    * [[pagerank]]: join on `(node, hash(other_end) % saltBuckets)`
+    * with the node-sized degree table exploded per bucket. Identical
+    * output for any value; HubSkewSpec pins the per-task bound. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String,
+                saltBuckets: Int = 1): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val e = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -206,9 +263,15 @@ object Graph {
       .distinct()
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+    val saltVals = array((0 until saltBuckets).map(lit): _*)
+    val degS = deg.select(col("n"), explode(saltVals).as("_s"), col("d"))
     val withDeg = e
-      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
-      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .withColumn("_s", pmod(hash(col("b")), lit(saltBuckets)).cast("int"))
+      .join(degS.select(col("n").as("a"), col("_s"), col("d").as("da")),
+        Seq("a", "_s"))
+      .withColumn("_s", pmod(hash(col("a")), lit(saltBuckets)).cast("int"))
+      .join(degS.select(col("n").as("b"), col("_s"), col("d").as("db")),
+        Seq("b", "_s"))
     // orient low (degree, id) -> high; a < b by construction, so the
     // degree tie falls back to id order
     val fwd = col("da") < col("db") ||

@@ -1669,9 +1669,15 @@ class GraphPlugin(options: Map[String, Any], configDir: Path, label: String)
               // tol > 0 enables L1-delta convergence early-exit;
               // default 0 keeps exact fixed-iteration semantics
               tol = options.get("tol")
-                .map(_.toString.toDouble).getOrElse(0.0))
+                .map(_.toString.toDouble).getOrElse(0.0),
+              // >1 spreads hub sources across salt buckets (the
+              // cached edge side is unreachable by AQE's skew split)
+              saltBuckets = options.get("salt_buckets")
+                .map(_.toString.toDouble.toInt).getOrElse(1))
           case "degrees" => graft.ops.Graph.degrees(df, src, dst)
-          case "triangles" => graft.ops.Graph.triangles(df, src, dst)
+          case "triangles" => graft.ops.Graph.triangles(df, src, dst,
+            saltBuckets = options.get("salt_buckets")
+              .map(_.toString.toDouble.toInt).getOrElse(1))
           case "components" =>
             // connected components of the (undirected) edge list to
             // the min member id; algorithm = "alternating" (default,
