@@ -66,6 +66,27 @@ object Bench {
     "sim_knn_brute_clustered", "sim_knn_lsh_clustered",
     "sim_topk_ivf_clustered", "sim_topk_ivfpq_clustered")
 
+  /** Streaming lane: the oracled stream_* queries, timed end-to-end
+    * (landing-dir setup → AvailableNow micro-batch run → sink).
+    * Reported as seconds plus input-rows/s — the throughput figure a
+    * streaming regression actually moves — under a separate
+    * `streams` key so the batch `total` stays comparable across
+    * rounds. One timed pass each (the JVM is hot from the batch lane;
+    * stream runtimes are dominated by fixed micro-batch machinery, so
+    * best-of-2 would double the lane's cost for little noise
+    * reduction). */
+  val streamHeadline: Seq[(String, String)] = Seq(
+    "stream_events_window" -> "events",
+    "stream_dedup_fingerprint" -> "documents",
+    "stream_resample" -> "events",
+    "stream_snapshot" -> "documents",
+    "stream_classify" -> "documents",
+    "stream_interval_join" -> "events",
+    "stream_stream_join" -> "events",
+    "stream_sessionize" -> "events",
+    "stream_left_join" -> "events",
+    "stream_upsert" -> "events")
+
   /** Full query inventory: oracled queries + bench-only raw ANN
     * top-k (kept under their historical names). */
   private val inventory = SparkEntry.queries ++ SparkEntry.benchOnly
@@ -125,11 +146,28 @@ object Bench {
     // halves the length of the one-line JSON the driver must capture
     // intact from a bounded stdout tail
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
+
+    // streaming lane (after the batch lane: JVM hot, caches warm)
+    val inputRows: Map[String, Long] = streamHeadline.map(_._2).distinct
+      .map(t => t -> spark.read.parquet(s"$sfDir/$t.parquet").count())
+      .toMap
+    val streamResults = streamHeadline.map { case (name, table) =>
+      val sec = runOnce(name)
+      val rps =
+        if (sec > 0) math.rint(inputRows(table) / sec) else -1.0
+      (name, sec, rps)
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
+    val ss = streamResults.map { case (k, sec, rps) =>
+      "\"" + k + "\":{\"sec\":" + r3(sec) + ",\"rows_per_sec\":" + rps + "}"
+    }.mkString("{", ",", "}")
+    val streamTotal = r3(streamResults.map(_._2).filter(_ >= 0).sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""streams":$ss,"stream_total_sec":$streamTotal,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable =>
@@ -144,6 +182,9 @@ object Bench {
     spark.stop()
     results.foreach { case (k, v) =>
       println(s"""{"query":"$k","sec":${r3(v)}}""")
+    }
+    streamResults.foreach { case (k, sec, rps) =>
+      println(s"""{"query":"$k","sec":${r3(sec)},"rows_per_sec":$rps}""")
     }
     println(line)
     System.out.flush()
