@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Pipeline
 import graft.ops.{Bm25, Contamination, Dedup, DupSpans, Graph, LmScore,
-  Multimodal, Sampling, Scd, Similarity, Text, Tfidf}
+  Multimodal, Sampling, Scd, Similarity, Text, Tfidf, Urls}
 import graft.plugins.input.ParquetScanPlugin
 import graft.plugins.transform.{FilterPlugin, SelectPlugin, SortPlugin}
 
@@ -94,6 +94,29 @@ object SparkEntry {
     * a real cluster when upstream splits are few or skewed. */
   private def tBalanced(s: SparkSession, dir: String, name: String): DataFrame =
     t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
+  /** Deterministic synthetic URL for the q_url_* queries — documents
+    * carry no URL column, so one is built from doc_id: scheme,
+    * optional subdomain, 185 registered domains over 5 suffixes
+    * (incl. two-level public suffixes), 0-2 path segments, optional
+    * query. The DuckDB oracles rebuild the identical string (and the
+    * component ground truths) from doc_id. */
+  private def synthUrl: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      when(id % 7 === 0, lit("http")).otherwise(lit("https")), lit("://"),
+      element_at(array(lit(""), lit("www."), lit("blog.")),
+        (id % 3 + 1).cast("int")),
+      lit("site"), (id % 37).cast("string"), lit("."),
+      element_at(array(lit("com"), lit("org"), lit("co.uk"), lit("io"),
+        lit("com.au")), (id % 5 + 1).cast("int")),
+      when(id % 3 === 0, lit("/"))
+        .when(id % 3 === 1, concat(lit("/a"), (id % 5).cast("string")))
+        .otherwise(concat(lit("/a"), (id % 5).cast("string"),
+          lit("/b"), (id % 11).cast("string"))),
+      when(id % 2 === 0, concat(lit("?q="), (id % 13).cast("string")))
+        .otherwise(lit("")))
+  }
 
   /** Bounded deterministic query sample for the exact-recall gates:
     * the first `n` rows of `df` ordered by md5(id) — a pseudo-random
@@ -1752,6 +1775,35 @@ object SparkEntry {
     "q_sample_cap" -> ((s, dir) =>
       Sampling.stratifiedCap(t(s, dir, "documents"),
           Seq("lang"), "doc_id", cap = 20)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // ---- structural URL parsing (graft.ops.Urls) -----------------
+    // Documents carry no URL, so one is SYNTHESIZED deterministically
+    // from doc_id (same expression in the oracle): scheme, optional
+    // subdomain, 185 registered domains over 5 suffixes including
+    // two-level public suffixes (co.uk, com.au), 0-2 path segments,
+    // optional query. The oracle recomputes each component from the
+    // CONSTRUCTION, not the parser — so the parser must actually
+    // recover ground truth, including eTLD+1 through the two-level
+    // suffix table.
+    "q_url_parse" -> ((s, dir) =>
+      Urls.parseUrls(
+          t(s, dir, "documents").withColumn("url", synthUrl),
+          "url")
+        .select(col("doc_id"), col("url_scheme"), col("url_host"),
+          col("url_domain"), col("url_subdomain"), col("url_tld"),
+          col("url_path"), col("url_query"), col("url_path_depth"))
+        .orderBy("doc_id")),
+
+    // ---- per-domain cap over parsed URLs -------------------------
+    // The crawl-balancing move: no registered domain keeps more than
+    // `cap` docs, survivor choice hash-uniform and deterministic.
+    // cap=2 binds on most of the 185 synthetic domains at sf0.01+.
+    "q_url_domain_cap" -> ((s, dir) =>
+      Urls.capPerDomain(
+          t(s, dir, "documents").withColumn("url", synthUrl),
+          "url", "doc_id", cap = 2)
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
@@ -5517,6 +5569,38 @@ object SparkEntry {
         |      doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
+
+    // The oracle rebuilds every URL component from the synthetic
+    // CONSTRUCTION (see synthUrl), so the Spark parser must recover
+    // ground truth — including eTLD+1 via the two-level-suffix rule.
+    "q_url_parse" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'http' ELSE 'https' END AS url_scheme,
+        |  (['', 'www.', 'blog.'])[CAST(doc_id % 3 + 1 AS INT)]
+        |    || 'site' || (doc_id % 37) || '.'
+        |    || (['com', 'org', 'co.uk', 'io', 'com.au'])[CAST(doc_id % 5 + 1 AS INT)]
+        |    AS url_host,
+        |  'site' || (doc_id % 37) || '.'
+        |    || (['com', 'org', 'co.uk', 'io', 'com.au'])[CAST(doc_id % 5 + 1 AS INT)]
+        |    AS url_domain,
+        |  (['', 'www', 'blog'])[CAST(doc_id % 3 + 1 AS INT)] AS url_subdomain,
+        |  (['com', 'org', 'uk', 'io', 'au'])[CAST(doc_id % 5 + 1 AS INT)] AS url_tld,
+        |  CASE doc_id % 3 WHEN 0 THEN '/'
+        |    WHEN 1 THEN '/a' || (doc_id % 5)
+        |    ELSE '/a' || (doc_id % 5) || '/b' || (doc_id % 11) END AS url_path,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'q=' || (doc_id % 13) END AS url_query,
+        |  CAST(doc_id % 3 AS INT) AS url_path_depth
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_url_domain_cap" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY 'site' || (doc_id % 37) || '.'
+        |      || (['com', 'org', 'co.uk', 'io', 'com.au'])[CAST(doc_id % 5 + 1 AS INT)]
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |      doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 2 ORDER BY doc_id""".stripMargin,
 
     // Recall/bounds gates: the oracle recomputes the exact columns
     // and asserts the quality gate held (the *_ok flags must be true).

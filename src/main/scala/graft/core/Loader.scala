@@ -100,6 +100,7 @@ object Loader {
     "funnel" -> "graft.plugins.transform.FunnelPlugin",
     "cohorts" -> "graft.plugins.transform.CohortsPlugin",
     "blocklist" -> "graft.plugins.transform.BlocklistPlugin",
+    "url" -> "graft.plugins.transform.UrlPlugin",
     "unpivot" -> "graft.plugins.transform.UnpivotPlugin",
     "parquet_stream_scan" -> "graft.plugins.streaming.ParquetStreamScanPlugin",
     "stream_parquet_writer" -> "graft.plugins.streaming.StreamParquetWriterPlugin",

@@ -504,10 +504,14 @@ object Similarity {
     transform(qCol, q => mnCol + (q + lit(128)).cast("double") * sCol)
 
   /** All masks over `planes` bits with popcount ≤ maxFlips — the
-    * multi-probe neighborhood of a signature. */
+    * multi-probe neighborhood of a signature. Generated from bit
+    * combinations (Σ C(planes, i) masks), not by filtering the full
+    * 2^planes range — auto-scaled plane counts (see [[knnGraph]])
+    * made the exhaustive enumeration the expensive part. */
   private[ops] def probeMasks(planes: Int, maxFlips: Int): Seq[Long] =
-    (0L until (1L << planes)).filter(m =>
-      java.lang.Long.bitCount(m) <= maxFlips)
+    (0 to math.min(maxFlips, planes)).flatMap(f =>
+      (0 until planes).combinations(f)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
 
   /** Approximate top-k via hyperplane-LSH bucketing with multi-probe:
     * the corpus is bucketed by its signature; each query probes its
@@ -648,7 +652,8 @@ object Similarity {
                method: String = "lsh", minCosine: Double = -1.0,
                planes: Int = 4, probeBits: Int = 3,
                rerank: Int = 64, maxBucket: Int = 1000,
-               maxBrute: Int = 100000): DataFrame = {
+               maxBrute: Int = 100000,
+               autoPlanes: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val topk = method match {
       case "brute"
@@ -658,9 +663,40 @@ object Similarity {
       case "brute" =>
         requireBounded(df, maxBrute, "knnGraph(method=\"brute\")")
         bruteForceTopK(df, df, idCol, embCol, k)
-      case "lsh" => lshTopK(df, df, idCol, embCol, k,
-        planes = planes, probeBits = probeBits, rerank = rerank,
-        selfGraph = true, maxBucket = maxBucket)
+      case "lsh" =>
+        // Bucket count must TRACK the corpus: with planes fixed, mean
+        // occupancy grows ∝ n and the per-query candidate mass
+        // (probes × occupancy) turns the self-graph quadratic — the
+        // round-10 scale-exponent smoke measured ×15 wall-clock at a
+        // ×10 corpus for exactly this reason (and the fix re-measures
+        // at ×5.1, near-linear). Auto-scaling keeps mean occupancy
+        // ≈ 4 (planes = ⌈log2(n/4)⌉, never below the explicit
+        // `planes`, capped at 24 ≈ 16M buckets), and engages only at
+        // n ≥ 65536 — below that the candidate mass is small
+        // regardless, and the tuned recall-gate configurations
+        // (planes ≤ 12 on ≤ 16k-vector fixtures) must not be
+        // overridden: on isotropic data recall ≈ fraction of corpus
+        // scanned, so silently shrinking buckets at gate scale would
+        // trade gated recall for speed nobody asked for. Deeper plane
+        // counts flip more bits per true neighbor, so recall at FIXED
+        // probeBits decays slowly with scale — raise `probeBits` one
+        // notch per ~4 auto-added planes to hold a recall floor;
+        // `autoPlanes = false` pins the explicit count. The count()
+        // here is one cheap scan of an id projection.
+        val planesEff =
+          if (!autoPlanes) planes
+          else {
+            val n = df.select(idCol).count()
+            if (n < 65536) planes
+            else {
+              val auto = math.ceil(
+                math.log(n / 4.0) / math.log(2.0)).toInt
+              math.min(math.max(planes, auto), 24)
+            }
+          }
+        lshTopK(df, df, idCol, embCol, k,
+          planes = planesEff, probeBits = probeBits, rerank = rerank,
+          selfGraph = true, maxBucket = maxBucket)
       case other => throw new IllegalArgumentException(
         s"Unknown knnGraph method: '$other' (expected brute|lsh)")
     }

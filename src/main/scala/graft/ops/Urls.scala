@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structural URL parsing for web-corpus curation — the columns every
+  * pretraining pipeline groups, caps, and mixes by (per-domain caps,
+  * domain blocklists, source mixing at the registered-domain level).
+  *
+  * All columns are built from codegen'd string expressions
+  * (`parse_url`, `split`, array ops) — no UDFs — and every derivation
+  * is replayable in ANSI-ish SQL for the oracle (the DuckDB spellings
+  * live next to the q_url_* queries in SparkEntry).
+  *
+  * Registered-domain extraction ("example.co.uk" from
+  * "blog.example.co.uk") uses the last-two-labels rule plus a
+  * built-in table of common two-level public suffixes. That covers
+  * the overwhelming mass of a web crawl; swapping in the full Public
+  * Suffix List is a data change (broadcast-join the label table),
+  * not a structural one.
+  */
+object Urls {
+
+  /** Common two-level public suffixes (the high-mass subset of the
+    * PSL): "a.b.<this>" registers at three labels, not two. */
+  val twoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp",
+    "com.br", "com.cn", "com.mx", "com.ar", "com.tr", "com.sg",
+    "co.in", "co.kr", "co.za", "co.nz", "com.hk", "com.tw")
+
+  /** Host → registered domain (eTLD+1 under [[twoLevelSuffixes]]). */
+  def registeredDomain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    // concat, not concat_ws: a NULL host must yield a NULL domain
+    // (concat_ws silently skips NULL arguments and would emit "")
+    val last2 = concat(element_at(parts, -2), lit("."), element_at(parts, -1))
+    when(n <= 2, host)
+      .when(last2.isInCollection(twoLevelSuffixes),
+        concat(element_at(parts, -3), lit("."), last2))
+      .otherwise(last2)
+  }
+
+  /** Attach structural columns parsed from `urlCol`:
+    *  - `url_scheme`  — protocol ("https")
+    *  - `url_host`    — lowercased authority host (no port)
+    *  - `url_path`    — path with leading slash ("" for none)
+    *  - `url_query`   — query string without '?' (NULL for none)
+    *  - `url_domain`  — registered domain (eTLD+1)
+    *  - `url_subdomain` — host prefix left of the registered domain
+    *    ("" when host == domain)
+    *  - `url_tld`     — last host label
+    *  - `url_path_depth` — number of non-empty path segments
+    *
+    * Malformed URLs follow `parse_url` semantics: NULL components,
+    * which propagate (a NULL-domain row groups into its own bucket —
+    * filter or route it explicitly). */
+  def parseUrls(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    // try_parse_url, not parse_url: under ANSI the strict form THROWS
+    // on a malformed URL, and a crawl corpus always contains some —
+    // one bad row must degrade to NULL components, not kill the job
+    val host = lower(try_parse_url(u, lit("HOST")))
+    val domain = registeredDomain(host)
+    df
+      .withColumn("url_scheme", try_parse_url(u, lit("PROTOCOL")))
+      .withColumn("url_host", host)
+      .withColumn("url_path", try_parse_url(u, lit("PATH")))
+      .withColumn("url_query", try_parse_url(u, lit("QUERY")))
+      .withColumn("url_domain", domain)
+      .withColumn("url_subdomain",
+        when(col("url_host") === col("url_domain"), lit(""))
+          .otherwise(expr(
+            "substring(url_host, 1, length(url_host) - length(url_domain) - 1)")))
+      .withColumn("url_tld",
+        element_at(split(col("url_host"), "\\."), -1))
+      .withColumn("url_path_depth",
+        size(filter(split(col("url_path"), "/"), x => x =!= lit(""))))
+  }
+
+  /** Per-domain cap — THE standard crawl-balancing move (no single
+    * domain floods the corpus): parse, then keep a deterministic
+    * hash-uniform `cap` rows per registered domain via
+    * [[Sampling.stratifiedCap]] (one keyed window, skew-split by
+    * AQE). `idCol` must be unique non-null. Parsed columns are
+    * dropped; the output is the input schema, capped. */
+  def capPerDomain(df: DataFrame, urlCol: String, idCol: String,
+                   cap: Int): DataFrame = {
+    val parsed = parseUrls(df, urlCol)
+    Sampling.stratifiedCap(parsed, Seq("url_domain"), idCol, cap)
+      .drop("url_scheme", "url_host", "url_path", "url_query",
+        "url_domain", "url_subdomain", "url_tld", "url_path_depth")
+  }
+}

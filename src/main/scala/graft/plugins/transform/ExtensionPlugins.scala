@@ -744,7 +744,11 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
             rerank = num("rerank", 64).toInt,
             maxBucket = num("max_bucket", 1000).toInt,
             // the brute cap's escape hatch must be reachable from TOML
-            maxBrute = num("max_brute", 100000).toInt)))
+            maxBrute = num("max_brute", 100000).toInt,
+            // corpus-tracking plane count (default on); false pins
+            // the explicit `planes` regardless of corpus size
+            autoPlanes = options.get("auto_planes")
+              .forall(_.toString.toBoolean))))
     if (options.getOrElse("method", "brute").toString == "knn_components")
       return requiredString("id_column").flatMap(idCol =>
         graft.core.Errors.safe(
@@ -2028,5 +2032,72 @@ class CohortsPlugin(options: Map[String, Any], configDir: Path, label: String)
           StructField("period_offset", LongType, nullable = true),
           StructField("n_active", LongType, nullable = false))))
       }
+    } yield out
+}
+
+/** Structural URL parsing + per-domain balancing
+  * ([[graft.ops.Urls]]) — the crawl-curation columns every
+  * web-corpus pipeline groups, caps, and mixes by:
+  *
+  *   method = "parse"          — attach url_scheme/host/path/query/
+  *                               domain (eTLD+1)/subdomain/tld/
+  *                               path_depth parsed from `url_column`
+  *          | "cap_per_domain" — keep a deterministic hash-uniform
+  *                               `cap` rows per registered domain
+  *                               (`id_column` unique non-null);
+  *                               output schema = input schema
+  */
+class UrlPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "url"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      method <- requiredString("method")
+      urlCol <- requiredString("url_column")
+      out <- method match {
+        case "parse" =>
+          graft.core.Errors.safe(graft.ops.Urls.parseUrls(df, urlCol))
+        case "cap_per_domain" =>
+          for {
+            idCol <- requiredString("id_column")
+            cap <- required("cap")
+            out <- graft.core.Errors.safe(
+              graft.ops.Urls.capPerDomain(df, urlCol, idCol,
+                cap.toString.toDouble.toInt))
+          } yield out
+        case other => Left(new PluginExecutionError(
+          s"Unknown url method: '$other' (expected parse | cap_per_domain)"))
+      }
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    for {
+      method <- requiredString("method")
+      urlCol <- requiredString("url_column")
+      out <-
+        if (!schema.fieldNames.contains(urlCol))
+          Left(new SchemaValidationError(
+            s"Column '$urlCol' not found in schema"))
+        else method match {
+          case "parse" => Right(StructType(schema.fields ++ Seq(
+            StructField("url_scheme", StringType, nullable = true),
+            StructField("url_host", StringType, nullable = true),
+            StructField("url_path", StringType, nullable = true),
+            StructField("url_query", StringType, nullable = true),
+            StructField("url_domain", StringType, nullable = true),
+            StructField("url_subdomain", StringType, nullable = true),
+            StructField("url_tld", StringType, nullable = true),
+            StructField("url_path_depth", IntegerType, nullable = true))))
+          case "cap_per_domain" =>
+            requiredString("id_column").flatMap { idCol =>
+              if (!schema.fieldNames.contains(idCol))
+                Left(new SchemaValidationError(
+                  s"Column '$idCol' not found in schema"))
+              else Right(schema) // cap filters rows, schema unchanged
+            }
+          case other => Left(new PluginExecutionError(
+            s"Unknown url method: '$other' (expected parse | cap_per_domain)"))
+        }
     } yield out
 }

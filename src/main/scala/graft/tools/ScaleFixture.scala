@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Build an N× scaled copy of the heavy-tier inputs so the scaling
+  * EXPONENT of the expensive queries can be measured instead of
+  * argued (BASELINE.md records the observed exponents).
+  *
+  * Scaling model: N structurally DISJOINT copies, keys offset per
+  * copy — copy k's order/part/supp/cust/doc ids live in their own
+  * range, so graph density and near-dup pair density per copy match
+  * the source fixture and the honest expectation for every operator
+  * is ~linear wall-clock growth (the O(m^1.5) triangle bound is a
+  * worst-case over ADVERSARIAL density growth, which duplicating a
+  * fixture does not produce — and must not, or the fixture would be
+  * measuring its own construction).
+  *
+  * Documents additionally get a per-copy content perturbation (copy
+  * k > 0 drops every ((k % 6) + 2)-th word): verbatim copies would
+  * make every doc a 10-way near-dup family and the pair count would
+  * grow quadratically BY FIXTURE CONSTRUCTION, swamping the
+  * algorithmic signal. Word-dropping breaks most shingles/winnow
+  * fingerprints across copies while keeping within-copy density
+  * identical.
+  *
+  * Usage: runMain graft.tools.ScaleFixture <srcSfDir> <outDir> <factor>
+  * (factor 1 = byte-comparable passthrough baseline, so both ends of
+  * the exponent measurement come from the same writer settings)
+  */
+object ScaleFixture {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3,
+      "usage: ScaleFixture <srcSfDir> <outDir> <factor>")
+    val Array(src, out, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rd(name: String): DataFrame =
+      spark.read.parquet(s"$src/$name.parquet")
+    def wr(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    // key offsets: one fixed stride per id domain, larger than any
+    // source id, so copies are disjoint
+    def stride(df: DataFrame, idCol: String): Long =
+      df.agg(max(col(idCol))).head().getLong(0) + 1
+
+    def copies(df: DataFrame, shift: DataFrame => Int => DataFrame): DataFrame =
+      (0 until factor).map(k => shift(df)(k)).reduce(_.unionAll(_))
+
+    val li = rd("lineitem")
+    val ok = stride(li, "l_orderkey")
+    val pk = stride(li, "l_partkey")
+    val sk = stride(li, "l_suppkey")
+    wr(copies(li, df => k => df
+      .withColumn("l_orderkey", col("l_orderkey") + lit(k * ok))
+      .withColumn("l_partkey", col("l_partkey") + lit(k * pk))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(k * sk))),
+      "lineitem")
+
+    val ord = rd("orders")
+    val ck = stride(ord, "o_custkey")
+    wr(copies(ord, df => k => df
+      .withColumn("o_orderkey", col("o_orderkey") + lit(k * ok))
+      .withColumn("o_custkey", col("o_custkey") + lit(k * ck))),
+      "orders")
+
+    val docs = rd("documents")
+    val dk = stride(docs, "doc_id")
+    wr(copies(docs, df => k => {
+      val shifted = df.withColumn("doc_id", col("doc_id") + lit(k * dk))
+      if (k == 0) shifted
+      else {
+        val p = (k % 6) + 2
+        shifted.withColumn("text",
+          array_join(filter(split(col("text"), " "),
+            (_, i) => i % p =!= lit(p - 1)), " "))
+      }
+    }), "documents")
+
+    val emb = rd("embeddings")
+    val vk = stride(emb, "vec_id")
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    wr(copies(emb, df => k => {
+      val shifted = df.withColumn("vec_id", col("vec_id") + lit(k * vk))
+      if (k == 0) shifted
+      else shifted.withColumn("embedding",
+        // rotate dimensions by k: same norm/distribution, different
+        // cluster geometry per copy
+        concat(slice(col("embedding"), k + 1, dims - k),
+          slice(col("embedding"), 1, k)))
+    }), "embeddings")
+
+    println(s"[scale-fixture] wrote $out at ${factor}x from $src")
+    spark.stop()
+  }
+}
