@@ -3531,6 +3531,36 @@ object SparkEntry {
         .orderBy("version")
     }),
 
+    // ---- CDC upsert compaction on a snapshot store ---------------
+    // lineitem rows as upsert EVENTS for key l_orderkey % 100,
+    // recency (l_orderkey, l_linenumber) — appended as two version
+    // batches, then compacted to latest-event-per-key. The oracle
+    // replays the same window over the raw table; version 2 (the
+    // pre-compaction full history) stays readable, which the row
+    // count of the compacted latest being << it implicitly exercises.
+    "q_snapshot_upsert_compact" -> ((s, dir) => {
+      val work = scratch("snapuc")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("k", col("l_orderkey") % 100)
+      val snapDir = work.resolve("snaps").toString
+      graft.sources.Snapshots.write(
+        li.filter(col("l_orderkey") % 2 === 0), snapDir)
+      graft.sources.Snapshots.write(
+        li.filter(col("l_orderkey") % 2 =!= 0), snapDir)
+      // l_quantity in the order: the fixture's lineitem carries
+      // duplicate (orderkey, linenumber) rows, and compactUpserts'
+      // contract requires a TOTAL per-key order (full-row dups that
+      // remain tie harmlessly — identical survivors)
+      graft.sources.Snapshots.compactUpserts(s, snapDir,
+        keyCols = Seq("k"),
+        orderCols = Seq("l_orderkey", "l_linenumber", "l_quantity"))
+      graft.sources.Snapshots.read(s, snapDir)
+        .select(col("k"), col("l_orderkey"), col("l_linenumber"),
+          r(col("l_quantity"), 2).as("qty"))
+        .orderBy("k")
+    }),
+
     // ---- snapshot change feed (manifest diff) --------------------
     // Incremental consumption: the diff of v2 over v1 reads ONLY the
     // files v2's manifest added — exactly the odd-orderkey commit —
@@ -6831,6 +6861,15 @@ object SparkEntry {
         |SELECT CAST(2 AS BIGINT), count(*), r(sum(l_quantity), 2)
         |FROM lineitem
         |ORDER BY version""".stripMargin,
+
+    "q_snapshot_upsert_compact" ->
+      """SELECT k, l_orderkey, l_linenumber, qty FROM (
+        |  SELECT l_orderkey % 100 AS k, l_orderkey, l_linenumber,
+        |    r(l_quantity, 2) AS qty,
+        |    row_number() OVER (PARTITION BY l_orderkey % 100
+        |      ORDER BY l_orderkey DESC, l_linenumber DESC, l_quantity DESC) AS rk
+        |  FROM lineitem)
+        |WHERE rk = 1 ORDER BY k""".stripMargin,
 
     // the diff of the append chain = the odd-orderkey rows only
     "q_snapshot_diff" ->

@@ -277,32 +277,115 @@ object Snapshots {
       s"targetFileBytes must be positive, got $targetFileBytes")
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no snapshot versions under $dir")
-    val f = fs(spark, dir)
-    val files = readManifest(spark, dir, vs.last).map(p => s"$dir/$p")
-    val totalBytes = files.map(p => f.getFileStatus(new HPath(p)).getLen).sum
-    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1)
-      / targetFileBytes).toInt
     // read() rather than a raw parquet scan: compacting a store whose
     // latest version is an empty commit must not throw — the result
     // is simply another schema-carrying empty version
-    val df = read(spark, dir, vs.last).repartition(nFiles)
-    // commit as a FULL new version: write the data dir, then write a
-    // manifest listing ONLY the new files (not carried + new)
-    val v = vs.last + 1
+    writeFullVersion(spark, dir, read(spark, dir, vs.last), vs.last,
+      targetFileBytes)
+  }
+
+  /** CDC upsert compaction — the snapshot twin of the
+    * `stream_upsert_writer` state table: treat the store's rows as
+    * UPSERT EVENTS (`keyCols` identifies the entity, `orderCols`
+    * its recency) and commit a NEW full version holding only the
+    * LATEST event per key. An append-only upsert log thereby gains
+    * time travel: past versions still read as the full event history
+    * at their commit point, while `read(dir)` after compaction serves
+    * the current state table — and the next compaction starts from
+    * that compacted state, so repeated compact-append cycles stay
+    * O(state), not O(history).
+    *
+    * `orderCols` must TOTALLY order events within a key (include a
+    * sequence column if the natural order can tie — a tie makes the
+    * survivor partitioning-dependent, exactly like duplicate keys in
+    * [[graft.ops.Sampling.shuffleShard]]). Delete events are not
+    * interpreted; a tombstone convention composes on top as a filter
+    * over the compacted state. One keyed window over the latest
+    * version — the same shuffle any per-key aggregation pays. */
+  def compactUpserts(spark: SparkSession, dir: String,
+                     keyCols: Seq[String], orderCols: Seq[String],
+                     targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(targetFileBytes > 0,
+      s"targetFileBytes must be positive, got $targetFileBytes")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no snapshot versions under $dir")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val events = read(spark, dir, vs.last)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col(_).desc): _*)
+    val rk = "__graft_upsert_rk" // collision-proof, as keepBestPerCluster
+    val latest = events.withColumn(rk, row_number().over(w))
+      .filter(col(rk) === 1).drop(rk)
+    writeFullVersion(spark, dir, latest, vs.last, targetFileBytes)
+  }
+
+  /** Commit `df` as a FULL new version on top of `prevVersion`: data
+    * dir first, then a manifest listing ONLY the new files (not
+    * carried + new) — shared by [[compact]] and [[compactUpserts]].
+    * File count sized from the PREVIOUS version's bytes (an upper
+    * bound for any row-reducing rewrite). Runs under the same claim
+    * protocol as appends, so concurrent maintenance and appends
+    * racing the same version number get the typed
+    * [[ConcurrentCommitException]], one winner guaranteed. */
+  private def writeFullVersion(spark: SparkSession, dir: String,
+                               df: DataFrame, prevVersion: Int,
+                               targetFileBytes: Long): Int = {
+    val f = fs(spark, dir)
+    val files = readManifest(spark, dir, prevVersion).map(p => s"$dir/$p")
+    val totalBytes = files.map(p => f.getFileStatus(new HPath(p)).getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1)
+      / targetFileBytes).toInt
+    val v = prevVersion + 1
     val vDir = f"$dir/v$v%05d"
-    df.write.parquet(vDir)
-    val newFiles = f.listStatus(new HPath(vDir))
-      .map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
-      .sorted
-      .map(n => f"v$v%05d/$n")
-    val json = newFiles.map(p => "\"" + p + "\"").mkString(
-      s"""{"version":$v,"schema":${jsonStr(df.schema.toDDL)},"files":[""",
-      ",", "]}")
-    val out = f.create(new HPath(f"$dir/manifest-v$v%05d.json"), false)
-    out.write(json.getBytes("UTF-8"))
-    out.close()
-    v
+    def lostRace(cause: Throwable): Nothing =
+      throw new ConcurrentCommitException(dir, v,
+        versions(spark, dir).lastOption.getOrElse(0), cause)
+    val claim = new HPath(f"$dir/.graft-claim-v$v%05d")
+    claimLock.synchronized {
+      if (f.exists(claim))
+        lostRace(new org.apache.hadoop.fs.FileAlreadyExistsException(
+          claim.toString))
+      try f.create(claim, false).close()
+      catch { case e: Throwable if f.exists(claim) => lostRace(e) }
+    }
+    try {
+      val dirPreExisted = f.exists(new HPath(vDir))
+      try df.repartition(nFiles).write.parquet(vDir)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null &&
+              e.getMessage.contains("already exists") =>
+          lostRace(e)
+        case e: Throwable =>
+          if (!dirPreExisted)
+            try { f.delete(new HPath(vDir), true); () }
+            catch { case _: Throwable => () }
+          throw e
+      }
+      val newFiles = f.listStatus(new HPath(vDir))
+        .map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+        .sorted
+        .map(n => f"v$v%05d/$n")
+      val json = newFiles.map(p => "\"" + p + "\"").mkString(
+        s"""{"version":$v,"schema":${jsonStr(df.schema.toDDL)},"files":[""",
+        ",", "]}")
+      val mPath = new HPath(f"$dir/manifest-v$v%05d.json")
+      val out =
+        try f.create(mPath, false)
+        catch { case e: Throwable if f.exists(mPath) => lostRace(e) }
+      out.write(json.getBytes("UTF-8"))
+      out.close()
+      try { f.delete(claim, false); () } catch { case _: Throwable => () }
+      v
+    } catch {
+      case t: Throwable =>
+        try { f.delete(claim, false); () } catch { case _: Throwable => () }
+        throw t
+    }
   }
 
   /** Restore: commit a NEW version whose manifest is an exact copy of

@@ -111,6 +111,37 @@ class SnapshotsSpec extends AnyFunSuite {
     info(s"race rounds: 5, typed losses observed: $losses")
   }
 
+  test("compactUpserts: latest event per key becomes the new full " +
+      "version; history versions keep the full event log") {
+    val dir = Files.createTempDirectory("snaps_uc").toString
+    // two append batches of upsert events for 3 keys
+    Snapshots.write(Seq(
+      (1L, 10L, "a"), (1L, 11L, "b"), (2L, 10L, "x")).toDF("k", "seq", "v"),
+      dir)
+    Snapshots.write(Seq(
+      (1L, 12L, "c"), (3L, 10L, "m")).toDF("k", "seq", "v"), dir)
+    val v = Snapshots.compactUpserts(spark, dir,
+      keyCols = Seq("k"), orderCols = Seq("seq"))
+    assert(v == 3)
+    // compacted latest = exactly one row per key, the max-seq event
+    val state = Snapshots.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(state == Map(1L -> ((12L, "c")), 2L -> ((10L, "x")),
+      3L -> ((10L, "m"))))
+    // pre-compaction versions still read as the full event history
+    assert(Snapshots.read(spark, dir, 2).count() == 5)
+    assert(Snapshots.read(spark, dir, 1).count() == 3)
+    // appends on top of the compacted state compose: next compaction
+    // starts from state + new events, not the full history
+    Snapshots.write(Seq((2L, 11L, "y")).toDF("k", "seq", "v"), dir)
+    Snapshots.compactUpserts(spark, dir, Seq("k"), Seq("seq"))
+    val state2 = Snapshots.read(spark, dir)
+    assert(state2.count() == 3)
+    assert(state2.filter($"k" === 2L).select("v").head().getString(0)
+      == "y")
+  }
+
   test("compact rewrites latest into fewer files; old versions untouched") {
     val dir = Files.createTempDirectory("snaps3").toString
     // many tiny commits -> many tiny files
