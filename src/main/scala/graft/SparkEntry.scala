@@ -1581,6 +1581,38 @@ object SparkEntry {
             ceil(count(lit(1)) * 0.9)).as("recall_ok"))
     }),
 
+    // ---- banded (multi-table) embedding LSH recall gate ----------
+    // Same sampled-truth construction as dedup_emb_lsh_recall, but
+    // the candidate generator is the E2LSH banded form: 4 independent
+    // 5-plane bands, a pair candidates in ANY band. Per-band
+    // coverage on the isotropic fixture is ~50% (C(5,<=2)=16 of 32
+    // buckets probed); 1-(1-0.5)^4 ≈ 0.94 clears the 0.9 floor with
+    // NO band's buckets widened — the recall-at-scale mechanism the
+    // single-table form cannot offer (its only levers widen buckets
+    // or deepen probes).
+    "dedup_emb_banded_recall" -> ((s, dir) => {
+      val e = tBalanced(s, dir, "embeddings")
+      val norm = Similarity.withNormalized(e, "embedding", "v")
+        .select(col("vec_id"), col("v"))
+      val sample = md5Sample(norm, "vec_id", 512)
+        .select(col("vec_id").as("id_s"), col("v").as("v_s"))
+      val exact = broadcast(sample)
+        .join(norm.select(col("vec_id").as("id_o"), col("v").as("v_o")),
+          col("id_s") =!= col("id_o"))
+        .filter(Similarity.dot(col("v_s"), col("v_o")) >= 0.3)
+        .select(least(col("id_s"), col("id_o")).as("id_a"),
+          greatest(col("id_s"), col("id_o")).as("id_b"))
+        .distinct()
+      val banded = Dedup.embeddingCosinePairs(e, "vec_id", "embedding",
+          threshold = 0.3, planes = 5, probeBits = 2, tables = 4)
+        .select(col("id_a"), col("id_b"), lit(1).as("_hit"))
+      exact.join(banded, Seq("id_a", "id_b"), "left")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          (coalesce(sum(coalesce(col("_hit"), lit(0))), lit(0L)) >=
+            ceil(count(lit(1)) * 0.9)).as("recall_ok"))
+    }),
+
     // ---- SemDeDup survivors (hash-cluster mode, full oracle) -----
     // assign="hash" replays the md5 bucket map in DuckDB, so the
     // whole survivor set hash-verifies; the kmeans production mode is
@@ -5635,6 +5667,28 @@ object SparkEntry {
     // Recall/bounds gates: the oracle recomputes the exact columns
     // and asserts the quality gate held (the *_ok flags must be true).
     "dedup_emb_lsh_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id,
+        |    CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0 THEN v
+        |         ELSE list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
+        |    END AS v
+        |  FROM e
+        |), smp AS (
+        |  SELECT vec_id, v FROM nrm
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 512)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs, true AS recall_ok
+        |FROM (
+        |  SELECT DISTINCT least(s.vec_id, o.vec_id) AS id_a,
+        |    greatest(s.vec_id, o.vec_id) AS id_b
+        |  FROM smp s JOIN nrm o ON s.vec_id <> o.vec_id
+        |  WHERE list_sum(list_transform(list_zip(s.v, o.v), p -> p[1] * p[2])) >= 0.3)""".stripMargin,
+
+    // banded gate: same sampled ground truth; the Spark side must
+    // reach the 0.9 floor via band union for recall_ok to match
+    "dedup_emb_banded_recall" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings

@@ -707,8 +707,12 @@ object Dedup {
                            threshold: Double = 0.95,
                            planes: Int = 8, probeBits: Int = 1,
                            maxBucket: Int = 1000, overCap: String = "drop",
-                           int8Margin: Double = 0.1): DataFrame = {
+                           int8Margin: Double = 0.1,
+                           tables: Int = 1): DataFrame = {
     require(Set("drop", "star")(overCap), s"unknown overCap mode: $overCap")
+    if (tables > 1)
+      return embeddingCosinePairsBanded(df, idCol, embCol, threshold,
+        planes, probeBits, tables, maxBucket, overCap)
     import graft.expressions.Int8Candidates._
     val sig = Similarity.withNormalized(
       df.select(col(idCol), col(embCol).as("_e")), "_e", "v")
@@ -761,6 +765,94 @@ object Dedup {
         Similarity.dot(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .groupBy("id_a", "id_b").agg(max("cosine").as("cosine"))
+  }
+
+  /** Multi-table (banded) variant of [[embeddingCosinePairs]] — the
+    * E2LSH move, and the scale answer for pair recall that deeper
+    * probing alone cannot give: one `planes × tables`-bit signature
+    * is computed per row, sliced into `tables` independent
+    * `planes`-bit bands, and a pair is a candidate if it co-lands in
+    * ANY band (same AND-OR construction as MinHash banding). With
+    * per-band collision probability p ≈ agreement^planes, pair
+    * recall is 1 − (1 − p)^tables: e.g. at cosine 0.9 (agreement
+    * 0.97... per-plane ≈ 0.9), planes=8 gives p ≈ 0.43 per band and
+    * 4 bands reach ≈ 0.90 — WITHOUT widening any single band's
+    * buckets, so per-band occupancy (and candidate mass) stays flat
+    * as `tables` grows. Cost is `tables ×` skinny (band, bucket, id)
+    * rows through the candidate join; fp vectors are attached only
+    * to the DISTINCT surviving pairs, once, for the exact verify —
+    * so the ×tables fan-out never multiplies vector payload.
+    *
+    * Over-cap buckets are judged per (band, bucket) with the same
+    * drop/star policy; star hub edges join the distinct pass, so a
+    * pair found both normally (in one band) and via a star (in
+    * another) emits once. Output identical in shape and semantics to
+    * the single-table form: exact cosine ≥ threshold, one row per
+    * (id_a < id_b) pair. */
+  private def embeddingCosinePairsBanded(df: DataFrame, idCol: String,
+      embCol: String, threshold: Double, planes: Int, probeBits: Int,
+      tables: Int, maxBucket: Int, overCap: String): DataFrame = {
+    require(planes >= 1 && tables >= 2 && planes * tables <= 60,
+      s"need planes >= 1, tables >= 2, planes*tables <= 60; " +
+        s"got planes=$planes tables=$tables")
+    val norm = Similarity.withNormalized(
+      df.select(col(idCol), col(embCol).as("_e")), "_e", "v")
+      .select(col(idCol), col("v"))
+    val sig = norm.withColumn("_sig64",
+      Similarity.hyperplaneSignature(col("v"), planes * tables))
+    val bandMask = (1L << planes) - 1
+    // call_function: the Scala shiftrightunsigned() helper only takes
+    // a literal shift, but the SQL function accepts a column
+    def bandOf(s: Column, t: Column): Column =
+      call_function("shiftrightunsigned", s, (t * lit(planes)).cast("int"))
+        .bitwiseAND(lit(bandMask))
+    val bands = array((0 until tables).map(lit): _*)
+
+    // base side: SKINNY (band, bucket, id) rows — no vectors fan out
+    val base = sig
+      .select(col(idCol).as("id_b"), col("_sig64"),
+        explode(bands).as("_t"))
+      .select(col("_t"), bandOf(col("_sig64"), col("_t")).as("bucket"),
+        col("id_b"))
+    val counts = base.groupBy("_t", "bucket")
+      .agg(count(lit(1)).as("_n"), min(col("id_b")).as("_hub"))
+
+    // probe side: every (band, probe-mask) per row, also skinny
+    val masks = array(Similarity.probeMasks(planes, probeBits).map(lit): _*)
+    val probing = sig
+      .select(col(idCol).as("id_a"), col("_sig64"),
+        explode(bands).as("_t"))
+      .select(col("id_a"), col("_t"),
+        explode(transform(masks,
+          m => bandOf(col("_sig64"), col("_t")).bitwiseXOR(m)))
+          .as("bucket"))
+
+    val under = base.join(
+      counts.filter(col("_n") <= maxBucket).select("_t", "bucket"),
+      Seq("_t", "bucket"))
+    val cands = probing.join(under, Seq("_t", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val withStar = if (overCap == "star") {
+      val star = base
+        .join(counts.filter(col("_n") > maxBucket)
+          .select(col("_t"), col("bucket"), col("_hub")), Seq("_t", "bucket"))
+        .filter(col("id_b") =!= col("_hub"))
+        .select(col("_hub").as("id_a"), col("id_b"))
+      cands.unionByName(star)
+    } else cands
+
+    // one row per pair BEFORE vectors attach: the distinct is the
+    // band-dedup, and everything after it is identical to the
+    // single-table exact verify
+    withStar.distinct()
+      .join(norm.select(col(idCol).as("id_a"), col("v").as("v_a")),
+        Seq("id_a"))
+      .join(norm.select(col(idCol).as("id_b"), col("v").as("v_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.dot(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 
   /** SemDeDup [Abbas et al. 2023, arXiv:2303.09540]: partition the

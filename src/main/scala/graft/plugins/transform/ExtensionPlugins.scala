@@ -101,7 +101,11 @@ class DedupPlugin(options: Map[String, Any], configDir: Path, label: String)
               planes = numOpt("planes", 8).toInt,
               probeBits = numOpt("probe_bits", 1).toInt,
               maxBucket = numOpt("max_bucket", 1000).toInt,
-              overCap = options.getOrElse("over_cap", "drop").toString)
+              overCap = options.getOrElse("over_cap", "drop").toString,
+              // tables > 1 = banded (multi-table) LSH: recall
+              // 1-(1-p^planes)^tables without widening any band's
+              // buckets — the scale knob for pair recall
+              tables = numOpt("tables", 1).toInt)
           case "boilerplate_lines" =>
             Dedup.removeBoilerplateLines(df, idCol, textColumn,
               minDocs = numOpt("min_docs", 3).toInt)
