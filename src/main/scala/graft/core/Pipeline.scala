@@ -173,7 +173,7 @@ object Pipeline {
   def runPipeline(inputs: Seq[InputPlugin],
                   transforms: Seq[TransformPlugin],
                   outputs: Seq[OutputPlugin],
-                  persistMultiOutput: Boolean = false)(
+                  persistMultiOutput: Boolean = true)(
       implicit spark: SparkSession): Either[Throwable, Unit] = {
     val dataMap: LabeledDataMap = inputs.map { p =>
       log.info(s"Executing input: ${p.name} (label: ${p.label})")

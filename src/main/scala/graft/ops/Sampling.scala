@@ -63,11 +63,14 @@ object Sampling {
     */
   def stratifiedCap(df: DataFrame, groupCols: Seq[String], keyCol: String,
                     cap: Int): DataFrame = {
+    // collision-proof temp name — a user column named `_rk` must pass
+    // through untouched (same contract as shuffleShard's hash column)
+    val rk = "__graft_cap_rk"
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(keyHash(col(keyCol)), col(keyCol))
-    df.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= cap)
-      .drop("_rk")
+    df.withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= cap)
+      .drop(rk)
   }
 
   /** Domain mixing: downsample per-`groupCol` so the output matches

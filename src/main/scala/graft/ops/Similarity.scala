@@ -681,8 +681,13 @@ object Similarity {
         // counts flip more bits per true neighbor, so recall at FIXED
         // probeBits decays slowly with scale — raise `probeBits` one
         // notch per ~4 auto-added planes to hold a recall floor;
-        // `autoPlanes = false` pins the explicit count. The count()
-        // here is one cheap scan of an id projection.
+        // `autoPlanes = false` pins the explicit count. COST of the
+        // count(): it executes df's upstream plan once more — for a
+        // direct scan that's a cheap column-pruned read, but after an
+        // expensive transform chain, persist df before calling (the
+        // self-join below references df twice anyway, so an uncached
+        // expensive upstream already pays multiple executions with or
+        // without this count).
         val planesEff =
           if (!autoPlanes) planes
           else {
@@ -759,8 +764,15 @@ object Similarity {
     */
   def semanticClusters(df: DataFrame, idCol: String, embCol: String,
                        k: Int, minCosine: Double,
-                       method: String = "lsh"): DataFrame = {
-    val edges = knnGraph(df, idCol, embCol, k, method, minCosine)
+                       method: String = "lsh",
+                       planes: Int = 4, probeBits: Int = 3,
+                       rerank: Int = 64, maxBucket: Int = 1000,
+                       maxBrute: Int = 100000,
+                       autoPlanes: Boolean = true): DataFrame = {
+    val edges = knnGraph(df, idCol, embCol, k, method, minCosine,
+        planes = planes, probeBits = probeBits, rerank = rerank,
+        maxBucket = maxBucket, maxBrute = maxBrute,
+        autoPlanes = autoPlanes)
       .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
     Dedup.clusterPairs(df.select(col(idCol)), idCol, edges)
   }

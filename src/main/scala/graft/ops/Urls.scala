@@ -30,14 +30,21 @@ object Urls {
     "com.br", "com.cn", "com.mx", "com.ar", "com.tr", "com.sg",
     "co.in", "co.kr", "co.za", "co.nz", "com.hk", "com.tw")
 
-  /** Host → registered domain (eTLD+1 under [[twoLevelSuffixes]]). */
+  /** Host → registered domain (eTLD+1 under [[twoLevelSuffixes]]).
+    * Literal-address hosts — IPv4 dotted quads and bracketed IPv6 —
+    * have no label structure, so the host IS the "domain": the
+    * label rule would otherwise collapse every IP sharing its last
+    * two octets into one pseudo-domain ("0.1") and a per-domain cap
+    * would balance unrelated hosts together. */
   def registeredDomain(host: Column): Column = {
     val parts = split(host, "\\.")
     val n = size(parts)
     // concat, not concat_ws: a NULL host must yield a NULL domain
     // (concat_ws silently skips NULL arguments and would emit "")
     val last2 = concat(element_at(parts, -2), lit("."), element_at(parts, -1))
-    when(n <= 2, host)
+    when(host.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$") ||
+        host.contains(":"), host)
+      .when(n <= 2, host)
       .when(last2.isInCollection(twoLevelSuffixes),
         concat(element_at(parts, -3), lit("."), last2))
       .otherwise(last2)
@@ -81,16 +88,19 @@ object Urls {
   }
 
   /** Per-domain cap — THE standard crawl-balancing move (no single
-    * domain floods the corpus): parse, then keep a deterministic
-    * hash-uniform `cap` rows per registered domain via
-    * [[Sampling.stratifiedCap]] (one keyed window, skew-split by
-    * AQE). `idCol` must be unique non-null. Parsed columns are
-    * dropped; the output is the input schema, capped. */
+    * domain floods the corpus): keep a deterministic hash-uniform
+    * `cap` rows per registered domain via [[Sampling.stratifiedCap]]
+    * (one keyed window, skew-split by AQE). `idCol` must be unique
+    * non-null. The domain is derived into a collision-proof temp
+    * column and dropped — NOT via [[parseUrls]]' public `url_*`
+    * names, which the input may legitimately already carry (e.g. a
+    * preceding parse stage); output schema == input schema,
+    * verbatim. */
   def capPerDomain(df: DataFrame, urlCol: String, idCol: String,
                    cap: Int): DataFrame = {
-    val parsed = parseUrls(df, urlCol)
-    Sampling.stratifiedCap(parsed, Seq("url_domain"), idCol, cap)
-      .drop("url_scheme", "url_host", "url_path", "url_query",
-        "url_domain", "url_subdomain", "url_tld", "url_path_depth")
+    val d = "__graft_url_domain"
+    val withDomain = df.withColumn(d,
+      registeredDomain(lower(try_parse_url(col(urlCol), lit("HOST")))))
+    Sampling.stratifiedCap(withDomain, Seq(d), idCol, cap).drop(d)
   }
 }

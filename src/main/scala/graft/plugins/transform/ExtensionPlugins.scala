@@ -759,7 +759,16 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
           graft.ops.Similarity.semanticClusters(df, idCol, embCol0,
             k = num("k", 10).toInt,
             minCosine = num("min_cosine", 0.0),
-            method = options.getOrElse("knn_method", "lsh").toString)))
+            method = options.getOrElse("knn_method", "lsh").toString,
+            // "same options as knn_graph" (PLUGINS.md) — actually
+            // honored, not silently dropped
+            planes = num("planes", 4).toInt,
+            probeBits = num("probe_bits", 3).toInt,
+            rerank = num("rerank", 64).toInt,
+            maxBucket = num("max_bucket", 1000).toInt,
+            maxBrute = num("max_brute", 100000).toInt,
+            autoPlanes = options.get("auto_planes")
+              .forall(_.toString.toBoolean))))
     if (options.getOrElse("method", "brute").toString == "centroid_outliers")
       return stringList("group_by").flatMap(groups =>
         graft.core.Errors.safe(
@@ -2084,15 +2093,23 @@ class UrlPlugin(options: Map[String, Any], configDir: Path, label: String)
           Left(new SchemaValidationError(
             s"Column '$urlCol' not found in schema"))
         else method match {
-          case "parse" => Right(StructType(schema.fields ++ Seq(
-            StructField("url_scheme", StringType, nullable = true),
-            StructField("url_host", StringType, nullable = true),
-            StructField("url_path", StringType, nullable = true),
-            StructField("url_query", StringType, nullable = true),
-            StructField("url_domain", StringType, nullable = true),
-            StructField("url_subdomain", StringType, nullable = true),
-            StructField("url_tld", StringType, nullable = true),
-            StructField("url_path_depth", IntegerType, nullable = true))))
+          case "parse" =>
+            // withColumn REPLACES an existing column of the same
+            // name, so the declared schema must too: drop same-named
+            // input fields before appending (chained parse stages,
+            // or inputs already carrying url_*, stay valid)
+            val urlFields = Seq(
+              StructField("url_scheme", StringType, nullable = true),
+              StructField("url_host", StringType, nullable = true),
+              StructField("url_path", StringType, nullable = true),
+              StructField("url_query", StringType, nullable = true),
+              StructField("url_domain", StringType, nullable = true),
+              StructField("url_subdomain", StringType, nullable = true),
+              StructField("url_tld", StringType, nullable = true),
+              StructField("url_path_depth", IntegerType, nullable = true))
+            val urlNames = urlFields.map(_.name).toSet
+            Right(StructType(
+              schema.fields.filterNot(f => urlNames(f.name)) ++ urlFields))
           case "cap_per_domain" =>
             requiredString("id_column").flatMap { idCol =>
               if (!schema.fieldNames.contains(idCol))

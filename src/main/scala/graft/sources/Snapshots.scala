@@ -105,27 +105,60 @@ object Snapshots {
           s"(${i.map(_._2.simpleString).mkString(",")})")
     }
     val v = prev.lastOption.getOrElse(0) + 1
-    val vDir = f"$dir/v$v%05d"
-    // Two racing writers can both compute this same v. The version is
-    // CLAIMED up front with an atomic create(overwrite=false) of a
-    // zero-byte claim file, so exactly one writer ever runs a write
-    // job against v's directory — without the claim, two jobs that
-    // slip past the ErrorIfExists check simultaneously would mix their
-    // part files in the same directory and the winner's manifest would
-    // absorb the loser's rows. The loser dies HERE, cheaply, before
-    // its write job starts, with a typed retryable error instead of a
-    // raw Hadoop/Spark failure a pipeline can't act on.
+    withVersionClaim(spark, f, dir, v) { lostRace =>
+      val newFiles = writeDataDir(f, df, dir, v, lostRace)
+      val carried: Seq[String] = prev.lastOption match {
+        case Some(p) => readManifest(spark, dir, p)
+        case None => Seq.empty
+      }
+      val all = carried ++ newFiles
+      val bidField = batchId.map(b => s""""batch_id":$b,""").getOrElse("")
+      // the schema rides in every manifest so a version with ZERO
+      // data files (an empty DataFrame write emits no part files)
+      // stays readable as a schema-only empty frame instead of
+      // bricking the store: read() of it would otherwise throw and
+      // the next append's drift check (which consults the previous
+      // version) would fail
+      val schemaField = s""""schema":${jsonStr(df.schema.toDDL)},"""
+      val json = all.map(p => "\"" + p + "\"").mkString(
+        s"""{"version":$v,$bidField$schemaField"files":[""", ",", "]}")
+      writeManifestExclusive(f, dir, v, json, lostRace)
+      v
+    }
+  }
+
+  // -------------------------------------------- commit protocol core
+  // ONE copy of the concurrency-critical claim/data/manifest steps,
+  // composed by every committing operation (append, compaction,
+  // restore) — a protocol fix in one caller must not silently miss
+  // another.
+
+  /** Claim version `v` and run `body` with the typed lost-race
+    * thrower. Two racing writers can compute the same v; the claim —
+    * an atomic create(overwrite=false) of a zero-byte file — ensures
+    * exactly one ever runs a write job against v's directory (without
+    * it, two jobs slipping past the ErrorIfExists check simultaneously
+    * would mix part files in one directory and the winner's manifest
+    * would absorb the loser's rows). The FS create is truly atomic on
+    * HDFS but check-then-create on RawLocalFileSystem (and
+    * historically S3A), so same-JVM claimants are additionally
+    * serialized by the process-wide lock; distinct JVMs are arbitrated
+    * by the FS, atomically wherever it can promise it.
+    *
+    * The claim is RELEASED on any in-process failure (else the
+    * version number stays wedged for every future commit) and after a
+    * successful commit (a committed version's claim blocks nothing —
+    * future writers compute v+1 — so release is opportunistic and a
+    * failed delete is harmless). A CRASH between claim and manifest
+    * is the one path that leaves the claim behind: the torn-commit
+    * state [[ConcurrentCommitException]]'s message documents the
+    * cleanup for. */
+  private def withVersionClaim(spark: SparkSession, f: FileSystem,
+      dir: String, v: Int)(body: (Throwable => Nothing) => Int): Int = {
     def lostRace(cause: Throwable): Nothing =
       throw new ConcurrentCommitException(dir, v,
         versions(spark, dir).lastOption.getOrElse(0), cause)
     val claim = new HPath(f"$dir/.graft-claim-v$v%05d")
-    // The FS-level create(overwrite=false) is truly atomic on HDFS
-    // but check-then-create on RawLocalFileSystem (and historically on
-    // S3A), so two SAME-JVM writers could both "win" it. The JVM-wide
-    // lock closes that window completely for in-process racers (the
-    // local[*] and one-driver-many-threads cases); distinct JVMs are
-    // arbitrated by the FS create, i.e. atomically wherever the FS
-    // can promise it.
     claimLock.synchronized {
       if (f.exists(claim))
         lostRace(new org.apache.hadoop.fs.FileAlreadyExistsException(
@@ -133,28 +166,26 @@ object Snapshots {
       try f.create(claim, false).close()
       catch { case e: Throwable if f.exists(claim) => lostRace(e) }
     }
-    // From here the claim is OURS: any in-process failure (lost-race
-    // on a pre-claim leftover, write-job fault, IO error) must release
-    // it on the way out, or this version number would stay wedged for
-    // every future append. A CRASH between claim and manifest is the
-    // one path that leaves the claim behind — that is the torn-commit
-    // state the exception message documents the cleanup for.
+    def release(): Unit =
+      try { f.delete(claim, false); () } catch { case _: Throwable => () }
     try {
-      commitClaimed(df, f, dir, v, vDir, prev, batchId, claim, lostRace)
+      val r = body(lostRace)
+      release()
+      r
     } catch {
-      case t: Throwable =>
-        try { f.delete(claim, false); () } catch { case _: Throwable => () }
-        throw t
+      case t: Throwable => release(); throw t
     }
   }
 
-  private def commitClaimed(df: DataFrame, f: FileSystem, dir: String,
-      v: Int, vDir: String, prev: Seq[Int], batchId: Option[Long],
-      claim: HPath, lostRace: Throwable => Nothing): Int = {
-    val spark = df.sparkSession
-    // Belt-and-braces: a version directory left by a pre-claim torn
-    // commit (or manual tampering) still surfaces as the typed error,
-    // whose message names both recoveries.
+  /** Write `df` as version `v`'s data directory and return the
+    * sorted dir-relative file list. A PRE-EXISTING directory (a
+    * pre-claim torn commit, or manual tampering) surfaces as the
+    * typed lost-race error; our OWN mid-job failure removes our
+    * partial output so the released version number is re-claimable
+    * (a directory we did not create is never touched). */
+  private def writeDataDir(f: FileSystem, df: DataFrame, dir: String,
+      v: Int, lostRace: Throwable => Nothing): Seq[String] = {
+    val vDir = f"$dir/v$v%05d"
     val dirPreExisted = f.exists(new HPath(vDir))
     try df.write.parquet(vDir)
     catch {
@@ -162,54 +193,34 @@ object Snapshots {
           if e.getMessage != null && e.getMessage.contains("already exists") =>
         lostRace(e)
       case e: Throwable =>
-        // our own write job failed mid-way: remove OUR partial output
-        // so the released version number is re-claimable (a dir we did
-        // NOT create is never touched)
         if (!dirPreExisted)
           try { f.delete(new HPath(vDir), true); () }
           catch { case _: Throwable => () }
         throw e
     }
-    val newFiles = f.listStatus(new HPath(vDir))
+    f.listStatus(new HPath(vDir))
       .map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
       .sorted
       .map(n => f"v$v%05d/$n")
-    val carried: Seq[String] = prev.lastOption match {
-      case Some(p) => readManifest(spark, dir, p)
-      case None => Seq.empty
-    }
-    val all = carried ++ newFiles
-    val bidField = batchId.map(b => s""""batch_id":$b,""").getOrElse("")
-    // the schema rides in every manifest so a version with ZERO data
-    // files (an empty DataFrame write emits no part files) stays
-    // readable as a schema-only empty frame instead of bricking the
-    // store: read() of it would otherwise throw and the next append's
-    // drift check (which consults the previous version) would fail
-    val schemaField = s""""schema":${jsonStr(df.schema.toDDL)},"""
-    val json = all.map(p => "\"" + p + "\"").mkString(
-      s"""{"version":$v,$bidField$schemaField"files":[""", ",", "]}")
-    // manifest LAST: single create+write+close; readers never observe
-    // a version whose data is incomplete. Collision point 2: both
-    // writers slipped past the directory check (their jobs started
-    // simultaneously) and race on the atomic create(overwrite=false) —
-    // the loser's create throws, re-typed iff the winner's manifest is
-    // the reason (any other IO failure propagates untouched).
+      .toSeq
+  }
+
+  /** Manifest LAST: single create+write+close, so readers never
+    * observe a version whose data is incomplete. Collision point for
+    * writers that raced past the claim on a non-atomic FS: the
+    * loser's create throws, re-typed iff the winner's manifest is
+    * the reason — and only the create itself (once OUR create
+    * succeeded, a later write/close failure is an IO fault, not a
+    * lost race). */
+  private def writeManifestExclusive(f: FileSystem, dir: String, v: Int,
+      json: String, lostRace: Throwable => Nothing): Unit = {
     val mPath = new HPath(f"$dir/manifest-v$v%05d.json")
     val out =
       try f.create(mPath, false)
-      catch {
-        // only the create itself: once OUR create succeeded, a later
-        // write/close failure is an IO fault, not a lost race
-        case e: Throwable if f.exists(mPath) => lostRace(e)
-      }
+      catch { case e: Throwable if f.exists(mPath) => lostRace(e) }
     out.write(json.getBytes("UTF-8"))
     out.close()
-    // opportunistic claim cleanup — a claim whose manifest is
-    // committed blocks nothing (future writers compute v+1), so a
-    // failed delete here is harmless
-    try { f.delete(claim, false); () } catch { case _: Throwable => () }
-    v
   }
 
   /** Commit a micro-batch as a version EXACTLY ONCE per `batchId`:
@@ -339,52 +350,14 @@ object Snapshots {
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1)
       / targetFileBytes).toInt
     val v = prevVersion + 1
-    val vDir = f"$dir/v$v%05d"
-    def lostRace(cause: Throwable): Nothing =
-      throw new ConcurrentCommitException(dir, v,
-        versions(spark, dir).lastOption.getOrElse(0), cause)
-    val claim = new HPath(f"$dir/.graft-claim-v$v%05d")
-    claimLock.synchronized {
-      if (f.exists(claim))
-        lostRace(new org.apache.hadoop.fs.FileAlreadyExistsException(
-          claim.toString))
-      try f.create(claim, false).close()
-      catch { case e: Throwable if f.exists(claim) => lostRace(e) }
-    }
-    try {
-      val dirPreExisted = f.exists(new HPath(vDir))
-      try df.repartition(nFiles).write.parquet(vDir)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage != null &&
-              e.getMessage.contains("already exists") =>
-          lostRace(e)
-        case e: Throwable =>
-          if (!dirPreExisted)
-            try { f.delete(new HPath(vDir), true); () }
-            catch { case _: Throwable => () }
-          throw e
-      }
-      val newFiles = f.listStatus(new HPath(vDir))
-        .map(_.getPath.getName)
-        .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
-        .sorted
-        .map(n => f"v$v%05d/$n")
+    withVersionClaim(spark, f, dir, v) { lostRace =>
+      val newFiles =
+        writeDataDir(f, df.repartition(nFiles), dir, v, lostRace)
       val json = newFiles.map(p => "\"" + p + "\"").mkString(
         s"""{"version":$v,"schema":${jsonStr(df.schema.toDDL)},"files":[""",
         ",", "]}")
-      val mPath = new HPath(f"$dir/manifest-v$v%05d.json")
-      val out =
-        try f.create(mPath, false)
-        catch { case e: Throwable if f.exists(mPath) => lostRace(e) }
-      out.write(json.getBytes("UTF-8"))
-      out.close()
-      try { f.delete(claim, false); () } catch { case _: Throwable => () }
+      writeManifestExclusive(f, dir, v, json, lostRace)
       v
-    } catch {
-      case t: Throwable =>
-        try { f.delete(claim, false); () } catch { case _: Throwable => () }
-        throw t
     }
   }
 

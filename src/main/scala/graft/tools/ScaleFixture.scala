@@ -92,12 +92,18 @@ object ScaleFixture {
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
     wr(copies(emb, df => k => {
       val shifted = df.withColumn("vec_id", col("vec_id") + lit(k * vk))
-      if (k == 0) shifted
+      // rotate dimensions by rot ∈ [1, dims-1]: same norm/
+      // distribution, different cluster geometry per copy. The
+      // modulus keeps rot valid (and never 0 ≡ identity — an exact
+      // cross-copy duplicate would inflate near-dup pair counts
+      // quadratically by construction) for ANY factor; factors above
+      // dims reuse rotations, which only weakens copy independence,
+      // not validity.
+      val rot = if (dims >= 2) (k - 1) % (dims - 1) + 1 else 0
+      if (k == 0 || rot == 0) shifted
       else shifted.withColumn("embedding",
-        // rotate dimensions by k: same norm/distribution, different
-        // cluster geometry per copy
-        concat(slice(col("embedding"), k + 1, dims - k),
-          slice(col("embedding"), 1, k)))
+        concat(slice(col("embedding"), rot + 1, dims - rot),
+          slice(col("embedding"), 1, rot)))
     }), "embeddings")
 
     println(s"[scale-fixture] wrote $out at ${factor}x from $src")

@@ -56,6 +56,28 @@ class UrlsSpec extends AnyFunSuite {
     assert(bad("url_host") == null && bad("url_domain") == null)
   }
 
+  test("IP-literal hosts: the host IS the domain (no label-rule garbage)") {
+    assert(parse("http://192.168.0.1/a")("url_domain") == "192.168.0.1")
+    assert(parse("http://10.20.0.1/b")("url_domain") == "10.20.0.1")
+    // without the guard both of the above would collapse into "0.1"
+    assert(parse("http://[2001:db8::1]/x")("url_domain") != null)
+  }
+
+  test("capPerDomain composes after a parse stage: user url_* columns " +
+      "and a user _rk/__graft column survive") {
+    val rows = (0L until 10L).map(i =>
+      (i, s"https://www.example.com/p$i", s"keep$i")).toDF("id", "url", "_rk")
+    val parsed = Urls.parseUrls(rows, "url")
+    val capped = Urls.capPerDomain(parsed, "url", "id", cap = 3)
+    // the parse stage's outputs (and the user's _rk) pass through
+    assert(capped.columns.toSeq == parsed.columns.toSeq)
+    assert(capped.count() == 3)
+    assert(capped.select("url_domain").distinct().head().getString(0)
+      == "example.com")
+    assert(capped.select("_rk").collect().map(_.getString(0))
+      .forall(_.startsWith("keep")))
+  }
+
   test("capPerDomain: cap binds per registered domain, schema untouched") {
     val rows = (0L until 30L).map { i =>
       val host = if (i % 3 == 0) "a.example.com" else "www.other.org"
