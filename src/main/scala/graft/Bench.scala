@@ -140,7 +140,9 @@ object Bench {
     val pass1 = headline.map(n => n -> runOnce(n))
     val pass2 = headline.map(n => n -> runOnce(n))
     val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
-      n -> (if (a < 0) a else if (b < 0) a else math.min(a, b))
+      // a transient pass-1 failure must not discard a valid pass-2
+      // sample (and vice versa); only both-failed reports -1
+      n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
     // milliseconds are plenty for wall-clock seconds, and rounding
     // halves the length of the one-line JSON the driver must capture

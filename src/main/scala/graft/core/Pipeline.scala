@@ -70,8 +70,13 @@ object Pipeline {
   def executeOutput(data: Either[Throwable, DataFrame],
                     outputs: Seq[OutputPlugin],
                     persistMultiOutput: Boolean = true): Either[Throwable, Unit] = {
+    // never persist a STREAMING frame: Dataset.persist on one throws
+    // (streaming queries execute via writeStream, each sink is its
+    // own query) — multi-sink streaming labels keep per-sink
+    // execution regardless of the flag
     val frame =
-      if (persistMultiOutput && outputs.size > 1) data.map(_.persist())
+      if (persistMultiOutput && outputs.size > 1)
+        data.map(df => if (df.isStreaming) df else df.persist())
       else data
     val result = outputs.zipWithIndex.foldLeft(frame.map(_ => ())) {
       case (acc, (p, i)) =>
@@ -144,8 +149,12 @@ object Pipeline {
       if (persistMultiOutput)
         outputs.groupBy(_.label).filter(_._2.size > 1).keySet
       else Set.empty
+    // streaming frames are never persisted (persist throws on them;
+    // each streaming sink is its own writeStream query anyway)
     val effective: LabeledDataMap = dataMap.map { case (l, e) =>
-      l -> (if (multi(l)) e.map(_.persist()) else e)
+      l -> (if (multi(l))
+        e.map(df => if (df.isStreaming) df else df.persist())
+      else e)
     }
     val result = outputs.foldLeft[Either[Throwable, Unit]](Right(())) { (acc, p) =>
       acc.flatMap { _ =>

@@ -263,15 +263,22 @@ object Graph {
       .distinct()
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-    val saltVals = array((0 until saltBuckets).map(lit): _*)
-    val degS = deg.select(col("n"), explode(saltVals).as("_s"), col("d"))
-    val withDeg = e
-      .withColumn("_s", pmod(hash(col("b")), lit(saltBuckets)).cast("int"))
-      .join(degS.select(col("n").as("a"), col("_s"), col("d").as("da")),
-        Seq("a", "_s"))
-      .withColumn("_s", pmod(hash(col("a")), lit(saltBuckets)).cast("int"))
-      .join(degS.select(col("n").as("b"), col("_s"), col("d").as("db")),
-        Seq("b", "_s"))
+    // default path keeps the exact unsalted join shape — no constant
+    // salt column, explode, or composite keys riding through every
+    // caller's plan (same rationale as pagerank's two paths)
+    val withDeg = if (saltBuckets == 1) {
+      e.join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    } else {
+      val saltVals = array((0 until saltBuckets).map(lit): _*)
+      val degS = deg.select(col("n"), explode(saltVals).as("_s"), col("d"))
+      e.withColumn("_s", pmod(hash(col("b")), lit(saltBuckets)).cast("int"))
+        .join(degS.select(col("n").as("a"), col("_s"), col("d").as("da")),
+          Seq("a", "_s"))
+        .withColumn("_s", pmod(hash(col("a")), lit(saltBuckets)).cast("int"))
+        .join(degS.select(col("n").as("b"), col("_s"), col("d").as("db")),
+          Seq("b", "_s"))
+    }
     // orient low (degree, id) -> high; a < b by construction, so the
     // degree tie falls back to id order
     val fwd = col("da") < col("db") ||

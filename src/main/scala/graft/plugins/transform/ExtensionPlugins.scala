@@ -2107,9 +2107,14 @@ class UrlPlugin(options: Map[String, Any], configDir: Path, label: String)
               StructField("url_subdomain", StringType, nullable = true),
               StructField("url_tld", StringType, nullable = true),
               StructField("url_path_depth", IntegerType, nullable = true))
-            val urlNames = urlFields.map(_.name).toSet
-            Right(StructType(
-              schema.fields.filterNot(f => urlNames(f.name)) ++ urlFields))
+            val byName = urlFields.map(f => f.name -> f).toMap
+            // replace IN PLACE (withColumn keeps the original column
+            // position); append only the genuinely new fields
+            val replaced = schema.fields.map(f =>
+              byName.getOrElse(f.name, f))
+            val existing = schema.fieldNames.toSet
+            Right(StructType(replaced ++
+              urlFields.filterNot(f => existing(f.name))))
           case "cap_per_domain" =>
             requiredString("id_column").flatMap { idCol =>
               if (!schema.fieldNames.contains(idCol))

@@ -382,10 +382,14 @@ object Snapshots {
     val json = files.map(p => "\"" + p + "\"").mkString(
       s"""{"version":$v,"restored_from":$version,""" +
         s""""schema":${jsonStr(schema.toDDL)},"files":[""", ",", "]}")
-    val out = f.create(new HPath(f"$dir/manifest-v$v%05d.json"), false)
-    out.write(json.getBytes("UTF-8"))
-    out.close()
-    v
+    // same claim protocol as every other commit: a restore racing an
+    // append (or another restore) for this version number gets the
+    // typed retryable error, and can never publish a manifest over a
+    // version an appender has claimed and is mid-writing
+    withVersionClaim(spark, f, dir, v) { lostRace =>
+      writeManifestExclusive(f, dir, v, json, lostRace)
+      v
+    }
   }
 
   /** Incremental change feed: the rows ADDED between `fromVersion`

@@ -199,4 +199,30 @@ class PipelineSpec extends AnyFunSuite {
       persistMultiOutput = true).isRight)
     assert(acc.value == 100L)
   }
+
+  test("multi-sink STREAMING label is never persisted (persist on a " +
+      "streaming frame throws)") {
+    val streamDf = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+    assert(streamDf.isStreaming)
+    var seen = 0
+    def sink(n: String): OutputPlugin = new OutputPlugin {
+      val name = n; val options: Map[String, Any] = Map.empty
+      val configDir: Path = dir
+      def execute(df: DataFrame): Either[Throwable, Unit] = {
+        assert(df.isStreaming) // passed through untouched, not cached
+        seen += 1; Right(())
+      }
+      def dryRun(s: StructType): Either[Throwable, StructType] = Right(s)
+    }
+    // with the round-10 default (persist on), this used to crash on
+    // Dataset.persist before reaching any sink
+    assert(Pipeline.executeLabeledOutput(
+      Map("default" -> Right(streamDf)),
+      Seq(sink("s1"), sink("s2"))).isRight)
+    assert(seen == 2)
+    assert(Pipeline.executeOutput(Right(streamDf),
+      Seq(sink("s3"), sink("s4"))).isRight)
+    assert(seen == 4)
+  }
 }
