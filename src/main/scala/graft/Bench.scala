@@ -149,14 +149,20 @@ object Bench {
     // intact from a bounded stdout tail
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
 
-    // streaming lane (after the batch lane: JVM hot, caches warm)
+    // streaming lane (after the batch lane: JVM hot, caches warm).
+    // Input counts are failure-guarded like every other measurement:
+    // a missing table (e.g. a ScaleFixture dir without events) must
+    // not discard the completed batch lane.
     val inputRows: Map[String, Long] = streamHeadline.map(_._2).distinct
-      .map(t => t -> spark.read.parquet(s"$sfDir/$t.parquet").count())
+      .map(t => t -> (try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case _: Throwable => -1L }))
       .toMap
     val streamResults = streamHeadline.map { case (name, table) =>
       val sec = runOnce(name)
       val rps =
-        if (sec > 0) math.rint(inputRows(table) / sec) else -1.0
+        if (sec > 0 && inputRows(table) >= 0)
+          math.rint(inputRows(table) / sec)
+        else -1.0
       (name, sec, rps)
     }
 

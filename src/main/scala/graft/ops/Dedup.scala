@@ -712,7 +712,7 @@ object Dedup {
     require(Set("drop", "star")(overCap), s"unknown overCap mode: $overCap")
     if (tables > 1)
       return embeddingCosinePairsBanded(df, idCol, embCol, threshold,
-        planes, probeBits, tables, maxBucket, overCap)
+        planes, probeBits, tables, maxBucket, overCap, int8Margin)
     import graft.expressions.Int8Candidates._
     val sig = Similarity.withNormalized(
       df.select(col(idCol), col(embCol).as("_e")), "_e", "v")
@@ -791,10 +791,12 @@ object Dedup {
     * (id_a < id_b) pair. */
   private def embeddingCosinePairsBanded(df: DataFrame, idCol: String,
       embCol: String, threshold: Double, planes: Int, probeBits: Int,
-      tables: Int, maxBucket: Int, overCap: String): DataFrame = {
+      tables: Int, maxBucket: Int, overCap: String,
+      int8Margin: Double): DataFrame = {
     require(planes >= 1 && tables >= 2 && planes * tables <= 60,
       s"need planes >= 1, tables >= 2, planes*tables <= 60; " +
         s"got planes=$planes tables=$tables")
+    import graft.expressions.Int8Candidates._
     val norm = Similarity.withNormalized(
       df.select(col(idCol), col(embCol).as("_e")), "_e", "v")
       .select(col(idCol), col("v"))
@@ -843,11 +845,21 @@ object Dedup {
     } else cands
 
     // one row per pair BEFORE vectors attach: the distinct is the
-    // band-dedup, and everything after it is identical to the
-    // single-table exact verify
+    // band-dedup. Then the same two-stage verify as the single-table
+    // form: the int8 prescreen runs on one fp vector + one 4x-smaller
+    // code per pair (attached by key, not fanned out per band), and
+    // only its survivors attach the second fp vector for the exact
+    // cosine the threshold is judged on.
+    val codes = sig
+      .select(col(idCol).as("id_b"), int8_code(col("v")).as("_q8"))
+      .select(col("id_b"), col("_q8.code").as("_code"),
+        col("_q8.mn").as("_mn"), col("_q8.scale").as("_scale"))
     withStar.distinct()
       .join(norm.select(col(idCol).as("id_a"), col("v").as("v_a")),
         Seq("id_a"))
+      .join(codes, Seq("id_b"))
+      .filter(int8_dot(col("v_a"), col("_code"), col("_mn"), col("_scale"))
+        >= threshold - int8Margin)
       .join(norm.select(col(idCol).as("id_b"), col("v").as("v_b")),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),

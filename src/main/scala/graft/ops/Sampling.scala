@@ -63,6 +63,9 @@ object Sampling {
     */
   def stratifiedCap(df: DataFrame, groupCols: Seq[String], keyCol: String,
                     cap: Int): DataFrame = {
+    // cap <= 0 would silently drop the whole corpus (filter rk <= 0)
+    // while the pipeline "succeeds" — a config typo must be loud
+    require(cap >= 1, s"cap must be >= 1, got $cap")
     // collision-proof temp name — a user column named `_rk` must pass
     // through untouched (same contract as shuffleShard's hash column)
     val rk = "__graft_cap_rk"

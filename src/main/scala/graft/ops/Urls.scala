@@ -68,8 +68,13 @@ object Urls {
     val u = col(urlCol)
     // try_parse_url, not parse_url: under ANSI the strict form THROWS
     // on a malformed URL, and a crawl corpus always contains some —
-    // one bad row must degrade to NULL components, not kill the job
-    val host = lower(try_parse_url(u, lit("HOST")))
+    // one bad row must degrade to NULL components, not kill the job.
+    // Trailing root-dot FQDNs ("example.com.") are normalized to the
+    // dotless form: the empty final label would otherwise make every
+    // '*.com.' host share pseudo-domain "com." and split rows from
+    // their dotless twins under a per-domain cap.
+    val host = regexp_replace(
+      lower(try_parse_url(u, lit("HOST"))), "\\.$", "")
     val domain = registeredDomain(host)
     df
       .withColumn("url_scheme", try_parse_url(u, lit("PROTOCOL")))
@@ -98,9 +103,13 @@ object Urls {
     * verbatim. */
   def capPerDomain(df: DataFrame, urlCol: String, idCol: String,
                    cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
     val d = "__graft_url_domain"
+    // same host normalization as parseUrls (lowercase, trailing
+    // root-dot stripped) so the two stages agree on domains
     val withDomain = df.withColumn(d,
-      registeredDomain(lower(try_parse_url(col(urlCol), lit("HOST")))))
+      registeredDomain(regexp_replace(
+        lower(try_parse_url(col(urlCol), lit("HOST"))), "\\.$", "")))
     Sampling.stratifiedCap(withDomain, Seq(d), idCol, cap).drop(d)
   }
 }

@@ -58,7 +58,12 @@ object ScaleFixture {
       (0 until factor).map(k => shift(df)(k)).reduce(_.unionAll(_))
 
     val li = rd("lineitem")
-    val ok = stride(li, "l_orderkey")
+    val ord = rd("orders")
+    // ONE shared orderkey stride from BOTH tables: the fixture does
+    // not guarantee orders ⊆ lineitem (sf0.1 has 2764 lineitem-less
+    // orders), so a lineitem-only stride would only be collision-free
+    // while the two maxes coincide
+    val ok = math.max(stride(li, "l_orderkey"), stride(ord, "o_orderkey"))
     val pk = stride(li, "l_partkey")
     val sk = stride(li, "l_suppkey")
     wr(copies(li, df => k => df
@@ -67,7 +72,6 @@ object ScaleFixture {
       .withColumn("l_suppkey", col("l_suppkey") + lit(k * sk))),
       "lineitem")
 
-    val ord = rd("orders")
     val ck = stride(ord, "o_custkey")
     wr(copies(ord, df => k => df
       .withColumn("o_orderkey", col("o_orderkey") + lit(k * ok))
