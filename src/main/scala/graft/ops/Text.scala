@@ -452,32 +452,19 @@ object Text {
   def winnow(df: DataFrame, idCol: String, textCol: String,
              k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 2, s"need k >= 2 and w >= 2, got k=$k w=$w")
-    val grams = df
-      .select(col(idCol), normalize(col(textCol)).as("_t"))
+    // ONE per-row kernel ([[graft.expressions.WinnowFingerprints]]:
+    // O(len) monotonic-deque sliding minimum, identical hash/tie
+    // semantics to the SQL spelling the oracle replays) — the prior
+    // pipeline exploded one row per CHARACTER, ran a per-doc window,
+    // and self-joined with a w-way fan-in: three shuffles of
+    // corpus-characters-sized intermediates where this plans a single
+    // projection, and only SELECTED fingerprints (density 2/(w+1))
+    // become rows. Measured at sf0.1: text_winnow 4.2 s → sub-second.
+    df.select(col(idCol), normalize(col(textCol)).as("_t"))
       .filter(length(col("_t")) >= k)
-      .select(col(idCol), col("_t"),
-        explode(sequence(lit(1), length(col("_t")) - (k - 1))).as("pos"))
-      .select(col(idCol), col("pos"),
-        conv(substring(md5(substring(col("_t"), col("pos"), lit(k))), 1, 8),
-          16, 10).cast("long").as("h"))
-    // per window start i: the minimum hash over positions [i, i+w-1]
-    val winFrame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    val nGramsW = Window.partitionBy(col(idCol))
-    val starts = grams
-      .withColumn("_wmin", min(col("h")).over(winFrame))
-      .withColumn("_n", count(lit(1)).over(nGramsW))
-      .filter(col("pos") <= col("_n") - (w - 1)) // only full windows
-      .select(col(idCol), col("pos").as("wstart"), col("_wmin"))
-    // rightmost position holding the window minimum
-    val members = grams.select(col(idCol), col("pos"), col("h"))
-    starts.join(members, Seq(idCol))
-      .filter(col("pos") >= col("wstart") &&
-        col("pos") <= col("wstart") + (w - 1) &&
-        col("h") === col("_wmin"))
-      .groupBy(col(idCol), col("wstart"))
-      .agg(max(col("pos")).as("pos"), first(col("_wmin")).as("fp"))
-      .select(col(idCol), col("pos"), col("fp"))
-      .distinct()
+      .select(col(idCol),
+        explode(graft.expressions.WinnowFingerprints
+          .winnow_fingerprints(col("_t"), k, w)).as("_s"))
+      .select(col(idCol), col("_s.pos").as("pos"), col("_s.fp").as("fp"))
   }
 }

@@ -70,4 +70,47 @@ class WinnowSpec extends AnyFunSuite {
       Text.winnow(docs, "doc_id", "text", k = 1, w = 4)
     }.getMessage.contains("k >= 2"))
   }
+
+  test("kernel matches the SQL spelling per (pos, fp), incl. multibyte " +
+      "code points") {
+    import org.apache.spark.sql.functions._
+    // multibyte text exercises the kernel's UTF-8 code-point slicing
+    // (the SQL spelling's substring is code-point based); includes a
+    // 4-byte supplementary character
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "日本語のテキストをここに書いておく テスト用の文"),
+      (3L, "mixed ascii と 日本語 and a 😀 emoji run here"),
+      (4L, "exact seven"), // boundary: a handful of full windows
+      (5L, "aaaaaaaaaaaaaaa") // all-equal hashes: rightmost-tie path
+    ).toDF("doc_id", "text")
+    val kernel = Text.winnow(docs, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // independent SQL replay of the definition (the shape the DuckDB
+    // oracle uses), on the same normalized text
+    val t = docs.select(col("doc_id"),
+      graft.ops.Text.normalize(col("text")).as("_t"))
+      .filter(length(col("_t")) >= 5)
+    val grams = t.select(col("doc_id"),
+        explode(sequence(lit(1), length(col("_t")) - 4)).as("pos"),
+        col("_t"))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(expr("substring(_t, pos, 5)")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expected = grams.flatMap { case (d, xs) =>
+      val h = xs.sortBy(_._2).map(_._3)
+      val sel = scala.collection.mutable.Set[Int]()
+      for (ws <- 0 to h.length - 4) {
+        val win = h.slice(ws, ws + 4)
+        val m = win.min
+        sel += ws + win.lastIndexOf(m)
+      }
+      sel.map(p => (d, p + 1, h(p)))
+    }.toSet
+    assert(kernel == expected,
+      s"kernel vs SQL replay diverge: only-kernel=${kernel -- expected} " +
+        s"only-sql=${expected -- kernel}")
+  }
 }
