@@ -1804,6 +1804,27 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"))
         .orderBy("split")),
 
+    // ---- leakage-safe split (dup families stay in ONE split) -----
+    // The near-dup edge list here is exact-fingerprint equality, so
+    // the component structure (min id per fingerprint group) replays
+    // exactly in DuckDB and the FULL per-doc assignment is
+    // hash-gated — including that every fingerprint-dup family got
+    // one split. Near-dup generators (minhash/embedding pairs)
+    // compose through the same op.
+    "q_split_safe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fp = docs.select(col("doc_id"),
+        Text.fingerprint(col("text")).as("_f"))
+      val pairs = fp.as("a").join(fp.as("b"),
+          col("a._f") === col("b._f") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     "q_sample_cap" -> ((s, dir) =>
       Sampling.stratifiedCap(t(s, dir, "documents"),
           Seq("lang"), "doc_id", cap = 20)
@@ -5494,6 +5515,22 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         |  count(*) AS n, min(doc_id) AS min_id
         |FROM h GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_split_safe" ->
+      """WITH f AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS cid FROM f),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 8))::BIGINT AS hv
+        |  FROM c)
+        |SELECT doc_id, CASE WHEN hv < 3865470566 THEN 'train'
+        |                    WHEN hv < 4080218931 THEN 'val'
+        |                    ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q_quality_gate" ->
       """WITH d AS (

@@ -55,6 +55,27 @@ object Sampling {
     df.withColumn(outCol, assigned)
   }
 
+  /** Leakage-safe split: [[assignSplit]] keyed on the connected
+    * COMPONENT of the near-dup `pairs` graph — every member of a
+    * duplicate family lands in the SAME split, closing the classic
+    * train/test leakage vector where a near-copy of a heldout doc
+    * sits in train. `pairs` is any (id_a, id_b) near-dup edge list
+    * ([[Dedup.minhashCandidatePairs]], fingerprint equality,
+    * embedding pairs…); rows in no pair are singleton components and
+    * split independently. One O(log n) component contraction + one
+    * keyed join; the assignment itself stays a per-row hash
+    * expression on the component id, so re-ingested rows keep their
+    * split on a backfill exactly as with [[assignSplit]]. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       splits: Seq[(String, Double)],
+                       outCol: String = "split"): DataFrame = {
+    val cid = "__graft_split_cid"
+    val clusters = Dedup.clusterPairs(df.select(col(idCol)), idCol, pairs)
+      .withColumnRenamed("cluster_id", cid)
+    assignSplit(df.join(clusters, Seq(idCol)), cid, splits, outCol)
+      .drop(cid)
+  }
+
   /** Cap every group at `cap` rows, choosing a deterministic uniform
     * subset: rank rows within the group by key hash and keep rank ≤
     * cap. The per-group sort is the same shuffle any groupBy pays;

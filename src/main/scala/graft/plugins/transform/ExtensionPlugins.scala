@@ -208,6 +208,50 @@ class SamplePlugin(options: Map[String, Any], configDir: Path, label: String)
                 outCol = options.getOrElse("output_column", "split").toString)
             }
           } yield out
+        case "split_leakage_safe" =>
+          // split keyed on near-dup COMPONENTS: a duplicate family
+          // never straddles train/test. pair_method picks the edge
+          // generator over text_column.
+          import org.apache.spark.sql.functions.col
+          for {
+            names <- stringList("split_names")
+            fracs <- stringList("split_fracs")
+            out <- graft.core.Errors.safe {
+              require(names.size == fracs.size,
+                "split_names and split_fracs must align")
+              val textCol =
+                options.getOrElse("text_column", "text").toString
+              def num(k: String, d: Double): Double =
+                options.get(k).map(_.toString.toDouble).getOrElse(d)
+              val pairs = options.getOrElse("pair_method", "fingerprint")
+                  .toString match {
+                case "fingerprint" =>
+                  val fp = df.select(col(keyCol),
+                    graft.ops.Text.fingerprint(col(textCol)).as("_f"))
+                  fp.as("a").join(fp.as("b"),
+                      col("a._f") === col("b._f") &&
+                        col(s"a.$keyCol") < col(s"b.$keyCol"))
+                    .select(col(s"a.$keyCol").as("id_a"),
+                      col(s"b.$keyCol").as("id_b"))
+                case "minhash" =>
+                  graft.ops.Dedup.minhashCandidatePairs(df, keyCol,
+                      textCol,
+                      shingleK = num("shingle_k", 5).toInt,
+                      numHashes = num("num_hashes", 64).toInt,
+                      bands = num("bands", 16).toInt,
+                      maxBucket = num("max_bucket", 1000).toInt,
+                      overCap = "star")
+                    .filter(col("est_jaccard") >= num("threshold", 0.8))
+                    .select("id_a", "id_b")
+                case other => throw new PluginExecutionError(
+                  s"Unknown pair_method: '$other' " +
+                    "(expected fingerprint | minhash)")
+              }
+              graft.ops.Sampling.leakageSafeSplit(df, keyCol, pairs,
+                names.zip(fracs.map(_.toDouble)),
+                outCol = options.getOrElse("output_column", "split").toString)
+            }
+          } yield out
         case "weighted" =>
           // Efraimidis–Spirakis weighted reservoir: exactly k rows,
           // deterministic (md5-keyed), heavier weights favored

@@ -318,6 +318,39 @@ class Round5Spec extends AnyFunSuite {
     assert(shard0 != shard0.sorted)
   }
 
+  test("Sampling.leakageSafeSplit: dup families share a split, " +
+      "singletons split independently, assignment is stable") {
+    // 3 near-identical docs (one family) + singletons whose char-5-gram
+    // shingle sets are pairwise DISJOINT (a repeated per-doc two-letter
+    // code) — templated "unique document number $i" texts are ~90%
+    // character-identical and correctly pair under char-shingle minhash
+    val family = (0L until 3L).map(i =>
+      (i, "the exact same boilerplate paragraph appears here verbatim"))
+    val singles = (10L until 40L).map { i =>
+      val code = "" + ('a' + (i / 26).toInt).toChar + ('a' + (i % 26).toInt).toChar
+      (i, code * 12)
+    }
+    val docs = (family ++ singles).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.8).select("id_a", "id_b")
+    val split = Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+        Seq("train" -> 0.8, "test" -> 0.2))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.size == 33)
+    // the whole family lands in ONE split
+    assert(Set(split(0L), split(1L), split(2L)).size == 1)
+    // singletons are assigned per their own component (their id) —
+    // identical to plain assignSplit keyed by doc_id
+    val plain = Sampling.assignSplit(docs.filter(col("doc_id") >= 10),
+        "doc_id", Seq("train" -> 0.8, "test" -> 0.2))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (10L until 40L).foreach(i => assert(split(i) == plain(i)))
+    // both splits are actually populated
+    assert(split.values.toSet == Set("train", "test"))
+  }
+
   test("Sampling.shuffleShard preserves a user column named _h") {
     // The hash used to be written into a hard-coded `_h`, silently
     // overwriting (then dropping) a user column of that name.

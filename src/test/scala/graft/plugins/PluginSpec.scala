@@ -264,6 +264,32 @@ class PluginSpec extends AnyFunSuite {
     assert(sdry.fieldNames.toSeq == sharded.columns.toSeq)
   }
 
+  test("sample plugin: split_leakage_safe keeps dup families in one split") {
+    val docs = (
+      (0L until 3L).map(i => (i, "identical boilerplate paragraph text")) ++
+        (10L until 60L).map { i =>
+          val code = "" + ('a' + (i / 26).toInt).toChar + ('a' + (i % 26).toInt).toChar
+          (i, code * 12)
+        }).toDF("doc_id", "text")
+    def run(method: String) = new SamplePlugin(Map(
+        "method" -> "split_leakage_safe", "key_column" -> "doc_id",
+        "pair_method" -> method, "split_names" -> Seq("train", "test"),
+        "split_fracs" -> Seq("0.8", "0.2")), dir, "default")
+      .execute(docs).fold(e => throw e, identity)
+    Seq("fingerprint", "minhash").foreach { m =>
+      val out = run(m).select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.size == 53, s"pair_method $m")
+      assert(Set(out(0L), out(1L), out(2L)).size == 1, s"pair_method $m")
+      assert(out.values.toSet == Set("train", "test"), s"pair_method $m")
+    }
+    val bad = new SamplePlugin(Map("method" -> "split_leakage_safe",
+        "key_column" -> "doc_id", "pair_method" -> "nope",
+        "split_names" -> Seq("a", "b"),
+        "split_fracs" -> Seq("0.5", "0.5")), dir, "default").execute(docs)
+    assert(bad.left.toOption.get.getMessage.contains("Unknown pair_method"))
+  }
+
   test("similarity plugin: labeled query stream, all four methods, dry run") {
     val emb = (0L until 40L).map(i =>
       (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
