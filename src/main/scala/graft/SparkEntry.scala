@@ -1815,10 +1815,13 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val fp = docs.select(col("doc_id"),
         Text.fingerprint(col("text")).as("_f"))
-      val pairs = fp.as("a").join(fp.as("b"),
-          col("a._f") === col("b._f") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      // star edges (id → group-min), NOT all-pairs: a k-dup
+      // fingerprint family yields k-1 edges instead of k²/2, and the
+      // component structure is identical
+      val minPer = fp.groupBy("_f").agg(min("doc_id").as("id_a"))
+      val pairs = fp.join(minPer, "_f")
+        .filter(col("doc_id") =!= col("id_a"))
+        .select(col("id_a"), col("doc_id").as("id_b"))
       Sampling.leakageSafeSplit(docs, "doc_id", pairs,
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select(col("doc_id"), col("split"))
@@ -1976,6 +1979,19 @@ object SparkEntry {
             .select(col("doc_id"), col("lang"),
               Text.tokenCount(col("text")).cast("long").as("n_tokens")),
           "n_tokens", budget = 2048,
+          shardCols = Seq("lang"), orderCol = "doc_id")
+        .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
+        .orderBy("doc_id")),
+
+    // no-split greedy packing (SFT mode): the whole per-shard greedy
+    // walk is replayed in the oracle as a recursive CTE, so every
+    // (seq_id, seq_offset) assignment is hash-gated
+    "q_pack_greedy" -> ((s, dir) =>
+      graft.ops.Packing.packGreedy(
+          tBalanced(s, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              Text.tokenCount(col("text")).cast("long").as("n_tokens")),
+          "n_tokens", budget = 1024,
           shardCols = Seq("lang"), orderCol = "doc_id")
         .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
         .orderBy("doc_id")),
@@ -5329,6 +5345,34 @@ object SparkEntry {
         |  CAST(floor(cum_before / 2048) AS BIGINT) AS seq_id,
         |  CAST(cum_before % 2048 AS BIGINT) AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the greedy walk has a sequential dependency (fill carries
+    // forward), so the oracle replays it as a per-shard recursion
+    // over rank order — bitwise the same decision rule as packGreedy
+    "q_pack_greedy" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang, n_tokens, rn,
+        |    CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+        |    n_tokens AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.doc_id, d.lang, d.n_tokens, d.rn,
+        |    CASE WHEN p.fill + d.n_tokens > 1024
+        |      THEN p.seq_id + 1 ELSE p.seq_id END,
+        |    CASE WHEN p.fill + d.n_tokens > 1024
+        |      THEN CAST(0 AS BIGINT) ELSE p.fill END,
+        |    CASE WHEN p.fill + d.n_tokens > 1024
+        |      THEN d.n_tokens ELSE p.fill + d.n_tokens END
+        |  FROM d JOIN p ON d.lang = p.lang AND d.rn = p.rn + 1)
+        |SELECT doc_id, lang, n_tokens, seq_id, seq_offset
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // The composed cleaning pipeline, replicated stage by stage:
     // quality formula (same IEEE op order as qualityFromMetrics),

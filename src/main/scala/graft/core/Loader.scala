@@ -79,6 +79,7 @@ object Loader {
     "multimodal" -> "graft.plugins.transform.MultimodalPlugin",
     "sessionize" -> "graft.plugins.transform.SessionizePlugin",
     "chunk" -> "graft.plugins.transform.ChunkPlugin",
+    "pack" -> "graft.plugins.transform.PackPlugin",
     "profile" -> "graft.plugins.transform.ProfilePlugin",
     "vocab_encode" -> "graft.plugins.transform.VocabEncodePlugin",
     "pivot" -> "graft.plugins.transform.PivotPlugin",

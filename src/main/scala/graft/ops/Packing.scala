@@ -32,4 +32,53 @@ object Packing {
       .withColumn("seq_offset", (col("_cum_before") % budget).cast("long"))
       .drop("_cum_before")
   }
+
+  /** No-split greedy packing (the SFT/instruct-data mode, where a
+    * document must land whole in one training sequence): walk the
+    * shard's docs in `orderCol` order, appending each to the current
+    * sequence unless that would overflow `budget` — then start a new
+    * one. A doc longer than the budget gets a sequence of its own.
+    * Adds (seq_id, seq_offset), both reset per shard.
+    *
+    * Greedy packing has a sequential dependency (each decision needs
+    * the running fill), so it is NOT a window function; this is the
+    * genuine per-partition imperative case — one repartition on
+    * `shardCols`, a within-partition sort, and a single O(1)-memory
+    * streaming scan per shard. Parallelism = shard count, exactly as
+    * [[packChunks]]'s window; results are deterministic because the
+    * scan state resets on every shard-key change regardless of how
+    * shards co-locate into partitions. */
+  def packGreedy(df: DataFrame, tokensCol: String, budget: Int,
+                 shardCols: Seq[String], orderCol: String): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shardCols.nonEmpty, "shardCols must be non-empty")
+    val parted = df.repartition(shardCols.map(col): _*)
+      .sortWithinPartitions((shardCols :+ orderCol).map(col): _*)
+    val schema = parted.schema
+    val outSchema = schema
+      .add("seq_id", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("seq_offset", org.apache.spark.sql.types.LongType, nullable = false)
+    val tokIdx = schema.fieldIndex(tokensCol)
+    val shardIdx = shardCols.map(schema.fieldIndex)
+    parted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var seq = 0L
+      var fill = 0L
+      var started = false
+      it.map { row =>
+        val key = shardIdx.map(row.get)
+        val v = row.get(tokIdx)
+        val tok = if (v == null) 0L else v.asInstanceOf[Number].longValue
+        var offset = 0L
+        if (!started || key != curKey) {
+          curKey = key; seq = 0L; fill = tok; started = true
+        } else if (fill + tok > budget) {
+          seq += 1L; fill = tok
+        } else {
+          offset = fill; fill += tok
+        }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ seq :+ offset)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

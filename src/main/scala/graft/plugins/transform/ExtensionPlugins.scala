@@ -226,13 +226,17 @@ class SamplePlugin(options: Map[String, Any], configDir: Path, label: String)
               val pairs = options.getOrElse("pair_method", "fingerprint")
                   .toString match {
                 case "fingerprint" =>
+                  // star edges (id → group-min), not all-pairs: a
+                  // k-dup family costs k-1 edges, not k²/2, with the
+                  // same connected components
                   val fp = df.select(col(keyCol),
                     graft.ops.Text.fingerprint(col(textCol)).as("_f"))
-                  fp.as("a").join(fp.as("b"),
-                      col("a._f") === col("b._f") &&
-                        col(s"a.$keyCol") < col(s"b.$keyCol"))
-                    .select(col(s"a.$keyCol").as("id_a"),
-                      col(s"b.$keyCol").as("id_b"))
+                  val minPer = fp.groupBy("_f")
+                    .agg(org.apache.spark.sql.functions.min(col(keyCol))
+                      .as("id_a"))
+                  fp.join(minPer, "_f")
+                    .filter(col(keyCol) =!= col("id_a"))
+                    .select(col("id_a"), col(keyCol).as("id_b"))
                 case "minhash" =>
                   graft.ops.Dedup.minhashCandidatePairs(df, keyCol,
                       textCol,
@@ -518,6 +522,47 @@ class ChunkPlugin(options: Map[String, Any], configDir: Path, label: String)
     requiredString("id_column").flatMap { _ =>
       propagateSchema(schema)(df => execute(df).fold(e => throw e, identity))
     }
+}
+
+/** Config-driven sequence packing ([[graft.ops.Packing]]): assign
+  * each doc a (seq_id, seq_offset) inside fixed-budget training
+  * sequences. method = "chunks" (default — concat-and-chunk, docs
+  * may split across sequences; GPT-style pretrain packing) or
+  * "greedy" (no-split first-fit; SFT/instruct mode). Options:
+  * tokens_column (req — precomputed token counts, e.g. from
+  * text_analysis), budget (default 2048), shard_columns (req, list —
+  * packing is per shard so no global sort bottleneck), order_column
+  * (req — deterministic within-shard order). */
+class PackPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "pack"
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      tokensCol <- requiredString("tokens_column")
+      shardCols <- stringList("shard_columns")
+      orderCol <- requiredString("order_column")
+      out <- graft.core.Errors.safe {
+        val budget = options.get("budget").map(_.toString.toInt).getOrElse(2048)
+        options.getOrElse("method", "chunks").toString match {
+          case "chunks" => graft.ops.Packing.packChunks(
+            df, tokensCol, budget, shardCols, orderCol)
+          case "greedy" => graft.ops.Packing.packGreedy(
+            df, tokensCol, budget, shardCols, orderCol)
+          case other => throw new PluginExecutionError(
+            s"Unknown pack method: '$other' (expected chunks | greedy)")
+        }
+      }
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] =
+    for {
+      _ <- requiredString("tokens_column")
+      _ <- stringList("shard_columns")
+      _ <- requiredString("order_column")
+      out <- propagateSchema(schema)(df =>
+        execute(df).fold(e => throw e, identity))
+    } yield out
 }
 
 /** Config-driven blocklist gate ([[graft.ops.Text]], UT1-style):

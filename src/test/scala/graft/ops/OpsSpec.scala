@@ -137,6 +137,33 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L) == (0L, 0L) && out(6L) == (1L, 976L))
   }
 
+  test("packGreedy never splits a doc and opens a new seq on overflow") {
+    import spark.implicits._
+    val df = Seq(
+      // shard a: 600 then 600 would overflow 1024 → doc 2 opens
+      // seq 1; 300 then a null (packs as 0) join it
+      (1L, "a", 600L), (2L, "a", 600L), (3L, "a", 300L), (4L, "a", 200L),
+      // shard b: oversized doc alone, next doc starts fresh; a null
+      // token count packs as 0
+      (5L, "b", 2000L), (6L, "b", 100L), (7L, "b", 900L)).toDF("id", "shard", "toks")
+      .withColumn("toks", when(col("id") === 4L, lit(null)).otherwise(col("toks")))
+    val out = Packing.packGreedy(df, "toks", budget = 1024,
+        shardCols = Seq("shard"), orderCol = "id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (0L, 0L))
+    assert(out(2L) == (1L, 0L))    // would overflow seq 0 → new seq
+    assert(out(3L) == (1L, 600L))  // fits alongside doc 2
+    assert(out(4L) == (1L, 900L))  // null → 0 tokens, stays in seq 1
+    assert(out(5L) == (0L, 0L))    // oversized doc gets its own seq
+    assert(out(6L) == (1L, 0L))
+    assert(out(7L) == (1L, 100L))  // 100+900 = 1000 ≤ 1024, fits
+    // determinism across reruns
+    val again = Packing.packGreedy(df, "toks", budget = 1024,
+        shardCols = Seq("shard"), orderCol = "id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out == again)
+  }
+
   test("hash sampling is deterministic and caps strata") {
     import spark.implicits._
     val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))

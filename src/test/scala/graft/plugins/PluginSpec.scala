@@ -264,6 +264,30 @@ class PluginSpec extends AnyFunSuite {
     assert(sdry.fieldNames.toSeq == sharded.columns.toSeq)
   }
 
+  test("pack plugin: chunks and greedy modes, dry run, bad method") {
+    val df = Seq((1L, "a", 600L), (2L, "a", 600L), (3L, "b", 100L))
+      .toDF("id", "shard", "toks")
+    def run(method: String) = new PackPlugin(Map("method" -> method,
+        "tokens_column" -> "toks", "shard_columns" -> Seq("shard"),
+        "order_column" -> "id", "budget" -> 1024), dir, "default")
+      .execute(df).fold(e => throw e, identity)
+    val chunks = run("chunks").collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(chunks(2L) == (0L, 600L)) // concat-and-chunk: doc 2 splits in
+    val greedy = run("greedy").collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(greedy(2L) == (1L, 0L)) // no-split: doc 2 opens a new seq
+    val dry = new PackPlugin(Map("tokens_column" -> "toks",
+        "shard_columns" -> Seq("shard"), "order_column" -> "id"),
+        dir, "default").dryRun(df.schema).fold(e => throw e, identity)
+    assert(dry.fieldNames.toSeq ==
+      Seq("id", "shard", "toks", "seq_id", "seq_offset"))
+    val bad = new PackPlugin(Map("method" -> "nope",
+        "tokens_column" -> "toks", "shard_columns" -> Seq("shard"),
+        "order_column" -> "id"), dir, "default").execute(df)
+    assert(bad.left.toOption.get.getMessage.contains("Unknown pack method"))
+  }
+
   test("sample plugin: split_leakage_safe keeps dup families in one split") {
     val docs = (
       (0L until 3L).map(i => (i, "identical boilerplate paragraph text")) ++
