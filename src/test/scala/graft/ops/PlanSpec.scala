@@ -722,6 +722,22 @@ class PlanSpec extends AnyFunSuite {
     assert(windows.size == 1)
   }
 
+  test("pack_greedy: one shard-hash exchange + the oracle's ORDER BY " +
+      "range exchange — the greedy scan itself never shuffles") {
+    val df = tpch("q_pack_greedy")
+    val shuffles = nodes(df).collect { case e: ShuffleExchangeExec => e }
+    // 3 = the fixture's tBalanced round-robin + the shard hash
+    // repartition + the oracle's ORDER BY range exchange; the greedy
+    // scan contributes the hash one only
+    assert(shuffles.size == 3,
+      s"expected balance + shard repartition + orderBy only, got ${shuffles.size}")
+  }
+
+  test("split_safe: fingerprint pair generation is star edges via " +
+      "group-min — never an all-pairs self join") {
+    assertNoAllPairs(tpch("q_split_safe"), "q_split_safe")
+  }
+
   test("bounded recall gates: the exact side is a broadcast sample, " +
       "never a CartesianProduct") {
     // These three gates used to cross-join the embedding table with
