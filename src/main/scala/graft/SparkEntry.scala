@@ -1811,22 +1811,17 @@ object SparkEntry {
     // hash-gated — including that every fingerprint-dup family got
     // one split. Near-dup generators (minhash/embedding pairs)
     // compose through the same op.
-    "q_split_safe" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val fp = docs.select(col("doc_id"),
-        Text.fingerprint(col("text")).as("_f"))
-      // star edges (id → group-min), NOT all-pairs: a k-dup
-      // fingerprint family yields k-1 edges instead of k²/2, and the
-      // component structure is identical
-      val minPer = fp.groupBy("_f").agg(min("doc_id").as("id_a"))
-      val pairs = fp.join(minPer, "_f")
-        .filter(col("doc_id") =!= col("id_a"))
-        .select(col("id_a"), col("doc_id").as("id_b"))
-      Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+    "q_split_safe" -> ((s, dir) =>
+      // fingerprint equality is transitive, so the fast path skips
+      // the iterative contraction: component id = family min via one
+      // agg + one join; the FULL per-doc assignment is hash-gated.
+      // Near-dup generators (minhash pairs) go through the generic
+      // leakageSafeSplit (Round5Spec / PluginSpec pin that path).
+      Sampling.leakageSafeSplitByFingerprint(
+          t(s, dir, "documents"), "doc_id", "text",
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select(col("doc_id"), col("split"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     "q_sample_cap" -> ((s, dir) =>
       Sampling.stratifiedCap(t(s, dir, "documents"),
@@ -5360,17 +5355,18 @@ object SparkEntry {
         |p AS (
         |  SELECT doc_id, lang, n_tokens, rn,
         |    CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
-        |    n_tokens AS fill
+        |    coalesce(n_tokens, 0) AS fill
         |  FROM d WHERE rn = 1
         |  UNION ALL
         |  SELECT d.doc_id, d.lang, d.n_tokens, d.rn,
-        |    CASE WHEN p.fill + d.n_tokens > 1024
+        |    CASE WHEN p.fill + coalesce(d.n_tokens, 0) > 1024
         |      THEN p.seq_id + 1 ELSE p.seq_id END,
-        |    CASE WHEN p.fill + d.n_tokens > 1024
+        |    CASE WHEN p.fill + coalesce(d.n_tokens, 0) > 1024
         |      THEN CAST(0 AS BIGINT) ELSE p.fill END,
-        |    CASE WHEN p.fill + d.n_tokens > 1024
-        |      THEN d.n_tokens ELSE p.fill + d.n_tokens END
-        |  FROM d JOIN p ON d.lang = p.lang AND d.rn = p.rn + 1)
+        |    CASE WHEN p.fill + coalesce(d.n_tokens, 0) > 1024
+        |      THEN coalesce(d.n_tokens, 0) ELSE p.fill + coalesce(d.n_tokens, 0) END
+        |  FROM d JOIN p
+        |    ON d.lang IS NOT DISTINCT FROM p.lang AND d.rn = p.rn + 1)
         |SELECT doc_id, lang, n_tokens, seq_id, seq_offset
         |FROM p ORDER BY doc_id""".stripMargin,
 
@@ -5562,7 +5558,8 @@ object SparkEntry {
 
     "q_split_safe" ->
       """WITH f AS (
-        |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
         |  FROM documents),
         |c AS (

@@ -52,7 +52,11 @@ object Packing {
                  shardCols: Seq[String], orderCol: String): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(shardCols.nonEmpty, "shardCols must be non-empty")
-    val parted = df.repartition(shardCols.map(col): _*)
+    // overwrite semantics, matching packChunks' withColumn: a frame
+    // that already carries seq_id/seq_offset (a prior pack run) is
+    // re-packed, not given duplicate columns
+    val parted = df.drop("seq_id", "seq_offset")
+      .repartition(shardCols.map(col): _*)
       .sortWithinPartitions((shardCols :+ orderCol).map(col): _*)
     val schema = parted.schema
     val outSchema = schema

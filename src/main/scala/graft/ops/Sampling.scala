@@ -72,8 +72,32 @@ object Sampling {
     val cid = "__graft_split_cid"
     val clusters = Dedup.clusterPairs(df.select(col(idCol)), idCol, pairs)
       .withColumnRenamed("cluster_id", cid)
-    assignSplit(df.join(clusters, Seq(idCol)), cid, splits, outCol)
-      .drop(cid)
+    // LEFT join + coalesce: a NULL-id row can't equi-match its own
+    // cluster row, and an inner join would silently drop it — it
+    // falls back to its own (NULL) id and gets plain-assignSplit
+    // fate, every input row preserved. idCol is assumed unique, as
+    // in every keyed op here.
+    val joined = df.join(clusters, Seq(idCol), "left")
+      .withColumn(cid, coalesce(col(cid), col(idCol)))
+    assignSplit(joined, cid, splits, outCol).drop(cid)
+  }
+
+  /** Fingerprint specialization of [[leakageSafeSplit]]: exact-dup
+    * equality is already transitive, so the component id is just the
+    * family's min id — one agg + one join, no iterative contraction.
+    * NULL text fingerprints as the empty string, so contentless docs
+    * form one family in both engines. */
+  def leakageSafeSplitByFingerprint(df: DataFrame, idCol: String,
+                                    textCol: String,
+                                    splits: Seq[(String, Double)],
+                                    outCol: String = "split"): DataFrame = {
+    val fpc = "__graft_split_fp"
+    val cid = "__graft_split_cid"
+    val fp = df.withColumn(fpc,
+      Text.fingerprint(coalesce(col(textCol), lit(""))))
+    val minPer = fp.groupBy(fpc).agg(min(col(idCol)).as(cid))
+    assignSplit(fp.join(minPer, Seq(fpc)), cid, splits, outCol)
+      .drop(fpc, cid)
   }
 
   /** Cap every group at `cap` rows, choosing a deterministic uniform

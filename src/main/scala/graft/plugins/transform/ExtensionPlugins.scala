@@ -223,23 +223,19 @@ class SamplePlugin(options: Map[String, Any], configDir: Path, label: String)
                 options.getOrElse("text_column", "text").toString
               def num(k: String, d: Double): Double =
                 options.get(k).map(_.toString.toDouble).getOrElse(d)
-              val pairs = options.getOrElse("pair_method", "fingerprint")
+              val splits = names.zip(fracs.map(_.toDouble))
+              val outName =
+                options.getOrElse("output_column", "split").toString
+              options.getOrElse("pair_method", "fingerprint")
                   .toString match {
                 case "fingerprint" =>
-                  // star edges (id → group-min), not all-pairs: a
-                  // k-dup family costs k-1 edges, not k²/2, with the
-                  // same connected components
-                  val fp = df.select(col(keyCol),
-                    graft.ops.Text.fingerprint(col(textCol)).as("_f"))
-                  val minPer = fp.groupBy("_f")
-                    .agg(org.apache.spark.sql.functions.min(col(keyCol))
-                      .as("id_a"))
-                  fp.join(minPer, "_f")
-                    .filter(col(keyCol) =!= col("id_a"))
-                    .select(col("id_a"), col(keyCol).as("id_b"))
+                  // transitive equality → one agg + one join, no
+                  // iterative contraction
+                  graft.ops.Sampling.leakageSafeSplitByFingerprint(
+                    df, keyCol, textCol, splits, outCol = outName)
                 case "minhash" =>
-                  graft.ops.Dedup.minhashCandidatePairs(df, keyCol,
-                      textCol,
+                  val pairs = graft.ops.Dedup.minhashCandidatePairs(
+                      df, keyCol, textCol,
                       shingleK = num("shingle_k", 5).toInt,
                       numHashes = num("num_hashes", 64).toInt,
                       bands = num("bands", 16).toInt,
@@ -247,13 +243,12 @@ class SamplePlugin(options: Map[String, Any], configDir: Path, label: String)
                       overCap = "star")
                     .filter(col("est_jaccard") >= num("threshold", 0.8))
                     .select("id_a", "id_b")
+                  graft.ops.Sampling.leakageSafeSplit(df, keyCol,
+                    pairs, splits, outCol = outName)
                 case other => throw new PluginExecutionError(
                   s"Unknown pair_method: '$other' " +
                     "(expected fingerprint | minhash)")
               }
-              graft.ops.Sampling.leakageSafeSplit(df, keyCol, pairs,
-                names.zip(fracs.map(_.toDouble)),
-                outCol = options.getOrElse("output_column", "split").toString)
             }
           } yield out
         case "weighted" =>

@@ -162,6 +162,13 @@ class OpsSpec extends AnyFunSuite {
         shardCols = Seq("shard"), orderCol = "id")
       .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
     assert(out == again)
+    // re-packing a packed frame overwrites seq_id/seq_offset (like
+    // packChunks' withColumn) instead of duplicating the columns
+    val repacked = Packing.packGreedy(
+      Packing.packGreedy(df, "toks", 1024, Seq("shard"), "id"),
+      "toks", 512, Seq("shard"), "id")
+    assert(repacked.columns.count(_ == "seq_id") == 1)
+    assert(repacked.columns.count(_ == "seq_offset") == 1)
   }
 
   test("hash sampling is deterministic and caps strata") {

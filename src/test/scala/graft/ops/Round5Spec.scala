@@ -351,6 +351,39 @@ class Round5Spec extends AnyFunSuite {
     assert(split.values.toSet == Set("train", "test"))
   }
 
+  test("Sampling.leakageSafeSplitByFingerprint: dup family cohesion, " +
+      "NULL text joins the empty-text family, no row loss") {
+    val docs = Seq(
+      (0L, "same text here"), (1L, "same text here"),   // family A
+      (2L, null), (3L, ""), (4L, "   "),                // contentless family
+      (5L, "its own words entirely"))
+      .toDF("doc_id", "text")
+    val out = Sampling.leakageSafeSplitByFingerprint(docs, "doc_id",
+        "text", Seq("train" -> 0.8, "test" -> 0.2))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 6) // every row survives, including NULL text
+    assert(out(0L) == out(1L))
+    // NULL, empty and whitespace-only all fingerprint as '' → one family
+    assert(Set(out(2L), out(3L), out(4L)).size == 1)
+    // family fate = the fate assignSplit gives the min id
+    val plain = Sampling.assignSplit(docs.select("doc_id"), "doc_id",
+        Seq("train" -> 0.8, "test" -> 0.2))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == plain(0L) && out(5L) == plain(5L))
+  }
+
+  test("Sampling.leakageSafeSplit keeps NULL-id rows (left join + " +
+      "own-id fallback, never an inner-join drop)") {
+    val docs = Seq(Some(1L), Some(2L), None)
+      .toDF("doc_id").withColumn("text", lit("x"))
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+      Seq("train" -> 0.8, "test" -> 0.2))
+    assert(out.count() == 3)
+    assert(out.filter(col("doc_id").isNull).count() == 1)
+  }
+
   test("Sampling.shuffleShard preserves a user column named _h") {
     // The hash used to be written into a hard-coded `_h`, silently
     // overwriting (then dropping) a user column of that name.
