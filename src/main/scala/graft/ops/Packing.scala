@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   * lang/source/date, whatever the mix design says) keeps each window
   * sort bounded and shards independent. Within a shard the order is
   * `orderCol` (deterministic, so reruns repack identically).
+  * Parallelism equals the distinct shard count, so at cluster scale
+  * include a fine-grained deterministic bucket in `shardCols` — e.g.
+  * [[Sampling.shuffleShard]]'s `shard` column — rather than packing
+  * per coarse source/lang: 5 langs = 5 tasks, 5 langs × 2048 hash
+  * shards = full cluster. Sequences never span shards either way.
   */
 object Packing {
 
