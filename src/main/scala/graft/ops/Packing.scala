@@ -57,16 +57,25 @@ object Packing {
                  shardCols: Seq[String], orderCol: String): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(shardCols.nonEmpty, "shardCols must be non-empty")
-    // overwrite semantics, matching packChunks' withColumn: a frame
-    // that already carries seq_id/seq_offset (a prior pack run) is
-    // re-packed, not given duplicate columns
-    val parted = df.drop("seq_id", "seq_offset")
-      .repartition(shardCols.map(col): _*)
+    val parted = df.repartition(shardCols.map(col): _*)
       .sortWithinPartitions((shardCols :+ orderCol).map(col): _*)
     val schema = parted.schema
-    val outSchema = schema
-      .add("seq_id", org.apache.spark.sql.types.LongType, nullable = false)
-      .add("seq_offset", org.apache.spark.sql.types.LongType, nullable = false)
+    // overwrite-in-place semantics, matching packChunks' withColumn:
+    // a frame that already carries seq_id/seq_offset (a prior pack
+    // run) is re-packed — the old values stay readable as
+    // tokensCol/orderCol/shardCols during the scan and are replaced
+    // in the output, never duplicated
+    val longField = (n: String) => org.apache.spark.sql.types
+      .StructField(n, org.apache.spark.sql.types.LongType, nullable = false)
+    def place(s: org.apache.spark.sql.types.StructType, n: String) =
+      if (s.fieldNames.contains(n))
+        org.apache.spark.sql.types.StructType(
+          s.map(f => if (f.name == n) longField(n) else f))
+      else org.apache.spark.sql.types.StructType(s :+ longField(n))
+    val outSchema = place(place(schema, "seq_id"), "seq_offset")
+    val seqIdx = outSchema.fieldIndex("seq_id")
+    val offIdx = outSchema.fieldIndex("seq_offset")
+    val nIn = schema.length
     val tokIdx = schema.fieldIndex(tokensCol)
     val shardIdx = shardCols.map(schema.fieldIndex)
     parted.mapPartitions { it =>
@@ -86,7 +95,12 @@ object Packing {
         } else {
           offset = fill; fill += tok
         }
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ seq :+ offset)
+        val out = new Array[Any](outSchema.length)
+        var i = 0
+        while (i < nIn) { out(i) = row.get(i); i += 1 }
+        out(seqIdx) = seq
+        out(offIdx) = offset
+        org.apache.spark.sql.Row.fromSeq(out.toSeq)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }

@@ -164,11 +164,16 @@ class OpsSpec extends AnyFunSuite {
     assert(out == again)
     // re-packing a packed frame overwrites seq_id/seq_offset (like
     // packChunks' withColumn) instead of duplicating the columns
-    val repacked = Packing.packGreedy(
-      Packing.packGreedy(df, "toks", 1024, Seq("shard"), "id"),
-      "toks", 512, Seq("shard"), "id")
+    val packed = Packing.packGreedy(df, "toks", 1024, Seq("shard"), "id")
+    val repacked = Packing.packGreedy(packed, "toks", 512, Seq("shard"), "id")
     assert(repacked.columns.count(_ == "seq_id") == 1)
     assert(repacked.columns.count(_ == "seq_offset") == 1)
+    // the old columns stay readable during the scan: ordering a
+    // re-pack BY the previous seq_id must resolve (withColumn parity)
+    val byPrev = Packing.packGreedy(packed, "toks", 512,
+      Seq("shard"), orderCol = "seq_id")
+    assert(byPrev.count() == 7)
+    assert(byPrev.columns.count(_ == "seq_id") == 1)
   }
 
   test("hash sampling is deterministic and caps strata") {
