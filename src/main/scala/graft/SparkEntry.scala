@@ -1823,6 +1823,24 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")),
 
+    // ---- leakage-safe split, generic near-dup path ----------------
+    // The component-keyed path end-to-end under the hash gate:
+    // exact-verified char-5-gram Jaccard pairs (engine-independent
+    // edge set) → connected components → hash split on the component
+    // id. The oracle replays all three stages (all-pairs Jaccard +
+    // recursive reach + the split bands), so every per-doc assignment
+    // — including family cohesion — is verified.
+    "q_split_safe_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardVerified(docs, "doc_id", "text",
+          n = 5, threshold = 0.8)
+        .select("id_a", "id_b")
+      Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     "q_sample_cap" -> ((s, dir) =>
       Sampling.stratifiedCap(t(s, dir, "documents"),
           Seq("lang"), "doc_id", cap = 20)
@@ -5565,6 +5583,42 @@ object SparkEntry {
         |c AS (
         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS cid FROM f),
         |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 8))::BIGINT AS hv
+        |  FROM c)
+        |SELECT doc_id, CASE WHEN hv < 3865470566 THEN 'train'
+        |                    WHEN hv < 4080218931 THEN 'val'
+        |                    ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // the generic path: exact-Jaccard pair graph → recursive-reach
+    // components → the same split bands (0.9·2^32, 0.95·2^32)
+    "q_split_safe_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [substr(t, g, 5) for g in range(1, greatest(length(t) - 3, 2))]) AS shingles
+        |  FROM d
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  WITH RECURSIVE rr(id, seen) AS (
+        |    SELECT doc_id, doc_id FROM d
+        |    UNION
+        |    SELECT e.src, rr.seen FROM edges e JOIN rr ON rr.id = e.dst
+        |  ) SELECT id, seen FROM rr
+        |), c AS (
+        |  SELECT id AS doc_id, min(seen) AS cid FROM reach GROUP BY id
+        |), h AS (
         |  SELECT doc_id,
         |    ('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 8))::BIGINT AS hv
         |  FROM c)
