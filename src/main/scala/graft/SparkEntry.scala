@@ -1831,7 +1831,7 @@ object SparkEntry {
     // recursive reach + the split bands), so every per-doc assignment
     // — including family cohesion — is verified.
     "q_split_safe_neardup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tBalanced(s, dir, "documents")
       val pairs = Dedup.ngramJaccardVerified(docs, "doc_id", "text",
           n = 5, threshold = 0.8)
         .select("id_a", "id_b")
@@ -5377,11 +5377,11 @@ object SparkEntry {
         |  FROM d WHERE rn = 1
         |  UNION ALL
         |  SELECT d.doc_id, d.lang, d.n_tokens, d.rn,
-        |    CASE WHEN p.fill + coalesce(d.n_tokens, 0) > 1024
+        |    CASE WHEN p.fill + coalesce(d.n_tokens, 0) > 1024 OR p.fill >= 1024
         |      THEN p.seq_id + 1 ELSE p.seq_id END,
-        |    CASE WHEN p.fill + coalesce(d.n_tokens, 0) > 1024
+        |    CASE WHEN p.fill + coalesce(d.n_tokens, 0) > 1024 OR p.fill >= 1024
         |      THEN CAST(0 AS BIGINT) ELSE p.fill END,
-        |    CASE WHEN p.fill + coalesce(d.n_tokens, 0) > 1024
+        |    CASE WHEN p.fill + coalesce(d.n_tokens, 0) > 1024 OR p.fill >= 1024
         |      THEN coalesce(d.n_tokens, 0) ELSE p.fill + coalesce(d.n_tokens, 0) END
         |  FROM d JOIN p
         |    ON d.lang IS NOT DISTINCT FROM p.lang AND d.rn = p.rn + 1)

@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
   * would funnel 100 TB through one sort partition; sharding (by
   * lang/source/date, whatever the mix design says) keeps each window
   * sort bounded and shards independent. Within a shard the order is
-  * `orderCol` (deterministic, so reruns repack identically).
+  * `orderCol` — which must totally order each shard's rows (unique
+  * within shard, doc_id-like): with ties, [[packGreedy]]'s scan sees
+  * tied rows in arbitrary post-shuffle order and the rerun-identical
+  * guarantee is void ([[packChunks]]'s RANGE-frame window gives tied
+  * rows equal cumulative offsets instead — deterministic, but ties
+  * then share seq_offset).
   * Parallelism equals the distinct shard count, so at cluster scale
   * include a fine-grained deterministic bucket in `shardCols` — e.g.
   * [[Sampling.shuffleShard]]'s `shard` column — rather than packing
@@ -67,14 +72,18 @@ object Packing {
     // in the output, never duplicated
     val longField = (n: String) => org.apache.spark.sql.types
       .StructField(n, org.apache.spark.sql.types.LongType, nullable = false)
-    def place(s: org.apache.spark.sql.types.StructType, n: String) =
-      if (s.fieldNames.contains(n))
-        org.apache.spark.sql.types.StructType(
-          s.map(f => if (f.name == n) longField(n) else f))
+    // case-INsensitive match, like the analyzer's default column
+    // resolution (and withColumn's replace): a prior 'Seq_Id' is
+    // overwritten, not shadowed by a second lowercase column
+    def place(s: org.apache.spark.sql.types.StructType, n: String) = {
+      val i = s.fieldNames.indexWhere(_.equalsIgnoreCase(n))
+      if (i >= 0)
+        org.apache.spark.sql.types.StructType(s.updated(i, longField(n)))
       else org.apache.spark.sql.types.StructType(s :+ longField(n))
+    }
     val outSchema = place(place(schema, "seq_id"), "seq_offset")
-    val seqIdx = outSchema.fieldIndex("seq_id")
-    val offIdx = outSchema.fieldIndex("seq_offset")
+    val seqIdx = outSchema.fieldNames.indexWhere(_.equalsIgnoreCase("seq_id"))
+    val offIdx = outSchema.fieldNames.indexWhere(_.equalsIgnoreCase("seq_offset"))
     val nIn = schema.length
     val tokIdx = schema.fieldIndex(tokensCol)
     val shardIdx = shardCols.map(schema.fieldIndex)
@@ -88,9 +97,14 @@ object Packing {
         val v = row.get(tokIdx)
         val tok = if (v == null) 0L else v.asInstanceOf[Number].longValue
         var offset = 0L
+        // the fill >= budget clause only fires for a ZERO-token doc
+        // arriving at an exactly-full sequence: it opens the next
+        // sequence instead of landing at offset == budget, keeping
+        // the invariant seq_offset ∈ [0, budget) (oversized docs sit
+        // alone at offset 0)
         if (!started || key != curKey) {
           curKey = key; seq = 0L; fill = tok; started = true
-        } else if (fill + tok > budget) {
+        } else if (fill + tok > budget || fill >= budget) {
           seq += 1L; fill = tok
         } else {
           offset = fill; fill += tok
@@ -100,7 +114,8 @@ object Packing {
         while (i < nIn) { out(i) = row.get(i); i += 1 }
         out(seqIdx) = seq
         out(offIdx) = offset
-        org.apache.spark.sql.Row.fromSeq(out.toSeq)
+        org.apache.spark.sql.Row.fromSeq(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }

@@ -145,7 +145,10 @@ class OpsSpec extends AnyFunSuite {
       (1L, "a", 600L), (2L, "a", 600L), (3L, "a", 300L), (4L, "a", 200L),
       // shard b: oversized doc alone, next doc starts fresh; a null
       // token count packs as 0
-      (5L, "b", 2000L), (6L, "b", 100L), (7L, "b", 900L)).toDF("id", "shard", "toks")
+      (5L, "b", 2000L), (6L, "b", 100L), (7L, "b", 900L),
+      // shard c: a zero-token doc at an EXACTLY-full sequence opens
+      // the next one (offset stays < budget, never == budget)
+      (8L, "c", 1024L), (9L, "c", 0L)).toDF("id", "shard", "toks")
       .withColumn("toks", when(col("id") === 4L, lit(null)).otherwise(col("toks")))
     val out = Packing.packGreedy(df, "toks", budget = 1024,
         shardCols = Seq("shard"), orderCol = "id")
@@ -157,6 +160,8 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L) == (0L, 0L))    // oversized doc gets its own seq
     assert(out(6L) == (1L, 0L))
     assert(out(7L) == (1L, 100L))  // 100+900 = 1000 ≤ 1024, fits
+    assert(out(8L) == (0L, 0L))
+    assert(out(9L) == (1L, 0L))    // not (0, 1024): offset < budget holds
     // determinism across reruns
     val again = Packing.packGreedy(df, "toks", budget = 1024,
         shardCols = Seq("shard"), orderCol = "id")
@@ -168,11 +173,13 @@ class OpsSpec extends AnyFunSuite {
     val repacked = Packing.packGreedy(packed, "toks", 512, Seq("shard"), "id")
     assert(repacked.columns.count(_ == "seq_id") == 1)
     assert(repacked.columns.count(_ == "seq_offset") == 1)
-    // the old columns stay readable during the scan: ordering a
-    // re-pack BY the previous seq_id must resolve (withColumn parity)
+    // the old columns stay readable during the scan: a re-pack whose
+    // order references the previous seq_id must RESOLVE (withColumn
+    // parity; note a real re-pack needs a unique tiebreaker — ties
+    // on orderCol void the rerun-identical guarantee)
     val byPrev = Packing.packGreedy(packed, "toks", 512,
       Seq("shard"), orderCol = "seq_id")
-    assert(byPrev.count() == 7)
+    assert(byPrev.count() == 9)
     assert(byPrev.columns.count(_ == "seq_id") == 1)
   }
 
