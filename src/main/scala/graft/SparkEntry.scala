@@ -4803,6 +4803,8 @@ object SparkEntry {
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Size-ratio skip is sound at t=0.6 (min ≥ 0.6·max); see the
+    // dedup_ngram_verified comment for the J ≤ min/max argument.
     "dedup_ngram_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, lang, trim(regexp_replace(regexp_replace(lower(text),
@@ -4816,7 +4818,9 @@ object SparkEntry {
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(a.shingles) >= 0.6 * len(b.shingles)
+        |    AND len(b.shingles) >= 0.6 * len(a.shingles))
         |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
 
     // Blank text counts 0 whitespace tokens (a naive split of ''
@@ -5243,6 +5247,10 @@ object SparkEntry {
 
     // Exact 5-gram Jaccard pairs, unblocked: the quadratic DuckDB
     // verifier the minhash-candidates + exact-verify plan must equal.
+    // The size-ratio predicate is a provably-sound skip, not a
+    // heuristic: J = |∩|/|∪| ≤ min/max, so J ≥ t forces
+    // min ≥ t·max — every surviving pair still gets the exact
+    // intersect/union check. Cuts the sf0.1 deep-check wall ~5×.
     "dedup_ngram_verified" ->
       """WITH d AS (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
@@ -5256,26 +5264,34 @@ object SparkEntry {
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.shingles) >= 0.8 * len(b.shingles)
+        |    AND len(b.shingles) >= 0.8 * len(a.shingles))
         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
     // Connected components by transitive closure: min reachable id
     // per node over the same exact 5-gram J ≥ 0.8 pair graph.
+    // MATERIALIZED pins each CTE to one evaluation — without it the
+    // recursive closure replays the quadratic pair join per
+    // iteration (>3500 s at sf0.1; ~1000 s with). The size-ratio
+    // skip is sound: J ≥ 0.8 forces min ≥ 0.8·max set sizes.
     "dedup_cluster" ->
-      """WITH d AS (
+      """WITH d AS MATERIALIZED (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
         |  FROM documents
-        |), sh AS (
+        |), sh AS MATERIALIZED (
         |  SELECT doc_id, list_distinct(
         |    [substr(t, g, 5) for g in range(1, greatest(length(t) - 3, 2))]) AS shingles
         |  FROM d
-        |), pairs AS (
+        |), pairs AS MATERIALIZED (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |  WHERE len(a.shingles) >= 0.8 * len(b.shingles)
+        |    AND len(b.shingles) >= 0.8 * len(a.shingles)
+        |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         |    len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
-        |), edges AS (
+        |), edges AS MATERIALIZED (
         |  SELECT id_a AS src, id_b AS dst FROM pairs
         |  UNION ALL SELECT id_b, id_a FROM pairs
         |), reach AS (
@@ -5288,22 +5304,25 @@ object SparkEntry {
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Same components; survivor = max n_chars (ties min id) per
-    // cluster, replayed with an identical rank pick.
+    // cluster, replayed with an identical rank pick. Same
+    // MATERIALIZED + sound size-ratio skip as dedup_cluster.
     "dedup_cluster_best" ->
-      """WITH d AS (
+      """WITH d AS MATERIALIZED (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
         |  FROM documents
-        |), sh AS (
+        |), sh AS MATERIALIZED (
         |  SELECT doc_id, list_distinct(
         |    [substr(t, g, 5) for g in range(1, greatest(length(t) - 3, 2))]) AS shingles
         |  FROM d
-        |), pairs AS (
+        |), pairs AS MATERIALIZED (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |  WHERE len(a.shingles) >= 0.8 * len(b.shingles)
+        |    AND len(b.shingles) >= 0.8 * len(a.shingles)
+        |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         |    len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
-        |), edges AS (
+        |), edges AS MATERIALIZED (
         |  SELECT id_a AS src, id_b AS dst FROM pairs
         |  UNION ALL SELECT id_b, id_a FROM pairs
         |), reach AS (
@@ -6756,7 +6775,9 @@ object SparkEntry {
         |), dropped AS (
         |  SELECT DISTINCT a.doc_id FROM sh a JOIN sh b
         |    ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |  WHERE len(a.shingles) >= 0.8 * len(b.shingles)
+        |    AND len(b.shingles) >= 0.8 * len(a.shingles)
+        |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         |    len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8)
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dropped)
