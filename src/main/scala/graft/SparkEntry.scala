@@ -5382,7 +5382,7 @@ object SparkEntry {
     // forward), so the oracle replays it as a per-shard recursion
     // over rank order — bitwise the same decision rule as packGreedy
     "q_pack_greedy" ->
-      """WITH RECURSIVE d AS (
+      """WITH RECURSIVE d AS MATERIALIZED (
         |  SELECT doc_id, lang,
         |    CAST(CASE WHEN trim(text) = '' THEN 0
         |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
@@ -5613,20 +5613,22 @@ object SparkEntry {
     // the generic path: exact-Jaccard pair graph → recursive-reach
     // components → the same split bands (0.9·2^32, 0.95·2^32)
     "q_split_safe_neardup" ->
-      """WITH d AS (
+      """WITH d AS MATERIALIZED (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
         |  FROM documents
-        |), sh AS (
+        |), sh AS MATERIALIZED (
         |  SELECT doc_id, list_distinct(
         |    [substr(t, g, 5) for g in range(1, greatest(length(t) - 3, 2))]) AS shingles
         |  FROM d
-        |), pairs AS (
+        |), pairs AS MATERIALIZED (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |  WHERE len(a.shingles) >= 0.8 * len(b.shingles)
+        |    AND len(b.shingles) >= 0.8 * len(a.shingles)
+        |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         |    len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
-        |), edges AS (
+        |), edges AS MATERIALIZED (
         |  SELECT id_a AS src, id_b AS dst FROM pairs
         |  UNION ALL SELECT id_b, id_a FROM pairs
         |), reach AS (
@@ -6932,31 +6934,34 @@ object SparkEntry {
         |ORDER BY sel.query_id, mmr_rank""".stripMargin,
 
     // components of the thresholded kNN graph via a recursive
-    // reachability CTE; cluster_id = min reachable id.
+    // reachability CTE; cluster_id = min reachable id. MATERIALIZED
+    // pins the quadratic cosine scoring to ONE evaluation — without
+    // it the recursion replays it per contraction round (~30 min at
+    // sf0.1; ~12 s with, byte-identical).
     "sim_knn_components" ->
-      """WITH RECURSIVE e AS (
+      """WITH RECURSIVE e AS MATERIALIZED (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings
-        |), nrm AS (
+        |), nrm AS MATERIALIZED (
         |  SELECT vec_id,
         |    CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0 THEN v
         |         ELSE list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
         |    END AS v
         |  FROM e
-        |), scored AS (
+        |), scored AS MATERIALIZED (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    list_sum(list_transform(list_zip(q.v, c.v),
         |      p -> p[1] * p[2])) AS cos_raw
         |  FROM nrm q JOIN nrm c ON c.vec_id <> q.vec_id
-        |), rk AS (
+        |), rk AS MATERIALIZED (
         |  SELECT query_id, neighbor_id, cos_raw,
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY cos_raw DESC, neighbor_id) AS rn
         |  FROM scored
-        |), ed AS (
+        |), ed AS MATERIALIZED (
         |  SELECT query_id AS a, neighbor_id AS b
         |  FROM rk WHERE rn <= 3 AND cos_raw >= 0.35
-        |), sym AS (
+        |), sym AS MATERIALIZED (
         |  SELECT a, b FROM ed UNION SELECT b, a FROM ed
         |), reach(node, root) AS (
         |  SELECT vec_id, vec_id FROM embeddings
