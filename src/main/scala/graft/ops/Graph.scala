@@ -297,11 +297,17 @@ object Graph {
     try {
       val x = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
       val y = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
-      val wedges = x.join(y, Seq("u"))
+      // SHUFFLE_HASH on the build sides: the wedge stream is the
+      // largest intermediate in the query (quadratic in per-node
+      // oriented out-degree, bounded by sqrt(m) via the orientation)
+      // and sort-merge would SORT it twice — once producing it, once
+      // for the closing join. Hash-building on the node-bounded edge
+      // list streams the wedges unsorted through both joins.
+      val wedges = x.join(y.hint("SHUFFLE_HASH"), Seq("u"))
         .filter(col("dv1") < col("dv2") ||
           (col("dv1") === col("dv2") && col("v1") < col("v2")))
       val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
-      val tri = wedges.join(closing, Seq("v1", "v2"))
+      val tri = wedges.join(closing.hint("SHUFFLE_HASH"), Seq("v1", "v2"))
       tri.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("n_triangles"))
         .localCheckpoint(true)
