@@ -1025,7 +1025,10 @@ object Dedup {
       .filter(col("_c") <= maxFpFreq).select(col("fp"))
     val a = fps.join(ok, Seq("fp")).select(col("fp"), col(idCol).as("id_a"))
     val b = fps.select(col("fp"), col(idCol).as("id_b"))
-    a.join(b, Seq("fp"))
+    // SHUFFLE_HASH: sort-merge would sort the full fingerprint mass
+    // on both sides; hashing the frequency-capped side streams the
+    // raw side unsorted (same move as Graph.triangles' wedge joins)
+    a.hint("SHUFFLE_HASH").join(b, Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
