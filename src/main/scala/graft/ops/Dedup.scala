@@ -135,6 +135,33 @@ object Dedup {
                             shingleK: Int = 5, numHashes: Int = 64,
                             bands: Int = 16, maxBucket: Int = 1000,
                             overCap: String = "drop"): DataFrame = {
+    val (pairs, sig, _) = minhashCandidateIdPairs(df, idCol, textCol,
+      shingleK, numHashes, bands, maxBucket, overCap)
+    // Re-attach signatures per side. Two equi-joins, NOT a melt +
+    // group: with the one-hash affine kernel a full corpus signature
+    // pass is ~0.1 s per million docs per core, while a melt spelling
+    // pays a SortAggregate over 2×pairs wide array rows — and
+    // candidate pairs outnumber docs on any near-dup-dense corpus
+    // (A/B'd in tools/AbMinhash: melt 2.8 s vs joins 1.8 s at sf0.1).
+    pairs
+      .join(sig.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.expressions.LaneAgreement.lane_agreement(
+          col("sig_a"), col("sig_b")).as("est_jaccard"))
+  }
+
+  /** The id-pair stage of [[minhashCandidatePairs]], without the
+    * signature re-attach — for callers that only need the CANDIDATE
+    * ids and verify pairs by other means ([[ngramJaccardVerified]]'s
+    * exact shingle Jaccard): the two sig equi-joins are inner joins
+    * Catalyst cannot prune away even when `est_jaccard` is dropped,
+    * and each replays the full corpus signature expression. Returns
+    * (pairs(id_a, id_b), signatures, idCol). */
+  private[graft] def minhashCandidateIdPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int, bands: Int, maxBucket: Int,
+      overCap: String): (DataFrame, DataFrame, String) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(Set("drop", "star")(overCap), s"unknown overCap mode: $overCap")
     val r = numHashes / bands
@@ -178,19 +205,7 @@ object Dedup {
         .select(col("_hub").as("id_a"), col(idCol).as("id_b"))
       cliquePairs.unionByName(starPairs)
     } else cliquePairs).distinct()
-
-    // Re-attach signatures per side. Two equi-joins, NOT a melt +
-    // group: with the one-hash affine kernel a full corpus signature
-    // pass is ~0.1 s per million docs per core, while a melt spelling
-    // pays a SortAggregate over 2×pairs wide array rows — and
-    // candidate pairs outnumber docs on any near-dup-dense corpus
-    // (A/B'd in tools/AbMinhash: melt 2.8 s vs joins 1.8 s at sf0.1).
-    pairs
-      .join(sig.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sig.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        graft.expressions.LaneAgreement.lane_agreement(
-          col("sig_a"), col("sig_b")).as("est_jaccard"))
+    (pairs, sig, idCol)
   }
 
   // --------------------------------------------------- clustering
@@ -627,10 +642,13 @@ object Dedup {
                            n: Int = 5, threshold: Double = 0.8,
                            numHashes: Int = 64, bands: Int = 16,
                            maxBucket: Int = 1000): DataFrame = {
-    val candidates = minhashCandidatePairs(df, idCol, textCol,
-        shingleK = n, numHashes = numHashes, bands = bands,
-        maxBucket = maxBucket)
-      .select("id_a", "id_b")
+    // id-pair stage only: the signature re-attach would add two
+    // inner joins (each replaying the corpus signature expression)
+    // whose est_jaccard this op discards — the exact shingle Jaccard
+    // below is the verdict, minhash is only the blocker here
+    val (candidates, _, _) = minhashCandidateIdPairs(df, idCol, textCol,
+      shingleK = n, numHashes = numHashes, bands = bands,
+      maxBucket = maxBucket, overCap = "drop")
     val withSh = df
       .select(col(idCol), Text.normalize(col(textCol)).as("_t"))
       .select(col(idCol), shinglesOfNormalized(col("_t"), n).as("_sh"))
@@ -642,7 +660,8 @@ object Dedup {
     candidates
       .select(col("id_a"), col("id_b"),
         explode(array(col("id_a"), col("id_b"))).as("_id"))
-      .join(withSh.select(col(idCol).as("_id"), col("sh")), Seq("_id"))
+      .join(withSh.select(col(idCol).as("_id"), col("sh"))
+        .hint("SHUFFLE_HASH"), Seq("_id"))
       .groupBy("id_a", "id_b")
       .agg(
         first(when(col("_id") === col("id_a"), col("sh")), ignoreNulls = true)
