@@ -3451,6 +3451,26 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos")),
 
+    // ---- DSIR importance resampling (Xie et al. 2023) ------------
+    // Select the raw-pool docs (lang <> en) that look most like the
+    // curated target (en docs) under add-1-smoothed hashed
+    // unigram+bigram multinomials; sampling w/o replacement ∝ w(x)
+    // via Gumbel top-k on a seeded md5 uniform — no RNG, so the
+    // oracle replays hash, model, and Gumbel draw exactly. The
+    // ranking key is ROUNDED (r4) before the top-k so last-ulp ln()
+    // noise between engines cannot flip the selected set.
+    "q_dsir_select" -> ((s, dir) => {
+      val docs = tBalanced(s, dir, "documents")
+      graft.ops.Dsir.select(
+          docs.filter(col("lang") =!= "en"),
+          docs.filter(col("lang") === "en"),
+          "doc_id", "text", k = 64, buckets = 1024,
+          alpha = 1.0, seed = "dsir")
+        .select(col("doc_id"), col("lang"), col("source"),
+          r(col("dsir_logw"), 4).as("dsir_logw"), col("dsir_key"))
+        .orderBy("doc_id")
+    }),
+
     // ---- streaming sessionization under the oracle ---------------
     // flatMapGroupsWithState gap sessions on the event stream. With
     // AvailableNow the trailing session per user is still OPEN in
@@ -7009,6 +7029,61 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY _h % 8
         |    ORDER BY _h, doc_id) AS BIGINT) AS pos
         |FROM h ORDER BY shard, pos""".stripMargin,
+
+    // DSIR full replay: same normalize/tokenize as text_tfidf, same
+    // md5-prefix gram hash mod 1024, add-1 multinomials over the
+    // bucket space, seeded md5 Gumbel draw, r4-rounded ranking key.
+    "q_dsir_select" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, trim(regexp_replace(regexp_replace(
+        |    lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(t, ' ') AS toks
+        |  FROM d WHERE length(t) > 0
+        |), uni AS (
+        |  SELECT doc_id, lang, unnest(toks) AS gram FROM tok
+        |), big AS (
+        |  SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS gram
+        |  FROM tok, unnest(CASE WHEN len(toks) >= 2
+        |    THEN range(1, len(toks)) ELSE [] END) u(i)
+        |), feat AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(gram), 1, 8))::BIGINT % 1024 AS bucket,
+        |    count(*) AS cnt
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+        |  GROUP BY 1, 2, 3
+        |), tfit AS (
+        |  SELECT bucket, sum(cnt) AS tc FROM feat WHERE lang = 'en'
+        |  GROUP BY 1
+        |), rfit AS (
+        |  SELECT bucket, sum(cnt) AS rc FROM feat WHERE lang <> 'en'
+        |  GROUP BY 1
+        |), tt AS (SELECT sum(tc) AS tn FROM tfit),
+        |rt AS (SELECT sum(rc) AS rn FROM rfit),
+        |model AS (
+        |  SELECT rfit.bucket,
+        |    ln(coalesce(tc, 0) + 1.0) - ln(tn + 1024.0)
+        |      - ln(rc + 1.0) + ln(rn + 1024.0) AS lr
+        |  FROM rfit LEFT JOIN tfit USING (bucket)
+        |  CROSS JOIN tt CROSS JOIN rt
+        |), sc AS (
+        |  SELECT doc_id, sum(cnt * lr) AS logw
+        |  FROM feat JOIN model USING (bucket)
+        |  WHERE lang <> 'en' GROUP BY 1
+        |), keyed AS (
+        |  SELECT doc_id, logw,
+        |    r(logw + (-ln(-ln(
+        |      (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)),
+        |        1, 8))::BIGINT + 0.5) / 4294967296.0))), 4) AS dsir_key
+        |  FROM sc
+        |), sel AS (
+        |  SELECT doc_id, logw, dsir_key FROM keyed
+        |  ORDER BY dsir_key DESC, doc_id LIMIT 64)
+        |SELECT s.doc_id, d2.lang, d2.source, r(s.logw, 4) AS dsir_logw,
+        |  s.dsir_key
+        |FROM sel s JOIN documents d2 ON s.doc_id = d2.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
 
     // batch sessionization minus each user's LAST session — the one
     // still open in flatMapGroupsWithState state when AvailableNow

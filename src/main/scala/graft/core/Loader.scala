@@ -76,6 +76,7 @@ object Loader {
     "sample" -> "graft.plugins.transform.SamplePlugin",
     "redact_pii" -> "graft.plugins.transform.RedactPiiPlugin",
     "contamination" -> "graft.plugins.transform.ContaminationPlugin",
+    "dsir" -> "graft.plugins.transform.DsirPlugin",
     "multimodal" -> "graft.plugins.transform.MultimodalPlugin",
     "sessionize" -> "graft.plugins.transform.SessionizePlugin",
     "chunk" -> "graft.plugins.transform.ChunkPlugin",

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * arXiv:2302.03169): pick the `k` raw-corpus documents that look
+  * most like a small curated TARGET corpus, the standard "make the
+  * web crawl resemble Wikipedia+books" pretraining curation step.
+  *
+  * Model: hashed n-gram (unigram + bigram) bag-of-features. Both
+  * corpora fit an add-α smoothed multinomial over `buckets` hashed
+  * feature buckets,
+  *
+  *   p_b = (C_target(b) + α) / (T + α·B)
+  *   q_b = (C_raw(b)    + α) / (R + α·B)
+  *
+  * and a document's log importance weight is
+  * `log w(x) = Σ_b c_b(x) · (ln p_b − ln q_b)` — large when the doc's
+  * feature mass sits in buckets the target over-represents relative
+  * to the raw pool. Sampling without replacement ∝ w(x) is done as
+  * Gumbel top-k: `key = log w + G_id` with `G_id = −ln(−ln(u_id))`
+  * and `u_id` a seeded md5 hash of the document id — deterministic,
+  * reproducible, engine-portable (no RNG; the DuckDB oracle replays
+  * the identical hash).
+  *
+  * Scale shape: the per-doc feature explode is narrow `(id, bucket,
+  * cnt)` rows with map-side partial aggregation; BOTH fitted models
+  * collapse to ≤ `buckets` rows (orders of magnitude below corpus
+  * size — broadcast when small), the totals are 1-row aggregates
+  * (never driver constants), and the final top-k plans as
+  * TakeOrderedAndProject — no global sort, no collect, nothing on
+  * the driver. Doubling the corpus doubles only the feature-explode
+  * mass; the model stays `buckets`-bounded.
+  *
+  * Determinism contract: documents whose normalized text is empty
+  * emit no features, get no score, and are never selected (no
+  * evidence, no pick — same convention as [[LmScore.filterByScore]]).
+  * Selection order is by the ROUNDED (`roundTo` decimals) Gumbel key
+  * descending with id ascending as tiebreak, so last-ulp `ln` noise
+  * between engines cannot flip the selected set.
+  */
+object Dsir {
+
+  private val U32 = 4294967296.0 // 2^32, the md5-prefix hash range
+
+  /** Hashed unigram+bigram feature counts: `(idCol, bucket, cnt)`.
+    * Bigrams are space-joined consecutive token pairs (a unigram can
+    * never collide with a bigram pre-hash: normalized tokens contain
+    * no spaces). Bucket = md5-prefix hash of the gram mod `buckets`
+    * — the engine-portable hash used across graft. */
+  def featureRows(df: DataFrame, idCol: String, textCol: String,
+                  buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val uni = Tfidf.termRows(df, idCol, textCol)
+      .select(col(idCol), col("term").as("_g"))
+    val bi = LmScore.bigramRows(df, idCol, textCol)
+      .select(col(idCol), concat(col("w1"), lit(" "), col("w2")).as("_g"))
+    uni.unionByName(bi)
+      .select(col(idCol),
+        pmod(Sampling.keyHash(col("_g")), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-document log importance weight `(idCol, dsir_logw)` of every
+    * scoreable `raw` document against the `target` corpus. */
+  def scoreDocs(raw: DataFrame, target: DataFrame, idCol: String,
+                textCol: String, buckets: Int = 8192,
+                alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val rawFeat = featureRows(raw, idCol, textCol, buckets)
+    val tFit = featureRows(target, idCol, textCol, buckets)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("_tc"))
+    val rFit = rawFeat.groupBy(col("bucket")).agg(sum(col("cnt")).as("_rc"))
+    val tTot = tFit.agg(sum(col("_tc")).as("_T")) // 1 row
+    val rTot = rFit.agg(sum(col("_rc")).as("_R")) // 1 row
+    // Only buckets that occur in raw docs can contribute to a raw
+    // doc's score, so the model grid is rFit's buckets; target-only
+    // buckets are irrelevant by construction (c_b(x) = 0).
+    val model0 = rFit
+      .join(tFit, Seq("bucket"), "left")
+      .crossJoin(tTot).crossJoin(rTot)
+      .select(col("bucket"),
+        (log(coalesce(col("_tc"), lit(0L)) + alpha)
+          - log(col("_T") + alpha * buckets)
+          - log(col("_rc") + alpha)
+          + log(col("_R") + alpha * buckets)).as("_lr"))
+    // The model is buckets-bounded; broadcast it under the scoring
+    // join unless the user asked for a pathologically wide hash
+    // space (then AQE decides).
+    val model = if (buckets <= (1 << 22)) broadcast(model0) else model0
+    rawFeat.join(model, Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * col("_lr")).as("dsir_logw"))
+  }
+
+  /** Gumbel-top-`k` importance resample: the selected documents with
+    * `(…raw columns…, dsir_logw, dsir_key)`. `seed` varies the
+    * (deterministic) Gumbel draw — a different seed is an independent
+    * resample over the same weights. `roundTo` is the decimal grid
+    * the selection key is snapped to before ranking (see class doc).
+    */
+  def select(raw: DataFrame, target: DataFrame, idCol: String,
+             textCol: String, k: Int, buckets: Int = 8192,
+             alpha: Double = 1.0, seed: String = "dsir",
+             roundTo: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scores = scoreDocs(raw, target, idCol, textCol, buckets, alpha)
+    // u in (0, 1): (hash + 0.5) / 2^32 — both ln() calls finite.
+    val u = (Sampling.keyHash(
+        concat(lit(seed + ":"), col(idCol).cast("string"))) + 0.5) / U32
+    val gumbel = -log(-log(u))
+    val f = math.pow(10, roundTo)
+    val key = floor((col("dsir_logw") + gumbel) * f + 0.5 + 1e-6) / f
+    // Top-k on the NARROW (id, logw, key) frame — a k-row heap per
+    // partition of 3-column rows, then the k winners join back to
+    // the wide raw rows (broadcast: k is the user's sample size).
+    val picked0 = scores
+      .withColumn("dsir_key", key)
+      .orderBy(col("dsir_key").desc, col(idCol))
+      .limit(k)
+    val picked = if (k <= (1 << 20)) broadcast(picked0) else picked0
+    raw.join(picked, Seq(idCol))
+  }
+}

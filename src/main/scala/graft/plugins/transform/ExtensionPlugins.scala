@@ -418,6 +418,70 @@ class ContaminationPlugin(options: Map[String, Any], configDir: Path, label: Str
     } yield out
 }
 
+/** Config-driven DSIR importance resampling ([[graft.ops.Dsir]]):
+  * keep the `k` docs of this stream that look most like the labeled
+  * TARGET corpus stream (Xie et al. 2023). Options: target_label
+  * (required), k (required), id_column (default doc_id), text_column
+  * (default text; target_text_column to override the target side's),
+  * buckets (default 8192), alpha (default 1.0), seed (default
+  * "dsir" — a different seed is an independent resample), round_to
+  * (default 4 — the decimal grid the ranking key snaps to). */
+class DsirPlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label)
+    with graft.core.MultiStreamTransformPlugin {
+  def name: String = "dsir"
+
+  def executeWith(df: DataFrame,
+                  streams: Map[String, Either[Throwable, DataFrame]])
+      : Either[Throwable, DataFrame] =
+    for {
+      tl <- requiredString("target_label")
+      target <- streams.getOrElse(tl, Left(new NoSuchElementException(
+        s"No input data with label '$tl' for dsir plugin")))
+      kv <- required("k")
+      out <- graft.core.Errors.safe {
+        val idCol = options.getOrElse("id_column", "doc_id").toString
+        val tc = options.getOrElse("text_column", "text").toString
+        val ttc = options.getOrElse("target_text_column", tc).toString
+        graft.ops.Dsir.select(df,
+          target.withColumnRenamed(ttc, tc), idCol, tc,
+          k = kv.toString.toDouble.toInt,
+          buckets = options.get("buckets")
+            .map(_.toString.toDouble.toInt).getOrElse(8192),
+          alpha = options.get("alpha")
+            .map(_.toString.toDouble).getOrElse(1.0),
+          seed = options.getOrElse("seed", "dsir").toString,
+          roundTo = options.get("round_to")
+            .map(_.toString.toDouble.toInt).getOrElse(4))
+      }
+    } yield out
+
+  def dryRunWith(schema: StructType,
+                 schemas: Map[String, Either[Throwable, StructType]])
+      : Either[Throwable, StructType] =
+    for {
+      tl <- requiredString("target_label")
+      ts <- schemas.getOrElse(tl, Left(new NoSuchElementException(
+        s"No input data with label '$tl' for dsir plugin")))
+      _ <- required("k")
+      out <- graft.core.Errors.safe {
+        val idCol = options.getOrElse("id_column", "doc_id").toString
+        val tc = options.getOrElse("text_column", "text").toString
+        val ttc = options.getOrElse("target_text_column", tc).toString
+        for (n <- Seq(idCol, tc))
+          if (!schema.fields.exists(_.name == n))
+            throw new graft.core.SchemaValidationError(
+              s"Column '$n' not found in schema")
+        if (!ts.fields.exists(_.name == ttc))
+          throw new graft.core.SchemaValidationError(
+            s"Column '$ttc' not found in target schema")
+        StructType(schema.fields ++ Seq(
+          StructField("dsir_logw", DoubleType, nullable = true),
+          StructField("dsir_key", DoubleType, nullable = true)))
+      }
+    } yield out
+}
+
 /** Config-driven batch sessionization ([[graft.ops.Sessionize]]):
   * gap-based sessions per user from an epoch-nanos timestamp column.
   * Options: method = "islands" (default — window-function gap

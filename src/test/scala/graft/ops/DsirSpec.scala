@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** DSIR importance resampling: scalar reference for the log weight,
+  * target-likeness ordering, determinism, empty-doc exclusion, and
+  * the scale-shape plan pins (broadcast model, TakeOrdered top-k). */
+class DsirSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = SharedSpark.spark
+  import spark.implicits._
+
+  private def hashOf(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 8)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Scalar reference: hashed unigram+bigram counts of one doc. */
+  private def featRef(text: String, buckets: Int): Map[Long, Long] = {
+    val toks = text.toLowerCase.replaceAll("\\p{Punct}", " ")
+      .trim.replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty).toSeq
+    val grams = toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    grams.groupBy(g => hashOf(g) % buckets).map { case (b, g) =>
+      b -> g.size.toLong
+    }
+  }
+
+  test("logw matches the scalar multinomial reference") {
+    val B = 32
+    val target = Seq((100L, "good clean prose"), (101L, "clean prose wins"))
+      .toDF("doc_id", "text")
+    val raw = Seq((1L, "good clean prose here"), (2L, "junk junk junk spam"))
+      .toDF("doc_id", "text")
+    val got = Dsir.scoreDocs(raw, target, "doc_id", "text", buckets = B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // reference model
+    val tCounts = Seq("good clean prose", "clean prose wins")
+      .map(featRef(_, B)).foldLeft(Map.empty[Long, Long]) { (a, m) =>
+        m.foldLeft(a) { case (acc, (k, v)) => acc.updated(k, acc.getOrElse(k, 0L) + v) }
+      }
+    val rCounts = Seq("good clean prose here", "junk junk junk spam")
+      .map(featRef(_, B)).foldLeft(Map.empty[Long, Long]) { (a, m) =>
+        m.foldLeft(a) { case (acc, (k, v)) => acc.updated(k, acc.getOrElse(k, 0L) + v) }
+      }
+    val tn = tCounts.values.sum.toDouble
+    val rn = rCounts.values.sum.toDouble
+    def logw(text: String): Double =
+      featRef(text, B).map { case (b, c) =>
+        c * (math.log(tCounts.getOrElse(b, 0L) + 1.0) - math.log(tn + B)
+          - math.log(rCounts.getOrElse(b, 0L) + 1.0) + math.log(rn + B))
+      }.sum
+    assert(math.abs(got(1L) - logw("good clean prose here")) < 1e-9)
+    assert(math.abs(got(2L) - logw("junk junk junk spam")) < 1e-9)
+    // the target-like doc must out-weigh the spam doc
+    assert(got(1L) > got(2L))
+  }
+
+  test("select favors target-like docs, is deterministic, and a new seed is a different draw") {
+    val target = (0 until 20)
+      .map(i => (1000L + i, "the quick brown fox jumps high"))
+      .toDF("doc_id", "text")
+    val raw = ((0 until 20).map(i => (i.toLong, "the quick brown fox runs fast")) ++
+      (20 until 40).map(i => (i.toLong, "zzz qqq xxx yyy www vvv")))
+      .toDF("doc_id", "text")
+    val sel = Dsir.select(raw, target, "doc_id", "text", k = 10,
+      buckets = 64, seed = "s1")
+    val ids = sel.select("doc_id").as[Long].collect().toSet
+    // importance gap is huge (shared vs disjoint vocab): all 10 picks
+    // come from the target-like half even after the Gumbel jitter
+    assert(ids.forall(_ < 20), s"picked spam docs: $ids")
+    assert(sel.columns.contains("dsir_logw") && sel.columns.contains("dsir_key"))
+    assert(sel.columns.contains("text")) // raw columns survive
+    // same seed = same set; different seed = (here) different set
+    val again = Dsir.select(raw, target, "doc_id", "text", k = 10,
+      buckets = 64, seed = "s1").select("doc_id").as[Long].collect().toSet
+    assert(again == ids)
+    val other = Dsir.select(raw, target, "doc_id", "text", k = 10,
+      buckets = 64, seed = "s2").select("doc_id").as[Long].collect().toSet
+    assert(other != ids) // 20-choose-10 over fresh Gumbels: collision ~0
+  }
+
+  test("docs with empty normalized text are never scored or selected") {
+    val target = Seq((100L, "alpha beta")).toDF("doc_id", "text")
+    val raw = Seq((1L, "alpha beta gamma"), (2L, "..."), (3L, " "))
+      .toDF("doc_id", "text")
+    val scored = Dsir.scoreDocs(raw, target, "doc_id", "text", buckets = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(scored == Set(1L))
+    val sel = Dsir.select(raw, target, "doc_id", "text", k = 3, buckets = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel == Set(1L)) // k larger than the scoreable pool: no padding
+  }
+
+  test("plan shape: broadcast model join, TakeOrdered top-k, no cartesian blowup") {
+    val target = (0 until 8).map(i => (100L + i, s"tok$i tok${i + 1}"))
+      .toDF("doc_id", "text")
+    val raw = (0 until 32).map(i => (i.toLong, s"tok${i % 8} word$i"))
+      .toDF("doc_id", "text")
+    val plan = Dsir.select(raw, target, "doc_id", "text", k = 5,
+      buckets = 128).queryExecution.executedPlan.toString
+    // top-k is a TakeOrderedAndProject over the narrow score frame
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the bucket-model scoring join and the k-row join-back both
+    // broadcast; the only nested-loop joins are the 1-row totals
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nlj <= 2, s"unexpected nested-loop joins ($nlj):\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}

@@ -538,6 +538,37 @@ class PluginSpec extends AnyFunSuite {
     assert(rmSchema == corpus.schema)
   }
 
+  test("dsir plugin: routes the target stream by label, appends score columns") {
+    val raw = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "zz qq xx yy ww vv uu tt"),
+      (3L, "alpha beta alpha beta gamma")).toDF("doc_id", "text")
+    val target = Seq((9L, "alpha beta gamma")).toDF("doc_id", "text")
+    val plug = new DsirPlugin(Map("target_label" -> "target",
+      "k" -> 2, "buckets" -> 64), dir, "default")
+    val out = plug.executeWith(raw, Map("target" -> Right(target)))
+      .fold(e => throw e, identity)
+    // the two target-like docs win; raw columns survive + 2 appended
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(out.columns.toSeq == Seq("doc_id", "text", "dsir_logw", "dsir_key"))
+    // dry_run appends the score columns to the input schema
+    val schema = plug.dryRunWith(raw.schema,
+      Map("target" -> Right(target.schema))).toOption.get
+    assert(schema.fieldNames.toSeq ==
+      Seq("doc_id", "text", "dsir_logw", "dsir_key"))
+    // missing target label short-circuits; missing k fails
+    assert(plug.executeWith(raw, Map.empty).isLeft)
+    assert(new DsirPlugin(Map("target_label" -> "target"), dir, "default")
+      .executeWith(raw, Map("target" -> Right(target))).isLeft)
+    // target_text_column override: a target corpus with its own name
+    val t2 = Seq((9L, "alpha beta gamma")).toDF("doc_id", "content")
+    val out2 = new DsirPlugin(Map("target_label" -> "target", "k" -> 2,
+        "buckets" -> 64, "target_text_column" -> "content"), dir, "default")
+      .executeWith(raw, Map("target" -> Right(t2)))
+      .fold(e => throw e, identity)
+    assert(out2.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("loader: aliases resolve, unknown module fails, disabled skipped, kind checked") {
     import graft.core.{GraftConfig, PluginConfig}
     val cfg = GraftConfig(
