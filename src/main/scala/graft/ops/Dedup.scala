@@ -657,17 +657,19 @@ object Dedup {
     // melt + single join: the corpus-wide shingle/sort projection runs
     // once, not once per pair side (same shape as the signature
     // re-attach in minhashCandidatePairs)
-    candidates
-      .select(col("id_a"), col("id_b"),
-        explode(array(col("id_a"), col("id_b"))).as("_id"))
-      .join(withSh.select(col(idCol).as("_id"), col("sh"))
-        .hint("SHUFFLE_HASH"), Seq("_id"))
-      .groupBy("id_a", "id_b")
-      .agg(
-        first(when(col("_id") === col("id_a"), col("sh")), ignoreNulls = true)
-          .as("sh_a"),
-        first(when(col("_id") === col("id_b"), col("sh")), ignoreNulls = true)
-          .as("sh_b"))
+    // Two keyed joins, jaccard computed inline — NOT a melt + regroup:
+    // the melt spelling re-shuffles BOTH heavy shingle arrays of every
+    // pair through a groupBy(id_a, id_b) after its join, and on a
+    // near-dup-dense corpus (where pairs ≫ docs) that second heavy
+    // shuffle dominates; the two-join shape ships each pair's array
+    // mass once and drops the arrays at the filter before anything
+    // else moves. The narrow candidate side hash-builds (SHUFFLE_HASH)
+    // so the corpus arrays are streamed, never broadcast or sorted.
+    candidates.hint("SHUFFLE_HASH")
+      .join(withSh.select(col(idCol).as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(withSh.select(col(idCol).as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.expressions.SortedLongJaccard.sorted_long_jaccard(
           col("sh_a"), col("sh_b")).as("jaccard"))
