@@ -175,11 +175,11 @@ object SparkEntry {
     * each engine's last-bit noise would otherwise flip the floor on
     * one side only; with the nudge both engines round such values up
     * consistently. The oracle SQL uses the same `r(x, p)` macro,
-    * expanded to the identical formula by [[expandR]]. */
-  private def r(c: org.apache.spark.sql.Column, p: Int): org.apache.spark.sql.Column = {
-    val f = math.pow(10, p)
-    floor(c * f + 0.5 + 1e-6) / f
-  }
+    * expanded to the identical formula by [[expandR]]. The formula
+    * lives in [[graft.ops.Rounding.portable]] so operators that round
+    * internally (Dsir's selection key) stay bit-identical with it. */
+  private def r(c: org.apache.spark.sql.Column, p: Int): org.apache.spark.sql.Column =
+    graft.ops.Rounding.portable(c, p)
 
   /** Fixed BPE merge table for `q_bpe_encode` — shared literal-for-
     * literal with its oracle's VALUES list (rank = position + 1).

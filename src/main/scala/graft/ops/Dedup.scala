@@ -135,7 +135,7 @@ object Dedup {
                             shingleK: Int = 5, numHashes: Int = 64,
                             bands: Int = 16, maxBucket: Int = 1000,
                             overCap: String = "drop"): DataFrame = {
-    val (pairs, sig, _) = minhashCandidateIdPairs(df, idCol, textCol,
+    val (pairs, sig) = minhashCandidateIdPairs(df, idCol, textCol,
       shingleK, numHashes, bands, maxBucket, overCap)
     // Re-attach signatures per side. Two equi-joins, NOT a melt +
     // group: with the one-hash affine kernel a full corpus signature
@@ -157,11 +157,11 @@ object Dedup {
     * exact shingle Jaccard): the two sig equi-joins are inner joins
     * Catalyst cannot prune away even when `est_jaccard` is dropped,
     * and each replays the full corpus signature expression. Returns
-    * (pairs(id_a, id_b), signatures, idCol). */
+    * (pairs(id_a, id_b), signatures). */
   private[graft] def minhashCandidateIdPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int, bands: Int, maxBucket: Int,
-      overCap: String): (DataFrame, DataFrame, String) = {
+      overCap: String): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(Set("drop", "star")(overCap), s"unknown overCap mode: $overCap")
     val r = numHashes / bands
@@ -205,7 +205,7 @@ object Dedup {
         .select(col("_hub").as("id_a"), col(idCol).as("id_b"))
       cliquePairs.unionByName(starPairs)
     } else cliquePairs).distinct()
-    (pairs, sig, idCol)
+    (pairs, sig)
   }
 
   // --------------------------------------------------- clustering
@@ -646,7 +646,7 @@ object Dedup {
     // inner joins (each replaying the corpus signature expression)
     // whose est_jaccard this op discards — the exact shingle Jaccard
     // below is the verdict, minhash is only the blocker here
-    val (candidates, _, _) = minhashCandidateIdPairs(df, idCol, textCol,
+    val (candidates, _) = minhashCandidateIdPairs(df, idCol, textCol,
       shingleK = n, numHashes = numHashes, bands = bands,
       maxBucket = maxBucket, overCap = "drop")
     val withSh = df
@@ -654,17 +654,20 @@ object Dedup {
       .select(col(idCol), shinglesOfNormalized(col("_t"), n).as("_sh"))
       .select(col(idCol),
         array_sort(transform(col("_sh"), s => xxhash64(s))).as("sh"))
-    // melt + single join: the corpus-wide shingle/sort projection runs
-    // once, not once per pair side (same shape as the signature
-    // re-attach in minhashCandidatePairs)
     // Two keyed joins, jaccard computed inline — NOT a melt + regroup:
     // the melt spelling re-shuffles BOTH heavy shingle arrays of every
     // pair through a groupBy(id_a, id_b) after its join, and on a
     // near-dup-dense corpus (where pairs ≫ docs) that second heavy
     // shuffle dominates; the two-join shape ships each pair's array
-    // mass once and drops the arrays at the filter before anything
-    // else moves. The narrow candidate side hash-builds (SHUFFLE_HASH)
-    // so the corpus arrays are streamed, never broadcast or sorted.
+    // mass once and drops the arrays at the threshold filter before
+    // anything else moves. Join 1 hash-builds on the narrow candidate
+    // side (SHUFFLE_HASH — also keeps AQE from broadcasting corpus
+    // arrays through the driver). Join 2 is deliberately UNHINTED —
+    // the hint below join 1 does not propagate up, and forcing a
+    // hash build there means per-task hash maps of corpus shingle
+    // ARRAYS, measured 25% slower than letting AQE pick (sort-merge
+    // or its own runtime SHJ conversion) on the ×10 fixture
+    // (11.3 s forced vs 9.0 s unhinted).
     candidates.hint("SHUFFLE_HASH")
       .join(withSh.select(col(idCol).as("id_a"), col("sh").as("sh_a")),
         Seq("id_a"))

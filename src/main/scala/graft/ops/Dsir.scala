@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
@@ -31,56 +31,68 @@ import org.apache.spark.sql.functions._
   * (never driver constants), and the final top-k plans as
   * TakeOrderedAndProject — no global sort, no collect, nothing on
   * the driver. Doubling the corpus doubles only the feature-explode
-  * mass; the model stays `buckets`-bounded.
+  * mass; the model stays `buckets`-bounded. The target corpus is fit
+  * by bucket alone (no per-doc stage), so it needs only a text
+  * column — no id.
   *
   * Determinism contract: documents whose normalized text is empty
   * emit no features, get no score, and are never selected (no
   * evidence, no pick — same convention as [[LmScore.filterByScore]]).
-  * Selection order is by the ROUNDED (`roundTo` decimals) Gumbel key
-  * descending with id ascending as tiebreak, so last-ulp `ln` noise
-  * between engines cannot flip the selected set.
+  * A target corpus with no scoreable text fits no model, so NO raw
+  * document is scoreable and the result is EMPTY — never a silent
+  * arbitrary pick. Selection order is by the ROUNDED (`roundTo`
+  * decimals) Gumbel key descending with id ascending as tiebreak, so
+  * last-ulp `ln` noise between engines cannot flip the selected set.
   */
 object Dsir {
 
   private val U32 = 4294967296.0 // 2^32, the md5-prefix hash range
 
-  /** Hashed unigram+bigram feature counts: `(idCol, bucket, cnt)`.
-    * Bigrams are space-joined consecutive token pairs (a unigram can
-    * never collide with a bigram pre-hash: normalized tokens contain
-    * no spaces). Bucket = md5-prefix hash of the gram mod `buckets`
-    * — the engine-portable hash used across graft. */
-  def featureRows(df: DataFrame, idCol: String, textCol: String,
-                  buckets: Int): DataFrame = {
-    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    // One normalize + ONE explode for both gram orders (a union of
-    // separate unigram/bigram subtrees would normalize and scan the
-    // corpus twice — measured 1.5× the whole op at sf0.1). Bigrams
-    // zip the token array with its own tail; single-token docs
-    // contribute unigrams only (empty zip).
+  /** One hashed-gram bucket row per unigram/bigram occurrence, with
+    * `keep` columns carried through. One normalize + ONE explode for
+    * both gram orders (a union of separate unigram/bigram subtrees
+    * would normalize and scan the corpus twice — measured 1.5× the
+    * whole op at sf0.1). Bigrams zip the token array with its own
+    * tail; single-token docs contribute unigrams only (empty zip). */
+  private def gramBuckets(df: DataFrame, textCol: String, buckets: Int,
+                          keep: Seq[Column]): DataFrame = {
     val toks = col("_toks")
     val grams = concat(toks,
       zip_with(slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
-    df.select(col(idCol), Text.normalize(col(textCol)).as("_t"))
+    df.select(keep :+ Text.normalize(col(textCol)).as("_t"): _*)
       .filter(length(col("_t")) > 0)
-      .select(col(idCol), split(col("_t"), " ").as("_toks"))
-      .select(col(idCol), explode(grams).as("_g"))
-      .select(col(idCol),
-        pmod(Sampling.keyHash(col("_g")), lit(buckets.toLong)).as("bucket"))
+      .select(keep :+ split(col("_t"), " ").as("_toks"): _*)
+      .select(keep :+ explode(grams).as("_g"): _*)
+      .select(keep :+
+        pmod(Sampling.keyHash(col("_g")), lit(buckets.toLong)).as("bucket"): _*)
+  }
+
+  /** Hashed unigram+bigram feature counts: `(idCol, bucket, cnt)`.
+    * A unigram can never collide with a bigram pre-hash: normalized
+    * tokens contain no spaces, bigrams are space-joined. Bucket =
+    * md5-prefix hash of the gram mod `buckets` — the engine-portable
+    * hash used across graft. */
+  def featureRows(df: DataFrame, idCol: String, textCol: String,
+                  buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    gramBuckets(df, textCol, buckets, Seq(col(idCol)))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
 
   /** Per-document log importance weight `(idCol, dsir_logw)` of every
-    * scoreable `raw` document against the `target` corpus. */
+    * scoreable `raw` document against the `target` corpus (which
+    * only needs `textCol`; see class doc for the empty-target
+    * contract). */
   def scoreDocs(raw: DataFrame, target: DataFrame, idCol: String,
                 textCol: String, buckets: Int = 8192,
                 alpha: Double = 1.0): DataFrame = {
     require(alpha > 0, s"alpha must be > 0, got $alpha")
     val rawFeat = featureRows(raw, idCol, textCol, buckets)
-    val tFit = featureRows(target, idCol, textCol, buckets)
-      .groupBy(col("bucket")).agg(sum(col("cnt")).as("_tc"))
+    val tFit = gramBuckets(target, textCol, buckets, Nil)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("_tc"))
     val rFit = rawFeat.groupBy(col("bucket")).agg(sum(col("cnt")).as("_rc"))
     val tTot = tFit.agg(sum(col("_tc")).as("_T")) // 1 row
     val rTot = rFit.agg(sum(col("_rc")).as("_R")) // 1 row
@@ -102,6 +114,10 @@ object Dsir {
     rawFeat.join(model, Seq("bucket"))
       .groupBy(col(idCol))
       .agg(sum(col("cnt") * col("_lr")).as("dsir_logw"))
+      // NULL logw happens exactly when the target fit is empty
+      // (_T aggregates zero rows to NULL): nothing is scoreable,
+      // return nothing — not an arbitrary NULL-scored pick
+      .filter(col("dsir_logw").isNotNull)
   }
 
   /** Gumbel-top-`k` importance resample: the selected documents with
@@ -120,13 +136,11 @@ object Dsir {
     val u = (Sampling.keyHash(
         concat(lit(seed + ":"), col(idCol).cast("string"))) + 0.5) / U32
     val gumbel = -log(-log(u))
-    val f = math.pow(10, roundTo)
-    val key = floor((col("dsir_logw") + gumbel) * f + 0.5 + 1e-6) / f
     // Top-k on the NARROW (id, logw, key) frame — a k-row heap per
     // partition of 3-column rows, then the k winners join back to
     // the wide raw rows (broadcast: k is the user's sample size).
     val picked0 = scores
-      .withColumn("dsir_key", key)
+      .withColumn("dsir_key", Rounding.portable(col("dsir_logw") + gumbel, roundTo))
       .orderBy(col("dsir_key").desc, col(idCol))
       .limit(k)
     val picked = if (k <= (1 << 20)) broadcast(picked0) else picked0

@@ -443,8 +443,12 @@ class DsirPlugin(options: Map[String, Any], configDir: Path, label: String)
         val idCol = options.getOrElse("id_column", "doc_id").toString
         val tc = options.getOrElse("text_column", "text").toString
         val ttc = options.getOrElse("target_text_column", tc).toString
+        // project, don't rename: renaming would collide when the
+        // target already carries a column named `tc`, and the fit
+        // needs only the text column anyway (no target id required)
         graft.ops.Dsir.select(df,
-          target.withColumnRenamed(ttc, tc), idCol, tc,
+          target.select(org.apache.spark.sql.functions.col(ttc).as(tc)),
+          idCol, tc,
           k = kv.toString.toDouble.toInt,
           buckets = options.get("buckets")
             .map(_.toString.toDouble.toInt).getOrElse(8192),

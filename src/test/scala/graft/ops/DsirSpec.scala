@@ -97,6 +97,21 @@ class DsirSpec extends AnyFunSuite {
     assert(sel == Set(1L)) // k larger than the scoreable pool: no padding
   }
 
+  test("empty / unscoreable target: empty result, never an arbitrary NULL-scored pick") {
+    val raw = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dsir.select(raw, empty, "doc_id", "text", k = 2, buckets = 16)
+      .count() == 0)
+    // all-empty-text target is the same: no model, no picks
+    val blank = Seq((9L, "..."), (8L, " ")).toDF("doc_id", "text")
+    assert(Dsir.select(raw, blank, "doc_id", "text", k = 2, buckets = 16)
+      .count() == 0)
+    // and the target needs ONLY the text column — no id required
+    val textOnly = Seq(Tuple1("alpha beta")).toDF("text")
+    assert(Dsir.select(raw, textOnly, "doc_id", "text", k = 1, buckets = 16)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("plan shape: broadcast model join, TakeOrdered top-k, no cartesian blowup") {
     val target = (0 until 8).map(i => (100L + i, s"tok$i tok${i + 1}"))
       .toDF("doc_id", "text")
