@@ -7077,6 +7077,10 @@ object SparkEntry {
         |      (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)),
         |        1, 8))::BIGINT + 0.5) / 4294967296.0))), 4) AS dsir_key
         |  FROM sc
+        |  -- empty-target contract mirror (Dsir.scoreDocs filters NULL
+        |  -- logw): with no scoreable target docs BOTH engines return
+        |  -- zero rows, not k NULL-keyed ones
+        |  WHERE logw IS NOT NULL
         |), sel AS (
         |  SELECT doc_id, logw, dsir_key FROM keyed
         |  ORDER BY dsir_key DESC, doc_id LIMIT 64)

@@ -445,9 +445,12 @@ class DsirPlugin(options: Map[String, Any], configDir: Path, label: String)
         val ttc = options.getOrElse("target_text_column", tc).toString
         // project, don't rename: renaming would collide when the
         // target already carries a column named `tc`, and the fit
-        // needs only the text column anyway (no target id required)
+        // needs only the text column anyway (no target id required).
+        // target.col (not functions.col): literal top-level name
+        // resolution, so a column literally named "meta.text" keeps
+        // working instead of parsing as struct-field access
         graft.ops.Dsir.select(df,
-          target.select(org.apache.spark.sql.functions.col(ttc).as(tc)),
+          target.select(target.col(ttc).as(tc)),
           idCol, tc,
           k = kv.toString.toDouble.toInt,
           buckets = options.get("buckets")
