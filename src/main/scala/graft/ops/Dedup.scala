@@ -584,6 +584,10 @@ object Dedup {
     * Blocked by a cheap key (`blockCol`, e.g. language) so the
     * quadratic comparison only runs inside blocks; for unblocked
     * corpora feed the minhash candidates into this as a verifier.
+    * `maxBlock` caps the dominant block (or the whole input when
+    * unblocked) and fails with a redirect to [[ngramJaccardVerified]]
+    * beyond it — the same escape-hatch contract as the ANN brute
+    * caps (`Int.MaxValue` disables).
     *
     * Per doc: shingle (custom expression, one pass), hash each
     * shingle to a long, sort — done ONCE before the join. Per pair:
@@ -594,7 +598,35 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        blockCol: Option[String] = None): DataFrame = {
+                        blockCol: Option[String] = None,
+                        maxBlock: Int = 20000): DataFrame = {
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    // Quadratic-block guard (same contract as the ANN brute caps):
+    // the comparison volume is Σ_block |block|², so one oversized
+    // block — or an unblocked call on a big corpus — silently owns
+    // the runtime. Probe the dominant block with ONE action over the
+    // pruned key column and fail with a redirect instead; the probe
+    // re-executes df's upstream, so persist df first if it sits on an
+    // expensive transform chain (the self-join below re-executes it
+    // twice more anyway when uncached).
+    blockCol match {
+      case None =>
+        Similarity.requireBounded(df, maxBlock,
+          "ngramJaccardPairs(blockCol=None) is all-pairs and")
+      case Some(bc) =>
+        val mx = df.groupBy(col(bc)).agg(count(lit(1)).as("_n"))
+          .agg(max(col("_n")).as("_mx"))
+          .head().getAs[Any]("_mx") match {
+            case null => 0L
+            case v: Long => v
+          }
+        require(mx <= maxBlock,
+          s"ngramJaccardPairs: largest '$bc' block has $mx docs " +
+            s"(> maxBlock=$maxBlock) and the within-block self-join is " +
+            "quadratic; use ngramJaccardVerified (minhash-blocked exact " +
+            "Jaccard, linear in candidates) for large blocks, or raise " +
+            "maxBlock explicitly if the block size is intended")
+    }
     val keep = col(idCol) +: blockCol.map(col).toSeq
     val withSh = df
       .select(keep :+ Text.normalize(col(textCol)).as("_t"): _*)

@@ -93,7 +93,9 @@ class DedupPlugin(options: Map[String, Any], configDir: Path, label: String)
             Dedup.ngramJaccardPairs(df, idCol, textColumn,
               n = numOpt("n", 3).toInt,
               threshold = numOpt("threshold", 0.5),
-              blockCol = options.get("block_column").map(_.toString))
+              blockCol = options.get("block_column").map(_.toString),
+              // the quadratic-block escape hatch must be TOML-reachable
+              maxBlock = numOpt("max_block", 20000).toInt)
           case "embedding_pairs" =>
             Dedup.embeddingCosinePairs(df, idCol,
               options.getOrElse("embedding_column", "embedding").toString,

@@ -216,4 +216,28 @@ class RobustnessSpec extends AnyFunSuite {
     assert(Similarity.knnGraph(emb, "vec_id", "embedding", k = 2,
       method = "brute", maxBrute = 100).count() > 0)
   }
+
+  test("ngramJaccardPairs refuses an oversized block with a redirect " +
+      "to the verified scale path") {
+    val docs = (0L until 8L)
+      .map(i => (i, s"alpha beta gamma doc $i", if (i < 6) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    // dominant block (en, 6 docs) over the cap: typed redirect
+    val eBlocked = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCol = Some("lang"), maxBlock = 5)
+    }
+    assert(eBlocked.getMessage.contains("ngramJaccardVerified"))
+    assert(eBlocked.getMessage.contains("'lang'"))
+    // unblocked all-pairs over the cap: same contract
+    val eAll = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", maxBlock = 5)
+    }
+    assert(eAll.getMessage.contains("all-pairs"))
+    // raised cap (the escape hatch) and small blocks both still flow
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.1, blockCol = Some("lang"), maxBlock = 6).count() > 0)
+    assert(Dedup.ngramJaccardPairs(docs.limit(0), "doc_id", "text",
+      blockCol = Some("lang"), maxBlock = 2).count() == 0) // empty input ok
+  }
 }
