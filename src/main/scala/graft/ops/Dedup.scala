@@ -493,7 +493,8 @@ object Dedup {
     * precondition — chunks ≤ maxHamming would silently miss pairs
     * whose errors spread one-per-chunk. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+                   maxHamming: Int = 3, chunks: Int = 4,
+                   maxBucket: Int = 1000): DataFrame = {
     require(chunks > maxHamming,
       s"pigeonhole completeness needs chunks > maxHamming " +
         s"(got chunks=$chunks, maxHamming=$maxHamming)")
@@ -501,7 +502,7 @@ object Dedup {
     val bitsPer = 64 / chunks
     val sig = withSimhash(df.select(col(idCol), col(textCol)), textCol)
       .select(col(idCol), col("simhash"))
-    hammingPairs(sig, idCol, "simhash", maxHamming, chunks)
+    hammingPairs(sig, idCol, "simhash", maxHamming, chunks, maxBucket)
   }
 
   /** Banded Hamming self-join over a precomputed 64-bit hash column —
@@ -510,10 +511,23 @@ object Dedup {
     * `chunks > maxHamming`: two hashes within the radius agree on at
     * least one chunk, so the chunk-keyed equi-join (never all-pairs)
     * loses nothing; the exact popcount filter then prunes the
-    * candidates. Shuffle mass is `chunks` skinny rows per item. */
+    * candidates. Shuffle mass is `chunks` skinny rows per item.
+    *
+    * `maxBucket` is the flood cap (same contract as minhash's): a
+    * `(chunk, piece)` bucket holding > `maxBucket` hashes — a
+    * near-identical family, or piece-space saturation once n
+    * approaches 2^(64/chunks) per chunk — contributes |bucket|²
+    * candidate rows, so over-cap buckets are DROPPED. Pairs agreeing
+    * on another under-cap chunk still surface; pairs whose EVERY
+    * agreeing chunk floods are lost, so the pigeonhole-exactness
+    * claim holds only below the cap — run exact fingerprint dedup
+    * first (identical docs flood every chunk), and raise the cap
+    * explicitly when big families are intended. */
   private[ops] def hammingPairs(sig: DataFrame, idCol: String,
                                 hashCol: String, maxHamming: Int,
-                                chunks: Int): DataFrame = {
+                                chunks: Int,
+                                maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val bitsPer = 64 / chunks
     val pieces = array((0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
@@ -524,9 +538,15 @@ object Dedup {
       explode(pieces).as("cp"))
       .select(col(idCol), col(hashCol),
         col("cp.chunk").as("chunk"), col("cp.piece").as("piece"))
-    val a = chunked.select(col("chunk"), col("piece"),
+    // one partial-agg pass over the skinny chunk rows; the ok-bucket
+    // set joins back keyed (broadcast at small SF, shuffle at scale)
+    val ok = chunked.groupBy("chunk", "piece")
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket).select("chunk", "piece")
+    val capped = chunked.join(ok, Seq("chunk", "piece"))
+    val a = capped.select(col("chunk"), col("piece"),
       col(idCol).as("id_a"), col(hashCol).as("sh_a"))
-    val b = chunked.select(col("chunk"), col("piece"),
+    val b = capped.select(col("chunk"), col("piece"),
       col(idCol).as("id_b"), col(hashCol).as("sh_b"))
     a.join(b, Seq("chunk", "piece"))
       .filter(col("id_a") < col("id_b"))
@@ -546,7 +566,8 @@ object Dedup {
     * shuffles `chunks` skinny (id, hash) rows per image — at 100 TB
     * of images the candidate mass is banded, never quadratic. */
   def imageHashPairs(df: DataFrame, idCol: String, payloadCol: String,
-                     maxHamming: Int = 6, chunks: Int = 8): DataFrame = {
+                     maxHamming: Int = 6, chunks: Int = 8,
+                     maxBucket: Int = 1000): DataFrame = {
     require(chunks > maxHamming,
       s"pigeonhole completeness needs chunks > maxHamming " +
         s"(got chunks=$chunks, maxHamming=$maxHamming)")
@@ -555,7 +576,7 @@ object Dedup {
       df.select(col(idCol), col(payloadCol)), payloadCol, out = "phash")
       .filter(col("phash").isNotNull)
       .select(col(idCol), col("phash"))
-    hammingPairs(sig, idCol, "phash", maxHamming, chunks)
+    hammingPairs(sig, idCol, "phash", maxHamming, chunks, maxBucket)
   }
 
   /** Perceptual AUDIO near-duplicate pairs: envelope hashes over the
@@ -566,7 +587,8 @@ object Dedup {
     * as [[imageHashPairs]]: per-partition decode, banded candidates,
     * never all-pairs. */
   def audioHashPairs(df: DataFrame, idCol: String, payloadCol: String,
-                     maxHamming: Int = 6, chunks: Int = 8): DataFrame = {
+                     maxHamming: Int = 6, chunks: Int = 8,
+                     maxBucket: Int = 1000): DataFrame = {
     require(chunks > maxHamming,
       s"pigeonhole completeness needs chunks > maxHamming " +
         s"(got chunks=$chunks, maxHamming=$maxHamming)")
@@ -575,7 +597,7 @@ object Dedup {
       df.select(col(idCol), col(payloadCol)), payloadCol, out = "ahash")
       .filter(col("ahash").isNotNull)
       .select(col(idCol), col("ahash"))
-    hammingPairs(sig, idCol, "ahash", maxHamming, chunks)
+    hammingPairs(sig, idCol, "ahash", maxHamming, chunks, maxBucket)
   }
 
   // ------------------------------------------------------ n-gram Jaccard

@@ -78,17 +78,20 @@ class DedupPlugin(options: Map[String, Any], configDir: Path, label: String)
               maxFpFreq = numOpt("max_fp_freq", 20).toInt)
           case "simhash_pairs" =>
             Dedup.simhashPairs(df, idCol, textColumn,
-              maxHamming = numOpt("max_hamming", 3).toInt)
+              maxHamming = numOpt("max_hamming", 3).toInt,
+              maxBucket = numOpt("max_bucket", 1000).toInt)
           case "image_pairs" =>
             Dedup.imageHashPairs(df, idCol,
               options.getOrElse("payload_column", "payload").toString,
               maxHamming = numOpt("max_hamming", 6).toInt,
-              chunks = numOpt("chunks", 8).toInt)
+              chunks = numOpt("chunks", 8).toInt,
+              maxBucket = numOpt("max_bucket", 1000).toInt)
           case "audio_pairs" =>
             Dedup.audioHashPairs(df, idCol,
               options.getOrElse("payload_column", "payload").toString,
               maxHamming = numOpt("max_hamming", 6).toInt,
-              chunks = numOpt("chunks", 8).toInt)
+              chunks = numOpt("chunks", 8).toInt,
+              maxBucket = numOpt("max_bucket", 1000).toInt)
           case "ngram_pairs" =>
             Dedup.ngramJaccardPairs(df, idCol, textColumn,
               n = numOpt("n", 3).toInt,

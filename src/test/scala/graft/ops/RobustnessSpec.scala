@@ -217,6 +217,29 @@ class RobustnessSpec extends AnyFunSuite {
       method = "brute", maxBrute = 100).count() > 0)
   }
 
+  test("hammingPairs drops flooded chunk buckets; raising the cap restores") {
+    // 40 identical texts: every chunk bucket holds all 40 simhashes
+    val flood = (0L until 40L).map(i => (i, "same text for everyone"))
+      .toDF("doc_id", "text")
+    // over-cap buckets dropped -> no pairs surface from the flood
+    assert(Dedup.simhashPairs(flood, "doc_id", "text",
+      maxBucket = 10).count() == 0)
+    // the escape hatch restores the full 40*39/2 clique
+    assert(Dedup.simhashPairs(flood, "doc_id", "text",
+      maxBucket = 40).count() == 40L * 39 / 2)
+    // pairs agreeing on an UNDER-cap chunk still surface while a
+    // flooded bucket is dropped: mix the flood with one duplicate
+    // pair whose hash sits in its own quiet buckets
+    val mixed = flood.unionByName(Seq(
+      (100L, "a completely different document about graphs and joins"),
+      (101L, "a completely different document about graphs and joins"))
+      .toDF("doc_id", "text"))
+    val pairs = Dedup.simhashPairs(mixed, "doc_id", "text", maxBucket = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((100L, 101L)))
+    assert(pairs.forall { case (a, b) => a >= 100L && b >= 100L })
+  }
+
   test("ngramJaccardPairs refuses an oversized block with a redirect " +
       "to the verified scale path") {
     val docs = (0L until 8L)
