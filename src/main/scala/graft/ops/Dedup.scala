@@ -691,6 +691,18 @@ object Dedup {
     * the corpus has ≥1000-member near-identical families; for
     * cluster-collapse semantics at any bucket size use
     * [[byMinhashClustered]] (star edges, no pair-exactness claim).
+    *
+    * "Linear in candidates" is a statement about the PLAN; the
+    * candidate COUNT is a property of the corpus. On real web corpora
+    * unrelated documents share ~no shingles, so candidates track true
+    * near-dups. A corpus with high BACKGROUND similarity — templated
+    * boilerplate, or this repo's small-vocabulary synthetic fixture
+    * (measured: 37 candidates/doc at 5k docs growing to 349/doc at
+    * 50k, i.e. candidate mass ∝ n²·P(J_background)) — makes ANY sound
+    * exact verifier's work quadratic, because the pairs really are
+    * that similar. Mitigations in decreasing order: fingerprint-dedup
+    * first, de-boilerplate ([[removeBoilerplateLines]]) so background
+    * J drops, or accept cluster semantics via [[byMinhashClustered]].
     */
   def ngramJaccardVerified(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 5, threshold: Double = 0.8,
@@ -708,21 +720,38 @@ object Dedup {
       .select(col(idCol), shinglesOfNormalized(col("_t"), n).as("_sh"))
       .select(col(idCol),
         array_sort(transform(col("_sh"), s => xxhash64(s))).as("sh"))
+    // SOUND size prune while pairs are still 16-byte rows:
+    // J = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|), so a pair whose
+    // size ratio is below threshold cannot verify. The bound is
+    // spelled as the SAME double division the final jaccard filter
+    // uses, so the equality case (J exactly min/max, i.e. A ⊆ B)
+    // cannot be rounded out — no pair the exact verify would keep is
+    // dropped, and the oracle needs no change. On corpora with high
+    // BACKGROUND similarity — where LSH candidates outnumber true
+    // pairs (this repo's templated fixture: ~75% of candidates have
+    // mismatched sizes) — this divides the heavy array-attach mass
+    // below by ~4; on near-dup-only candidate sets it is a no-op
+    // pass over narrow rows.
+    val sizes = withSh.select(col(idCol), size(col("sh")).as("_n"))
+    val survivors = candidates
+      .join(sizes.select(col(idCol).as("id_a"), col("_n").as("_na")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("_n").as("_nb")),
+        Seq("id_b"))
+      .filter(least(col("_na"), col("_nb")).cast("double") /
+        greatest(col("_na"), col("_nb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
     // Two keyed joins, jaccard computed inline — NOT a melt + regroup:
     // the melt spelling re-shuffles BOTH heavy shingle arrays of every
     // pair through a groupBy(id_a, id_b) after its join, and on a
     // near-dup-dense corpus (where pairs ≫ docs) that second heavy
     // shuffle dominates; the two-join shape ships each pair's array
     // mass once and drops the arrays at the threshold filter before
-    // anything else moves. Join 1 hash-builds on the narrow candidate
-    // side (SHUFFLE_HASH — also keeps AQE from broadcasting corpus
-    // arrays through the driver). Join 2 is deliberately UNHINTED —
-    // the hint below join 1 does not propagate up, and forcing a
-    // hash build there means per-task hash maps of corpus shingle
-    // ARRAYS, measured 25% slower than letting AQE pick (sort-merge
-    // or its own runtime SHJ conversion) on the ×10 fixture
-    // (11.3 s forced vs 9.0 s unhinted).
-    candidates.hint("SHUFFLE_HASH")
+    // anything else moves. The joins are deliberately UNHINTED:
+    // forcing a SHUFFLE_HASH build of corpus shingle ARRAYS measured
+    // 25% slower than AQE's choice at ×10 and cannot spill (it OOM'd
+    // the ×100 fixture outright).
+    survivors
       .join(withSh.select(col(idCol).as("id_a"), col("sh").as("sh_a")),
         Seq("id_a"))
       .join(withSh.select(col(idCol).as("id_b"), col("sh").as("sh_b")),

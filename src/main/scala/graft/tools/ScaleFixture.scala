@@ -84,10 +84,24 @@ object ScaleFixture {
       val shifted = df.withColumn("doc_id", col("doc_id") + lit(k * dk))
       if (k == 0) shifted
       else {
-        val p = (k % 6) + 2
-        shifted.withColumn("text",
-          array_join(filter(split(col("text"), " "),
-            (_, i) => i % p =!= lit(p - 1)), " "))
+        // copy-UNIQUE alphabet bijection (seeded letter permutation):
+        // within a copy EVERY set relation — shingle Jaccard, token
+        // counts, doc lengths, winnow fingerprint structure — is
+        // preserved exactly (an injective char map transports shingle
+        // sets bijectively), while cross-copy shingle overlap
+        // collapses to coincidence (~26^-5 per window) at ANY factor.
+        // Weaker perturbations measured as fixture artifacts: the
+        // original 6-class word-drop left copies k ≡ k' (mod 6)
+        // VERBATIM equal (at 100× every doc had ~16 twins and the
+        // ngram-verify candidate mass OOM'd an 8 GiB run); a per-token
+        // copy-index suffix still shared every ≥5-char word's interior
+        // shingles across all copies. Both made cross-copy candidate
+        // mass grow ∝ factor² BY CONSTRUCTION — exactly the artifact
+        // the class doc forbids.
+        val alpha = "abcdefghijklmnopqrstuvwxyz"
+        val perm = new scala.util.Random(k * 0x9E3779B97F4A7C15L)
+          .shuffle(alpha.toList).mkString
+        shifted.withColumn("text", translate(col("text"), alpha, perm))
       }
     }), "documents")
 

@@ -26,7 +26,13 @@ object TimeQuery {
       val t0 = System.nanoTime()
       inventory(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release the run's shuffle files NOW: the ContextCleaner only
+      // reclaims them when the query's RDDs get GC'd, so on big
+      // fixtures three timed runs accumulate 3× the shuffle footprint
+      // and can fill the local disk (observed at the ×100 fixture)
+      System.gc()
+      dt
     }
     names.foreach(once) // warm
     names.foreach { n =>
