@@ -295,18 +295,61 @@ object Graph {
         when(fwd, col("db")).otherwise(col("da")).as("dv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val x = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
-      val y = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
       // SHUFFLE_HASH on the build sides: the wedge stream is the
       // largest intermediate in the query (quadratic in per-node
       // oriented out-degree, bounded by sqrt(m) via the orientation)
       // and sort-merge would SORT it twice — once producing it, once
-      // for the closing join. Hash-building on the node-bounded edge
-      // list streams the wedges unsorted through both joins.
-      val wedges = x.join(y.hint("SHUFFLE_HASH"), Seq("u"))
+      // for the closing join. Hash-building on the edge list streams
+      // the wedges unsorted through both joins. BUT a forced hash
+      // build cannot spill, so the edge list must fit per-task
+      // memory at ANY scale: size the join partitioning from the
+      // measured edge count (~500k oriented edges ≈ 30-40 MB build
+      // per task — sized so ALL concurrent tasks' builds fit beside
+      // the persisted edge cache in one executor's unified region)
+      // instead of trusting the session default — a fixed
+      // 32-partition default OOM'd the 120M-edge ×100 fixture. The
+      // count also eagerly materializes the shared persist (it fed
+      // three consumers lazily before). On small graphs parts =
+      // default and the plan is unchanged.
+      val m = oriented.count()
+      val parts = math.max(
+        edges.sparkSession.sessionState.conf.numShufflePartitions,
+        (m / 500000L).toInt + 1)
+      val x = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+        .repartition(parts, col("u"))
+      val y = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+        .repartition(parts, col("u"))
+      val wedges0 = x.join(y.hint("SHUFFLE_HASH"), Seq("u"))
         .filter(col("dv1") < col("dv2") ||
           (col("dv1") === col("dv2") && col("v1") < col("v2")))
       val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
+        .repartition(parts, col("v1"), col("v2"))
+      // Bloom prefilter on the closing-edge key: every wedge must
+      // cross the (v1, v2) exchange to meet the closing join, but
+      // only wedges whose far endpoints form an actual edge can close
+      // a triangle — on most graphs that is a tiny fraction of the
+      // Σ outdeg² wedge mass (the query's largest intermediate; at
+      // the ×100 fixture its raw shuffle filled a 45 GB disk). One
+      // extra pass over the m-row edge list builds the filter;
+      // map-side filtering cuts the shuffled wedges to
+      // triangles + fpp·wedges, with NO false negatives (the join
+      // stays exact, the bloom only prunes). Gated on graph size:
+      // below ~16M edges the whole wedge shuffle is a few GB and the
+      // extra edge pass + broadcast costs more than it saves
+      // (measured +2 s at the 12M-edge ×10 fixture, −tens of GB of
+      // spill at the 120M-edge ×100 one).
+      val wedgeKey = xxhash64(col("v1"), col("v2"))
+      val wedges =
+        if (m < 16000000L) wedges0
+        else IncrementalDedup.buildFilter(
+            oriented.select(xxhash64(col("u"), col("v")).as("_k")), "_k",
+            expectedItems = m, fpp = 0.03) match {
+          case Some(bytes) =>
+            val bc = edges.sparkSession.sparkContext.broadcast(bytes)
+            wedges0.filter(
+              graft.expressions.BloomMightContain.might_contain(wedgeKey, bc))
+          case None => wedges0
+        }
       val tri = wedges.join(closing.hint("SHUFFLE_HASH"), Seq("v1", "v2"))
       tri.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("n_triangles"))
