@@ -2484,13 +2484,16 @@ object SparkEntry {
           .when(col("modality") === "video", col("vid_frames") >= 2)
           .otherwise(lit(false)))
       val gated = classified.filter(col("pass"))
+      // maxBucket pinned to MaxValue: counts oracled from the
+      // generator design assume the exact pair set (see the
+      // dedup_audio_pairs contract note).
       val imgDups = graft.ops.Dedup.imageHashPairs(
           gated.filter(col("modality") === "image"), "doc_id", "payload",
-          maxHamming = 6)
+          maxHamming = 6, maxBucket = Int.MaxValue)
         .select(col("id_b").as("doc_id")).distinct()
       val audDups = graft.ops.Dedup.audioHashPairs(
           gated.filter(col("modality") === "audio"), "doc_id", "payload",
-          maxHamming = 6)
+          maxHamming = 6, maxBucket = Int.MaxValue)
         .select(col("id_b").as("doc_id")).distinct()
       val dupIds = imgDups.unionByName(audDups)
       classified
@@ -2527,9 +2530,15 @@ object SparkEntry {
         (1 to 3).map(d => (20L + d, Option(clip(d, 2)))) :+
         ((99L, Option("junk that is not a wav container at all"
           .getBytes("US-ASCII"))))
+      // maxBucket pinned to MaxValue: this query is hash-oracled
+      // against the exact UNCAPPED quadratic pair set, so the flood
+      // cap (a scale-safety valve, default-on in the op/plugin and
+      // spec-tested in RobustnessSpec) must not be in the contract
+      // here; the uncapped fast path also keeps the fixture-scale
+      // plan free of the cap's extra window exchange.
       graft.ops.Dedup.audioHashPairs(
           docs.toDF("doc_id", "payload").repartition(4),
-          "doc_id", "payload", maxHamming = 6)
+          "doc_id", "payload", maxHamming = 6, maxBucket = Int.MaxValue)
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("int").as("hamming"))
         .orderBy("id_a", "id_b")
@@ -2562,9 +2571,11 @@ object SparkEntry {
       val docs = (1 to 10).map(b => (b.toLong, Option(img(b, false)))) ++
         (1 to 4).map(b => (20L + b, Option(img(b, true)))) :+
         ((99L, Option("not an image payload".getBytes("US-ASCII"))))
+      // maxBucket pinned to MaxValue — same contract note as
+      // dedup_audio_pairs: the oracle is the exact uncapped pair set.
       graft.ops.Dedup.imageHashPairs(
           docs.toDF("doc_id", "payload").repartition(4),
-          "doc_id", "payload", maxHamming = 6)
+          "doc_id", "payload", maxHamming = 6, maxBucket = Int.MaxValue)
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("int").as("hamming"))
         .orderBy("id_a", "id_b")
@@ -4799,6 +4810,12 @@ object SparkEntry {
     // exact value SimHash64 builds from the digest), same majority
     // rule (c > 0), same signed bit-63 packing, then the exact
     // all-pairs Hamming filter the chunk-bucketed join must equal.
+    // The okb CTE models the engine's maxBucket flood cap exactly
+    // (chunks=4, 16-bit pieces, cap 1000): a pair survives iff SOME
+    // agreeing chunk bucket is under cap — so the oracle and the op
+    // stay row-identical even on a corpus with a >1000-member
+    // identical-chunk family (cap never binds at this SF, but the
+    // contract is pinned, not assumed).
     "dedup_simhash_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
@@ -4816,11 +4833,18 @@ object SparkEntry {
         |  SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN
         |      (CASE WHEN b = 63 THEN -9223372036854775808
         |            ELSE (1::BIGINT << b) END) ELSE 0 END) AS BIGINT) AS sig
-        |  FROM bits GROUP BY doc_id)
+        |  FROM bits GROUP BY doc_id
+        |), okb AS (
+        |  SELECT c, (sig >> (c * 16)) & 65535 AS piece
+        |  FROM sig, range(4) rc(c)
+        |  GROUP BY 1, 2 HAVING count(*) <= 1000)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |  AND EXISTS (SELECT 1 FROM okb o
+        |    WHERE ((a.sig >> (o.c * 16)) & 65535) = o.piece
+        |      AND ((b.sig >> (o.c * 16)) & 65535) = o.piece)
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Size-ratio skip is sound at t=0.6 (min ≥ 0.6·max); see the

