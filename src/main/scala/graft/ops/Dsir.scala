@@ -144,6 +144,12 @@ object Dsir {
       .orderBy(col("dsir_key").desc, col(idCol))
       .limit(k)
     val picked = if (k <= (1 << 20)) broadcast(picked0) else picked0
+    // Re-select the raw columns in their original order: the USING
+    // join moves idCol to position 0, which would diverge from the
+    // plugin's declared dry-run schema (original fields ++ the two
+    // dsir columns) whenever idCol is not the first field.
     raw.join(picked, Seq(idCol))
+      .select(raw.columns.map(col) ++
+        Seq(col("dsir_logw"), col("dsir_key")): _*)
   }
 }

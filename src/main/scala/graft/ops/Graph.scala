@@ -74,10 +74,14 @@ object Graph {
     * `saltBuckets` tasks; the ranks side is exploded ×saltBuckets to
     * meet every bucket, which costs `saltBuckets·n` shuffled rows per
     * iteration — node-sized, negligible against the edge side it
-    * de-skews. Results are bit-identical for any value (the
-    * contribution sum groups the same rows); HubSkewSpec pins the
-    * max-records-per-task bound. Default 1 = no salting (the right
-    * choice when degrees are bounded, e.g. after hub capping).
+    * de-skews. Results are numerically identical up to float
+    * summation order: the contribution sum groups the SAME rows, but
+    * salting changes the order/grouping of the floating-point adds,
+    * so last-ulp digits can differ (HubSkewSpec asserts 1e-12
+    * closeness, not bit equality) — keep saltBuckets = 1 on
+    * hash-oracled runs and let the rounding keys absorb the rest.
+    * Default 1 = no salting (the right choice when degrees are
+    * bounded, e.g. after hub capping).
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 5, damping: Double = 0.85,

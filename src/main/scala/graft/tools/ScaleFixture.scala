@@ -98,10 +98,15 @@ object ScaleFixture {
         // shingles across all copies. Both made cross-copy candidate
         // mass grow ∝ factor² BY CONSTRUCTION — exactly the artifact
         // the class doc forbids.
+        // Translate BOTH cases: normalize() lowercases downstream, so
+        // an a-z-only map would leave uppercase letters fixed and
+        // partially re-link copies on mixed-case text (the lowercased
+        // survivors would share shingles across copies).
         val alpha = "abcdefghijklmnopqrstuvwxyz"
         val perm = new scala.util.Random(k * 0x9E3779B97F4A7C15L)
           .shuffle(alpha.toList).mkString
-        shifted.withColumn("text", translate(col("text"), alpha, perm))
+        shifted.withColumn("text", translate(col("text"),
+          alpha + alpha.toUpperCase, perm + perm.toUpperCase))
       }
     }), "documents")
 
