@@ -47,7 +47,7 @@ object Bench {
     "text_tfidf",
     "q_sample_weighted",
     "q_shuffle_shard", "q_url_parse", "q_url_domain_cap",
-    "q_dsir_select", "dedup_ngram_verified",
+    "q_dsir_select", "q_dsir_mix", "dedup_ngram_verified",
     "q_scd1_latest", "q_components", "q_triangles", "q_expectations", "q_snapshot", "q_snapshot_upsert_compact", "text_c4", "text_lm_score",
     "q_orc_roundtrip", "q_emb_gram", "sim_pca_norm", "text_bm25",
     "text_top_ngrams", "q_percentile_band", "sim_knn_graph",

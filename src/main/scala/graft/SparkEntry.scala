@@ -3482,6 +3482,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- DSIR against a WEIGHTED MIXTURE of targets ---------------
+    // The practical "2·Wiki + 1·books" curation form: the target
+    // model is the convex blend of K per-target add-α multinomials
+    // (here en at weight 2, de at weight 1) and the raw pool is
+    // everything else. The oracle replays the blended probability
+    // with the engine's exact arithmetic spelling (weighted
+    // fractions summed left-to-right, ONE ln of the blend), the
+    // seeded md5 Gumbel draw, and the r4 ranking key.
+    "q_dsir_mix" -> ((s, dir) => {
+      val docs = tBalanced(s, dir, "documents")
+      graft.ops.Dsir.selectMix(
+          docs.filter(!col("lang").isin("en", "de")),
+          Seq((docs.filter(col("lang") === "en"), 2.0),
+            (docs.filter(col("lang") === "de"), 1.0)),
+          "doc_id", "text", k = 48, buckets = 1024,
+          alpha = 1.0, seed = "dsirmix")
+        .select(col("doc_id"), col("lang"), col("source"),
+          r(col("dsir_logw"), 4).as("dsir_logw"), col("dsir_key"))
+        .orderBy("doc_id")
+    }),
+
     // ---- streaming sessionization under the oracle ---------------
     // flatMapGroupsWithState gap sessions on the event stream. With
     // AvailableNow the trailing session per user is still OPEN in
@@ -7108,6 +7129,69 @@ object SparkEntry {
         |), sel AS (
         |  SELECT doc_id, logw, dsir_key FROM keyed
         |  ORDER BY dsir_key DESC, doc_id LIMIT 64)
+        |SELECT s.doc_id, d2.lang, d2.source, r(s.logw, 4) AS dsir_logw,
+        |  s.dsir_key
+        |FROM sel s JOIN documents d2 ON s.doc_id = d2.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // DSIR mixture replay: per-target multinomial fits blended as
+    // ((2/3)·p_en + (1/3)·p_de) with the engine's arithmetic order
+    // (each term multiply-then-divide, summed left-to-right, one ln
+    // of the blend), raw q as split log terms, seeded Gumbel, r4 key.
+    "q_dsir_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, trim(regexp_replace(regexp_replace(
+        |    lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(t, ' ') AS toks
+        |  FROM d WHERE length(t) > 0
+        |), uni AS (
+        |  SELECT doc_id, lang, unnest(toks) AS gram FROM tok
+        |), big AS (
+        |  SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS gram
+        |  FROM tok, unnest(CASE WHEN len(toks) >= 2
+        |    THEN range(1, len(toks)) ELSE [] END) u(i)
+        |), feat AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(gram), 1, 8))::BIGINT % 1024 AS bucket,
+        |    count(*) AS cnt
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+        |  GROUP BY 1, 2, 3
+        |), tfit0 AS (
+        |  SELECT bucket, sum(cnt) AS tc0 FROM feat WHERE lang = 'en'
+        |  GROUP BY 1
+        |), tfit1 AS (
+        |  SELECT bucket, sum(cnt) AS tc1 FROM feat WHERE lang = 'de'
+        |  GROUP BY 1
+        |), rfit AS (
+        |  SELECT bucket, sum(cnt) AS rc FROM feat
+        |  WHERE lang NOT IN ('en', 'de') GROUP BY 1
+        |), tt0 AS (SELECT sum(tc0) AS tn0 FROM tfit0),
+        |tt1 AS (SELECT sum(tc1) AS tn1 FROM tfit1),
+        |rt AS (SELECT sum(rc) AS rn FROM rfit),
+        |model AS (
+        |  SELECT rfit.bucket,
+        |    ln((2.0 / 3.0) * (coalesce(tc0, 0) + 1.0) / (tn0 + 1024.0)
+        |       + (1.0 / 3.0) * (coalesce(tc1, 0) + 1.0) / (tn1 + 1024.0))
+        |      - ln(rc + 1.0) + ln(rn + 1024.0) AS lr
+        |  FROM rfit LEFT JOIN tfit0 USING (bucket)
+        |  LEFT JOIN tfit1 USING (bucket)
+        |  CROSS JOIN tt0 CROSS JOIN tt1 CROSS JOIN rt
+        |), sc AS (
+        |  SELECT doc_id, sum(cnt * lr) AS logw
+        |  FROM feat JOIN model USING (bucket)
+        |  WHERE lang NOT IN ('en', 'de') GROUP BY 1
+        |), keyed AS (
+        |  SELECT doc_id, logw,
+        |    r(logw + (-ln(-ln(
+        |      (('0x' || substr(md5('dsirmix:' || CAST(doc_id AS VARCHAR)),
+        |        1, 8))::BIGINT + 0.5) / 4294967296.0))), 4) AS dsir_key
+        |  FROM sc
+        |  WHERE logw IS NOT NULL
+        |), sel AS (
+        |  SELECT doc_id, logw, dsir_key FROM keyed
+        |  ORDER BY dsir_key DESC, doc_id LIMIT 48)
         |SELECT s.doc_id, d2.lang, d2.source, r(s.logw, 4) AS dsir_logw,
         |  s.dsir_key
         |FROM sel s JOIN documents d2 ON s.doc_id = d2.doc_id

@@ -120,25 +120,74 @@ object Dsir {
       .filter(col("dsir_logw").isNotNull)
   }
 
-  /** Gumbel-top-`k` importance resample: the selected documents with
-    * `(…raw columns…, dsir_logw, dsir_key)`. `seed` varies the
-    * (deterministic) Gumbel draw — a different seed is an independent
-    * resample over the same weights. `roundTo` is the decimal grid
-    * the selection key is snapped to before ranking (see class doc).
-    */
-  def select(raw: DataFrame, target: DataFrame, idCol: String,
-             textCol: String, k: Int, buckets: Int = 8192,
-             alpha: Double = 1.0, seed: String = "dsir",
-             roundTo: Int = 4): DataFrame = {
+  /** MIXTURE target model: per-document log importance weight
+    * against a WEIGHTED BLEND of K target corpora — the practical
+    * "make the crawl resemble w₁·Wiki + w₂·books + w₃·code" form.
+    * The target distribution is the convex mixture of the K add-α
+    * smoothed per-target multinomials,
+    *
+    *   p_mix,b = Σ_t (w_t / Σw) · (C_t(b) + α) / (T_t + α·B)
+    *
+    * and `log w(x) = Σ_b c_b(x) · (ln p_mix,b − ln q_b)` exactly as
+    * in [[scoreDocs]]. Scale shape is unchanged: each target fits to
+    * ≤ `buckets` rows, the K fits left-join onto the raw-grid bucket
+    * frame (K buckets-bounded joins — NOT K corpus scans of raw),
+    * and the blended model broadcasts under the one scoring join.
+    *
+    * Degenerate contract (NULL-propagated, same spirit as the
+    * single-target rule): a target whose normalized text is empty
+    * fits no model (its total aggregates to NULL), which NULLs
+    * p_mix for every bucket and empties the result — drop or
+    * re-weight empty targets explicitly upstream rather than have
+    * the engine silently renormalize the mixture. */
+  def scoreDocsMix(raw: DataFrame, targets: Seq[(DataFrame, Double)],
+                   idCol: String, textCol: String, buckets: Int = 8192,
+                   alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    require(targets.nonEmpty, "at least one target corpus is required")
+    targets.zipWithIndex.foreach { case ((_, w), i) =>
+      require(w > 0, s"target weight $i must be > 0, got $w") }
+    val wSum = targets.map(_._2).sum
+    val rawFeat = featureRows(raw, idCol, textCol, buckets)
+    val rFit = rawFeat.groupBy(col("bucket")).agg(sum(col("cnt")).as("_rc"))
+    val rTot = rFit.agg(sum(col("_rc")).as("_R")) // 1 row
+    // Fold the K target fits onto the raw-grid bucket frame; each
+    // join is buckets-bounded (the fits are aggregates, never docs).
+    val grid = targets.zipWithIndex.foldLeft(rFit) {
+      case (acc, ((t, _), i)) =>
+        val tFit = gramBuckets(t, textCol, buckets, Nil)
+          .groupBy(col("bucket")).agg(count(lit(1)).as(s"_tc$i"))
+        val tTot = tFit.agg(sum(col(s"_tc$i")).as(s"_T$i")) // 1 row
+        acc.join(tFit, Seq("bucket"), "left").crossJoin(tTot)
+    }
+    val pMix = targets.zipWithIndex.map { case ((_, w), i) =>
+      lit(w / wSum) * (coalesce(col(s"_tc$i"), lit(0L)) + alpha) /
+        (col(s"_T$i") + alpha * buckets)
+    }.reduce(_ + _)
+    val model0 = grid.crossJoin(rTot)
+      .select(col("bucket"),
+        (log(pMix) - log(col("_rc") + alpha)
+          + log(col("_R") + alpha * buckets)).as("_lr"))
+    val model = if (buckets <= (1 << 22)) broadcast(model0) else model0
+    rawFeat.join(model, Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * col("_lr")).as("dsir_logw"))
+      .filter(col("dsir_logw").isNotNull)
+  }
+
+  /** Shared Gumbel-top-`k` pick over a `(idCol, dsir_logw)` score
+    * frame: narrow top-k (a k-row heap per partition of 3-column
+    * rows), then the k winners join back to the wide raw rows
+    * (broadcast: k is the user's sample size), original column
+    * order preserved. */
+  private def gumbelPick(raw: DataFrame, scores: DataFrame,
+                         idCol: String, k: Int, seed: String,
+                         roundTo: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val scores = scoreDocs(raw, target, idCol, textCol, buckets, alpha)
     // u in (0, 1): (hash + 0.5) / 2^32 — both ln() calls finite.
     val u = (Sampling.keyHash(
         concat(lit(seed + ":"), col(idCol).cast("string"))) + 0.5) / U32
     val gumbel = -log(-log(u))
-    // Top-k on the NARROW (id, logw, key) frame — a k-row heap per
-    // partition of 3-column rows, then the k winners join back to
-    // the wide raw rows (broadcast: k is the user's sample size).
     val picked0 = scores
       .withColumn("dsir_key", Rounding.portable(col("dsir_logw") + gumbel, roundTo))
       .orderBy(col("dsir_key").desc, col(idCol))
@@ -152,4 +201,29 @@ object Dsir {
       .select(raw.columns.map(col) ++
         Seq(col("dsir_logw"), col("dsir_key")): _*)
   }
+
+  /** Gumbel-top-`k` importance resample: the selected documents with
+    * `(…raw columns…, dsir_logw, dsir_key)`. `seed` varies the
+    * (deterministic) Gumbel draw — a different seed is an independent
+    * resample over the same weights. `roundTo` is the decimal grid
+    * the selection key is snapped to before ranking (see class doc).
+    */
+  def select(raw: DataFrame, target: DataFrame, idCol: String,
+             textCol: String, k: Int, buckets: Int = 8192,
+             alpha: Double = 1.0, seed: String = "dsir",
+             roundTo: Int = 4): DataFrame =
+    gumbelPick(raw,
+      scoreDocs(raw, target, idCol, textCol, buckets, alpha),
+      idCol, k, seed, roundTo)
+
+  /** Gumbel-top-`k` resample against a weighted MIXTURE of target
+    * corpora ([[scoreDocsMix]]); selection mechanics identical to
+    * [[select]]. */
+  def selectMix(raw: DataFrame, targets: Seq[(DataFrame, Double)],
+                idCol: String, textCol: String, k: Int,
+                buckets: Int = 8192, alpha: Double = 1.0,
+                seed: String = "dsir", roundTo: Int = 4): DataFrame =
+    gumbelPick(raw,
+      scoreDocsMix(raw, targets, idCol, textCol, buckets, alpha),
+      idCol, k, seed, roundTo)
 }

@@ -426,7 +426,10 @@ class ContaminationPlugin(options: Map[String, Any], configDir: Path, label: Str
 /** Config-driven DSIR importance resampling ([[graft.ops.Dsir]]):
   * keep the `k` docs of this stream that look most like the labeled
   * TARGET corpus stream (Xie et al. 2023). Options: target_label
-  * (required), k (required), id_column (default doc_id), text_column
+  * (required — OR `target_labels`, a list, for the MIXTURE form:
+  * the target model is the convex blend of the listed corpora with
+  * `target_weights`, a same-length number list defaulting to equal
+  * weights), k (required), id_column (default doc_id), text_column
   * (default text; target_text_column to override the target side's),
   * buckets (default 8192), alpha (default 1.0), seed (default
   * "dsir" — a different seed is an independent resample), round_to
@@ -436,13 +439,51 @@ class DsirPlugin(options: Map[String, Any], configDir: Path, label: String)
     with graft.core.MultiStreamTransformPlugin {
   def name: String = "dsir"
 
+  /** Mixture labels + weights: `target_labels` if present (weights
+    * defaulting to equal), else the single `target_label` at weight
+    * 1 — both paths share [[graft.ops.Dsir.selectMix]]'s contract
+    * (a 1-element mixture is exactly the single-target model). */
+  private def targetSpec(): Either[Throwable, Seq[(String, Double)]] =
+    options.get("target_labels") match {
+      case Some(xs: Seq[_]) =>
+        val labels = xs.map(_.toString)
+        if (labels.isEmpty)
+          Left(new graft.core.SchemaValidationError(
+            "target_labels must be non-empty"))
+        else graft.core.Errors.safe {
+          val weights = options.get("target_weights") match {
+            case Some(ws: Seq[_]) =>
+              val w = ws.map(_.toString.toDouble)
+              if (w.size != labels.size)
+                throw new graft.core.SchemaValidationError(
+                  s"target_weights has ${w.size} entries for " +
+                    s"${labels.size} target_labels")
+              w
+            case Some(other) => throw new graft.core.SchemaValidationError(
+              s"target_weights must be a list, got '$other'")
+            case None => Seq.fill(labels.size)(1.0)
+          }
+          labels.zip(weights)
+        }
+      case Some(other) => Left(new graft.core.SchemaValidationError(
+        s"target_labels must be a list, got '$other'"))
+      case None => requiredString("target_label").map(l => Seq(l -> 1.0))
+    }
+
   def executeWith(df: DataFrame,
                   streams: Map[String, Either[Throwable, DataFrame]])
       : Either[Throwable, DataFrame] =
     for {
-      tl <- requiredString("target_label")
-      target <- streams.getOrElse(tl, Left(new NoSuchElementException(
-        s"No input data with label '$tl' for dsir plugin")))
+      spec <- targetSpec()
+      targets <- spec.foldRight(
+          Right(Nil): Either[Throwable, List[(DataFrame, Double)]]) {
+        case ((tl, w), acc) =>
+          for {
+            t <- streams.getOrElse(tl, Left(new NoSuchElementException(
+              s"No input data with label '$tl' for dsir plugin")))
+            rest <- acc
+          } yield (t, w) :: rest
+      }
       kv <- required("k")
       out <- graft.core.Errors.safe {
         val idCol = options.getOrElse("id_column", "doc_id").toString
@@ -454,17 +495,29 @@ class DsirPlugin(options: Map[String, Any], configDir: Path, label: String)
         // target.col (not functions.col): literal top-level name
         // resolution, so a column literally named "meta.text" keeps
         // working instead of parsing as struct-field access
-        graft.ops.Dsir.select(df,
-          target.select(target.col(ttc).as(tc)),
-          idCol, tc,
-          k = kv.toString.toDouble.toInt,
-          buckets = options.get("buckets")
-            .map(_.toString.toDouble.toInt).getOrElse(8192),
-          alpha = options.get("alpha")
-            .map(_.toString.toDouble).getOrElse(1.0),
-          seed = options.getOrElse("seed", "dsir").toString,
-          roundTo = options.get("round_to")
-            .map(_.toString.toDouble.toInt).getOrElse(4))
+        val k = kv.toString.toDouble.toInt
+        val buckets = options.get("buckets")
+          .map(_.toString.toDouble.toInt).getOrElse(8192)
+        val alpha = options.get("alpha")
+          .map(_.toString.toDouble).getOrElse(1.0)
+        val seed = options.getOrElse("seed", "dsir").toString
+        val roundTo = options.get("round_to")
+          .map(_.toString.toDouble.toInt).getOrElse(4)
+        val projected = targets.map { case (t, w) =>
+          (t.select(t.col(ttc).as(tc)), w) }
+        // Single target keeps the EXACT scoreDocs log spelling
+        // (split log terms); the mixture necessarily takes one
+        // log of the blended probability — routing a 1-element
+        // mixture through it would move last-ulp noise onto the
+        // rounded selection key for configs that didn't opt in.
+        if (projected.size == 1)
+          graft.ops.Dsir.select(df, projected.head._1, idCol, tc,
+            k = k, buckets = buckets, alpha = alpha, seed = seed,
+            roundTo = roundTo)
+        else
+          graft.ops.Dsir.selectMix(df, projected, idCol, tc,
+            k = k, buckets = buckets, alpha = alpha, seed = seed,
+            roundTo = roundTo)
       }
     } yield out
 
@@ -472,9 +525,16 @@ class DsirPlugin(options: Map[String, Any], configDir: Path, label: String)
                  schemas: Map[String, Either[Throwable, StructType]])
       : Either[Throwable, StructType] =
     for {
-      tl <- requiredString("target_label")
-      ts <- schemas.getOrElse(tl, Left(new NoSuchElementException(
-        s"No input data with label '$tl' for dsir plugin")))
+      spec <- targetSpec()
+      tss <- spec.foldRight(
+          Right(Nil): Either[Throwable, List[StructType]]) {
+        case ((tl, _), acc) =>
+          for {
+            ts <- schemas.getOrElse(tl, Left(new NoSuchElementException(
+              s"No input data with label '$tl' for dsir plugin")))
+            rest <- acc
+          } yield ts :: rest
+      }
       _ <- required("k")
       out <- graft.core.Errors.safe {
         val idCol = options.getOrElse("id_column", "doc_id").toString
@@ -484,9 +544,11 @@ class DsirPlugin(options: Map[String, Any], configDir: Path, label: String)
           if (!schema.fields.exists(_.name == n))
             throw new graft.core.SchemaValidationError(
               s"Column '$n' not found in schema")
-        if (!ts.fields.exists(_.name == ttc))
-          throw new graft.core.SchemaValidationError(
-            s"Column '$ttc' not found in target schema")
+        for ((ts, (tl, _)) <- tss.zip(spec))
+          if (!ts.fields.exists(_.name == ttc))
+            throw new graft.core.SchemaValidationError(
+              s"Column '$ttc' not found in target schema" +
+                (if (spec.size > 1) s" (label '$tl')" else ""))
         StructType(schema.fields ++ Seq(
           StructField("dsir_logw", DoubleType, nullable = true),
           StructField("dsir_key", DoubleType, nullable = true)))

@@ -112,6 +112,56 @@ class DsirSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("mixture: 1-element blend equals the single-target model; weights steer scores") {
+    val B = 32
+    val target = Seq((100L, "good clean prose"), (101L, "clean prose wins"))
+      .toDF("doc_id", "text")
+    val raw = Seq((1L, "good clean prose here"), (2L, "junk junk junk spam"))
+      .toDF("doc_id", "text")
+    val single = Dsir.scoreDocs(raw, target, "doc_id", "text", buckets = B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // K=1 mixture: same model mathematically (log split vs one ln of
+    // the blend — identical up to float noise, NOT bit-identical,
+    // which is why the plugin routes single targets through select)
+    val mix1 = Dsir.scoreDocsMix(raw, Seq((target, 7.0)), "doc_id",
+        "text", buckets = B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (id <- Seq(1L, 2L))
+      assert(math.abs(single(id) - mix1(id)) < 1e-9, s"doc $id")
+
+    // two targets: pulling the mixture toward the spam-y corpus must
+    // raise the spam doc's weight relative to the even blend
+    val spamT = Seq((200L, "junk junk spam spam")).toDF("doc_id", "text")
+    def mixScore(wGood: Double, wSpam: Double): Map[Long, Double] =
+      Dsir.scoreDocsMix(raw, Seq((target, wGood), (spamT, wSpam)),
+        "doc_id", "text", buckets = B)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val even = mixScore(1.0, 1.0)
+    val spammy = mixScore(1.0, 9.0)
+    assert(spammy(2L) > even(2L),
+      s"spam doc should gain weight under a spam-heavy mixture: " +
+        s"${spammy(2L)} vs ${even(2L)}")
+    // weights are scale-invariant: only ratios matter
+    val scaled = mixScore(10.0, 90.0)
+    for (id <- Seq(1L, 2L))
+      assert(math.abs(spammy(id) - scaled(id)) < 1e-9, s"doc $id")
+  }
+
+  test("mixture: one empty target empties the result (NULL-propagated contract)") {
+    val raw = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val ok = Seq((9L, "alpha beta")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dsir.selectMix(raw, Seq((ok, 1.0), (empty, 1.0)),
+      "doc_id", "text", k = 2, buckets = 16).count() == 0)
+    // weight validation
+    intercept[IllegalArgumentException] {
+      Dsir.scoreDocsMix(raw, Seq((ok, 0.0)), "doc_id", "text", buckets = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Dsir.scoreDocsMix(raw, Nil, "doc_id", "text", buckets = 16)
+    }
+  }
+
   test("plan shape: broadcast model join, TakeOrdered top-k, no cartesian blowup") {
     val target = (0 until 8).map(i => (100L + i, s"tok$i tok${i + 1}"))
       .toDF("doc_id", "text")

@@ -569,6 +569,42 @@ class PluginSpec extends AnyFunSuite {
     assert(out2.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("dsir plugin: target_labels mixture routes K streams with weights") {
+    val raw = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "zz qq xx yy ww vv uu tt"),
+      (3L, "alpha beta alpha beta gamma")).toDF("doc_id", "text")
+    val tGood = Seq((9L, "alpha beta gamma")).toDF("doc_id", "text")
+    val tJunk = Seq((8L, "zz qq xx yy")).toDF("doc_id", "text")
+    val streams = Map("good" -> Right(tGood), "junk" -> Right(tJunk))
+    // weight ratio large enough that the junk component can't lift
+    // doc 2 past the Gumbel noise at k=2
+    val plug = new DsirPlugin(Map(
+      "target_labels" -> Seq("good", "junk"),
+      "target_weights" -> Seq(1e6, 1.0),
+      "k" -> 2, "buckets" -> 64), dir, "default")
+    val out = plug.executeWith(raw, streams).fold(e => throw e, identity)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(out.columns.toSeq == Seq("doc_id", "text", "dsir_logw", "dsir_key"))
+    // default weights = equal; dry-run validates every target schema
+    val eq = new DsirPlugin(Map("target_labels" -> Seq("good", "junk"),
+      "k" -> 2, "buckets" -> 64), dir, "default")
+    assert(eq.executeWith(raw, streams).isRight)
+    val schema = eq.dryRunWith(raw.schema, Map(
+      "good" -> Right(tGood.schema), "junk" -> Right(tJunk.schema)))
+      .toOption.get
+    assert(schema.fieldNames.toSeq ==
+      Seq("doc_id", "text", "dsir_logw", "dsir_key"))
+    // mismatched weight count / missing label / bad text col fail
+    assert(new DsirPlugin(Map("target_labels" -> Seq("good", "junk"),
+      "target_weights" -> Seq(1.0), "k" -> 2), dir, "default")
+      .executeWith(raw, streams).isLeft)
+    assert(plug.executeWith(raw, Map("good" -> Right(tGood))).isLeft)
+    assert(eq.dryRunWith(raw.schema, Map(
+      "good" -> Right(tGood.schema),
+      "junk" -> Right(tJunk.select("doc_id").schema))).isLeft)
+  }
+
   test("loader: aliases resolve, unknown module fails, disabled skipped, kind checked") {
     import graft.core.{GraftConfig, PluginConfig}
     val cfg = GraftConfig(
