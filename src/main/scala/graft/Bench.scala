@@ -46,7 +46,7 @@ object Bench {
     "dedup_span_stats", "dedup_span_removal", "q_pagerank", "q_scd2",
     "text_tfidf",
     "q_sample_weighted",
-    "q_shuffle_shard", "q_url_parse", "q_url_domain_cap",
+    "q_shuffle_shard", "q_url_parse", "q_url_psl", "q_url_domain_cap",
     "q_dsir_select", "q_dsir_mix", "dedup_ngram_verified",
     "q_scd1_latest", "q_components", "q_triangles", "q_expectations", "q_snapshot", "q_snapshot_upsert_compact", "text_c4", "text_lm_score",
     "q_orc_roundtrip", "q_emb_gram", "sim_pca_norm", "text_bm25",

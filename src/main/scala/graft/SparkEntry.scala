@@ -1865,6 +1865,38 @@ object SparkEntry {
           col("url_path"), col("url_query"), col("url_path_depth"))
         .orderBy("doc_id")),
 
+    // ---- PSL semantics: wildcard / exception / multi-level -------
+    // The full Public-Suffix-List algorithm on a fixture that
+    // exercises every rule type in the shipped table: exact
+    // multi-level suffixes (co.uk, gov.uk), geographic wildcards
+    // (*.kawasaki.jp) with their exceptions (!city.kawasaki.jp),
+    // all-wildcard ccTLDs (*.ck / !www.ck), private-section hosting
+    // suffixes (github.io), the implicit default `*` rule for
+    // unlisted TLDs, literal IPv4/IPv6 hosts, hosts that ARE a
+    // public suffix, and trailing root-dot normalization. The
+    // oracle states every expected component independently.
+    "q_url_psl" -> ((s, dir) => {
+      import s.implicits._
+      val urls = Seq(
+        1L -> "https://blog.example.co.uk/a",
+        2L -> "https://a.council.gov.uk/b",
+        3L -> "https://x.y.kawasaki.jp/",
+        4L -> "https://www.city.kawasaki.jp/",
+        5L -> "https://foo.shop.ck/",
+        6L -> "https://www.ck/",
+        7L -> "https://deep.user.github.io/p",
+        8L -> "https://a.b.example.zz/q",
+        9L -> "https://co.uk/",
+        10L -> "https://example.com./r",
+        11L -> "http://93.184.216.34/s",
+        12L -> "http://[2001:db8::1]/t",
+        13L -> "https://www.example.com/u")
+      Urls.parseUrls(urls.toDF("doc_id", "url").repartition(4), "url")
+        .select(col("doc_id"), col("url_host"), col("url_domain"),
+          col("url_subdomain"), col("url_tld"))
+        .orderBy("doc_id")
+    }),
+
     // ---- per-domain cap over parsed URLs -------------------------
     // The crawl-balancing move: no registered domain keeps more than
     // `cap` docs, survivor choice hash-uniform and deterministic.
@@ -5871,6 +5903,30 @@ object SparkEntry {
         |  CASE WHEN doc_id % 2 = 0 THEN 'q=' || (doc_id % 13) END AS url_query,
         |  CAST(doc_id % 3 AS INT) AS url_path_depth
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // PSL ground truth stated independently per rule type (hand-
+    // derived from the published-list algorithm): exact multi-level,
+    // wildcard, exception, private-section, default-`*`, public-
+    // suffix-as-host, trailing-dot, and literal-address rows.
+    "q_url_psl" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, url_host, url_domain,
+        |  url_subdomain, url_tld
+        |FROM (VALUES
+        |  (1, 'blog.example.co.uk', 'example.co.uk', 'blog', 'uk'),
+        |  (2, 'a.council.gov.uk', 'council.gov.uk', 'a', 'uk'),
+        |  (3, 'x.y.kawasaki.jp', 'x.y.kawasaki.jp', '', 'jp'),
+        |  (4, 'www.city.kawasaki.jp', 'city.kawasaki.jp', 'www', 'jp'),
+        |  (5, 'foo.shop.ck', 'foo.shop.ck', '', 'ck'),
+        |  (6, 'www.ck', 'www.ck', '', 'ck'),
+        |  (7, 'deep.user.github.io', 'user.github.io', 'deep', 'io'),
+        |  (8, 'a.b.example.zz', 'example.zz', 'a.b', 'zz'),
+        |  (9, 'co.uk', 'co.uk', '', 'uk'),
+        |  (10, 'example.com', 'example.com', '', 'com'),
+        |  (11, '93.184.216.34', '93.184.216.34', '', '34'),
+        |  (12, '[2001:db8::1]', '[2001:db8::1]', '', '[2001:db8::1]'),
+        |  (13, 'www.example.com', 'example.com', 'www', 'com')
+        |) v(doc_id, url_host, url_domain, url_subdomain, url_tld)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_url_domain_cap" ->
       """SELECT doc_id, lang FROM (

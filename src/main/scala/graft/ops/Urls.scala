@@ -13,16 +13,22 @@ import org.apache.spark.sql.functions._
   * live next to the q_url_* queries in SparkEntry).
   *
   * Registered-domain extraction ("example.co.uk" from
-  * "blog.example.co.uk") uses the last-two-labels rule plus a
-  * built-in table of common two-level public suffixes. That covers
-  * the overwhelming mass of a web crawl; swapping in the full Public
-  * Suffix List is a data change (broadcast-join the label table),
-  * not a structural one.
+  * "blog.example.co.uk") runs the standard Public-Suffix-List
+  * algorithm ([[Psl]]) inside a scalar Catalyst expression
+  * ([[graft.expressions.RegisteredDomain]]): the compiled rule
+  * table — wildcards (`*.ck`), exceptions (`!www.ck`) and all —
+  * ships with the task closure, and unlisted TLDs fall back to the
+  * PSL's own default `*` rule (register at two labels). The shipped
+  * default table is the high-mass subset of the published list;
+  * `psl_file` on the URL plugins (or a [[Psl.load]]ed `Rules` passed
+  * here) swaps in a full copy verbatim.
   */
 object Urls {
 
-  /** Common two-level public suffixes (the high-mass subset of the
-    * PSL): "a.b.<this>" registers at three labels, not two. */
+  /** Common two-level public suffixes — retained for callers that
+    * want the cheap membership-list heuristic; [[registeredDomain]]
+    * itself now runs the full PSL algorithm over [[Psl.default]]
+    * (which contains all of these and more). */
   val twoLevelSuffixes: Seq[String] = Seq(
     "co.uk", "org.uk", "ac.uk", "gov.uk",
     "com.au", "net.au", "org.au",
@@ -30,25 +36,18 @@ object Urls {
     "com.br", "com.cn", "com.mx", "com.ar", "com.tr", "com.sg",
     "co.in", "co.kr", "co.za", "co.nz", "com.hk", "com.tw")
 
-  /** Host → registered domain (eTLD+1 under [[twoLevelSuffixes]]).
-    * Literal-address hosts — IPv4 dotted quads and bracketed IPv6 —
-    * have no label structure, so the host IS the "domain": the
-    * label rule would otherwise collapse every IP sharing its last
-    * two octets into one pseudo-domain ("0.1") and a per-domain cap
-    * would balance unrelated hosts together. */
-  def registeredDomain(host: Column): Column = {
-    val parts = split(host, "\\.")
-    val n = size(parts)
-    // concat, not concat_ws: a NULL host must yield a NULL domain
-    // (concat_ws silently skips NULL arguments and would emit "")
-    val last2 = concat(element_at(parts, -2), lit("."), element_at(parts, -1))
-    when(host.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$") ||
-        host.contains(":"), host)
-      .when(n <= 2, host)
-      .when(last2.isInCollection(twoLevelSuffixes),
-        concat(element_at(parts, -3), lit("."), last2))
-      .otherwise(last2)
-  }
+  /** Host → registered domain (eTLD+1 under the PSL `rules`).
+    * Literal-address hosts — IPv4 dotted quads and (bracketed or
+    * bare) IPv6 — have no label structure, so the host IS the
+    * "domain": the label rule would otherwise collapse every IP
+    * sharing its last two octets into one pseudo-domain ("0.1") and
+    * a per-domain cap would balance unrelated hosts together. Hosts
+    * that ARE a public suffix likewise map to themselves (their own
+    * cap group), a deliberate divergence from the strict published
+    * algorithm's "undefined" — see [[Psl]]. */
+  def registeredDomain(host: Column,
+                       rules: Psl.Rules = Psl.default): Column =
+    graft.expressions.RegisteredDomain.registered_domain(host, rules)
 
   /** Attach structural columns parsed from `urlCol`:
     *  - `url_scheme`  — protocol ("https")
@@ -64,7 +63,8 @@ object Urls {
     * Malformed URLs follow `parse_url` semantics: NULL components,
     * which propagate (a NULL-domain row groups into its own bucket —
     * filter or route it explicitly). */
-  def parseUrls(df: DataFrame, urlCol: String): DataFrame = {
+  def parseUrls(df: DataFrame, urlCol: String,
+                rules: Psl.Rules = Psl.default): DataFrame = {
     val u = col(urlCol)
     // try_parse_url, not parse_url: under ANSI the strict form THROWS
     // on a malformed URL, and a crawl corpus always contains some —
@@ -75,7 +75,7 @@ object Urls {
     // their dotless twins under a per-domain cap.
     val host = regexp_replace(
       lower(try_parse_url(u, lit("HOST"))), "\\.$", "")
-    val domain = registeredDomain(host)
+    val domain = registeredDomain(host, rules)
     df
       .withColumn("url_scheme", try_parse_url(u, lit("PROTOCOL")))
       .withColumn("url_host", host)
@@ -102,14 +102,14 @@ object Urls {
     * preceding parse stage); output schema == input schema,
     * verbatim. */
   def capPerDomain(df: DataFrame, urlCol: String, idCol: String,
-                   cap: Int): DataFrame = {
+                   cap: Int, rules: Psl.Rules = Psl.default): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
     val d = "__graft_url_domain"
     // same host normalization as parseUrls (lowercase, trailing
     // root-dot stripped) so the two stages agree on domains
     val withDomain = df.withColumn(d,
       registeredDomain(regexp_replace(
-        lower(try_parse_url(col(urlCol), lit("HOST"))), "\\.$", "")))
+        lower(try_parse_url(col(urlCol), lit("HOST"))), "\\.$", ""), rules))
     Sampling.stratifiedCap(withDomain, Seq(d), idCol, cap).drop(d)
   }
 }

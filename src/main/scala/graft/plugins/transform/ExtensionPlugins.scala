@@ -2281,25 +2281,39 @@ class CohortsPlugin(options: Map[String, Any], configDir: Path, label: String)
   *                               `cap` rows per registered domain
   *                               (`id_column` unique non-null);
   *                               output schema = input schema
+  *
+  * `psl_file` (optional, both methods): path to a Public-Suffix-List
+  * format file (resolved against the config dir) replacing the
+  * shipped default suffix table — point it at a full published-list
+  * copy for exhaustive eTLD+1 coverage.
   */
 class UrlPlugin(options: Map[String, Any], configDir: Path, label: String)
     extends BaseTransformPlugin(options, configDir, label) {
   def name: String = "url"
 
+  private def pslRules(): Either[Throwable, graft.ops.Psl.Rules] =
+    options.get("psl_file") match {
+      case None => Right(graft.ops.Psl.default)
+      case Some(p) => graft.core.Errors.safe(
+        graft.ops.Psl.load(resolvePath(p.toString).toString))
+    }
+
   def execute(df: DataFrame): Either[Throwable, DataFrame] =
     for {
       method <- requiredString("method")
       urlCol <- requiredString("url_column")
+      rules <- pslRules()
       out <- method match {
         case "parse" =>
-          graft.core.Errors.safe(graft.ops.Urls.parseUrls(df, urlCol))
+          graft.core.Errors.safe(
+            graft.ops.Urls.parseUrls(df, urlCol, rules))
         case "cap_per_domain" =>
           for {
             idCol <- requiredString("id_column")
             cap <- required("cap")
             out <- graft.core.Errors.safe(
               graft.ops.Urls.capPerDomain(df, urlCol, idCol,
-                cap.toString.toDouble.toInt))
+                cap.toString.toDouble.toInt, rules))
           } yield out
         case other => Left(new PluginExecutionError(
           s"Unknown url method: '$other' (expected parse | cap_per_domain)"))

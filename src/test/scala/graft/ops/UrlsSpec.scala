@@ -94,4 +94,64 @@ class UrlsSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq ==
       capped.select("id").as[Long].collect().sorted.toSeq)
   }
+
+  test("PSL algorithm: wildcard, exception, prevailing-longest, default rule") {
+    val r = Psl.default
+    // exact multi-level beats the shorter match
+    assert(r.registeredDomain("blog.example.co.uk") == "example.co.uk")
+    // wildcard: *.kawasaki.jp makes <x>.kawasaki.jp a public suffix
+    assert(r.registeredDomain("x.y.kawasaki.jp") == "x.y.kawasaki.jp")
+    // exception beats the wildcard it carves out of
+    assert(r.registeredDomain("www.city.kawasaki.jp") == "city.kawasaki.jp")
+    assert(r.registeredDomain("city.kawasaki.jp") == "city.kawasaki.jp")
+    // all-wildcard ccTLD + its exception
+    assert(r.registeredDomain("foo.shop.ck") == "foo.shop.ck")
+    assert(r.registeredDomain("www.ck") == "www.ck")
+    assert(r.registeredDomain("shop.www.ck") == "www.ck")
+    // private-section hosting suffix
+    assert(r.registeredDomain("deep.user.github.io") == "user.github.io")
+    // unlisted TLD: the implicit `*` default registers at two labels
+    assert(r.registeredDomain("a.b.example.zz") == "example.zz")
+    // host IS a public suffix → itself (documented divergence)
+    assert(r.registeredDomain("co.uk") == "co.uk")
+    assert(r.registeredDomain("kawasaki.jp") == "kawasaki.jp")
+    // literal addresses
+    assert(r.registeredDomain("93.184.216.34") == "93.184.216.34")
+    assert(r.registeredDomain("[2001:db8::1]") == "[2001:db8::1]")
+    // null/empty propagate
+    assert(r.registeredDomain(null) == null)
+    assert(r.registeredDomain("") == null)
+  }
+
+  test("PSL parse: comments, blanks, rule types; custom table via file") {
+    val rules = Psl.parse(
+      """// a comment
+        |
+        |com
+        |example.com
+        |*.corp.test
+        |!ok.corp.test
+        |""".stripMargin.linesIterator)
+    assert(rules.exact == Set("com", "example.com"))
+    assert(rules.wildcard == Set("corp.test"))
+    assert(rules.exception == Set("ok.corp.test"))
+    // example.com is itself a suffix here → one more label registers
+    assert(rules.registeredDomain("shop.a.example.com") == "a.example.com")
+    assert(rules.registeredDomain("x.dept.corp.test") == "x.dept.corp.test")
+    assert(rules.registeredDomain("www.ok.corp.test") == "ok.corp.test")
+
+    // file-loaded table drives the plugin (psl_file option)
+    val f = java.nio.file.Files.createTempFile("psl", ".dat")
+    java.nio.file.Files.writeString(f, "com\nexample.com\n")
+    try {
+      val plug = new graft.plugins.transform.UrlPlugin(Map(
+        "method" -> "parse", "url_column" -> "url",
+        "psl_file" -> f.toString), f.getParent, "default")
+      val out = plug.execute(
+          Seq((1L, "https://shop.a.example.com/p")).toDF("id", "url"))
+        .fold(e => throw e, identity)
+      assert(out.select("url_domain").head().getString(0)
+        == "a.example.com")
+    } finally java.nio.file.Files.delete(f)
+  }
 }
