@@ -35,7 +35,7 @@ object Bench {
     "dedup_boilerplate",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_entropy", "text_vocab", "q_vocab_encode", "q_bpe_encode", "q_split",
-    "q_split_safe", "q_pack_greedy",
+    "q_split_safe", "q_pack_greedy", "q_pack_bpe",
     "q_chunk_windows", "q_profile",
     "q_gopher_rules",
     "text_blocklist", "text_classify_nb", "text_hash_embed",

@@ -2041,6 +2041,28 @@ object SparkEntry {
         .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
         .orderBy("doc_id")),
 
+    // ---- TOKENIZER-TRUE packing: budget counted in BPE tokens ----
+    // The documented SFT-prep path end-to-end: encode the corpus
+    // under the trained merge table (here the fixed fixture vocab,
+    // literal-for-literal with the oracle's VALUES), keep only the
+    // per-doc token COUNT (Bpe.withTokenCount — nothing array-sized
+    // survives the projection), then greedy no-split packing where
+    // the budget is REAL tokenizer tokens, not whitespace words. The
+    // oracle composes its two proven replays: the recursive BPE
+    // merge walk (q_bpe_encode) feeding the recursive greedy scan
+    // (q_pack_greedy).
+    "q_pack_bpe" -> ((s, dir) =>
+      graft.ops.Packing.packGreedy(
+          graft.ops.Bpe.withTokenCount(
+            tBalanced(s, dir, "documents")
+              .select(col("doc_id"), col("lang"), col("text")),
+            "text", bpeFixedMerges)
+            .select("doc_id", "lang", "n_tokens_bpe"),
+          "n_tokens_bpe", budget = 2048,
+          shardCols = Seq("lang"), orderCol = "doc_id")
+        .select("doc_id", "lang", "n_tokens_bpe", "seq_id", "seq_offset")
+        .orderBy("doc_id")),
+
     // ---- composed corpus-cleaning pipeline (flagship) ------------
     // The end-to-end story every piece above exists for: language
     // filter → quality floor → exact-dup drop (min doc_id survives)
@@ -5502,6 +5524,77 @@ object SparkEntry {
         |  FROM d JOIN p
         |    ON d.lang IS NOT DISTINCT FROM p.lang AND d.rn = p.rn + 1)
         |SELECT doc_id, lang, n_tokens, seq_id, seq_offset
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // Tokenizer-true packing: the q_bpe_encode merge-walk replay
+    // produces per-doc BPE token counts, which feed the q_pack_greedy
+    // recursive scan at budget 2048. Merge VALUES = bpeFixedMerges.
+    "q_pack_bpe" ->
+      """WITH RECURSIVE src AS (
+        |  SELECT doc_id, lang, CASE WHEN text IS NULL THEN NULL ELSE
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) END AS t
+        |  FROM documents
+        |), merges(rank, a, b) AS (
+        |  SELECT * FROM (VALUES
+        |    (1,'t','h'),(2,'th','e'),(3,'i','n'),(4,'e','r'),(5,'o','r'),
+        |    (6,'a','n'),(7,'s','t'),(8,'a','t'),(9,'in','d'),(10,'o','w'),
+        |    (11,'ind','ow'),(12,'l','e')) m(rank, a, b)
+        |), words AS (
+        |  SELECT doc_id, u.p AS ord, wlist[CAST(u.p AS INTEGER)] AS w
+        |  FROM (SELECT doc_id, regexp_split_to_array(t, ' ') AS wlist
+        |        FROM src WHERE t IS NOT NULL AND t <> '') x,
+        |       LATERAL (SELECT unnest(range(1, len(wlist) + 1)) AS p) u
+        |), dw AS (SELECT DISTINCT w FROM words
+        |), init AS (
+        |  SELECT w, '|' || array_to_string(
+        |    [substr(w, g, 1) for g in range(1, length(w) + 1)], '|') || '|' AS s
+        |  FROM dw
+        |), enc(w, s, it) AS (
+        |  SELECT w, s, 0 FROM init
+        |  UNION ALL
+        |  SELECT e.w,
+        |    substr(e.s, 1, position(('|' || m.a || '|' || m.b || '|') IN e.s) - 1)
+        |      || '|' || m.a || m.b || '|' ||
+        |      substr(e.s, position(('|' || m.a || '|' || m.b || '|') IN e.s)
+        |        + length('|' || m.a || '|' || m.b || '|')),
+        |    e.it + 1
+        |  FROM enc e JOIN merges m ON m.rank = (
+        |    SELECT min(m2.rank) FROM merges m2
+        |    WHERE position(('|' || m2.a || '|' || m2.b || '|') IN e.s) > 0)
+        |), fin AS (
+        |  SELECT w, arg_max(s, it) AS s FROM enc GROUP BY w
+        |), wtok AS (
+        |  SELECT w, CAST(len(string_split(trim(s, '|'), '|')) AS BIGINT) AS ntok
+        |  FROM fin
+        |), counts AS (
+        |  SELECT s2.doc_id, s2.lang,
+        |    CASE WHEN s2.t IS NULL THEN NULL
+        |         ELSE coalesce(p2.n_tokens, 0) END AS n_tokens_bpe
+        |  FROM src s2 LEFT JOIN (
+        |    SELECT wo.doc_id, CAST(sum(wt.ntok) AS BIGINT) AS n_tokens
+        |    FROM words wo JOIN wtok wt USING (w) GROUP BY wo.doc_id) p2
+        |  USING (doc_id)
+        |), d AS MATERIALIZED (
+        |  SELECT doc_id, lang, n_tokens_bpe,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM counts),
+        |p AS (
+        |  SELECT doc_id, lang, n_tokens_bpe, rn,
+        |    CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+        |    coalesce(n_tokens_bpe, 0) AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.doc_id, d.lang, d.n_tokens_bpe, d.rn,
+        |    CASE WHEN p.fill + coalesce(d.n_tokens_bpe, 0) > 2048 OR p.fill >= 2048
+        |      THEN p.seq_id + 1 ELSE p.seq_id END,
+        |    CASE WHEN p.fill + coalesce(d.n_tokens_bpe, 0) > 2048 OR p.fill >= 2048
+        |      THEN CAST(0 AS BIGINT) ELSE p.fill END,
+        |    CASE WHEN p.fill + coalesce(d.n_tokens_bpe, 0) > 2048 OR p.fill >= 2048
+        |      THEN coalesce(d.n_tokens_bpe, 0) ELSE p.fill + coalesce(d.n_tokens_bpe, 0) END
+        |  FROM d JOIN p
+        |    ON d.lang IS NOT DISTINCT FROM p.lang AND d.rn = p.rn + 1)
+        |SELECT doc_id, lang, n_tokens_bpe, seq_id, seq_offset
         |FROM p ORDER BY doc_id""".stripMargin,
 
     // The composed cleaning pipeline, replicated stage by stage:

@@ -83,6 +83,7 @@ object Loader {
     "pack" -> "graft.plugins.transform.PackPlugin",
     "profile" -> "graft.plugins.transform.ProfilePlugin",
     "vocab_encode" -> "graft.plugins.transform.VocabEncodePlugin",
+    "bpe" -> "graft.plugins.transform.BpePlugin",
     "pivot" -> "graft.plugins.transform.PivotPlugin",
     "dup_spans" -> "graft.plugins.transform.DupSpansPlugin",
     "tfidf" -> "graft.plugins.transform.TfidfPlugin",

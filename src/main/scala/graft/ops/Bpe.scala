@@ -96,4 +96,25 @@ object Bpe {
       .withColumn(out, graft.expressions.BpeEncode.bpe_encode(col("_bpe_norm"), bc))
       .drop("_bpe_norm")
   }
+
+  /** Attach `out` = the TOKENIZER-TRUE token count of `textCol`
+    * under the trained merge table — the budget column sequence
+    * packing should count when training sequences are measured in
+    * real BPE tokens rather than whitespace words (a whitespace
+    * count under-budgets by the subword blow-up factor and the
+    * packed sequences overflow the model's context at train time).
+    * The token ARRAY is a projection-local intermediate (size() of
+    * the kernel output) — only the count column persists, so the
+    * corpus-wide pass stays shuffle-free and nothing array-sized is
+    * retained or shuffled. NULL text → NULL count (matches
+    * [[encode]]'s NULL propagation); blank → 0. */
+  def withTokenCount(df: DataFrame, textCol: String,
+                     merges: Seq[(String, String)],
+                     out: String = "n_tokens_bpe"): DataFrame =
+    encode(df, textCol, merges, out = "_bpe_toks")
+      .withColumn(out, size(col("_bpe_toks")).cast("long"))
+      .withColumn(out,
+        when(col("_bpe_toks").isNull, lit(null).cast("long"))
+          .otherwise(col(out)))
+      .drop("_bpe_toks")
 }

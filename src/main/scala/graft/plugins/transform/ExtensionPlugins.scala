@@ -821,6 +821,91 @@ class VocabEncodePlugin(options: Map[String, Any], configDir: Path, label: Strin
   }
 }
 
+/** Config-driven BPE tokenization ([[graft.ops.Bpe]]) — the
+  * tokenizer-true stage between cleaning and sequence packing:
+  *
+  *   method = "count"  (default) — attach `output_column` (default
+  *                     `n_tokens_bpe`) = the REAL tokenizer token
+  *                     count, the budget column `pack` should use
+  *                     when sequences are measured in BPE tokens
+  *                     (nothing array-sized survives the projection)
+  *          | "encode" — attach the token ARRAY (default column
+  *                     `tokens`)
+  *
+  * The merge table comes from `merges_file` (one `a<TAB>b` merge per
+  * line in rank order, resolved against the config dir — ship your
+  * trained vocab), or is TRAINED driver-side on a bounded
+  * deterministic sample of this stream ([[graft.ops.Bpe.train]] —
+  * an EAGER action over the upstream plan, like vocab_encode's
+  * vocabulary build) with `num_merges` (default 200), `sample_n`
+  * (default 2048), `min_pair_count` (default 2). `text_column`
+  * defaults to `text`. */
+class BpePlugin(options: Map[String, Any], configDir: Path, label: String)
+    extends BaseTransformPlugin(options, configDir, label) {
+  def name: String = "bpe"
+
+  private def mergesFor(df: DataFrame): Seq[(String, String)] =
+    options.get("merges_file") match {
+      case Some(p) =>
+        val path = resolvePath(p.toString)
+        val lines = java.nio.file.Files.readAllLines(path)
+        import scala.jdk.CollectionConverters._
+        lines.asScala.iterator.map(_.trim).filter(_.nonEmpty).map { l =>
+          val i = l.indexOf('\t')
+          if (i <= 0 || i == l.length - 1)
+            throw new PluginExecutionError(
+              s"merges_file line is not 'a<TAB>b': '$l'")
+          (l.substring(0, i), l.substring(i + 1))
+        }.toSeq
+      case None =>
+        graft.ops.Bpe.train(df,
+          options.getOrElse("text_column", "text").toString,
+          numMerges = options.get("num_merges")
+            .map(_.toString.toDouble.toInt).getOrElse(200),
+          sampleN = options.get("sample_n")
+            .map(_.toString.toDouble.toInt).getOrElse(2048),
+          minPairCount = options.get("min_pair_count")
+            .map(_.toString.toDouble.toLong).getOrElse(2L))
+    }
+
+  def execute(df: DataFrame): Either[Throwable, DataFrame] =
+    for {
+      method <- Right(options.getOrElse("method", "count").toString)
+      out <- method match {
+        case "count" => graft.core.Errors.safe {
+          graft.ops.Bpe.withTokenCount(df,
+            options.getOrElse("text_column", "text").toString,
+            mergesFor(df),
+            out = options.getOrElse("output_column", "n_tokens_bpe").toString)
+        }
+        case "encode" => graft.core.Errors.safe {
+          graft.ops.Bpe.encode(df,
+            options.getOrElse("text_column", "text").toString,
+            mergesFor(df),
+            out = options.getOrElse("output_column", "tokens").toString)
+        }
+        case other => Left(new PluginExecutionError(
+          s"Unknown bpe method: '$other' (expected count | encode)"))
+      }
+    } yield out
+
+  def dryRun(schema: StructType): Either[Throwable, StructType] = {
+    val tc = options.getOrElse("text_column", "text").toString
+    if (!schema.fieldNames.contains(tc))
+      Left(new graft.core.SchemaValidationError(
+        s"Column '$tc' not found in schema"))
+    else propagateSchema(schema)(df =>
+      // schema-only: an empty merge table keeps the dry run
+      // actionless (no training job fires)
+      options.getOrElse("method", "count").toString match {
+        case "encode" => graft.ops.Bpe.encode(df, tc, Seq.empty,
+          out = options.getOrElse("output_column", "tokens").toString)
+        case _ => graft.ops.Bpe.withTokenCount(df, tc, Seq.empty,
+          out = options.getOrElse("output_column", "n_tokens_bpe").toString)
+      })
+  }
+}
+
 /** Config-driven corpus profiling ([[graft.ops.Profiling]]): one-pass
   * per-column stats (rows, nulls, distinct, min/max). Options:
   * columns (req, list), exact (default false — HLL distinct counts at

@@ -605,6 +605,44 @@ class PluginSpec extends AnyFunSuite {
       "junk" -> Right(tJunk.select("doc_id").schema))).isLeft)
   }
 
+  test("bpe plugin: count/encode methods, merges_file vocab, dry run schema") {
+    val docs = Seq((1L, "the then there"), (2L, "in the wind"))
+      .toDF("doc_id", "text")
+    // fixed vocab via merges_file: t+h, th+e
+    val f = java.nio.file.Files.createTempFile("merges", ".tsv")
+    java.nio.file.Files.writeString(f, "t\th\nth\te\n")
+    try {
+      val plug = new BpePlugin(Map("merges_file" -> f.toString),
+        f.getParent, "default")
+      val out = plug.execute(docs).fold(e => throw e, identity)
+      assert(out.columns.toSeq == Seq("doc_id", "text", "n_tokens_bpe"))
+      val counts = out.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // "the"->[the]=1, "then"->[the,n]=2, "there"->[the,r,e]=3 → 6
+      // "in"->2, "the"->1, "wind"->4 → 7
+      assert(counts == Map(1L -> 6L, 2L -> 7L))
+      val enc = new BpePlugin(Map("merges_file" -> f.toString,
+          "method" -> "encode"), f.getParent, "default")
+        .execute(docs).fold(e => throw e, identity)
+      assert(enc.columns.toSeq == Seq("doc_id", "text", "tokens"))
+      assert(enc.filter($"doc_id" === 1L).select("tokens")
+        .head().getSeq[String](0) == Seq("the", "the", "n", "the", "r", "e"))
+      // dry run: schema appended without running a training job
+      val schema = new BpePlugin(Map.empty, f.getParent, "default")
+        .dryRun(docs.schema).toOption.get
+      assert(schema.fieldNames.toSeq == Seq("doc_id", "text", "n_tokens_bpe"))
+      // trained path: no merges_file → driver-side train on the stream
+      val trained = new BpePlugin(Map("num_merges" -> 10, "sample_n" -> 100),
+        f.getParent, "default").execute(docs).fold(e => throw e, identity)
+      assert(trained.count() == 2)
+      // malformed merges file fails loudly
+      val bad = java.nio.file.Files.createTempFile("merges", ".tsv")
+      java.nio.file.Files.writeString(bad, "no-tab-here\n")
+      try assert(new BpePlugin(Map("merges_file" -> bad.toString),
+        bad.getParent, "default").execute(docs).isLeft)
+      finally java.nio.file.Files.delete(bad)
+    } finally java.nio.file.Files.delete(f)
+  }
+
   test("loader: aliases resolve, unknown module fails, disabled skipped, kind checked") {
     import graft.core.{GraftConfig, PluginConfig}
     val cfg = GraftConfig(
