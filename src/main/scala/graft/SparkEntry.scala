@@ -4922,24 +4922,34 @@ object SparkEntry {
         |      AND ((b.sig >> (o.c * 16)) & 65535) = o.piece)
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // Size-ratio skip is sound at t=0.6 (min ≥ 0.6·max); see the
-    // dedup_ngram_verified comment for the J ≤ min/max argument.
+    // Lang-blocked 3-gram pairs at t=0.6 in the same bitstring
+    // spelling (the corpus has ~400 distinct 3-grams); size-ratio
+    // skip sound at 0.6 (J ≤ min/max), block key joined as an
+    // equality. 213928 pairs at sf0.1 verify inline in ~16 s.
     "dedup_ngram_pairs" ->
-      """WITH d AS (
+      """WITH d AS MATERIALIZED (
         |  SELECT doc_id, lang, trim(regexp_replace(regexp_replace(lower(text),
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
         |  FROM documents
-        |), sh AS (
+        |), sh AS MATERIALIZED (
         |  SELECT doc_id, lang, list_distinct(
         |    [substr(t, g, 3) for g in range(1, greatest(length(t) - 1, 2))]) AS shingles
-        |  FROM d)
+        |  FROM d
+        |), ex AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS sh FROM sh
+        |), idx AS MATERIALIZED (
+        |  SELECT sh, CAST(row_number() OVER (ORDER BY sh) - 1 AS INTEGER) AS i
+        |  FROM (SELECT DISTINCT sh FROM ex)
+        |), bs AS MATERIALIZED (
+        |  SELECT s.doc_id, s.lang, CAST(len(s.shingles) AS BIGINT) AS nsh, x.b
+        |  FROM sh s JOIN (
+        |    SELECT e.doc_id, bitstring_agg(x.i, 0, 8191) AS b
+        |    FROM ex e JOIN idx x USING (sh) GROUP BY e.doc_id) x USING (doc_id))
         |SELECT id_a, id_b, r(jaccard, 4) AS jaccard FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |  WHERE len(a.shingles) >= 0.6 * len(b.shingles)
-        |    AND len(b.shingles) >= 0.6 * len(a.shingles))
+        |    CAST(bit_count(a.b & b.b) AS DOUBLE) /
+        |      (a.nsh + b.nsh - bit_count(a.b & b.b)) AS jaccard
+        |  FROM bs a JOIN bs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE a.nsh >= 0.6 * b.nsh AND b.nsh >= 0.6 * a.nsh)
         |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
 
     // Blank text counts 0 whitespace tokens (a naive split of ''
@@ -5364,37 +5374,19 @@ object SparkEntry {
         |WHERE list_sum(list_transform(list_zip(s.v, o.v), p -> p[1] * p[2])) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // Exact 5-gram Jaccard pairs, unblocked: the quadratic DuckDB
+    // Exact 5-gram Jaccard pairs, unblocked: the all-pairs DuckDB
     // verifier the minhash-candidates + exact-verify plan must equal.
-    // The size-ratio predicate is a provably-sound skip, not a
-    // heuristic: J = |∩|/|∪| ≤ min/max, so J ≥ t forces
-    // min ≥ t·max — every surviving pair still gets the exact
-    // intersect/union check. Cuts the sf0.1 deep-check wall ~5×.
+    // BITSTRING respell (round 11): the fixture corpus has ~2k
+    // distinct 5-gram shingles, so each doc's shingle SET is a
+    // dense-indexed 8192-bit string and |A∩B| is one bit_count(a&b)
+    // per pair — the exact all-pairs verifier drops from >1000 s to
+    // ~25 s at sf0.1 (the old per-pair list_intersect over ~700
+    // string lists was the entire cost; the size-ratio skip stays,
+    // it is provably sound: J ≤ min/max). The 8191 index bound is a
+    // bitstring_agg constant; a regenerated corpus with > 8192
+    // distinct shingles fails LOUDLY (out-of-range), never silently
+    // wrong. Counts are set-exact — no hashing, no collisions.
     "dedup_ngram_verified" ->
-      """WITH d AS (
-        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
-        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
-        |  FROM documents
-        |), sh AS (
-        |  SELECT doc_id, list_distinct(
-        |    [substr(t, g, 5) for g in range(1, greatest(length(t) - 3, 2))]) AS shingles
-        |  FROM d)
-        |SELECT id_a, id_b, r(jaccard, 4) AS jaccard FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(a.shingles) >= 0.8 * len(b.shingles)
-        |    AND len(b.shingles) >= 0.8 * len(a.shingles))
-        |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
-
-    // Connected components by transitive closure: min reachable id
-    // per node over the same exact 5-gram J ≥ 0.8 pair graph.
-    // MATERIALIZED pins each CTE to one evaluation — without it the
-    // recursive closure replays the quadratic pair join per
-    // iteration (>3500 s at sf0.1; ~1000 s with). The size-ratio
-    // skip is sound: J ≥ 0.8 forces min ≥ 0.8·max set sizes.
-    "dedup_cluster" ->
       """WITH d AS MATERIALIZED (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
@@ -5403,13 +5395,53 @@ object SparkEntry {
         |  SELECT doc_id, list_distinct(
         |    [substr(t, g, 5) for g in range(1, greatest(length(t) - 3, 2))]) AS shingles
         |  FROM d
+        |), ex AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS sh FROM sh
+        |), idx AS MATERIALIZED (
+        |  SELECT sh, CAST(row_number() OVER (ORDER BY sh) - 1 AS INTEGER) AS i
+        |  FROM (SELECT DISTINCT sh FROM ex)
+        |), bs AS MATERIALIZED (
+        |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS nsh,
+        |    bitstring_agg(x.i, 0, 8191) AS b
+        |  FROM ex e JOIN idx x USING (sh) GROUP BY e.doc_id)
+        |SELECT id_a, id_b, r(jaccard, 4) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(a.b & b.b) AS DOUBLE) /
+        |      (a.nsh + b.nsh - bit_count(a.b & b.b)) AS jaccard
+        |  FROM bs a JOIN bs b ON a.doc_id < b.doc_id
+        |  WHERE a.nsh >= 0.8 * b.nsh AND b.nsh >= 0.8 * a.nsh)
+        |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    // Connected components by transitive closure: min reachable id
+    // per node over the same exact 5-gram J ≥ 0.8 pair graph, with
+    // the pair discovery in the bitstring spelling (see
+    // dedup_ngram_verified — ~25 s inline at sf0.1 vs ~1000 s for
+    // the list-intersect form). MATERIALIZED still pins each CTE to
+    // one evaluation so the recursion never replays pair discovery.
+    "dedup_cluster" ->
+      """WITH RECURSIVE d AS MATERIALIZED (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), sh AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(
+        |    [substr(t, g, 5) for g in range(1, greatest(length(t) - 3, 2))]) AS shingles
+        |  FROM d
+        |), ex AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS sh FROM sh
+        |), idx AS MATERIALIZED (
+        |  SELECT sh, CAST(row_number() OVER (ORDER BY sh) - 1 AS INTEGER) AS i
+        |  FROM (SELECT DISTINCT sh FROM ex)
+        |), bs AS MATERIALIZED (
+        |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS nsh,
+        |    bitstring_agg(x.i, 0, 8191) AS b
+        |  FROM ex e JOIN idx x USING (sh) GROUP BY e.doc_id
         |), pairs AS MATERIALIZED (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(a.shingles) >= 0.8 * len(b.shingles)
-        |    AND len(b.shingles) >= 0.8 * len(a.shingles)
-        |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(bit_count(a.b & b.b) AS DOUBLE) /
+        |        (a.nsh + b.nsh - bit_count(a.b & b.b)) AS jaccard
+        |    FROM bs a JOIN bs b ON a.doc_id < b.doc_id
+        |    WHERE a.nsh >= 0.8 * b.nsh AND b.nsh >= 0.8 * a.nsh)
+        |  WHERE jaccard >= 0.8
         |), edges AS MATERIALIZED (
         |  SELECT id_a AS src, id_b AS dst FROM pairs
         |  UNION ALL SELECT id_b, id_a FROM pairs
@@ -5423,10 +5455,10 @@ object SparkEntry {
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Same components; survivor = max n_chars (ties min id) per
-    // cluster, replayed with an identical rank pick. Same
-    // MATERIALIZED + sound size-ratio skip as dedup_cluster.
+    // cluster, replayed with an identical rank pick. Same bitstring
+    // pair discovery + MATERIALIZED pinning as dedup_cluster.
     "dedup_cluster_best" ->
-      """WITH d AS MATERIALIZED (
+      """WITH RECURSIVE d AS MATERIALIZED (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
         |  FROM documents
@@ -5434,13 +5466,22 @@ object SparkEntry {
         |  SELECT doc_id, list_distinct(
         |    [substr(t, g, 5) for g in range(1, greatest(length(t) - 3, 2))]) AS shingles
         |  FROM d
+        |), ex AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS sh FROM sh
+        |), idx AS MATERIALIZED (
+        |  SELECT sh, CAST(row_number() OVER (ORDER BY sh) - 1 AS INTEGER) AS i
+        |  FROM (SELECT DISTINCT sh FROM ex)
+        |), bs AS MATERIALIZED (
+        |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS nsh,
+        |    bitstring_agg(x.i, 0, 8191) AS b
+        |  FROM ex e JOIN idx x USING (sh) GROUP BY e.doc_id
         |), pairs AS MATERIALIZED (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(a.shingles) >= 0.8 * len(b.shingles)
-        |    AND len(b.shingles) >= 0.8 * len(a.shingles)
-        |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(bit_count(a.b & b.b) AS DOUBLE) /
+        |        (a.nsh + b.nsh - bit_count(a.b & b.b)) AS jaccard
+        |    FROM bs a JOIN bs b ON a.doc_id < b.doc_id
+        |    WHERE a.nsh >= 0.8 * b.nsh AND b.nsh >= 0.8 * a.nsh)
+        |  WHERE jaccard >= 0.8
         |), edges AS MATERIALIZED (
         |  SELECT id_a AS src, id_b AS dst FROM pairs
         |  UNION ALL SELECT id_b, id_a FROM pairs
@@ -5449,8 +5490,9 @@ object SparkEntry {
         |    SELECT doc_id, doc_id FROM d
         |    UNION
         |    SELECT e.src, rr.seen FROM edges e JOIN rr ON rr.id = e.dst
-        |  ) SELECT id, seen FROM rr
-        |), comp AS (
+        |  ) SELECT id, seen FROM rr)
+        |
+        |, comp AS (
         |  SELECT id AS doc_id, min(seen) AS cluster_id
         |  FROM reach GROUP BY id)
         |SELECT doc_id, n_chars FROM (
@@ -5800,10 +5842,11 @@ object SparkEntry {
         |                    ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin,
 
-    // the generic path: exact-Jaccard pair graph → recursive-reach
+    // the generic path: exact-Jaccard pair graph (bitstring
+    // spelling, see dedup_ngram_verified) → recursive-reach
     // components → the same split bands (0.9·2^32, 0.95·2^32)
     "q_split_safe_neardup" ->
-      """WITH d AS MATERIALIZED (
+      """WITH RECURSIVE d AS MATERIALIZED (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
         |  FROM documents
@@ -5811,13 +5854,22 @@ object SparkEntry {
         |  SELECT doc_id, list_distinct(
         |    [substr(t, g, 5) for g in range(1, greatest(length(t) - 3, 2))]) AS shingles
         |  FROM d
+        |), ex AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS sh FROM sh
+        |), idx AS MATERIALIZED (
+        |  SELECT sh, CAST(row_number() OVER (ORDER BY sh) - 1 AS INTEGER) AS i
+        |  FROM (SELECT DISTINCT sh FROM ex)
+        |), bs AS MATERIALIZED (
+        |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS nsh,
+        |    bitstring_agg(x.i, 0, 8191) AS b
+        |  FROM ex e JOIN idx x USING (sh) GROUP BY e.doc_id
         |), pairs AS MATERIALIZED (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(a.shingles) >= 0.8 * len(b.shingles)
-        |    AND len(b.shingles) >= 0.8 * len(a.shingles)
-        |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(bit_count(a.b & b.b) AS DOUBLE) /
+        |        (a.nsh + b.nsh - bit_count(a.b & b.b)) AS jaccard
+        |    FROM bs a JOIN bs b ON a.doc_id < b.doc_id
+        |    WHERE a.nsh >= 0.8 * b.nsh AND b.nsh >= 0.8 * a.nsh)
+        |  WHERE jaccard >= 0.8
         |), edges AS MATERIALIZED (
         |  SELECT id_a AS src, id_b AS dst FROM pairs
         |  UNION ALL SELECT id_b, id_a FROM pairs
@@ -5826,8 +5878,8 @@ object SparkEntry {
         |    SELECT doc_id, doc_id FROM d
         |    UNION
         |    SELECT e.src, rr.seen FROM edges e JOIN rr ON rr.id = e.dst
-        |  ) SELECT id, seen FROM rr
-        |), c AS (
+        |  ) SELECT id, seen FROM rr)
+        |, c AS (
         |  SELECT id AS doc_id, min(seen) AS cid FROM reach GROUP BY id
         |), h AS (
         |  SELECT doc_id,
@@ -6977,24 +7029,32 @@ object SparkEntry {
         |FROM cand WHERE levenshtein(s_l, s_r) <= 1
         |ORDER BY left_id, right_id""".stripMargin,
 
-    // quadratic cross-side near-dup verifier: odd batch docs kept
-    // iff no even reference doc reaches jaccard 0.8
+    // cross-side near-dup verifier: odd batch docs kept iff no
+    // even reference doc reaches jaccard 0.8 — all cross pairs, with
+    // the bitstring intersection spelling (see dedup_ngram_verified)
     "dedup_incr_neardup" ->
-      """WITH d AS (
+      """WITH d AS MATERIALIZED (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
         |  FROM documents
-        |), sh AS (
+        |), sh AS MATERIALIZED (
         |  SELECT doc_id, list_distinct(
         |    [substr(t, g, 5) for g in range(1, greatest(length(t) - 3, 2))]) AS shingles
         |  FROM d
+        |), ex AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS sh FROM sh
+        |), idx AS MATERIALIZED (
+        |  SELECT sh, CAST(row_number() OVER (ORDER BY sh) - 1 AS INTEGER) AS i
+        |  FROM (SELECT DISTINCT sh FROM ex)
+        |), bs AS MATERIALIZED (
+        |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS nsh,
+        |    bitstring_agg(x.i, 0, 8191) AS b
+        |  FROM ex e JOIN idx x USING (sh) GROUP BY e.doc_id
         |), dropped AS (
-        |  SELECT DISTINCT a.doc_id FROM sh a JOIN sh b
+        |  SELECT DISTINCT a.doc_id FROM bs a JOIN bs b
         |    ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-        |  WHERE len(a.shingles) >= 0.8 * len(b.shingles)
-        |    AND len(b.shingles) >= 0.8 * len(a.shingles)
-        |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8)
+        |  WHERE a.nsh >= 0.8 * b.nsh AND b.nsh >= 0.8 * a.nsh
+        |    AND CAST(bit_count(a.b & b.b) AS DOUBLE) /
+        |      (a.nsh + b.nsh - bit_count(a.b & b.b)) >= 0.8)
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dropped)
         |ORDER BY doc_id""".stripMargin,
@@ -7148,10 +7208,11 @@ object SparkEntry {
         |ORDER BY sel.query_id, mmr_rank""".stripMargin,
 
     // components of the thresholded kNN graph via a recursive
-    // reachability CTE; cluster_id = min reachable id. MATERIALIZED
-    // pins the quadratic cosine scoring to ONE evaluation — without
-    // it the recursion replays it per contraction round (~30 min at
-    // sf0.1; ~12 s with, byte-identical).
+    // reachability CTE; cluster_id = min reachable id. The cosine
+    // scoring casts to DuckDB's fixed-size DOUBLE[64] ARRAY and uses
+    // array_inner_product — the list-lambda dot product was the
+    // entire deep-check cost (~minutes); this runs inline in ~5 s at
+    // sf0.1. MATERIALIZED still pins scoring to one evaluation.
     "sim_knn_components" ->
       """WITH RECURSIVE e AS MATERIALIZED (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -7162,11 +7223,12 @@ object SparkEntry {
         |         ELSE list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
         |    END AS v
         |  FROM e
+        |), arr AS MATERIALIZED (
+        |  SELECT vec_id, CAST(v AS DOUBLE[64]) AS a FROM nrm
         |), scored AS MATERIALIZED (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_sum(list_transform(list_zip(q.v, c.v),
-        |      p -> p[1] * p[2])) AS cos_raw
-        |  FROM nrm q JOIN nrm c ON c.vec_id <> q.vec_id
+        |    array_inner_product(q.a, c.a) AS cos_raw
+        |  FROM arr q JOIN arr c ON c.vec_id <> q.vec_id
         |), rk AS MATERIALIZED (
         |  SELECT query_id, neighbor_id, cos_raw,
         |    row_number() OVER (PARTITION BY query_id
