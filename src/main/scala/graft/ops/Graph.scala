@@ -256,10 +256,33 @@ object Graph {
     * the skew reader), so the fix is the same salt move as
     * [[pagerank]]: join on `(node, hash(other_end) % saltBuckets)`
     * with the node-sized degree table exploded per bucket. Identical
-    * output for any value; HubSkewSpec pins the per-task bound. */
+    * output for any value; HubSkewSpec pins the per-task bound.
+    *
+    * `wedgeBatches` is the SCRATCH-SPACE control: the wedge stream is
+    * the query's largest intermediate, and on very large graphs even
+    * the Bloom-pruned wedge shuffle can exceed a single machine's
+    * shuffle scratch (the ×100 fixture — ~120M edges, ~30B raw
+    * wedges — filled a 45 GB /tmp). Batching slices the wedge APEX
+    * space (`hash(u) % B`): each batch generates only its slice's
+    * wedges (both wedge legs share the apex, so total wedge
+    * GENERATION work is unchanged — only the closing-side build and
+    * its m-row shuffle repeat per batch), materializes its node-sized
+    * partial counts eagerly, and releases its shuffle files before
+    * the next batch starts, so peak scratch is ~1/B of the one-shot
+    * plan. 0 (default) = auto: on graphs big enough for the Bloom
+    * prune (≥ 16M edges) the projected post-prune wedge shuffle is
+    * estimated from the measured out-degree profile and batching
+    * engages only when it exceeds `scratchBudgetBytes`; small graphs
+    * keep the exact one-shot plan. 1 forces one-shot; ≥ 2 forces
+    * that many batches. Batch results sum per node — output
+    * identical for any value. */
   def triangles(edges: DataFrame, srcCol: String, dstCol: String,
-                saltBuckets: Int = 1): DataFrame = {
+                saltBuckets: Int = 1, wedgeBatches: Int = 0,
+                scratchBudgetBytes: Long = 16L << 30): DataFrame = {
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    require(wedgeBatches >= 0, s"wedgeBatches must be >= 0, got $wedgeBatches")
+    require(scratchBudgetBytes > 0,
+      s"scratchBudgetBytes must be > 0, got $scratchBudgetBytes")
     val e = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -293,7 +316,7 @@ object Graph {
     // per consumer; EAGER like pagerank (result is node-sized, so the
     // localCheckpoint is cheap) so the cache can be dropped before
     // returning
-    val oriented = withDeg.select(
+    val oriented0 = withDeg.select(
         when(fwd, col("a")).otherwise(col("b")).as("u"),
         when(fwd, col("b")).otherwise(col("a")).as("v"),
         when(fwd, col("db")).otherwise(col("da")).as("dv"))
@@ -315,19 +338,36 @@ object Graph {
       // count also eagerly materializes the shared persist (it fed
       // three consumers lazily before). On small graphs parts =
       // default and the plan is unchanged.
-      val m = oriented.count()
+      val m = oriented0.count()
       val parts = math.max(
         edges.sparkSession.sessionState.conf.numShufflePartitions,
         (m / 500000L).toInt + 1)
-      val x = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
-        .repartition(parts, col("u"))
-      val y = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
-        .repartition(parts, col("u"))
-      val wedges0 = x.join(y.hint("SHUFFLE_HASH"), Seq("u"))
-        .filter(col("dv1") < col("dv2") ||
-          (col("dv1") === col("dv2") && col("v1") < col("v2")))
-      val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
-        .repartition(parts, col("v1"), col("v2"))
+      // Big graphs: replace the persisted frame with an EAGER local
+      // checkpoint before the wedge phase. The cache alone keeps the
+      // whole edge-construction lineage (canonical-dedupe distinct +
+      // two degree-annotation joins) alive, so those shuffle files —
+      // tens of GB at the ×100 fixture, often more than the wedge
+      // phase itself — sit on disk for the entire query. Truncating
+      // the lineage makes them collectable; the System.gc() nudges
+      // the ContextCleaner to delete them NOW, so the wedge phase
+      // starts from a clean scratch floor (measured: peak scratch
+      // ~47 GB without this, with the construction shuffles
+      // co-resident with batch 1's wedge shuffle). Small graphs skip
+      // the extra materialization job.
+      // DISK_ONLY checkpoint blocks: the default MEMORY_AND_DISK
+      // level stores the 100M+-row edge frame as deserialized rows
+      // in the protected storage half of unified memory, which
+      // starved the very next aggregation (AGGREGATE_OUT_OF_MEMORY
+      // at the ×100 fixture). The edge list is re-read a handful of
+      // times; a disk scan of ~3 GB per pass is noise against the
+      // wedge phase it unblocks.
+      val oriented =
+        if (m >= 16000000L) {
+          val chk = oriented0.localCheckpoint(true, StorageLevel.DISK_ONLY)
+          oriented0.unpersist(false)
+          System.gc()
+          chk
+        } else oriented0
       // Bloom prefilter on the closing-edge key: every wedge must
       // cross the (v1, v2) exchange to meet the closing join, but
       // only wedges whose far endpoints form an actual edge can close
@@ -341,23 +381,90 @@ object Graph {
       // below ~16M edges the whole wedge shuffle is a few GB and the
       // extra edge pass + broadcast costs more than it saves
       // (measured +2 s at the 12M-edge ×10 fixture, −tens of GB of
-      // spill at the 120M-edge ×100 one).
-      val wedgeKey = xxhash64(col("v1"), col("v2"))
-      val wedges =
-        if (m < 16000000L) wedges0
+      // spill at the 120M-edge ×100 one). Built ONCE, shared by
+      // every wedge batch.
+      val bigGraph = m >= 16000000L
+      val fpp = 0.03
+      val bloom =
+        if (!bigGraph) None
         else IncrementalDedup.buildFilter(
             oriented.select(xxhash64(col("u"), col("v")).as("_k")), "_k",
-            expectedItems = m, fpp = 0.03) match {
-          case Some(bytes) =>
-            val bc = edges.sparkSession.sparkContext.broadcast(bytes)
-            wedges0.filter(
-              graft.expressions.BloomMightContain.might_contain(wedgeKey, bc))
+            expectedItems = m, fpp = fpp)
+          .map(bytes => edges.sparkSession.sparkContext.broadcast(bytes))
+      // Auto wedge batching: estimate the post-prune wedge shuffle
+      // from the measured out-degree profile (one agg over the
+      // persisted edge list — big-graph path only) and slice the
+      // wedge apex space so each batch's shuffle fits the scratch
+      // budget. ~24 bytes per shuffled wedge row; the Bloom prune
+      // keeps (fpp + triangles/wedges) of the raw mass, and the
+      // triangle fraction is NOT knowable before running the query —
+      // on dense co-occurrence graphs it is large (measured ~0.5 at
+      // the ×100 lineitem graph: 4.1B wedges, and the B=1 run's
+      // wedge shuffle still hit ~69 GB of scratch because the
+      // closing-triangle rows survive any prune) — so the estimate
+      // budgets for the worst case with a 0.5 closing allowance.
+      // Over-batching is cheap (each extra batch re-shuffles only
+      // the m-row closing side and re-scans the checkpointed edge
+      // list); under-batching fills the disk.
+      val batches =
+        if (wedgeBatches >= 1) wedgeBatches
+        else if (!bigGraph) 1
+        else {
+          val w = oriented.groupBy("u").agg(count(lit(1)).as("c"))
+            .agg(sum(col("c") * (col("c") - 1) / 2)).head().getDouble(0)
+          val projBytes = w * 24.0 * (2.0 * fpp + 0.5)
+          math.min(64, math.max(1,
+            math.ceil(projBytes / scratchBudgetBytes).toInt))
+        }
+      def batchCounts(slice: Option[Int]): DataFrame = {
+        val base = slice match {
+          case Some(i) => oriented.filter(
+            pmod(xxhash64(col("u")), lit(batches.toLong)) === i.toLong)
+          case None => oriented
+        }
+        // SHUFFLE_HASH on the build sides (see the header comment):
+        // the wedge stream must not be sorted twice; builds are
+        // partition-sized via `parts`.
+        val x = base.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+          .repartition(parts, col("u"))
+        val y = base.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+          .repartition(parts, col("u"))
+        val wedges0 = x.join(y.hint("SHUFFLE_HASH"), Seq("u"))
+          .filter(col("dv1") < col("dv2") ||
+            (col("dv1") === col("dv2") && col("v1") < col("v2")))
+        val wedges = bloom match {
+          case Some(bc) => wedges0.filter(
+            graft.expressions.BloomMightContain.might_contain(
+              xxhash64(col("v1"), col("v2")), bc))
           case None => wedges0
         }
-      val tri = wedges.join(closing.hint("SHUFFLE_HASH"), Seq("v1", "v2"))
-      tri.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
-        .localCheckpoint(true)
-    } finally oriented.unpersist(false)
+        // closing side is the FULL edge list in every batch (the
+        // closing key (v1, v2) is independent of the wedge apex);
+        // its m-row shuffle repeats per batch — node-sized against
+        // the wedge mass the batching is bounding
+        val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
+          .repartition(parts, col("v1"), col("v2"))
+        wedges.join(closing.hint("SHUFFLE_HASH"), Seq("v1", "v2"))
+          .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      }
+      if (batches <= 1) batchCounts(None).localCheckpoint(true)
+      else {
+        // Sequential batches: each materializes its node-sized
+        // partial eagerly (localCheckpoint truncates lineage), then
+        // the batch's wedge shuffle files are released before the
+        // next batch runs — System.gc() nudges the ContextCleaner,
+        // which frees shuffle data when its dependency objects are
+        // collected. Peak scratch ≈ one batch's shuffle, by design.
+        val partials = (0 until batches).map { i =>
+          val p = batchCounts(Some(i)).localCheckpoint(true)
+          System.gc()
+          p
+        }
+        partials.reduce(_.unionByName(_))
+          .groupBy("node").agg(sum(col("n_triangles")).as("n_triangles"))
+          .localCheckpoint(true)
+      }
+    } finally oriented0.unpersist(false)
   }
 }

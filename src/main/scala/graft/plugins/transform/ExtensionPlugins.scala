@@ -2001,7 +2001,15 @@ class GraphPlugin(options: Map[String, Any], configDir: Path, label: String)
           case "degrees" => graft.ops.Graph.degrees(df, src, dst)
           case "triangles" => graft.ops.Graph.triangles(df, src, dst,
             saltBuckets = options.get("salt_buckets")
-              .map(_.toString.toDouble.toInt).getOrElse(1))
+              .map(_.toString.toDouble.toInt).getOrElse(1),
+            // scratch control: 0 = auto (engage when the projected
+            // Bloom-pruned wedge shuffle exceeds scratch_budget_mb),
+            // 1 = one-shot, >= 2 = that many apex-slice batches
+            wedgeBatches = options.get("wedge_batches")
+              .map(_.toString.toDouble.toInt).getOrElse(0),
+            scratchBudgetBytes = options.get("scratch_budget_mb")
+              .map(v => (v.toString.toDouble * (1L << 20)).toLong)
+              .getOrElse(16L << 30))
           case "components" =>
             // connected components of the (undirected) edge list to
             // the min member id; algorithm = "alternating" (default,

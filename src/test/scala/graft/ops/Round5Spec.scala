@@ -199,6 +199,24 @@ class Round5Spec extends AnyFunSuite {
     assert(Graph.triangles(bip, "s", "d").count() == 0)
   }
 
+  test("Graph.triangles: wedge batching sums to the one-shot counts") {
+    // random-ish dense graph with overlapping triangles so several
+    // apex slices are non-empty and partials genuinely sum
+    val edges = (for { a <- 1L to 24L; b <- 1L to 24L
+      if a < b && (a * 7 + b * 13) % 3 != 0 } yield (a, b)).toDF("s", "d")
+    val one = Graph.triangles(edges, "s", "d")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(one.nonEmpty)
+    for (b <- Seq(2, 5))
+      assert(Graph.triangles(edges, "s", "d", wedgeBatches = b)
+        .orderBy("node").as[(Long, Long)].collect().toSeq == one,
+        s"wedgeBatches=$b diverged")
+    // batching composes with degree salting
+    assert(Graph.triangles(edges, "s", "d", saltBuckets = 3,
+      wedgeBatches = 3).orderBy("node").as[(Long, Long)].collect()
+      .toSeq == one)
+  }
+
   // ----------------------------------------------------------------- Scd
 
   test("Scd.scd2 collapses runs and closes intervals") {
