@@ -87,7 +87,16 @@ object Bench {
     "stream_stream_join" -> "events",
     "stream_sessionize" -> "events",
     "stream_left_join" -> "events",
-    "stream_upsert" -> "events")
+    "stream_upsert" -> "events",
+    // sustained lane: 10-copy landing, so rows/s divides by 10x the
+    // table count (streamInputMultiplier) — the one stream number
+    // that measures engine throughput rather than trigger overhead
+    "stream_sustained_window" -> "events")
+
+  /** Input-rows multiplier per stream query (default 1): the
+    * sustained bench reads an N-copy landing of its table. */
+  val streamInputMultiplier: Map[String, Long] =
+    Map("stream_sustained_window" -> 10L)
 
   /** Full query inventory: oracled queries + bench-only raw ANN
     * top-k (kept under their historical names). */
@@ -161,9 +170,10 @@ object Bench {
       .toMap
     val streamResults = streamHeadline.map { case (name, table) =>
       val sec = runOnce(name)
+      val mult = streamInputMultiplier.getOrElse(name, 1L)
       val rps =
         if (sec > 0 && inputRows(table) >= 0)
-          math.rint(inputRows(table) / sec)
+          math.rint(inputRows(table) * mult / sec)
         else -1.0
       (name, sec, rps)
     }

@@ -86,6 +86,22 @@ object SparkEntry {
       d
     })
 
+  /** N-copy landing dir for the SUSTAINED streaming bench: `copies`
+    * identical files of the table, so the AvailableNow run processes
+    * copies× the input through the same micro-batch machinery —
+    * enough work that the reported rows/s measures the engine, not
+    * the lane's fixed trigger/checkpoint overhead (which dominates
+    * the fixture-sized stream_* queries; BASELINE.md says so). */
+  private def sharedLandingN(dir: String, name: String,
+                             copies: Int): java.nio.file.Path =
+    landingDirs.computeIfAbsent(s"$dir/$name/x$copies", _ => {
+      val d = scratch(s"land_${name}_x$copies")
+      val src = java.nio.file.Paths.get(s"$dir/$name.parquet")
+      (0 until copies).foreach(i => java.nio.file.Files.copy(
+        src, d.resolve(s"${name}_$i.parquet")))
+      d
+    })
+
   /** Rebalance a (possibly single-split) input across the cluster
     * before a CPU-heavy per-row stage. Small tables arrive as one
     * parquet split and would otherwise run regex/shingling on one
@@ -295,6 +311,30 @@ object SparkEntry {
   }
 
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- SUSTAINED streaming throughput --------------------------
+    // The stream_events_window pipeline over a 10-copy landing
+    // (10 files, AvailableNow): ~10x the input through the same
+    // watermark + tumbling-window agg + exactly-once parquet sink,
+    // so the per-run fixed cost (trigger scheduling, checkpoint
+    // commits, sink manifest) amortizes and rows/s approaches the
+    // engine's streaming aggregation throughput. Identical copies
+    // multiply each window's counts — the agg state stays
+    // window-bounded, exactly as a denser real stream would.
+    "stream_sustained_window" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val work = scratch("stream_sus")
+      val inDir = sharedLandingN(dir, "events", copies = 10)
+      val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
+        Map("input_path" -> inDir.toString), work, "default")
+      val events = graft.streaming.Streams.tsToNanos(
+        scan.execute().fold(e => throw e, identity))
+        .withColumn("event_time", (col("ts") / 1000000000L).cast("timestamp"))
+      val agg = graft.streaming.Streams.windowedAgg(events, "1 hour", "2 hours")
+      val sink = new graft.plugins.streaming.StreamParquetWriterPlugin(
+        Map("output_path" -> work.resolve("out").toString), work, "default")
+      sink.execute(agg).fold(e => throw e, _ => ())
+      s.read.parquet(work.resolve("out").toString)
+    }),
     // ---- ANN scale paths on the clustered fixture ----------------
     // brute is the comparison baseline; lsh/ivf/ivfpq are the paths
     // whose bucketing actually prunes here (32 tight clusters), so

@@ -508,7 +508,7 @@ object Similarity {
     * combinations (Σ C(planes, i) masks), not by filtering the full
     * 2^planes range — auto-scaled plane counts (see [[knnGraph]])
     * made the exhaustive enumeration the expensive part. */
-  private[ops] def probeMasks(planes: Int, maxFlips: Int): Seq[Long] =
+  private[graft] def probeMasks(planes: Int, maxFlips: Int): Seq[Long] =
     (0 to math.min(maxFlips, planes)).flatMap(f =>
       (0 until planes).combinations(f)
         .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
