@@ -121,6 +121,73 @@ object Int8Candidates {
         third = newThird, fourth = newFourth)
   }
 
+  /** Approximate dot of TWO quantized vectors, given their
+    * `int8_code` structs: with level l = (code & 0xff) ^ 0x80 and
+    * value_i = mn + scale·l_i on each side,
+    *
+    *   dot(a, b) ≈ d·mnA·mnB + mnA·sB·Σ lB + mnB·sA·Σ lA
+    *               + sA·sB·Σ lA_i·lB_i
+    *
+    * — one integer loop over the code bytes, NO float vector on
+    * either side. This is what lets the LSH SELF-graph score its
+    * candidates inside the bucket join: the probe rows carry 64 code
+    * bytes instead of the 512-byte float vector, and the candidate
+    * stream never re-shuffles to meet a query-vector table (the
+    * query_id attach join shuffled the FULL candidate mass — ~100 GB
+    * at the 1.6M-vector ×100 fixture). Both-side quantization is a
+    * slightly coarser approximation than [[Int8Dot]]'s float×int8 —
+    * only candidate SELECTION sees it (exact re-rank computes the
+    * output cosines), and the recall gates pin the floor.
+    * Length mismatch → null; null struct → null. */
+  case class Int8DotInt8(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "int8_dot_int8"
+    override def nullable: Boolean = true
+
+    private def isCodeStruct(dt: DataType): Boolean = dt match {
+      case StructType(Array(
+        StructField(_, BinaryType, _, _),
+        StructField(_, DoubleType, _, _),
+        StructField(_, DoubleType, _, _))) => true
+      case _ => false
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isCodeStruct(left.dataType) && isCodeStruct(right.dataType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"int8_dot_int8 requires two int8_code structs, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+    override def nullSafeEval(aAny: Any, bAny: Any): Any = {
+      val a = aAny.asInstanceOf[InternalRow]
+      val b = bAny.asInstanceOf[InternalRow]
+      val codeA = a.getBinary(0); val mnA = a.getDouble(1)
+      val sA = a.getDouble(2)
+      val codeB = b.getBinary(0); val mnB = b.getDouble(1)
+      val sB = b.getDouble(2)
+      val n = codeA.length
+      if (codeB.length != n) return null
+      var sumA = 0L; var sumB = 0L; var dotAB = 0L
+      var i = 0
+      while (i < n) {
+        val la = (codeA(i) & 0xff) ^ 0x80
+        val lb = (codeB(i) & 0xff) ^ 0x80
+        sumA += la; sumB += lb; dotAB += la.toLong * lb
+        i += 1
+      }
+      n * mnA * mnB + mnA * sB * sumB + mnB * sA * sumA +
+        sA * sB * dotAB
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Int8DotInt8 =
+      copy(left = newLeft, right = newRight)
+  }
+
   def int8_code(vec: Column): Column =
     ColumnShim.column(Int8Code(ColumnShim.expression(vec)))
 
@@ -128,4 +195,8 @@ object Int8Candidates {
     ColumnShim.column(Int8Dot(ColumnShim.expression(q),
       ColumnShim.expression(code), ColumnShim.expression(mn),
       ColumnShim.expression(scale)))
+
+  def int8_dot_int8(a: Column, b: Column): Column =
+    ColumnShim.column(Int8DotInt8(ColumnShim.expression(a),
+      ColumnShim.expression(b)))
 }

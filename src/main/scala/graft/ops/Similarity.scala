@@ -561,7 +561,8 @@ object Similarity {
               idCol: String, embCol: String, k: Int,
               planes: Int = 4, probeBits: Int = 3, rerank: Int = 64,
               queryIdOut: String = "query_id",
-              selfGraph: Boolean = false, maxBucket: Int = 0): DataFrame = {
+              selfGraph: Boolean = false, maxBucket: Int = 0,
+              int8Probe: Boolean = false): DataFrame = {
     val hint = !selfGraph
     val c = withNormalized(
       corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
@@ -598,8 +599,67 @@ object Similarity {
     } else (cBucketed, None)
 
     if (rerank > 0) {
-      val approx = int8CandidateScan(cJoin, q, qPlain, "bucket", queryIdOut,
-        hintBroadcast = hint)
+      val approx =
+        if (hint || !int8Probe)
+          // bounded-query path (broadcast hints) or a MODERATE
+          // self-graph (shuffle joins, float×int8 scoring): the
+          // candidate re-shuffle that motivates the int8 probe flow
+          // below is small under ~512k vectors, and the float-side
+          // scan measures ~25% faster there (one quantization, no
+          // bloom pass) — knnGraph flips `int8Probe` on in scale
+          // mode, alongside query-slice batching
+          int8CandidateScan(cJoin, q, qPlain, "bucket", queryIdOut,
+            hintBroadcast = hint)
+        else {
+          // SELF-GRAPH scale path: score candidates INSIDE the
+          // bucket join with both sides int8-quantized
+          // ([[graft.expressions.Int8Candidates.Int8DotInt8]]). The
+          // previous spelling attached the full float query vector
+          // by a query_id shuffle join over the candidate stream —
+          // at the 1.6M-vector ×100 clustered fixture that shuffled
+          // ~1B candidate rows × ~100 B (≈100 GB, filled the box).
+          // Here the probe rows carry the query's 64 code bytes
+          // instead, an occupied-bucket BLOOM (closure-broadcast
+          // bytes, same move as Graph.triangles' wedge prune — never
+          // a plan-level broadcast of a corpus-derived table, which
+          // the self-graph plan pin forbids) drops probe signatures
+          // that hit EMPTY buckets map-side before the exchange
+          // (~half of them, measured at the ×10 fixture), and the
+          // scored candidate rows leave the join 24 bytes wide,
+          // shuffling exactly once (top-rerank). The bloom sizes
+          // from the 2^planes bucket-space bound — no extra corpus
+          // pass — and is skipped for plane counts past the
+          // auto-scale cap (the bound stops being small).
+          // Both-side quantization is a slightly coarser approx than
+          // float×int8 — it picks the re-rank candidate set only;
+          // the exact re-rank computes output cosines, and the
+          // recall gates pin the floor.
+          import graft.expressions.Int8Candidates.int8_dot_int8
+          val cCodes = cJoin.select(col("neighbor_id"), col("bucket"),
+            graft.expressions.Int8Candidates.int8_code(col("v_c")).as("_c8"))
+          val qProbe = qSig
+            .withColumn("_q8",
+              graft.expressions.Int8Candidates.int8_code(col("v_q")))
+            .select(col(queryIdOut), col("_q8"),
+              explode(transform(probes, m => col("_sig").bitwiseXOR(m)))
+                .as("bucket"))
+          val live =
+            if (planes > 26) qProbe
+            else IncrementalDedup.buildFilter(
+                cCodes.select(col("bucket").as("_k")), "_k",
+                expectedItems = 1L << planes, fpp = 0.03) match {
+              case Some(bytes) =>
+                val bc = corpus.sparkSession.sparkContext.broadcast(bytes)
+                qProbe.filter(
+                  graft.expressions.BloomMightContain.might_contain(
+                    col("bucket"), bc))
+              case None => qProbe
+            }
+          cCodes.join(live, Seq("bucket"))
+            .filter(col("neighbor_id") =!= col(queryIdOut))
+            .select(col(queryIdOut), col("neighbor_id"),
+              int8_dot_int8(col("_q8"), col("_c8")).as("approx"))
+        }
       val cands = topRerank(approx, queryIdOut, rerank)
       val all = starCands.map(cands.unionByName(_)).getOrElse(cands)
       exactRerank(all, c, qPlain, queryIdOut, k, hintBroadcast = hint)
@@ -653,8 +713,11 @@ object Similarity {
                planes: Int = 4, probeBits: Int = 3,
                rerank: Int = 64, maxBucket: Int = 1000,
                maxBrute: Int = 100000,
-               autoPlanes: Boolean = true): DataFrame = {
+               autoPlanes: Boolean = true,
+               queryBatches: Int = 0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(queryBatches >= 0,
+      s"queryBatches must be >= 0, got $queryBatches")
     val topk = method match {
       case "brute"
           if df.schema(idCol).dataType ==
@@ -688,20 +751,58 @@ object Similarity {
         // self-join below references df twice anyway, so an uncached
         // expensive upstream already pays multiple executions with or
         // without this count).
+        val n =
+          if (autoPlanes || queryBatches == 0) df.select(idCol).count()
+          else -1L
         val planesEff =
           if (!autoPlanes) planes
+          else if (n < 65536) planes
           else {
-            val n = df.select(idCol).count()
-            if (n < 65536) planes
-            else {
-              val auto = math.ceil(
-                math.log(n / 4.0) / math.log(2.0)).toInt
-              math.min(math.max(planes, auto), 24)
-            }
+            val auto = math.ceil(
+              math.log(n / 4.0) / math.log(2.0)).toInt
+            math.min(math.max(planes, auto), 24)
           }
-        lshTopK(df, df, idCol, embCol, k,
-          planes = planesEff, probeBits = probeBits, rerank = rerank,
-          selfGraph = true, maxBucket = maxBucket)
+        // QUERY-SLICE batching — the self-graph SCRATCH control (the
+        // same trade as Graph.triangles' wedge batching): every
+        // query's top-k is independent of every other query's, so
+        // slicing the query side by hash(id) % B and running the
+        // slices SEQUENTIALLY (each eagerly materialized — the
+        // output is k rows per query, node-sized — then its shuffle
+        // files released) bounds peak scratch at ~1/B of the
+        // one-shot plan with BYTE-IDENTICAL output. The one-shot
+        // ×100 clustered run (1.6M vectors, planes 19) filled 93 GB
+        // of shuffle scratch with the probe and candidate exchanges
+        // co-resident; batching is what lets it finish in one box.
+        // The corpus side is re-scanned per slice — persist df
+        // upstream when its subtree is expensive. 0 = auto (engage
+        // past 512k vectors, ~400k queries per slice); 1 = one-shot.
+        val batches =
+          if (queryBatches >= 1) queryBatches
+          else if (n < (1L << 19)) 1
+          else math.min(32, math.ceil(n / 400000.0).toInt)
+        // scale mode (past the same 512k threshold, or forced
+        // batching) also flips the candidate scan to the int8 probe
+        // flow — below it the float×int8 scan is faster and the
+        // candidate re-shuffle it avoids is small
+        val scale = batches > 1 || (n >= (1L << 19))
+        if (batches <= 1)
+          lshTopK(df, df, idCol, embCol, k,
+            planes = planesEff, probeBits = probeBits, rerank = rerank,
+            selfGraph = true, maxBucket = maxBucket, int8Probe = scale)
+        else {
+          val parts = (0 until batches).map { i =>
+            val slice = df.filter(
+              pmod(xxhash64(col(idCol)), lit(batches.toLong)) === i.toLong)
+            val out = lshTopK(df, slice, idCol, embCol, k,
+                planes = planesEff, probeBits = probeBits,
+                rerank = rerank, selfGraph = true, maxBucket = maxBucket,
+                int8Probe = true)
+              .localCheckpoint(true)
+            System.gc() // release the slice's shuffle files now
+            out
+          }
+          parts.reduce(_.unionByName(_))
+        }
       case other => throw new IllegalArgumentException(
         s"Unknown knnGraph method: '$other' (expected brute|lsh)")
     }
@@ -768,11 +869,12 @@ object Similarity {
                        planes: Int = 4, probeBits: Int = 3,
                        rerank: Int = 64, maxBucket: Int = 1000,
                        maxBrute: Int = 100000,
-                       autoPlanes: Boolean = true): DataFrame = {
+                       autoPlanes: Boolean = true,
+                       queryBatches: Int = 0): DataFrame = {
     val edges = knnGraph(df, idCol, embCol, k, method, minCosine,
         planes = planes, probeBits = probeBits, rerank = rerank,
         maxBucket = maxBucket, maxBrute = maxBrute,
-        autoPlanes = autoPlanes)
+        autoPlanes = autoPlanes, queryBatches = queryBatches)
       .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
     Dedup.clusterPairs(df.select(col(idCol)), idCol, edges)
   }

@@ -1059,7 +1059,10 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
             // corpus-tracking plane count (default on); false pins
             // the explicit `planes` regardless of corpus size
             autoPlanes = options.get("auto_planes")
-              .forall(_.toString.toBoolean))))
+              .forall(_.toString.toBoolean),
+            // scratch control: 0 = auto (slice the query side past
+            // 512k vectors), 1 = one-shot, >= 2 = that many slices
+            queryBatches = num("query_batches", 0).toInt)))
     if (options.getOrElse("method", "brute").toString == "knn_components")
       return requiredString("id_column").flatMap(idCol =>
         graft.core.Errors.safe(
@@ -1075,7 +1078,8 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
             maxBucket = num("max_bucket", 1000).toInt,
             maxBrute = num("max_brute", 100000).toInt,
             autoPlanes = options.get("auto_planes")
-              .forall(_.toString.toBoolean))))
+              .forall(_.toString.toBoolean),
+            queryBatches = num("query_batches", 0).toInt)))
     if (options.getOrElse("method", "brute").toString == "centroid_outliers")
       return stringList("group_by").flatMap(groups =>
         graft.core.Errors.safe(

@@ -150,6 +150,24 @@ class Round6Spec extends AnyFunSuite {
       (a <= 3L && b <= 3L) || (a >= 4L && b >= 4L) }) // no cross-cluster
   }
 
+  test("Similarity.knnGraph: query-slice batching is byte-identical to one-shot") {
+    // larger fixture so several hash slices are non-empty and the
+    // lsh path exercises buckets/probes/rerank per slice
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    def run(b: Int) = Similarity.knnGraph(vecs, "vec_id", "embedding",
+        k = 3, method = "lsh", planes = 4, probeBits = 3,
+        queryBatches = b)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9), r.getInt(3))).toSeq
+    val one = run(1)
+    assert(one.nonEmpty)
+    for (b <- Seq(2, 7))
+      assert(run(b) == one, s"queryBatches=$b diverged")
+  }
+
   test("Similarity.semanticClusters: components of the gated kNN graph") {
     val out = Similarity.semanticClusters(vecFixture, "vec_id",
         "embedding", k = 2, minCosine = 0.9, method = "brute")
