@@ -155,9 +155,23 @@ object Dsir {
     // join is buckets-bounded (the fits are aggregates, never docs).
     val grid = targets.zipWithIndex.foldLeft(rFit) {
       case (acc, ((t, _), i)) =>
-        val tFit = gramBuckets(t, textCol, buckets, Nil)
-          .groupBy(col("bucket")).agg(count(lit(1)).as(s"_tc$i"))
-        val tTot = tFit.agg(sum(col(s"_tc$i")).as(s"_T$i")) // 1 row
+        // One aggregation serves both the per-bucket fit and the
+        // corpus total: rollup emits the bucket rows plus a
+        // grand-total row (grouping=1), and the two filters above
+        // the same Aggregate share its shuffle (ReuseExchange) —
+        // the target corpus is scanned/normalized once, not once
+        // per consumer as the old fit+total two-pass spelling did.
+        val cube = gramBuckets(t, textCol, buckets, Nil)
+          .rollup(col("bucket"))
+          .agg(count(lit(1)).as(s"_tc$i"),
+            grouping(col("bucket")).as("_g"))
+        val tFit = cube.filter(col("_g") === 0).drop("_g")
+        // empty-target contract: rollup over zero input rows still
+        // emits its grand-total row (count 0) — NULL it so the
+        // mixture empties the result exactly as sum-over-no-rows
+        // did in the two-pass spelling (see class doc)
+        val tTot = cube.filter(col("_g") === 1) // 1 row
+          .select(when(col(s"_tc$i") > 0, col(s"_tc$i")).as(s"_T$i"))
         acc.join(tFit, Seq("bucket"), "left").crossJoin(tTot)
     }
     val pMix = targets.zipWithIndex.map { case ((_, w), i) =>

@@ -96,9 +96,27 @@ object Psl {
     }
   }
 
+  /** The published list spells IDN rules in Unicode (e.g. the
+    * Japanese geographic suffixes) while crawl hosts arrive in
+    * punycode — normalize each non-ASCII rule label to its ASCII
+    * (`xn--`) form at parse time so full-list Unicode rules match
+    * `xn--` hosts. A label that fails IDN conversion is kept
+    * verbatim (it then simply never matches an ASCII host, exactly
+    * as the unconverted rule wouldn't). */
+  private def toAsciiRule(rule: String): String =
+    if (rule.forall(_ < 0x80)) rule
+    else rule.split("\\.", -1).map { label =>
+      if (label.forall(_ < 0x80)) label
+      else try java.net.IDN.toASCII(label, java.net.IDN.ALLOW_UNASSIGNED)
+        .toLowerCase
+      catch { case _: IllegalArgumentException => label }
+    }.mkString(".")
+
   /** Parse PSL-format lines into compiled [[Rules]]. Ignores blank
     * lines, `//` comments, and anything after whitespace on a rule
-    * line (the published list is already one-rule-per-line). */
+    * line (the published list is already one-rule-per-line).
+    * Unicode (IDN) rules are normalized to punycode — see
+    * [[toAsciiRule]]. */
   def parse(lines: Iterator[String]): Rules = {
     val exact = Set.newBuilder[String]
     val wildcard = Set.newBuilder[String]
@@ -110,9 +128,9 @@ object Psl {
         val rule = line.takeWhile(!_.isWhitespace)
         val nLabels = rule.count(_ == '.') + 1
         if (nLabels > maxLabels) maxLabels = nLabels
-        if (rule.startsWith("!")) exception += rule.substring(1)
-        else if (rule.startsWith("*.")) wildcard += rule.substring(2)
-        else exact += rule
+        if (rule.startsWith("!")) exception += toAsciiRule(rule.substring(1))
+        else if (rule.startsWith("*.")) wildcard += toAsciiRule(rule.substring(2))
+        else exact += toAsciiRule(rule)
       }
     }
     Rules(exact.result(), wildcard.result(), exception.result(), maxLabels)

@@ -707,6 +707,15 @@ object Similarity {
     * `minCosine` drops weak edges AFTER ranking (an edge-quality
     * gate, not a re-rank): rank stays the global top-k rank, so a
     * node with fewer than k strong neighbors keeps its strong ones.
+    *
+    * `queryBatches` is an lsh-only scratch control and is REJECTED
+    * for `method = "brute"` (brute has no per-slice shuffle scratch
+    * to bound — a silently ignored tuning knob would read as
+    * applied). Note also that with `rerank = 0` the lsh path scores
+    * full float vectors in-bucket, so scale mode's int8 probe flow
+    * does not engage — batching still bounds scratch, but the
+    * candidate stream carries float vectors; keep `rerank > 0` at
+    * ≥512k vectors.
     */
   def knnGraph(df: DataFrame, idCol: String, embCol: String, k: Int,
                method: String = "lsh", minCosine: Double = -1.0,
@@ -718,6 +727,10 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     require(queryBatches >= 0,
       s"queryBatches must be >= 0, got $queryBatches")
+    require(method != "brute" || queryBatches == 0,
+      "queryBatches applies to method=\"lsh\" only (brute broadcasts " +
+        "the corpus once; there is no per-slice scratch to bound) — " +
+        "set query_batches = 0 for brute")
     val topk = method match {
       case "brute"
           if df.schema(idCol).dataType ==

@@ -467,7 +467,14 @@ class DsirPlugin(options: Map[String, Any], configDir: Path, label: String)
         }
       case Some(other) => Left(new graft.core.SchemaValidationError(
         s"target_labels must be a list, got '$other'"))
-      case None => requiredString("target_label").map(l => Seq(l -> 1.0))
+      case None =>
+        // a half-migrated config (singular target_label + leftover
+        // target_weights) must fail loudly, not run at weight 1.0
+        if (options.contains("target_weights"))
+          Left(new graft.core.SchemaValidationError(
+            "target_weights requires target_labels (got the singular " +
+              "target_label form)"))
+        else requiredString("target_label").map(l => Seq(l -> 1.0))
     }
 
   def executeWith(df: DataFrame,
@@ -894,15 +901,20 @@ class BpePlugin(options: Map[String, Any], configDir: Path, label: String)
     if (!schema.fieldNames.contains(tc))
       Left(new graft.core.SchemaValidationError(
         s"Column '$tc' not found in schema"))
-    else propagateSchema(schema)(df =>
-      // schema-only: an empty merge table keeps the dry run
-      // actionless (no training job fires)
-      options.getOrElse("method", "count").toString match {
-        case "encode" => graft.ops.Bpe.encode(df, tc, Seq.empty,
-          out = options.getOrElse("output_column", "tokens").toString)
-        case _ => graft.ops.Bpe.withTokenCount(df, tc, Seq.empty,
-          out = options.getOrElse("output_column", "n_tokens_bpe").toString)
-      })
+    else options.getOrElse("method", "count").toString match {
+      // same whitelist as execute: a config typo must fail the dry
+      // run, not surface only at run time
+      case "encode" => propagateSchema(schema)(df =>
+        // schema-only: an empty merge table keeps the dry run
+        // actionless (no training job fires)
+        graft.ops.Bpe.encode(df, tc, Seq.empty,
+          out = options.getOrElse("output_column", "tokens").toString))
+      case "count" => propagateSchema(schema)(df =>
+        graft.ops.Bpe.withTokenCount(df, tc, Seq.empty,
+          out = options.getOrElse("output_column", "n_tokens_bpe").toString))
+      case other => Left(new graft.core.SchemaValidationError(
+        s"Unknown bpe method: '$other' (expected count | encode)"))
+    }
   }
 }
 
@@ -1061,7 +1073,8 @@ class SimilarityPlugin(options: Map[String, Any], configDir: Path, label: String
             autoPlanes = options.get("auto_planes")
               .forall(_.toString.toBoolean),
             // scratch control: 0 = auto (slice the query side past
-            // 512k vectors), 1 = one-shot, >= 2 = that many slices
+            // 512k vectors), 1 = one-shot, >= 2 = that many slices;
+            // lsh only — rejected (not ignored) for knn_method=brute
             queryBatches = num("query_batches", 0).toInt)))
     if (options.getOrElse("method", "brute").toString == "knn_components")
       return requiredString("id_column").flatMap(idCol =>

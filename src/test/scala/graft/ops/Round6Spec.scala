@@ -166,6 +166,11 @@ class Round6Spec extends AnyFunSuite {
     assert(one.nonEmpty)
     for (b <- Seq(2, 7))
       assert(run(b) == one, s"queryBatches=$b diverged")
+    // lsh-only knob: brute rejects it instead of silently ignoring it
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraph(vecs, "vec_id", "embedding", k = 3,
+        method = "brute", queryBatches = 2)
+    }
   }
 
   test("Similarity.semanticClusters: components of the gated kNN graph") {

@@ -154,4 +154,23 @@ class UrlsSpec extends AnyFunSuite {
         == "a.example.com")
     } finally java.nio.file.Files.delete(f)
   }
+
+  test("PSL parse: Unicode (IDN) rules normalize to punycode at parse " +
+      "time, so full-list rules match xn-- crawl hosts") {
+    val tokyo = java.net.IDN.toASCII("東京") // 東京 → xn--1lqs71d
+    val rules = graft.ops.Psl.parse(Seq(
+      "jp", s"*.東京.jp", s"!metro.東京.jp").iterator)
+    assert(rules.wildcard == Set(s"$tokyo.jp"))
+    assert(rules.exception == Set(s"metro.$tokyo.jp"))
+    // wildcard: <label>.東京.jp is a public suffix → one more label
+    // registers; the exception rule carves metro.東京.jp back out
+    assert(rules.registeredDomain(s"www.metro.$tokyo.jp")
+      == s"metro.$tokyo.jp")
+    assert(rules.registeredDomain(s"a.shinjuku.$tokyo.jp")
+      == s"a.shinjuku.$tokyo.jp")
+    // pre-normalization these rules never matched an ASCII host:
+    // the bare "jp" rule would have claimed ps=1 here
+    assert(graft.ops.Psl.parse(Seq("jp").iterator)
+      .registeredDomain(s"www.metro.$tokyo.jp") == s"$tokyo.jp")
+  }
 }

@@ -599,6 +599,11 @@ class PluginSpec extends AnyFunSuite {
     assert(new DsirPlugin(Map("target_labels" -> Seq("good", "junk"),
       "target_weights" -> Seq(1.0), "k" -> 2), dir, "default")
       .executeWith(raw, streams).isLeft)
+    // half-migrated config (singular label + leftover weights) fails
+    // loudly instead of silently running at weight 1.0
+    assert(new DsirPlugin(Map("target_label" -> "good",
+      "target_weights" -> Seq(1.0), "k" -> 2), dir, "default")
+      .executeWith(raw, streams).isLeft)
     assert(plug.executeWith(raw, Map("good" -> Right(tGood))).isLeft)
     assert(eq.dryRunWith(raw.schema, Map(
       "good" -> Right(tGood.schema),
@@ -630,6 +635,10 @@ class PluginSpec extends AnyFunSuite {
       val schema = new BpePlugin(Map.empty, f.getParent, "default")
         .dryRun(docs.schema).toOption.get
       assert(schema.fieldNames.toSeq == Seq("doc_id", "text", "n_tokens_bpe"))
+      // dry run matches execute's method whitelist: a typo'd method
+      // fails validation, not first execution
+      assert(new BpePlugin(Map("method" -> "encde"), f.getParent,
+        "default").dryRun(docs.schema).isLeft)
       // trained path: no merges_file → driver-side train on the stream
       val trained = new BpePlugin(Map("num_merges" -> 10, "sample_n" -> 100),
         f.getParent, "default").execute(docs).fold(e => throw e, identity)
