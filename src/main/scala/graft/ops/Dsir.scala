@@ -136,7 +136,7 @@ object Dsir {
     *
     * Degenerate contract (NULL-propagated, same spirit as the
     * single-target rule): a target whose normalized text is empty
-    * fits no model (its total aggregates to NULL), which NULLs
+    * fits no model (its total window stays NULL), which NULLs
     * p_mix for every bucket and empties the result — drop or
     * re-weight empty targets explicitly upstream rather than have
     * the engine silently renormalize the mixture. */
@@ -150,35 +150,39 @@ object Dsir {
     val wSum = targets.map(_._2).sum
     val rawFeat = featureRows(raw, idCol, textCol, buckets)
     val rFit = rawFeat.groupBy(col("bucket")).agg(sum(col("cnt")).as("_rc"))
-    val rTot = rFit.agg(sum(col("_rc")).as("_R")) // 1 row
     // Fold the K target fits onto the raw-grid bucket frame; each
     // join is buckets-bounded (the fits are aggregates, never docs).
-    val grid = targets.zipWithIndex.foldLeft(rFit) {
+    // One aggregation per target serves both the per-bucket fit and
+    // the corpus total: the total rides the fit as a global-window
+    // sum over the ≤`buckets` aggregate rows — a single-partition
+    // exchange of model-sized rows, never a second scan/normalize of
+    // the target corpus. (The obvious alternatives both re-scan: a
+    // separate fit.agg(total) only dedups when runtime exchange
+    // reuse kicks in, and a rollup splits into two stages because
+    // the grouping-id filters push below the shuffle.)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val grid0 = targets.zipWithIndex.foldLeft(rFit) {
       case (acc, ((t, _), i)) =>
-        // One aggregation serves both the per-bucket fit and the
-        // corpus total: rollup emits the bucket rows plus a
-        // grand-total row (grouping=1), and the two filters above
-        // the same Aggregate share its shuffle (ReuseExchange) —
-        // the target corpus is scanned/normalized once, not once
-        // per consumer as the old fit+total two-pass spelling did.
-        val cube = gramBuckets(t, textCol, buckets, Nil)
-          .rollup(col("bucket"))
-          .agg(count(lit(1)).as(s"_tc$i"),
-            grouping(col("bucket")).as("_g"))
-        val tFit = cube.filter(col("_g") === 0).drop("_g")
-        // empty-target contract: rollup over zero input rows still
-        // emits its grand-total row (count 0) — NULL it so the
-        // mixture empties the result exactly as sum-over-no-rows
-        // did in the two-pass spelling (see class doc)
-        val tTot = cube.filter(col("_g") === 1) // 1 row
-          .select(when(col(s"_tc$i") > 0, col(s"_tc$i")).as(s"_T$i"))
-        acc.join(tFit, Seq("bucket"), "left").crossJoin(tTot)
+        val tFit = gramBuckets(t, textCol, buckets, Nil)
+          .groupBy(col("bucket")).agg(count(lit(1)).as(s"_tc$i"))
+          .withColumn(s"_tt$i", sum(col(s"_tc$i")).over(wAll))
+        acc.join(tFit, Seq("bucket"), "left")
     }
+    // Buckets the fit never saw joined NULL totals: spread each
+    // target's total (and the raw total, replacing the old 1-row
+    // cross-join attaches) to every grid row — the K+1 windows share
+    // one single-partition pass over the ≤`buckets` grid rows. An
+    // EMPTY target has no fit rows at all, so its max() stays NULL
+    // on every row and pMix NULLs the result — the documented
+    // degenerate contract, unchanged.
+    val grid = grid0.select(grid0.columns.map(col) ++
+      targets.indices.map(i => max(col(s"_tt$i")).over(wAll).as(s"_T$i")) :+
+      sum(col("_rc")).over(wAll).as("_R"): _*)
     val pMix = targets.zipWithIndex.map { case ((_, w), i) =>
       lit(w / wSum) * (coalesce(col(s"_tc$i"), lit(0L)) + alpha) /
         (col(s"_T$i") + alpha * buckets)
     }.reduce(_ + _)
-    val model0 = grid.crossJoin(rTot)
+    val model0 = grid
       .select(col("bucket"),
         (log(pMix) - log(col("_rc") + alpha)
           + log(col("_R") + alpha * buckets)).as("_lr"))

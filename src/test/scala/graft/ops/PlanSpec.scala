@@ -811,4 +811,100 @@ class PlanSpec extends AnyFunSuite {
     assert(hasBloom,
       "no bloom might_contain on the fact side — runtime row filtering is wired off")
   }
+
+  test("dsir mixture: one tokenize-explode per target, shared window " +
+      "totals, broadcast model, no cross join") {
+    // K target fits must join the raw bucket GRID as ≤buckets-row
+    // aggregates — never rescan the target corpus for its total
+    // (the total rides the fit as a global-window sum) and never
+    // attach totals via 1-row cross joins.
+    def mix(k: Int): DataFrame = {
+      val raw = (0L until 50L).map(i => (i, s"alpha beta w$i"))
+        .toDF("doc_id", "text")
+      val ts = (1 to k).map(j => ((0L until 10L)
+        .map(i => (i, s"alpha t$j")).toDF("doc_id", "text"), j.toDouble))
+      Dsir.scoreDocsMix(raw, ts, "doc_id", "text", buckets = 64)
+    }
+    assertNoAllPairs(mix(3), "scoreDocsMix")
+    def generates(df: DataFrame): Int = nodes(df)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec])
+    // raw contributes 2 (per-doc scoring rows + the bucket fit; one
+    // exchange at runtime via ReusedExchange), each target exactly 1
+    assert(generates(mix(1)) == 3,
+      s"K=1 expected 3 tokenize-explodes, got ${generates(mix(1))}")
+    assert(generates(mix(3)) == 5,
+      s"K=3 expected 5 tokenize-explodes (+1 per target, never +2), " +
+        s"got ${generates(mix(3))}")
+    // the ≤buckets-row model broadcasts under the scoring join
+    assert(nodes(mix(3)).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "the scoring model join lost its broadcast")
+  }
+
+  test("bpe encode: broadcast merge table + per-row kernel — zero " +
+      "shuffles, zero joins") {
+    val docs = (0L until 20L).map(i => (i, s"the then there t$i"))
+      .toDF("doc_id", "text")
+    val df = Bpe.encode(docs, "text", Seq(("t", "h"), ("th", "e")),
+      out = "tokens")
+    val ns = nodes(df)
+    assert(!ns.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "bpe encode introduced a shuffle")
+    assert(!ns.exists(_.nodeName.contains("Join")),
+      "bpe encode introduced a join — the merge table must ship in " +
+        "the expression, not as a joined table")
+  }
+
+  test("url psl: registered-domain extraction is a pure expression — " +
+      "zero shuffles, zero joins") {
+    val urls = (0L until 20L).map(i => (i, s"https://a$i.example.co.uk/p"))
+      .toDF("doc_id", "url")
+    val df = Urls.parseUrls(urls, "url")
+    val ns = nodes(df)
+    assert(!ns.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "url parse introduced a shuffle")
+    assert(!ns.exists(_.nodeName.contains("Join")),
+      "url parse introduced a join — the PSL rule table must ship in " +
+        "the expression, not as a joined table")
+  }
+
+  test("knnGraph scale mode: no float query vector crosses a bucket " +
+      "join (int8 probe flow)") {
+    // The regression this pin prevents: attaching the float query
+    // vector to the candidate stream by a bucket/query_id join — at
+    // the ×100 clustered fixture that shuffled ~1B rows × ~100 B
+    // (≈100 GB, filled the box). Scale mode must carry only the
+    // 64-byte int8 codes through the bucket join.
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val vecs = (0L until 300L).map(i =>
+      (i, Array.tabulate(8)(j => math.cos(i * 2.7 + j))))
+      .toDF("vec_id", "embedding")
+    val df = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding", k = 3,
+      planes = 5, probeBits = 2, rerank = 16, selfGraph = true,
+      maxBucket = 1000, int8Probe = true)
+    val joins = nodes(df).collect {
+      case j: SortMergeJoinExec =>
+        (j.leftKeys ++ j.rightKeys, j.left.output ++ j.right.output)
+      case j: ShuffledHashJoinExec =>
+        (j.leftKeys ++ j.rightKeys, j.left.output ++ j.right.output)
+      case j: BroadcastHashJoinExec =>
+        (j.leftKeys ++ j.rightKeys, j.left.output ++ j.right.output)
+    }
+    val bucketJoins = joins.filter(
+      _._1.exists(_.references.exists(_.name == "bucket")))
+    assert(bucketJoins.nonEmpty, "expected bucket-keyed candidate joins")
+    val floatArr: org.apache.spark.sql.types.DataType => Boolean = {
+      case ArrayType(DoubleType | FloatType, _) => true
+      case _ => false
+    }
+    for ((_, out) <- bucketJoins)
+      assert(!out.exists(a => a.name == "v_q" && floatArr(a.dataType)),
+        "the float query vector crosses a bucket join — the int8 " +
+          "probe flow regressed")
+    assert(bucketJoins.exists { case (_, out) =>
+      out.exists(_.name == "_q8") && out.exists(_.name == "_c8") },
+      "no int8×int8 bucket scoring join found")
+  }
 }
