@@ -89,14 +89,22 @@ object Bench {
     "stream_left_join" -> "events",
     "stream_upsert" -> "events",
     // sustained lane: 10-copy landing, so rows/s divides by 10x the
-    // table count (streamInputMultiplier) — the one stream number
-    // that measures engine throughput rather than trigger overhead
-    "stream_sustained_window" -> "events")
+    // table count (streamInputMultiplier) — the stream numbers that
+    // measure engine/join-state throughput rather than trigger
+    // overhead (the three join queries emit ~100x pairs at 10x
+    // input — matched pairs scale quadratically with stream density)
+    "stream_sustained_window" -> "events",
+    "stream_sustained_interval_join" -> "events",
+    "stream_sustained_stream_join" -> "events",
+    "stream_sustained_left_join" -> "events")
 
   /** Input-rows multiplier per stream query (default 1): the
     * sustained bench reads an N-copy landing of its table. */
   val streamInputMultiplier: Map[String, Long] =
-    Map("stream_sustained_window" -> 10L)
+    Map("stream_sustained_window" -> 10L,
+      "stream_sustained_interval_join" -> 10L,
+      "stream_sustained_stream_join" -> 10L,
+      "stream_sustained_left_join" -> 10L)
 
   /** Full query inventory: oracled queries + bench-only raw ANN
     * top-k (kept under their historical names). */

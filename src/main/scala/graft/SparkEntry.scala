@@ -335,6 +335,94 @@ object SparkEntry {
       sink.execute(agg).fold(e => throw e, _ => ())
       s.read.parquet(work.resolve("out").toString)
     }),
+    // ---- SUSTAINED stateful-join throughput ----------------------
+    // The three stateful stream-join pipelines over a 10-copy
+    // landing, mirroring stream_sustained_window: identical copies
+    // emulate a 10×-denser event stream, which is exactly how join
+    // state scales in production (matched pairs grow ~quadratically
+    // with per-user density — 10× input, ~100× emitted pairs). The
+    // oracled single-copy variants pin correctness; these measure
+    // join-STATE throughput, where the single-copy runs measure
+    // mostly fixed trigger/checkpoint overhead (BASELINE.md says so).
+    "stream_sustained_interval_join" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val work = scratch("stream_sus_ij")
+      val inDir = sharedLandingN(dir, "events", copies = 10)
+      val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
+        Map("input_path" -> inDir.toString), work, "default")
+      val ev = graft.streaming.Streams.tsToNanos(
+        scan.execute().fold(e => throw e, identity))
+        .withColumn("event_time", expr(graft.ops.TimeCols.floorDivSql("ts", 1000000000L)).cast("timestamp"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "event_time")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "event_time")
+      val joined = graft.streaming.Streams.intervalJoin(
+          purchases, clicks, "user_id", "event_time",
+          lookback = "30 minutes", watermark = "3700 days")
+        .select(col("event_id").as("purchase_id"),
+          col("r_event_id").as("click_id"), col("user_id"))
+      val sink = new graft.plugins.streaming.StreamParquetWriterPlugin(
+        Map("output_path" -> work.resolve("out").toString), work, "default")
+      sink.execute(joined).fold(e => throw e, _ => ())
+      s.read.parquet(work.resolve("out").toString)
+    }),
+    "stream_sustained_stream_join" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val work = scratch("stream_sus_ssj")
+      // two INDEPENDENT 10-copy side landings (one union write each)
+      val ev1 = graft.streaming.Streams.tsToNanos(t(s, dir, "events"))
+      val ev = (1 to 10).map(_ => ev1).reduce(_.unionByName(_))
+      val pDir = work.resolve("purchases")
+      val cDir = work.resolve("clicks")
+      ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+        .write.parquet(pDir.toString)
+      ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+        .write.parquet(cDir.toString)
+      def side(d: java.nio.file.Path): DataFrame = {
+        val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
+          Map("input_path" -> d.toString), work, "default")
+        graft.streaming.Streams.tsToNanos(
+          scan.execute().fold(e => throw e, identity))
+          .withColumn("event_time",
+            expr(graft.ops.TimeCols.floorDivSql("ts", 1000000000L)).cast("timestamp"))
+          .select("event_id", "user_id", "event_time")
+      }
+      val joined = graft.streaming.Streams.intervalJoin(
+          side(pDir), side(cDir), "user_id", "event_time",
+          lookback = "30 minutes", watermark = "3700 days")
+        .select(col("event_id").as("purchase_id"),
+          col("r_event_id").as("click_id"), col("user_id"))
+      val sink = new graft.plugins.streaming.StreamParquetWriterPlugin(
+        Map("output_path" -> work.resolve("out").toString), work, "default")
+      sink.execute(joined).fold(e => throw e, _ => ())
+      s.read.parquet(work.resolve("out").toString)
+    }),
+    "stream_sustained_left_join" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val work = scratch("stream_sus_loj")
+      val inDir = sharedLandingN(dir, "events", copies = 10)
+      val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
+        Map("input_path" -> inDir.toString), work, "default")
+      val ev = graft.streaming.Streams.tsToNanos(
+        scan.execute().fold(e => throw e, identity))
+        .withColumn("event_time", expr(graft.ops.TimeCols.floorDivSql("ts", 1000000000L)).cast("timestamp"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "event_time")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "event_time")
+      val joined = graft.streaming.Streams.intervalJoinLeftOuter(
+          purchases, clicks, "user_id", "event_time",
+          lookback = "30 minutes", watermark = "1 hour")
+        .select(col("event_id").as("purchase_id"),
+          col("r_event_id").as("click_id"), col("user_id"))
+      val sink = new graft.plugins.streaming.StreamParquetWriterPlugin(
+        Map("output_path" -> work.resolve("out").toString), work, "default")
+      sink.execute(joined).fold(e => throw e, _ => ())
+      s.read.parquet(work.resolve("out").toString)
+    }),
     // ---- ANN scale paths on the clustered fixture ----------------
     // brute is the comparison baseline; lsh/ivf/ivfpq are the paths
     // whose bucketing actually prunes here (32 tight clusters), so
