@@ -77,12 +77,27 @@ object SparkEntry {
   private val landingDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
+  /** Copy a table — a single parquet FILE (driver testdata) or a
+    * Spark-written parquet DIRECTORY (scale fixtures) — into `d` as
+    * flat `<prefix>_<i>.parquet` files. A raw `Files.copy` of a
+    * directory path copies an EMPTY dir (non-recursive) and the
+    * streaming scan then fails schema inference. */
+  private def copyTableFlat(src: java.nio.file.Path,
+                            d: java.nio.file.Path, prefix: String): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (Files.isDirectory(src)) {
+      val parts = Files.list(src).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.copy(p, d.resolve(f"${prefix}_p$i%05d.parquet")) }
+    } else Files.copy(src, d.resolve(s"$prefix.parquet"))
+  }
+
   private def sharedLanding(dir: String, name: String): java.nio.file.Path =
     landingDirs.computeIfAbsent(s"$dir/$name", _ => {
       val d = scratch(s"land_$name")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/$name.parquet"),
-        d.resolve(s"$name.parquet"))
+      copyTableFlat(java.nio.file.Paths.get(s"$dir/$name.parquet"), d, name)
       d
     })
 
@@ -97,8 +112,7 @@ object SparkEntry {
     landingDirs.computeIfAbsent(s"$dir/$name/x$copies", _ => {
       val d = scratch(s"land_${name}_x$copies")
       val src = java.nio.file.Paths.get(s"$dir/$name.parquet")
-      (0 until copies).foreach(i => java.nio.file.Files.copy(
-        src, d.resolve(s"${name}_$i.parquet")))
+      (0 until copies).foreach(i => copyTableFlat(src, d, s"${name}_$i"))
       d
     })
 

@@ -330,23 +330,48 @@ object Snapshots {
     val rk = "__graft_upsert_rk" // collision-proof, as keepBestPerCluster
     val latest = events.withColumn(rk, row_number().over(w))
       .filter(col(rk) === 1).drop(rk)
-    writeFullVersion(spark, dir, latest, vs.last, targetFileBytes)
+    // Size output files from the STATE's estimated bytes, not the
+    // input log's: inputBytes × (stateRows / inputRows). Sizing from
+    // input (what [[compact]] correctly does for its 1:1 rewrite)
+    // would here write ceil(logBytes/target) near-empty files — a
+    // 100 TB event log compacting to a ~1 GB state table would emit
+    // ~800k kilobyte files, re-creating the small-files problem the
+    // maintenance pass exists to fix. The two sizing counts are
+    // column-pruned scans (keys only), far cheaper than the keyed
+    // window itself.
+    val inputRows = events.count()
+    val stateRows =
+      if (inputRows == 0) 0L
+      else events.select(keyCols.map(col): _*).distinct().count()
+    val estBytes =
+      if (inputRows == 0) 0L
+      else {
+        val f = fs(spark, dir)
+        val inputBytes = readManifest(spark, dir, vs.last)
+          .map(p => f.getFileStatus(new HPath(s"$dir/$p")).getLen).sum
+        (inputBytes.toDouble * stateRows / inputRows).toLong
+      }
+    writeFullVersion(spark, dir, latest, vs.last, targetFileBytes,
+      sizeBytes = Some(estBytes))
   }
 
   /** Commit `df` as a FULL new version on top of `prevVersion`: data
     * dir first, then a manifest listing ONLY the new files (not
     * carried + new) — shared by [[compact]] and [[compactUpserts]].
-    * File count sized from the PREVIOUS version's bytes (an upper
-    * bound for any row-reducing rewrite). Runs under the same claim
-    * protocol as appends, so concurrent maintenance and appends
-    * racing the same version number get the typed
-    * [[ConcurrentCommitException]], one winner guaranteed. */
+    * File count sized from `sizeBytes` when given (a row-reducing
+    * rewrite passes its estimated OUTPUT bytes), else from the
+    * previous version's bytes (exact for [[compact]]'s 1:1 rewrite).
+    * Runs under the same claim protocol as appends, so concurrent
+    * maintenance and appends racing the same version number get the
+    * typed [[ConcurrentCommitException]], one winner guaranteed. */
   private def writeFullVersion(spark: SparkSession, dir: String,
                                df: DataFrame, prevVersion: Int,
-                               targetFileBytes: Long): Int = {
+                               targetFileBytes: Long,
+                               sizeBytes: Option[Long] = None): Int = {
     val f = fs(spark, dir)
     val files = readManifest(spark, dir, prevVersion).map(p => s"$dir/$p")
-    val totalBytes = files.map(p => f.getFileStatus(new HPath(p)).getLen).sum
+    val totalBytes = sizeBytes.getOrElse(
+      files.map(p => f.getFileStatus(new HPath(p)).getLen).sum)
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1)
       / targetFileBytes).toInt
     val v = prevVersion + 1

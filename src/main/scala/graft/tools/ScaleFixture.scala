@@ -24,15 +24,19 @@ import org.apache.spark.sql.functions._
   * fingerprints across copies while keeping within-copy density
   * identical.
   *
-  * Usage: runMain graft.tools.ScaleFixture <srcSfDir> <outDir> <factor>
-  * (factor 1 = byte-comparable passthrough baseline, so both ends of
-  * the exponent measurement come from the same writer settings)
+  * Usage: runMain graft.tools.ScaleFixture <srcSfDir> <outDir>
+  * <factor> [table ...] (factor 1 = byte-comparable passthrough
+  * baseline, so both ends of the exponent measurement come from the
+  * same writer settings; naming tables regenerates only those —
+  * e.g. adding a new table to an already-built fixture dir).
   */
 object ScaleFixture {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3,
-      "usage: ScaleFixture <srcSfDir> <outDir> <factor>")
-    val Array(src, out, factorS) = args
+    require(args.length >= 3,
+      "usage: ScaleFixture <srcSfDir> <outDir> <factor> [table ...]")
+    val Array(src, out, factorS) = args.take(3)
+    val only = args.drop(3).toSet
+    def wants(name: String): Boolean = only.isEmpty || only(name)
     val factor = factorS.toInt
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val spark = SparkSession.builder()
@@ -57,27 +61,47 @@ object ScaleFixture {
     def copies(df: DataFrame, shift: DataFrame => Int => DataFrame): DataFrame =
       (0 until factor).map(k => shift(df)(k)).reduce(_.unionAll(_))
 
-    val li = rd("lineitem")
-    val ord = rd("orders")
-    // ONE shared orderkey stride from BOTH tables: the fixture does
-    // not guarantee orders ⊆ lineitem (sf0.1 has 2764 lineitem-less
-    // orders), so a lineitem-only stride would only be collision-free
-    // while the two maxes coincide
-    val ok = math.max(stride(li, "l_orderkey"), stride(ord, "o_orderkey"))
-    val pk = stride(li, "l_partkey")
-    val sk = stride(li, "l_suppkey")
-    wr(copies(li, df => k => df
-      .withColumn("l_orderkey", col("l_orderkey") + lit(k * ok))
-      .withColumn("l_partkey", col("l_partkey") + lit(k * pk))
-      .withColumn("l_suppkey", col("l_suppkey") + lit(k * sk))),
-      "lineitem")
+    if (wants("lineitem") || wants("orders")) {
+      val li = rd("lineitem")
+      val ord = rd("orders")
+      // ONE shared orderkey stride from BOTH tables: the fixture does
+      // not guarantee orders ⊆ lineitem (sf0.1 has 2764 lineitem-less
+      // orders), so a lineitem-only stride would only be
+      // collision-free while the two maxes coincide
+      val ok = math.max(stride(li, "l_orderkey"), stride(ord, "o_orderkey"))
+      val pk = stride(li, "l_partkey")
+      val sk = stride(li, "l_suppkey")
+      if (wants("lineitem"))
+        wr(copies(li, df => k => df
+          .withColumn("l_orderkey", col("l_orderkey") + lit(k * ok))
+          .withColumn("l_partkey", col("l_partkey") + lit(k * pk))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(k * sk))),
+          "lineitem")
 
-    val ck = stride(ord, "o_custkey")
-    wr(copies(ord, df => k => df
-      .withColumn("o_orderkey", col("o_orderkey") + lit(k * ok))
-      .withColumn("o_custkey", col("o_custkey") + lit(k * ck))),
-      "orders")
+      val ck = stride(ord, "o_custkey")
+      if (wants("orders"))
+        wr(copies(ord, df => k => df
+          .withColumn("o_orderkey", col("o_orderkey") + lit(k * ok))
+          .withColumn("o_custkey", col("o_custkey") + lit(k * ck))),
+          "orders")
+    }
 
+    // events: id domains offset per copy (event identity AND user —
+    // CDC/upsert state is keyed by user, so an N× fixture must grow
+    // the state table N×, not replay N events per user); timestamps
+    // stay put — N copies over the same window is a denser stream,
+    // which is how event volume actually grows.
+    if (wants("events")) {
+      val ev = rd("events")
+      val ek = stride(ev, "event_id")
+      val uk = stride(ev, "user_id")
+      wr(copies(ev, df => k => df
+        .withColumn("event_id", col("event_id") + lit(k * ek))
+        .withColumn("user_id", col("user_id") + lit(k * uk))),
+        "events")
+    }
+
+    if (wants("documents")) {
     val docs = rd("documents")
     val dk = stride(docs, "doc_id")
     wr(copies(docs, df => k => {
@@ -109,7 +133,9 @@ object ScaleFixture {
           alpha + alpha.toUpperCase, perm + perm.toUpperCase))
       }
     }), "documents")
+    }
 
+    if (wants("embeddings")) {
     val emb = rd("embeddings")
     val vk = stride(emb, "vec_id")
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
@@ -128,6 +154,7 @@ object ScaleFixture {
         concat(slice(col("embedding"), rot + 1, dims - rot),
           slice(col("embedding"), 1, rot)))
     }), "embeddings")
+    }
 
     println(s"[scale-fixture] wrote $out at ${factor}x from $src")
     spark.stop()

@@ -140,6 +140,14 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(state2.count() == 3)
     assert(state2.filter($"k" === 2L).select("v").head().getString(0)
       == "y")
+    // output files sized from the STATE's bytes, not the input
+    // log's: a tiny state must land in ONE file no matter how many
+    // log bytes fed it (the 100-TB-log → 1-GB-state shape)
+    val stateFiles = state2.select(
+      org.apache.spark.sql.functions.col("_metadata.file_path"))
+      .distinct().count()
+    assert(stateFiles == 1L,
+      s"3-row state compacted to $stateFiles files, expected 1")
   }
 
   test("compact rewrites latest into fewer files; old versions untouched") {
@@ -163,6 +171,19 @@ class SnapshotsSpec extends AnyFunSuite {
       .distinct().count()
     assert(afterFiles < beforeFiles,
       s"compaction did not reduce files: $beforeFiles -> $afterFiles")
+    // the sizing contract EXACTLY: ceil(input manifest bytes /
+    // targetFileBytes) output files — compaction must adapt file
+    // count to actual data volume, not a tuning constant
+    val inputBytes = before.select(
+        org.apache.spark.sql.functions.col("_metadata.file_path"),
+        org.apache.spark.sql.functions.col("_metadata.file_size"))
+      .distinct()
+      .agg(org.apache.spark.sql.functions.sum("file_size"))
+      .head().getLong(0)
+    val expected = math.max(1L, (inputBytes + 512L * 1024 - 1) / (512L * 1024))
+    assert(afterFiles == expected,
+      s"compacted to $afterFiles files; sizing contract says " +
+        s"ceil($inputBytes / 512KiB) = $expected")
     // pre-compaction versions still read their ORIGINAL row sets
     assert(Snapshots.read(spark, dir, 2).count() == 100)
   }
