@@ -416,6 +416,27 @@ object Graph {
           math.min(64, math.max(1,
             math.ceil(projBytes / scratchBudgetBytes).toInt))
         }
+      // Closing side: ONE pre-partitioned materialization shared by
+      // every batch. The closing key (v1, v2) is independent of the
+      // wedge apex, so each batch joins the SAME m-row side — the
+      // round-11 spelling re-ran its shuffle per batch (~B·m rows).
+      // A DISK_ONLY persist ABOVE the (v1, v2) repartition runs that
+      // exchange once and the InMemoryRelation PRESERVES the hash
+      // partitioning, so each batch's closing join builds straight
+      // from the cached partitions with no new exchange (PlanSpec
+      // pins the single-exchange mechanism — and pins that an eager
+      // localCheckpoint would NOT work: LogicalRDD drops the
+      // partitioning on this build). Disk cost ≈ the edge list once,
+      // replacing B shuffle-writes of the same rows; unpersisted in
+      // the outer finally. Single-batch runs keep the inline
+      // repartition — one consumer, nothing to share.
+      val closingShared =
+        if (batches <= 1) None
+        else Some(oriented
+          .select(col("u").as("v1"), col("v").as("v2"))
+          .repartition(parts, col("v1"), col("v2"))
+          .persist(StorageLevel.DISK_ONLY))
+      closingShared.foreach(_.count()) // materialize before batch 1
       def batchCounts(slice: Option[Int]): DataFrame = {
         val base = slice match {
           case Some(i) => oriented.filter(
@@ -438,12 +459,12 @@ object Graph {
               xxhash64(col("v1"), col("v2")), bc))
           case None => wedges0
         }
-        // closing side is the FULL edge list in every batch (the
-        // closing key (v1, v2) is independent of the wedge apex);
-        // its m-row shuffle repeats per batch — node-sized against
-        // the wedge mass the batching is bounding
-        val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
-          .repartition(parts, col("v1"), col("v2"))
+        // closing side is the FULL edge list in every batch — the
+        // shared pre-partitioned checkpoint when batching (one
+        // exchange total), inline otherwise
+        val closing = closingShared.getOrElse(
+          oriented.select(col("u").as("v1"), col("v").as("v2"))
+            .repartition(parts, col("v1"), col("v2")))
         wedges.join(closing.hint("SHUFFLE_HASH"), Seq("v1", "v2"))
           .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
           .groupBy("node").agg(count(lit(1)).as("n_triangles"))
@@ -461,9 +482,11 @@ object Graph {
           System.gc()
           p
         }
-        partials.reduce(_.unionByName(_))
+        val out = partials.reduce(_.unionByName(_))
           .groupBy("node").agg(sum(col("n_triangles")).as("n_triangles"))
           .localCheckpoint(true)
+        closingShared.foreach(_.unpersist(false))
+        out
       }
     } finally oriented0.unpersist(false)
   }

@@ -812,6 +812,36 @@ class PlanSpec extends AnyFunSuite {
       "no bloom might_contain on the fact side — runtime row filtering is wired off")
   }
 
+  test("eager localCheckpoint preserves hash partitioning — the " +
+      "triangles closing side pays ONE exchange across wedge batches") {
+    // The mechanism Graph.triangles' shared closing side relies on:
+    // a repartition(n, keys) + DISK_ONLY persist must carry its
+    // HashPartitioning through the InMemoryRelation, so a later
+    // equi-join on those keys adds NO exchange on that side. (An
+    // eager localCheckpoint does NOT preserve partitioning on this
+    // build — measured here first: LogicalRDD reports unknown
+    // partitioning and the join re-shuffles — which is why triangles
+    // persists the repartitioned closing frame instead.) If a Spark
+    // upgrade drops partitioning through InMemoryRelation, every
+    // wedge batch silently re-shuffles the full edge list.
+    import org.apache.spark.sql.functions.{col, lit}
+    val chk = spark.range(0, 1000)
+      .select(col("id").as("v1"), (col("id") % 7).as("v2"))
+      .repartition(8, col("v1"), col("v2"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      chk.count() // materialize, as triangles does
+      val probe = spark.range(0, 100)
+        .select(col("id").as("v1"), (col("id") % 7).as("v2"),
+          lit(1).as("x"))
+      val joined = probe.join(chk.hint("SHUFFLE_HASH"), Seq("v1", "v2"))
+      val shuffles = nodes(joined).collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size == 1,
+        s"expected the probe-side exchange only, got ${shuffles.size} — " +
+          "the persisted side lost its partitioning")
+    } finally chk.unpersist(false)
+  }
+
   test("dsir mixture: one tokenize-explode per target, shared window " +
       "totals, broadcast model, no cross join") {
     // K target fits must join the raw bucket GRID as ≤buckets-row
