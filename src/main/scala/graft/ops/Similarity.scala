@@ -802,7 +802,14 @@ object Similarity {
           lshTopK(df, df, idCol, embCol, k,
             planes = planesEff, probeBits = probeBits, rerank = rerank,
             selfGraph = true, maxBucket = maxBucket, int8Probe = scale)
+        else if (rerank > 0)
+          lshSelfGraphBatched(df, idCol, embCol, k,
+            planes = planesEff, probeBits = probeBits, rerank = rerank,
+            maxBucket = maxBucket, batches = batches)
         else {
+          // rerank = 0 scores full float vectors in-bucket (see the
+          // scaladoc note) — the shared int8 corpus side below does
+          // not apply; keep the per-slice spelling
           val parts = (0 until batches).map { i =>
             val slice = df.filter(
               pmod(xxhash64(col(idCol)), lit(batches.toLong)) === i.toLong)
@@ -820,6 +827,118 @@ object Similarity {
         s"Unknown knnGraph method: '$other' (expected brute|lsh)")
     }
     topk.filter(col("cosine") >= minCosine)
+  }
+
+  /** The batched self-graph scale path with ONE shared corpus side
+    * (same move as Graph.triangles' shared closing side, measured
+    * there first): the round-11 spelling called [[lshTopK]] per query
+    * slice, so every slice re-ran the ENTIRE corpus preparation —
+    * normalize, hyperplane signatures, the maxBucket count shuffle,
+    * the occupied-bucket Bloom build, the int8 encode, the bucket
+    * exchange of the coded corpus, and the rerank side's normalize +
+    * neighbor_id exchange — B× work that is identical across slices
+    * (the slice only changes the QUERY side). Here the coded corpus
+    * is bucketed/capped/encoded once and persisted DISK_ONLY
+    * pre-partitioned on `bucket` (the InMemoryRelation preserves the
+    * hash partitioning, so each slice's candidate join adds no new
+    * corpus-side exchange — PlanSpec pins the mechanism on the
+    * triangles closing side), the Bloom bytes are built once, the
+    * flooded-hub table is computed once, and the float rerank side is
+    * persisted once pre-partitioned on `neighbor_id`. Output is
+    * byte-identical to the per-slice spelling (Round6Spec pins batched
+    * == one-shot): the candidate set, int8 scores, star policy and
+    * rank tiebreaks are all unchanged — only WHERE the corpus subtree
+    * evaluates moved. Disk cost ≈ coded corpus + float corpus once;
+    * both unpersist in the finally. */
+  private def lshSelfGraphBatched(df: DataFrame, idCol: String,
+                                  embCol: String, k: Int, planes: Int,
+                                  probeBits: Int, rerank: Int,
+                                  maxBucket: Int, batches: Int): DataFrame = {
+    import graft.expressions.Int8Candidates.{int8_code, int8_dot_int8}
+    import org.apache.spark.storage.StorageLevel
+    val spark = df.sparkSession
+    val nShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val queryIdOut = "query_id"
+    val c = withNormalized(
+      df.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
+      "_e", "v_c").select("neighbor_id", "v_c")
+    val cBucketed = c
+      .withColumn("bucket", hyperplaneSignature(col("v_c"), planes))
+    val (under, flooded) = if (maxBucket > 0) {
+      val counts = cBucketed.groupBy("bucket")
+        .agg(count(lit(1)).as("_n"), min(col("neighbor_id")).as("_hub"))
+      val fl = counts.filter(col("_n") > maxBucket)
+        .select(col("bucket"), col("_hub"))
+        .persist(StorageLevel.DISK_ONLY) // bucket-space bounded, tiny
+      (cBucketed.join(
+        counts.filter(col("_n") <= maxBucket).select("bucket"),
+        Seq("bucket")), Some(fl))
+    } else (cBucketed, None)
+    val cCodes = under
+      .select(col("neighbor_id"), col("bucket"),
+        int8_code(col("v_c")).as("_c8"))
+      .repartition(nShuffle, col("bucket"))
+      .persist(StorageLevel.DISK_ONLY)
+    cCodes.count() // materialize before slice 1 (runs the count agg too)
+    val cRerank = c.repartition(nShuffle, col("neighbor_id"))
+      .persist(StorageLevel.DISK_ONLY)
+    cRerank.count()
+    val bloomBc =
+      if (planes > 26) None
+      else IncrementalDedup.buildFilter(
+          cCodes.select(col("bucket").as("_k")), "_k",
+          expectedItems = 1L << planes, fpp = 0.03)
+        .map(spark.sparkContext.broadcast(_))
+    try {
+      val probes = array(probeMasks(planes, probeBits).map(lit): _*)
+      val parts = (0 until batches).map { i =>
+        val slice = df.filter(
+          pmod(xxhash64(col(idCol)), lit(batches.toLong)) === i.toLong)
+        val qPlain = withNormalized(
+          slice.select(col(idCol).as(queryIdOut), col(embCol).as("_e")),
+          "_e", "v_q").select(queryIdOut, "v_q")
+        val qSig = qPlain
+          .withColumn("_sig", hyperplaneSignature(col("v_q"), planes))
+        val qProbe = qSig
+          .withColumn("_q8", int8_code(col("v_q")))
+          .select(col(queryIdOut), col("_q8"),
+            explode(transform(probes, m => col("_sig").bitwiseXOR(m)))
+              .as("bucket"))
+        val live = bloomBc match {
+          case Some(bc) => qProbe.filter(
+            graft.expressions.BloomMightContain.might_contain(
+              col("bucket"), bc))
+          case None => qProbe
+        }
+        val approx = cCodes.join(live, Seq("bucket"))
+          .filter(col("neighbor_id") =!= col(queryIdOut))
+          .select(col(queryIdOut), col("neighbor_id"),
+            int8_dot_int8(col("_q8"), col("_c8")).as("approx"))
+        val cands = topRerank(approx, queryIdOut, rerank)
+        val all = flooded match {
+          case Some(fl) =>
+            val star = qSig
+              .withColumn("bucket",
+                explode(transform(probes, m => col("_sig").bitwiseXOR(m))))
+              .select(col(queryIdOut), col("bucket"))
+              .join(fl, Seq("bucket"))
+              .filter(col(queryIdOut) =!= col("_hub"))
+              .select(col(queryIdOut), col("_hub").as("neighbor_id"))
+            cands.unionByName(star)
+          case None => cands
+        }
+        val out = exactRerank(all, cRerank, qPlain, queryIdOut, k,
+            hintBroadcast = false)
+          .localCheckpoint(true)
+        System.gc() // release the slice's shuffle files now
+        out
+      }
+      parts.reduce(_.unionByName(_))
+    } finally {
+      cCodes.unpersist(false)
+      cRerank.unpersist(false)
+      flooded.foreach(_.unpersist(false))
+    }
   }
 
   /** Exact self top-k via the [[graft.expressions.BroadcastTopK]]
