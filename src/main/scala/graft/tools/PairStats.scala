@@ -122,7 +122,12 @@ object PairStats {
         col("bucket").as("_sig"))
         .select(col("query_id"), col("_sig").bitwiseXOR(col("m")).as("bucket"))
       val occ = sig.groupBy("bucket").agg(count(lit(1)).as("c"))
-      val cand = probes.join(occ, Seq("bucket"))
+      // SHUFFLE_HASH: the probe side descends from spark.range, whose
+      // size ESTIMATE stays range-sized (~8 B/row) through the explode
+      // — at ×100 the planner auto-broadcast the 305M-row probe side
+      // (a 1 GB driver collect) off that estimate. The measurement
+      // join must never collect either side.
+      val cand = probes.join(occ.hint("SHUFFLE_HASH"), Seq("bucket"))
         .agg(sum(col("c")).as("candidates"),
           count(lit(1)).as("occupied_probe_hits")).head()
       println(s"[pair-stats] knn probes=${masks.size}/query " +
