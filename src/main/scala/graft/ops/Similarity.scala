@@ -219,35 +219,50 @@ object Similarity {
     * attach after the join is ~10 MB). `qVecs` is the UN-exploded
     * (query_id, v_q) table, broadcast once for the scoring attach.
     *
-    * `hintBroadcast` gates BOTH broadcast hints: true is the
-    * bounded-query contract (probe/vector tables are query-sized);
-    * FALSE is mandatory when the probe side derives from the corpus
-    * (self-graphs) — there the "small" side grows linearly with the
-    * corpus and a forced broadcast is exactly the scale cliff the
-    * bucketing exists to avoid. Without the hint both joins stay
-    * keyed shuffle joins (probe rows are skinny, so the exchange is
-    * cheap) and AQE may still pick broadcast from MEASURED sizes —
-    * a runtime decision, not a corpus-blind promise.
+    * `hintBroadcast` gates the join strategy on BOTH joins: true is
+    * the bounded-query contract (probe/vector tables are query-sized,
+    * broadcast them); FALSE is mandatory when the probe side derives
+    * from the corpus (self-graphs) — there the "small" side grows
+    * linearly with the corpus and a forced broadcast is exactly the
+    * scale cliff the bucketing exists to avoid. The false mode PINS
+    * SHUFFLE_HASH instead of merely omitting the broadcast hint: the
+    * static planner picks broadcast from ESTIMATED sizes, and a
+    * corpus whose subtree has no shuffle boundary below the join
+    * (spark.range-rooted synthetics, a long transform chain) keeps a
+    * rows×8-byte estimate through every projection — AQE never gets
+    * a measured stage to correct it, and the "runtime decision" this
+    * comment used to promise silently became a multi-GB driver
+    * broadcast build (measured: the ×10 clustered self-graph OOMed
+    * an 8 GB driver and more than doubled the ×100 wall). Build
+    * sides under the pin are the per-partition-bounded ones: the
+    * int8 corpus slice for the bucket join, the query-vector table
+    * for the scoring attach.
     * Returns (queryIdOut, neighbor_id, approx) rows. */
   private[graft] def int8CandidateScan(cSide: DataFrame, probeSide: DataFrame,
                                        qVecs: DataFrame,
                                        key: String, queryIdOut: String,
                                        hintBroadcast: Boolean = true): DataFrame = {
     import graft.expressions.Int8Candidates._
-    val hint = (df: DataFrame) => if (hintBroadcast) broadcast(df) else df
     val cCand = cSide
       .select(col("neighbor_id"), col(key), int8_code(col("v_c")).as("_q8"))
       .select(col("neighbor_id"), col(key),
         col("_q8.code").as("_code"), col("_q8.mn").as("_mn"),
         col("_q8.scale").as("_scale"))
-    cCand.join(hint(probeSide.select(col(queryIdOut), col(key))),
-        Seq(key))
-      .filter(col("neighbor_id") =!= col(queryIdOut))
-      .join(hint(qVecs.select(col(queryIdOut), col("v_q"))),
-        Seq(queryIdOut))
-      .select(col(queryIdOut), col("neighbor_id"),
-        int8_dot(col("v_q"), col("_code"), col("_mn"), col("_scale"))
-          .as("approx"))
+    val probeSel = probeSide.select(col(queryIdOut), col(key))
+    val qSel = qVecs.select(col(queryIdOut), col("v_q"))
+    val bucketJoined =
+      if (hintBroadcast) cCand.join(broadcast(probeSel), Seq(key))
+      else cCand.hint("SHUFFLE_HASH").join(probeSel, Seq(key))
+    val attached =
+      if (hintBroadcast)
+        bucketJoined.filter(col("neighbor_id") =!= col(queryIdOut))
+          .join(broadcast(qSel), Seq(queryIdOut))
+      else
+        bucketJoined.filter(col("neighbor_id") =!= col(queryIdOut))
+          .join(qSel.hint("SHUFFLE_HASH"), Seq(queryIdOut))
+    attached.select(col(queryIdOut), col("neighbor_id"),
+      int8_dot(col("v_q"), col("_code"), col("_mn"), col("_scale"))
+        .as("approx"))
   }
 
   /** Top-`rerank` approx-scored candidates per query. */
@@ -267,9 +282,17 @@ object Similarity {
   private[ops] def exactRerank(candidates: DataFrame, c: DataFrame, q: DataFrame,
                           queryIdOut: String, k: Int,
                           hintBroadcast: Boolean = true): DataFrame = {
-    val qSide = if (hintBroadcast) broadcast(q) else q
+    // false mode pins SHUFFLE_HASH on both vector attaches: the
+    // corpus/query float tables can carry lying size estimates (see
+    // int8CandidateScan's scaladoc) and a statically mis-broadcast
+    // float-vector table is the single most expensive wrong plan in
+    // this file. Both are per-partition-bounded build sides (n/parts
+    // rows of one vector each); the candidate stream stays the probe
+    // side.
+    val cSide = if (hintBroadcast) c else c.hint("SHUFFLE_HASH")
+    val qSide = if (hintBroadcast) broadcast(q) else q.hint("SHUFFLE_HASH")
     val reranked = candidates
-      .join(c, Seq("neighbor_id"))
+      .join(cSide, Seq("neighbor_id"))
       .join(qSide, Seq(queryIdOut))
       .select(col(queryIdOut), col("neighbor_id"),
         dot(col("v_q"), col("v_c")).as("cosine"))
@@ -585,14 +608,27 @@ object Similarity {
     // materialization). Star candidates are (query, hub) rows — one
     // per probed over-cap bucket — provably disjoint from the normal
     // candidates (see scaladoc), so no dedup pass is needed.
+    // Self-graph mode pins SHUFFLE_HASH on the counts sides: the
+    // counts table is bucket-space bounded (a fine build side), but
+    // without a pin the STATIC planner is free to broadcast
+    // cBucketed — the float-vector corpus — off a lying estimate
+    // (see int8CandidateScan's scaladoc; a Range-rooted corpus keeps
+    // a rows×8-byte estimate with no shuffle stage for AQE to
+    // correct). The bucket exchange the pin forces on cBucketed is
+    // the same (bucket) exchange the candidate join needs anyway, so
+    // the self-graph plan pays no extra shuffle.
     val (cJoin, starCands) = if (maxBucket > 0) {
       val counts = cBucketed.groupBy("bucket")
         .agg(count(lit(1)).as("_n"), min(col("neighbor_id")).as("_hub"))
+      val underKeys = counts.filter(col("_n") <= maxBucket).select("bucket")
+      val overHubs = counts.filter(col("_n") > maxBucket)
+        .select(col("bucket"), col("_hub"))
       val under = cBucketed.join(
-        counts.filter(col("_n") <= maxBucket).select("bucket"), Seq("bucket"))
+        if (hint) underKeys else underKeys.hint("SHUFFLE_HASH"),
+        Seq("bucket"))
       val star = q.select(col(queryIdOut), col("bucket"))
-        .join(counts.filter(col("_n") > maxBucket)
-          .select(col("bucket"), col("_hub")), Seq("bucket"))
+        .join(if (hint) overHubs else overHubs.hint("SHUFFLE_HASH"),
+          Seq("bucket"))
         .filter(col(queryIdOut) =!= col("_hub"))
         .select(col(queryIdOut), col("_hub").as("neighbor_id"))
       (under, Some(star))
@@ -655,7 +691,14 @@ object Similarity {
                     col("bucket"), bc))
               case None => qProbe
             }
-          cCodes.join(live, Seq("bucket"))
+          // SHUFFLE_HASH pin: `live` is Range-or-transform-rooted on
+          // the query side of a self-graph — its estimate can lie
+          // small (hundreds of millions of probe rows estimated as
+          // MBs) and a static broadcast of the probe stream is a
+          // driver-OOM-or-worse (the PairStats measurement join hit
+          // exactly this at the ×100 fixture). The int8 corpus slice
+          // is the per-partition-bounded build side.
+          cCodes.hint("SHUFFLE_HASH").join(live, Seq("bucket"))
             .filter(col("neighbor_id") =!= col(queryIdOut))
             .select(col(queryIdOut), col("neighbor_id"),
               int8_dot_int8(col("_q8"), col("_c8")).as("approx"))
@@ -664,15 +707,21 @@ object Similarity {
       val all = starCands.map(cands.unionByName(_)).getOrElse(cands)
       exactRerank(all, c, qPlain, queryIdOut, k, hintBroadcast = hint)
     } else {
-      val probeQ = if (hint) broadcast(q) else q
-      val base = cJoin.join(probeQ, Seq("bucket"))
+      // rerank = 0: float scoring inside the bucket join. Self-graph
+      // mode pins SHUFFLE_HASH with the corpus as build side — same
+      // lying-estimate hazard as above, and here a mis-broadcast
+      // ships full float vectors.
+      val base =
+        (if (hint) cJoin.join(broadcast(q), Seq("bucket"))
+         else cJoin.hint("SHUFFLE_HASH").join(q, Seq("bucket")))
         .filter(col("neighbor_id") =!= col(queryIdOut))
         .select(col(queryIdOut), col("neighbor_id"),
           dot(col("v_q"), col("v_c")).as("cosine"))
       val scored = starCands match {
         case Some(sc) =>
-          val qv = if (hint) broadcast(qPlain) else qPlain
-          base.unionByName(sc.join(c, Seq("neighbor_id"))
+          val cv = if (hint) c else c.hint("SHUFFLE_HASH")
+          val qv = if (hint) broadcast(qPlain) else qPlain.hint("SHUFFLE_HASH")
+          base.unionByName(sc.join(cv, Seq("neighbor_id"))
             .join(qv, Seq(queryIdOut))
             .select(col(queryIdOut), col("neighbor_id"),
               dot(col("v_q"), col("v_c")).as("cosine")))
@@ -697,9 +746,12 @@ object Similarity {
     * only the bounded re-rank touches fp vectors — the corpus is
     * never all-pairs joined (same shape as [[lshTopK]], which it
     * delegates to with queries = corpus and `selfGraph = true`, so
-    * NO corpus-derived table is ever broadcast-hinted: every join in
-    * the plan is a keyed shuffle join unless AQE measures a side as
-    * genuinely small). `maxBucket` caps signature-bucket occupancy
+    * every corpus-derived join is PINNED SHUFFLE_HASH — not merely
+    * left unhinted: the static planner would otherwise broadcast a
+    * corpus-sized side off a lying size estimate, and a subtree with
+    * no shuffle boundary below the join never gets an AQE
+    * correction; see [[int8CandidateScan]]'s scaladoc for the
+    * measured failure). `maxBucket` caps signature-bucket occupancy
     * with the star fallback (see [[lshTopK]]) — a flooded bucket of
     * near-identical vectors contributes hub edges instead of a
     * quadratic candidate block.
@@ -870,8 +922,12 @@ object Similarity {
       val fl = counts.filter(col("_n") > maxBucket)
         .select(col("bucket"), col("_hub"))
         .persist(StorageLevel.DISK_ONLY) // bucket-space bounded, tiny
+      // SHUFFLE_HASH pin on the counts side: without it the static
+      // planner may broadcast cBucketed — the float-vector corpus —
+      // off a lying estimate (see int8CandidateScan's scaladoc)
       (cBucketed.join(
-        counts.filter(col("_n") <= maxBucket).select("bucket"),
+        counts.filter(col("_n") <= maxBucket).select("bucket")
+          .hint("SHUFFLE_HASH"),
         Seq("bucket")), Some(fl))
     } else (cBucketed, None)
     val cCodes = under
@@ -910,18 +966,27 @@ object Similarity {
               col("bucket"), bc))
           case None => qProbe
         }
-        val approx = cCodes.join(live, Seq("bucket"))
+        // SHUFFLE_HASH pin (same hazard as lshTopK's scale path):
+        // `live` descends from the slice's query subtree, whose
+        // estimate can lie small — a static broadcast of tens of
+        // millions of probe rows per slice is the regression this
+        // pin forbids. cCodes builds straight from its persisted
+        // bucket-partitioned slices (no new exchange).
+        val approx = cCodes.hint("SHUFFLE_HASH").join(live, Seq("bucket"))
           .filter(col("neighbor_id") =!= col(queryIdOut))
           .select(col(queryIdOut), col("neighbor_id"),
             int8_dot_int8(col("_q8"), col("_c8")).as("approx"))
         val cands = topRerank(approx, queryIdOut, rerank)
         val all = flooded match {
           case Some(fl) =>
+            // fl is persisted (honest, bucket-space-bounded stats);
+            // hint it as the build side so the exploded probe stream
+            // is never the statically-broadcast one
             val star = qSig
               .withColumn("bucket",
                 explode(transform(probes, m => col("_sig").bitwiseXOR(m))))
               .select(col(queryIdOut), col("bucket"))
-              .join(fl, Seq("bucket"))
+              .join(fl.hint("SHUFFLE_HASH"), Seq("bucket"))
               .filter(col(queryIdOut) =!= col("_hub"))
               .select(col(queryIdOut), col("_hub").as("neighbor_id"))
             cands.unionByName(star)

@@ -374,6 +374,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  // The complementary pin to the one above: that test disables
+  // auto-broadcast, so it only catches EXPLICIT broadcast hints.
+  // This one leaves the default 10 MB threshold ON and feeds a
+  // range-rooted corpus, whose size estimate stays rows×8 bytes
+  // through every projection (no shuffle boundary below the joins →
+  // AQE never corrects it). Without the SHUFFLE_HASH pins the static
+  // planner broadcasts the float-vector corpus off that lying
+  // estimate — measured: the ×10 clustered self-graph (160k × 512
+  // floats) OOMed an 8 GB driver and the ×100 wall more than
+  // doubled. The pins must hold for every lsh self-graph join.
+  test("self-kNN LSH graph: a lying-estimate (range-rooted) corpus " +
+      "is never statically broadcast") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.functions._
+    val vecs = spark.range(0, 2048).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        j => sin(col("id") * 8 + j)).as("embedding"))
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 3,
+      method = "lsh")
+    val bad = nodes(g).collect { case b: BroadcastExchangeExec => b }
+    assert(bad.isEmpty,
+      s"self-graph LSH plan statically broadcasts off a lying " +
+        s"estimate (${bad.size} BroadcastExchange nodes) — on a real " +
+        "corpus this is a corpus-sized driver broadcast build")
+    // and the scale-path spelling (int8 probe flow) holds the same pin
+    val sc8 = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding",
+      k = 3, selfGraph = true, maxBucket = 64, int8Probe = true)
+    val bad8 = nodes(sc8).collect { case b: BroadcastExchangeExec => b }
+    assert(bad8.isEmpty,
+      s"int8-probe scale path statically broadcasts off a lying " +
+        s"estimate (${bad8.size} BroadcastExchange nodes)")
+  }
+
   test("bounded-query lshTopK keeps its broadcast hints") {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     val vecs = (0L until 40L).map(i =>
