@@ -25,10 +25,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def connect(sfdir: str):
+    # Driver testdata ships single-FILE parquet; ScaleFixture output
+    # is Spark DIRECTORY-shaped parquet (<table>.parquet/part-*.parquet)
+    # — glob the parts in that case so the same gate runs on scale
+    # fixtures (the x10 sweep).
+    import os
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        p = f"{sfdir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return con
 
 

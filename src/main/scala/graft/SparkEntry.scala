@@ -5084,7 +5084,7 @@ object SparkEntry {
         |), bs AS MATERIALIZED (
         |  SELECT s.doc_id, s.lang, CAST(len(s.shingles) AS BIGINT) AS nsh, x.b
         |  FROM sh s JOIN (
-        |    SELECT e.doc_id, bitstring_agg(x.i, 0, 8191) AS b
+        |    SELECT e.doc_id, bitstring_agg(x.i, 0, 65535) AS b
         |    FROM ex e JOIN idx x USING (sh) GROUP BY e.doc_id) x USING (doc_id))
         |SELECT id_a, id_b, r(jaccard, 4) AS jaccard FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -5520,14 +5520,17 @@ object SparkEntry {
     // verifier the minhash-candidates + exact-verify plan must equal.
     // BITSTRING respell (round 11): the fixture corpus has ~2k
     // distinct 5-gram shingles, so each doc's shingle SET is a
-    // dense-indexed 8192-bit string and |A∩B| is one bit_count(a&b)
+    // dense-indexed 65536-bit string and |A∩B| is one bit_count(a&b)
     // per pair — the exact all-pairs verifier drops from >1000 s to
     // ~25 s at sf0.1 (the old per-pair list_intersect over ~700
     // string lists was the entire cost; the size-ratio skip stays,
-    // it is provably sound: J ≤ min/max). The 8191 index bound is a
-    // bitstring_agg constant; a regenerated corpus with > 8192
-    // distinct shingles fails LOUDLY (out-of-range), never silently
-    // wrong. Counts are set-exact — no hashing, no collisions.
+    // it is provably sound: J ≤ min/max). The 65535 index bound is a
+    // bitstring_agg constant; a corpus with > 65536 distinct shingles
+    // fails LOUDLY (out-of-range), never silently wrong. Widened from
+    // 8191 in round 12: the ×10 oracle sweep measured ~13k distinct
+    // shingles (the cipher fixture multiplies vocabulary by copies)
+    // and hit the old bound exactly as designed. Counts are
+    // set-exact — no hashing, no collisions.
     "dedup_ngram_verified" ->
       """WITH d AS MATERIALIZED (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
@@ -5543,7 +5546,7 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT sh FROM ex)
         |), bs AS MATERIALIZED (
         |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS nsh,
-        |    bitstring_agg(x.i, 0, 8191) AS b
+        |    bitstring_agg(x.i, 0, 65535) AS b
         |  FROM ex e JOIN idx x USING (sh) GROUP BY e.doc_id)
         |SELECT id_a, id_b, r(jaccard, 4) AS jaccard FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -5574,7 +5577,7 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT sh FROM ex)
         |), bs AS MATERIALIZED (
         |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS nsh,
-        |    bitstring_agg(x.i, 0, 8191) AS b
+        |    bitstring_agg(x.i, 0, 65535) AS b
         |  FROM ex e JOIN idx x USING (sh) GROUP BY e.doc_id
         |), pairs AS MATERIALIZED (
         |  SELECT id_a, id_b FROM (
@@ -5614,7 +5617,7 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT sh FROM ex)
         |), bs AS MATERIALIZED (
         |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS nsh,
-        |    bitstring_agg(x.i, 0, 8191) AS b
+        |    bitstring_agg(x.i, 0, 65535) AS b
         |  FROM ex e JOIN idx x USING (sh) GROUP BY e.doc_id
         |), pairs AS MATERIALIZED (
         |  SELECT id_a, id_b FROM (
@@ -6002,7 +6005,7 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT sh FROM ex)
         |), bs AS MATERIALIZED (
         |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS nsh,
-        |    bitstring_agg(x.i, 0, 8191) AS b
+        |    bitstring_agg(x.i, 0, 65535) AS b
         |  FROM ex e JOIN idx x USING (sh) GROUP BY e.doc_id
         |), pairs AS MATERIALIZED (
         |  SELECT id_a, id_b FROM (
@@ -7189,7 +7192,7 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT sh FROM ex)
         |), bs AS MATERIALIZED (
         |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS nsh,
-        |    bitstring_agg(x.i, 0, 8191) AS b
+        |    bitstring_agg(x.i, 0, 65535) AS b
         |  FROM ex e JOIN idx x USING (sh) GROUP BY e.doc_id
         |), dropped AS (
         |  SELECT DISTINCT a.doc_id FROM bs a JOIN bs b
