@@ -143,9 +143,22 @@ object Dedup {
     // pays a SortAggregate over 2×pairs wide array rows — and
     // candidate pairs outnumber docs on any near-dup-dense corpus
     // (A/B'd in tools/AbMinhash: melt 2.8 s vs joins 1.8 s at sf0.1).
+    // MERGE pins: the signature tables are corpus-sized (numHashes
+    // longs per row) and a corpus subtree with no shuffle boundary
+    // below the join (range-rooted synthetics, long transform
+    // chains) keeps a rows×8 B size estimate — the STATIC planner
+    // would broadcast a corpus-scale array table off that lying
+    // estimate, with no AQE stage to correct it (measured on the
+    // knnGraph self-graph: 8 GB driver OOM; the round-12 audit tool
+    // `AuditBroadcast` caught the same plan here). MERGE, not
+    // SHUFFLE_HASH, for array payloads: hash builds cannot spill
+    // (the ngramJaccardVerified comment below records the ×100 OOM),
+    // sort-merge is AQE's own choice on honest corpus-scale stats.
     pairs
-      .join(sig.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sig.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sig.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
+        .hint("MERGE"), Seq("id_a"))
+      .join(sig.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
+        .hint("MERGE"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.expressions.LaneAgreement.lane_agreement(
           col("sig_a"), col("sig_b")).as("est_jaccard"))
@@ -187,10 +200,20 @@ object Dedup {
       .agg(count(lit(1)).as("_n"), min(col(idCol)).as("_hub"))
     val keepBuckets = bucketCounts
       .filter(col("_n") <= maxBucket).select("band", "bh")
-    val capped = banded.join(keepBuckets, Seq("band", "bh"))
+    // SHUFFLE_HASH pins (lying-estimate defense, see the sig attach
+    // comment in minhashCandidatePairs): the counts/filter sides and
+    // the banded self-join rows are SKINNY (band, bh, id), so a
+    // per-partition hash build is bounded — and the (band, bh)
+    // exchange the pin forces on `banded` is the one the self-join
+    // needs anyway. Without the pin the static planner may broadcast
+    // the band-bucket table, which is CORPUS-scale (n×bands rows),
+    // not bucket-bounded.
+    val capped = banded.join(keepBuckets.hint("SHUFFLE_HASH"),
+      Seq("band", "bh"))
 
     val cliquePairs = capped.select(col("band"), col("bh"), col(idCol).as("id_a"))
-      .join(capped.select(col("band"), col("bh"), col(idCol).as("id_b")),
+      .join(capped.select(col("band"), col("bh"), col(idCol).as("id_b"))
+        .hint("SHUFFLE_HASH"),
         Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -199,7 +222,8 @@ object Dedup {
       // hub-spoke edges for over-cap buckets: O(bucket) rows out of
       // one join against the same counts aggregate (hub = min id)
       val starPairs = banded.join(
-        bucketCounts.filter(col("_n") > maxBucket).select("band", "bh", "_hub"),
+        bucketCounts.filter(col("_n") > maxBucket).select("band", "bh", "_hub")
+          .hint("SHUFFLE_HASH"),
           Seq("band", "bh"))
         .filter(col(idCol) =!= col("_hub"))
         .select(col("_hub").as("id_a"), col(idCol).as("id_b"))
@@ -558,7 +582,13 @@ object Dedup {
       col(idCol).as("id_a"), col(hashCol).as("sh_a"))
     val b = capped.select(col("chunk"), col("piece"),
       col(idCol).as("id_b"), col(hashCol).as("sh_b"))
-    a.join(b, Seq("chunk", "piece"))
+    // SHUFFLE_HASH pin (lying-estimate defense, rows are skinny
+    // 32-byte (chunk, piece, id, hash) tuples): both sides consume
+    // the SAME (chunk, piece) exchange the flood-cap window already
+    // forces, so the pin adds no shuffle — it only forbids the
+    // static planner from broadcasting the corpus-scale banded table
+    // off a lying estimate (AuditBroadcast caught the plan).
+    a.join(b.hint("SHUFFLE_HASH"), Seq("chunk", "piece"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
@@ -743,11 +773,15 @@ object Dedup {
     // below by ~4; on near-dup-only candidate sets it is a no-op
     // pass over narrow rows.
     val sizes = withSh.select(col(idCol), size(col("sh")).as("_n"))
+    // SHUFFLE_HASH pins on the skinny size tables (lying-estimate
+    // defense — see minhashCandidatePairs' sig attach comment; the
+    // round-12 AuditBroadcast run caught these planned as static
+    // broadcasts on a range-rooted corpus)
     val survivors = candidates
-      .join(sizes.select(col(idCol).as("id_a"), col("_n").as("_na")),
-        Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("_n").as("_nb")),
-        Seq("id_b"))
+      .join(sizes.select(col(idCol).as("id_a"), col("_n").as("_na"))
+        .hint("SHUFFLE_HASH"), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("_n").as("_nb"))
+        .hint("SHUFFLE_HASH"), Seq("id_b"))
       .filter(least(col("_na"), col("_nb")).cast("double") /
         greatest(col("_na"), col("_nb")) >= threshold)
       .select(col("id_a"), col("id_b"))
@@ -757,15 +791,21 @@ object Dedup {
     // near-dup-dense corpus (where pairs ≫ docs) that second heavy
     // shuffle dominates; the two-join shape ships each pair's array
     // mass once and drops the arrays at the threshold filter before
-    // anything else moves. The joins are deliberately UNHINTED:
-    // forcing a SHUFFLE_HASH build of corpus shingle ARRAYS measured
-    // 25% slower than AQE's choice at ×10 and cannot spill (it OOM'd
-    // the ×100 fixture outright).
+    // anything else moves. The array joins pin MERGE (round 12; they
+    // were deliberately unhinted before): SHUFFLE_HASH is wrong here
+    // — forcing a hash build of corpus shingle ARRAYS measured 25%
+    // slower than AQE's sort-merge at ×10 and cannot spill (it OOM'd
+    // the ×100 fixture outright) — but UNHINTED is also wrong: on a
+    // corpus whose subtree carries a lying size estimate (no shuffle
+    // boundary below the join) the STATIC planner broadcasts the
+    // shingle-array table, which at scale is a driver OOM
+    // (AuditBroadcast caught the plan). MERGE = the same sort-merge
+    // AQE picks on honest stats, made unconditional.
     survivors
-      .join(withSh.select(col(idCol).as("id_a"), col("sh").as("sh_a")),
-        Seq("id_a"))
-      .join(withSh.select(col(idCol).as("id_b"), col("sh").as("sh_b")),
-        Seq("id_b"))
+      .join(withSh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+        .hint("MERGE"), Seq("id_a"))
+      .join(withSh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+        .hint("MERGE"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.expressions.SortedLongJaccard.sorted_long_jaccard(
           col("sh_a"), col("sh_b")).as("jaccard"))
@@ -852,13 +892,19 @@ object Dedup {
         col("_q8.mn").as("_mn"), col("_q8.scale").as("_scale"),
         explode(transform(probes, m => col("_sig").bitwiseXOR(m)))
           .as("bucket"))
-    // base side: one fp copy per row, capped buckets withheld
+    // base side: one fp copy per row, capped buckets withheld.
+    // SHUFFLE_HASH on the counts filter, MERGE on the vector-carrying
+    // candidate join (lying-estimate defense — AuditBroadcast caught
+    // the static planner broadcasting the v_b-carrying base side off
+    // a rows×8 B estimate; payload builds must stay spillable, so
+    // MERGE, not SHUFFLE_HASH — see ngramJaccardVerified's comment)
     val b = sig
-      .join(counts.filter(col("_n") <= maxBucket).select("bucket"),
+      .join(counts.filter(col("_n") <= maxBucket).select("bucket")
+        .hint("SHUFFLE_HASH"),
         Seq("bucket"))
       .select(col("bucket"), col(idCol).as("id_b"), col("v").as("v_b"))
 
-    val candidates = aCoded.join(b, Seq("bucket"))
+    val candidates = aCoded.join(b.hint("MERGE"), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .filter(int8_dot(col("v_b"), col("_code"), col("_mn"), col("_scale"))
         >= threshold - int8Margin)
@@ -868,7 +914,8 @@ object Dedup {
     val withStar = if (overCap == "star") {
       val star = sig
         .join(counts.filter(col("_n") > maxBucket)
-          .select(col("bucket"), col("_hub")), Seq("bucket"))
+          .select(col("bucket"), col("_hub")).hint("SHUFFLE_HASH"),
+          Seq("bucket"))
         .filter(col(idCol) =!= col("_hub"))
         .select(col("_hub").as("id_a"), col(idCol).as("id_b"),
           col("v").as("v_b"))
@@ -876,8 +923,9 @@ object Dedup {
     } else candidates
 
     // exact verify on survivors only: one keyed join re-attaches v_a
+    // (MERGE — vector payload side, same pin rationale as above)
     withStar
-      .join(vById, Seq("id_a"))
+      .join(vById.hint("MERGE"), Seq("id_a"))
       .select(col("id_a"), col("id_b"),
         Similarity.dot(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
@@ -946,16 +994,22 @@ object Dedup {
           m => bandOf(col("_sig64"), col("_t")).bitwiseXOR(m)))
           .as("bucket"))
 
+    // SHUFFLE_HASH pins throughout the skinny banded joins
+    // (lying-estimate defense — see embeddingCosinePairs above); the
+    // (_t, bucket) exchange is shared by filter, candidate and star
+    // joins, so the pins add no shuffle
     val under = base.join(
-      counts.filter(col("_n") <= maxBucket).select("_t", "bucket"),
+      counts.filter(col("_n") <= maxBucket).select("_t", "bucket")
+        .hint("SHUFFLE_HASH"),
       Seq("_t", "bucket"))
-    val cands = probing.join(under, Seq("_t", "bucket"))
+    val cands = probing.join(under.hint("SHUFFLE_HASH"), Seq("_t", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
     val withStar = if (overCap == "star") {
       val star = base
         .join(counts.filter(col("_n") > maxBucket)
-          .select(col("_t"), col("bucket"), col("_hub")), Seq("_t", "bucket"))
+          .select(col("_t"), col("bucket"), col("_hub"))
+          .hint("SHUFFLE_HASH"), Seq("_t", "bucket"))
         .filter(col("id_b") =!= col("_hub"))
         .select(col("_hub").as("id_a"), col("id_b"))
       cands.unionByName(star)
@@ -971,14 +1025,17 @@ object Dedup {
       .select(col(idCol).as("id_b"), int8_code(col("v")).as("_q8"))
       .select(col("id_b"), col("_q8.code").as("_code"),
         col("_q8.mn").as("_mn"), col("_q8.scale").as("_scale"))
+    // vector attaches pin MERGE (payload sides must stay spillable
+    // and never statically broadcast — see embeddingCosinePairs);
+    // the int8 code table is skinny and pins SHUFFLE_HASH
     withStar.distinct()
-      .join(norm.select(col(idCol).as("id_a"), col("v").as("v_a")),
-        Seq("id_a"))
-      .join(codes, Seq("id_b"))
+      .join(norm.select(col(idCol).as("id_a"), col("v").as("v_a"))
+        .hint("MERGE"), Seq("id_a"))
+      .join(codes.hint("SHUFFLE_HASH"), Seq("id_b"))
       .filter(int8_dot(col("v_a"), col("_code"), col("_mn"), col("_scale"))
         >= threshold - int8Margin)
-      .join(norm.select(col(idCol).as("id_b"), col("v").as("v_b")),
-        Seq("id_b"))
+      .join(norm.select(col(idCol).as("id_b"), col("v").as("v_b"))
+        .hint("MERGE"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.dot(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
@@ -1140,7 +1197,12 @@ object Dedup {
       .select(col(idCol), col("fp")).distinct()
     val ok = fps.groupBy(col("fp")).agg(count(lit(1)).as("_c"))
       .filter(col("_c") <= maxFpFreq).select(col("fp"))
-    val a = fps.join(ok, Seq("fp")).select(col("fp"), col(idCol).as("id_a"))
+    // SHUFFLE_HASH pin on the frequency filter too (lying-estimate
+    // defense — AuditBroadcast caught a static broadcast of the
+    // fingerprint-space table, which is corpus-scale, not bounded);
+    // the fp exchange it forces is the one the pair join needs anyway
+    val a = fps.join(ok.hint("SHUFFLE_HASH"), Seq("fp"))
+      .select(col("fp"), col(idCol).as("id_a"))
     val b = fps.select(col("fp"), col(idCol).as("id_b"))
     // SHUFFLE_HASH: sort-merge would sort the full fingerprint mass
     // on both sides; hashing the frequency-capped side streams the

@@ -407,6 +407,49 @@ class PlanSpec extends AnyFunSuite {
         s"estimate (${bad8.size} BroadcastExchange nodes)")
   }
 
+  // Round-12 continuation: the same lying-estimate pin for the whole
+  // self-join dedup family (found by graft.tools.AuditBroadcast —
+  // minhash sig tables, shingle arrays, banded hamming rows, winnow
+  // fp filters and float-vector sides all planned as static
+  // broadcasts on a range-rooted corpus). Every op must plan ZERO
+  // BroadcastExchange when its input's size estimate lies small.
+  test("dedup self-join family: a lying-estimate (range-rooted) " +
+      "corpus is never statically broadcast") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.functions._
+    val rdocs = spark.range(0, 256).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(j =>
+        concat(lit("w"), ((col("id") * 7 + j) % 97))): _*).as("text"))
+    val remb = spark.range(0, 256).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        j => sin(col("id") * 16 + j)).as("embedding"))
+    def assertNoBcast(name: String, df: DataFrame): Unit = {
+      val bad = nodes(df).collect { case b: BroadcastExchangeExec => b }
+      assert(bad.isEmpty,
+        s"$name statically broadcasts off a lying estimate " +
+          s"(${bad.size} BroadcastExchange nodes) — corpus-sized " +
+          "driver broadcast build at scale")
+    }
+    assertNoBcast("minhashCandidatePairs",
+      Dedup.minhashCandidatePairs(rdocs, "doc_id", "text"))
+    assertNoBcast("minhashCandidatePairs(star)",
+      Dedup.minhashCandidatePairs(rdocs, "doc_id", "text",
+        maxBucket = 4, overCap = "star"))
+    assertNoBcast("ngramJaccardVerified",
+      Dedup.ngramJaccardVerified(rdocs, "doc_id", "text",
+        threshold = 0.8))
+    assertNoBcast("simhashPairs",
+      Dedup.simhashPairs(rdocs, "doc_id", "text", maxHamming = 3))
+    assertNoBcast("winnowCandidatePairs",
+      Dedup.winnowCandidatePairs(rdocs, "doc_id", "text"))
+    assertNoBcast("embeddingCosinePairs",
+      Dedup.embeddingCosinePairs(remb, "vec_id", "embedding",
+        threshold = 0.3, planes = 4, probeBits = 1))
+    assertNoBcast("embeddingCosinePairs(banded)",
+      Dedup.embeddingCosinePairs(remb, "vec_id", "embedding",
+        threshold = 0.3, planes = 4, probeBits = 1, tables = 2))
+  }
+
   test("bounded-query lshTopK keeps its broadcast hints") {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     val vecs = (0L until 40L).map(i =>
