@@ -583,11 +583,16 @@ object Dedup {
     val b = capped.select(col("chunk"), col("piece"),
       col(idCol).as("id_b"), col(hashCol).as("sh_b"))
     // SHUFFLE_HASH pin (lying-estimate defense, rows are skinny
-    // 32-byte (chunk, piece, id, hash) tuples): both sides consume
-    // the SAME (chunk, piece) exchange the flood-cap window already
-    // forces, so the pin adds no shuffle — it only forbids the
-    // static planner from broadcasting the corpus-scale banded table
-    // off a lying estimate (AuditBroadcast caught the plan).
+    // 32-byte (chunk, piece, id, hash) tuples). When the flood cap
+    // is active (maxBucket < Int.MaxValue) both sides consume the
+    // SAME (chunk, piece) exchange the cap's window already forces,
+    // so the pin adds no shuffle; with the cap off (the exact-pair
+    // contract, e.g. pipeline_multimodal's maxBucket=MaxValue) no
+    // window exchange exists below the join and the pin pays the
+    // normal two-sided exchange any non-broadcast join needs anyway.
+    // Either way it only forbids the static planner from
+    // broadcasting the corpus-scale banded table off a lying
+    // estimate (AuditBroadcast caught the plan).
     a.join(b.hint("SHUFFLE_HASH"), Seq("chunk", "piece"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

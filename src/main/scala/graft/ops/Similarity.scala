@@ -233,10 +233,12 @@ object Similarity {
     * a measured stage to correct it, and the "runtime decision" this
     * comment used to promise silently became a multi-GB driver
     * broadcast build (measured: the ×10 clustered self-graph OOMed
-    * an 8 GB driver and more than doubled the ×100 wall). Build
-    * sides under the pin are the per-partition-bounded ones: the
-    * int8 corpus slice for the bucket join, the query-vector table
-    * for the scoring attach.
+    * an 8 GB driver and more than doubled the ×100 wall). Pin choice
+    * follows the skinny-vs-payload rule from Dedup: the int8 corpus
+    * slice (D bytes/row) is a skinny bounded build side →
+    * SHUFFLE_HASH on the bucket join; the query-vector attach builds
+    * from full FLOAT vectors, and an unspillable hash build of a
+    * payload side is an executor-OOM cliff → MERGE there.
     * Returns (queryIdOut, neighbor_id, approx) rows. */
   private[graft] def int8CandidateScan(cSide: DataFrame, probeSide: DataFrame,
                                        qVecs: DataFrame,
@@ -259,7 +261,7 @@ object Similarity {
           .join(broadcast(qSel), Seq(queryIdOut))
       else
         bucketJoined.filter(col("neighbor_id") =!= col(queryIdOut))
-          .join(qSel.hint("SHUFFLE_HASH"), Seq(queryIdOut))
+          .join(qSel.hint("MERGE"), Seq(queryIdOut))
     attached.select(col(queryIdOut), col("neighbor_id"),
       int8_dot(col("v_q"), col("_code"), col("_mn"), col("_scale"))
         .as("approx"))
@@ -282,15 +284,19 @@ object Similarity {
   private[ops] def exactRerank(candidates: DataFrame, c: DataFrame, q: DataFrame,
                           queryIdOut: String, k: Int,
                           hintBroadcast: Boolean = true): DataFrame = {
-    // false mode pins SHUFFLE_HASH on both vector attaches: the
-    // corpus/query float tables can carry lying size estimates (see
+    // false mode pins MERGE on both vector attaches: the corpus/query
+    // float tables can carry lying size estimates (see
     // int8CandidateScan's scaladoc) and a statically mis-broadcast
     // float-vector table is the single most expensive wrong plan in
-    // this file. Both are per-partition-bounded build sides (n/parts
-    // rows of one vector each); the candidate stream stays the probe
-    // side.
-    val cSide = if (hintBroadcast) c else c.hint("SHUFFLE_HASH")
-    val qSide = if (hintBroadcast) broadcast(q) else q.hint("SHUFFLE_HASH")
+    // this file. MERGE rather than SHUFFLE_HASH because these build
+    // sides are full float-vector PAYLOADS: a shuffled-hash build
+    // cannot spill, so one skewed partition of vectors is an
+    // executor-OOM cliff (the same shape OOMed the ×100 shingle-array
+    // build in Dedup.ngramJaccardVerified — see its MERGE rule);
+    // sort-merge spills both sides. Skinny bounded sides elsewhere
+    // (counts, probe keys, int8 codes) keep SHUFFLE_HASH.
+    val cSide = if (hintBroadcast) c else c.hint("MERGE")
+    val qSide = if (hintBroadcast) broadcast(q) else q.hint("MERGE")
     val reranked = candidates
       .join(cSide, Seq("neighbor_id"))
       .join(qSide, Seq(queryIdOut))
@@ -560,10 +566,16 @@ object Similarity {
     * `selfGraph = true` (set by [[knnGraph]]) declares that `queries`
     * IS the corpus: every broadcast hint on query-derived tables is
     * dropped (they grow linearly with the corpus — the probe
-    * explosion alone is `#masks ×` corpus rows), so the bucket join
-    * and the re-rank attach run as keyed shuffle joins; AQE still
-    * upgrades them to broadcast from measured sizes when genuinely
-    * small.
+    * explosion alone is `#masks ×` corpus rows), and every
+    * corpus-derived join is PINNED non-broadcast — merely omitting
+    * the hint is NOT safe, because the static planner picks broadcast
+    * from size ESTIMATES and a corpus subtree with no shuffle
+    * boundary below the join keeps a lying rows×8-byte estimate that
+    * AQE never gets a measured stage to correct (measured: ×10
+    * self-graph OOMed an 8 GB driver pre-pin). Pin choice follows
+    * the skinny-vs-payload rule: SHUFFLE_HASH for bounded skinny
+    * build sides (bucket counts, probe keys, int8 codes), MERGE for
+    * float-vector payload sides (hash builds cannot spill).
     *
     * `maxBucket > 0` caps signature-bucket occupancy (the skew cliff:
     * a near-identical family floods one bucket and the candidate join
@@ -708,19 +720,23 @@ object Similarity {
       exactRerank(all, c, qPlain, queryIdOut, k, hintBroadcast = hint)
     } else {
       // rerank = 0: float scoring inside the bucket join. Self-graph
-      // mode pins SHUFFLE_HASH with the corpus as build side — same
+      // mode pins MERGE with the corpus as build side — same
       // lying-estimate hazard as above, and here a mis-broadcast
-      // ships full float vectors.
+      // ships full float vectors. MERGE, not SHUFFLE_HASH: the
+      // corpus side is a float-vector PAYLOAD, and a shuffled-hash
+      // build of payload rows cannot spill (Dedup's measured rule —
+      // the ×100 shingle-array hash build OOMed exactly this way).
       val base =
         (if (hint) cJoin.join(broadcast(q), Seq("bucket"))
-         else cJoin.hint("SHUFFLE_HASH").join(q, Seq("bucket")))
+         else cJoin.hint("MERGE").join(q, Seq("bucket")))
         .filter(col("neighbor_id") =!= col(queryIdOut))
         .select(col(queryIdOut), col("neighbor_id"),
           dot(col("v_q"), col("v_c")).as("cosine"))
       val scored = starCands match {
         case Some(sc) =>
-          val cv = if (hint) c else c.hint("SHUFFLE_HASH")
-          val qv = if (hint) broadcast(qPlain) else qPlain.hint("SHUFFLE_HASH")
+          // float-vector payload attaches → MERGE (spillable build)
+          val cv = if (hint) c else c.hint("MERGE")
+          val qv = if (hint) broadcast(qPlain) else qPlain.hint("MERGE")
           base.unionByName(sc.join(cv, Seq("neighbor_id"))
             .join(qv, Seq(queryIdOut))
             .select(col(queryIdOut), col("neighbor_id"),
