@@ -96,7 +96,9 @@ object Bench {
     "stream_sustained_window" -> "events",
     "stream_sustained_interval_join" -> "events",
     "stream_sustained_stream_join" -> "events",
-    "stream_sustained_left_join" -> "events")
+    "stream_sustained_left_join" -> "events",
+    "stream_sustained_dedup_fingerprint" -> "documents",
+    "stream_sustained_classify" -> "documents")
 
   /** Input-rows multiplier per stream query (default 1): the
     * sustained bench reads an N-copy landing of its table. */
@@ -104,7 +106,37 @@ object Bench {
     Map("stream_sustained_window" -> 10L,
       "stream_sustained_interval_join" -> 10L,
       "stream_sustained_stream_join" -> 10L,
-      "stream_sustained_left_join" -> 10L)
+      "stream_sustained_left_join" -> 10L,
+      "stream_sustained_dedup_fingerprint" -> 10L,
+      "stream_sustained_classify" -> 10L)
+
+  /** ×10 scale lane (round 13): correctness runs a decade up
+    * (CORRECTNESS_sf1), but until now the bench did not, so a
+    * SCALE-ONLY plan regression — the class round 12 fixed, where a
+    * lying size estimate flips a join to a static broadcast only
+    * once the side is big enough to hurt — was invisible between
+    * manual anchor campaigns. Each round times the banded ≥1 s
+    * queries once on a 10× disjoint-copy fixture
+    * ([[graft.tools.ScaleFixture]] semantics: per-copy key offsets,
+    * cipher-perturbed text, rotated embeddings), built on demand
+    * when the scratch dir did not survive the round boundary.
+    *
+    * q_triangles runs FIRST and doubles as the WINDOW GAUGE
+    * (clean-machine band 21.2–22.6 s): this sandbox has measured
+    * 2–4× kernel-side slowdowns that move every shuffle-heavy
+    * number uniformly, so read the lane relative to the gauge
+    * before calling anything a regression (BASELINE.md window
+    * notes). Single-run, not best-of-2 — at 2–90 s per query the
+    * lane already costs ~3 min and JIT is amortized by the sf0.1
+    * lanes that ran before it in the same JVM. */
+  val x10Headline: Seq[String] = Seq(
+    "q_triangles", // gauge — keep first
+    "q_pagerank", "dedup_ngram_verified", "dedup_winnow_pairs",
+    "text_winnow", "q_dsir_select", "dedup_simhash_pairs",
+    "dedup_incr_neardup", "text_classify_nb", "sim_knn_components",
+    "q_split_safe", "q_pack_greedy", "q_scd2",
+    "q_snapshot_upsert_compact", "stream_upsert",
+    "sim_knn_lsh_clustered") // slowest (~30-90 s) — keep last
 
   /** Full query inventory: oracled queries + bench-only raw ANN
     * top-k (kept under their historical names). */
@@ -124,9 +156,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(name: String): Double = {
+    def runIn(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try inventory(name)(spark, sfDir)
+      try inventory(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -134,6 +166,7 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    def runOnce(name: String): Double = runIn(name, sfDir)
 
     // Warm EVERY measured query once outside the clock. Partial
     // warmup (one query per family) left 35/41 queries paying
@@ -186,6 +219,38 @@ object Bench {
       (name, sec, rps)
     }
 
+    // ×10 scale lane (see x10Headline doc). Failure-guarded end to
+    // end: a fixture-build failure (no scratch space, read-only fs)
+    // or a per-query failure must not discard the completed sf0.1
+    // lanes. GRAFT_BENCH_X10=0 skips the lane entirely.
+    val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/root/scratch/x10")
+    val x10Results: Seq[(String, Double)] =
+      if (sys.env.get("GRAFT_BENCH_X10").contains("0")) Nil
+      else {
+        val ready =
+          try {
+            if (!java.nio.file.Files.exists(
+                java.nio.file.Paths.get(s"$x10Dir/lineitem.parquet")))
+              graft.tools.ScaleFixture.build(spark, sfDir, x10Dir, 10,
+                Set.empty)
+            true
+          } catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] x10 fixture unavailable at $x10Dir: ${e.getMessage}")
+            false
+          }
+        if (!ready) Nil
+        else x10Headline.map { n =>
+          val sec = runIn(n, x10Dir)
+          // the scale lane runs 2–90 s queries back-to-back on a big
+          // fixture; release each query's shuffle files before the
+          // next (same reasoning as TimeQuery — the ContextCleaner
+          // only reclaims them on GC)
+          System.gc()
+          n -> sec
+        }
+      }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
@@ -193,9 +258,13 @@ object Bench {
       "\"" + k + "\":{\"sec\":" + r3(sec) + ",\"rows_per_sec\":" + rps + "}"
     }.mkString("{", ",", "}")
     val streamTotal = r3(streamResults.map(_._2).filter(_ >= 0).sum)
+    val xs = x10Results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val x10Total = r3(x10Results.map(_._2).filter(_ >= 0).sum)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""streams":$ss,"stream_total_sec":$streamTotal,"sf":"$sfDir"}"""
+        s""""streams":$ss,"stream_total_sec":$streamTotal,""" +
+        s""""x10":$xs,"x10_total_sec":$x10Total,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable =>
@@ -213,6 +282,9 @@ object Bench {
     }
     streamResults.foreach { case (k, sec, rps) =>
       println(s"""{"query":"$k","sec":${r3(sec)},"rows_per_sec":$rps}""")
+    }
+    x10Results.foreach { case (k, v) =>
+      println(s"""{"query":"$k","sec":${r3(v)},"lane":"x10"}""")
     }
     println(line)
     System.out.flush()

@@ -116,6 +116,46 @@ object SparkEntry {
       d
     })
 
+  /** N-copy DOCUMENTS landing with per-copy id offsets and a
+    * copy-unique alphabet bijection on the text (the ScaleFixture
+    * perturbation): for the sustained STATEFUL-DEDUP bench the
+    * copies must be distinct — identical copies after copy 1 are
+    * pure state-lookup hits, so the state table would stay 1× and
+    * the run would measure lookup throughput while claiming to
+    * measure state growth. Distinct copies grow the dedup state ×N,
+    * the honest shape of a real stream (new content keeps arriving;
+    * the state store only ever gets bigger). One file per copy, so
+    * the AvailableNow run still replays N files through the same
+    * micro-batch machinery. */
+  private def sharedLandingDocsPerturbedN(s: SparkSession, dir: String,
+                                          copies: Int): java.nio.file.Path =
+    landingDirs.computeIfAbsent(s"$dir/documents/perturbed_x$copies", _ => {
+      val d = scratch(s"land_docs_px$copies")
+      val docs = t(s, dir, "documents")
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      (0 until copies).foreach { k =>
+        val shifted = docs.withColumn("doc_id", col("doc_id") + lit(k * stride))
+        val c =
+          if (k == 0) shifted
+          else {
+            val perm = new scala.util.Random(k * 0x9E3779B97F4A7C15L)
+              .shuffle(alpha.toList).mkString
+            shifted.withColumn("text", translate(col("text"),
+              alpha + alpha.toUpperCase, perm + perm.toUpperCase))
+          }
+        c.coalesce(1).write.mode("overwrite")
+          .parquet(d.resolve(s"c$k").toString)
+        // flatten the copy's single part file into the landing dir
+        copyTableFlat(d.resolve(s"c$k"), d, f"documents_$k%02d")
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(d.resolve(s"c$k")).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      d
+    })
+
   /** Rebalance a (possibly single-split) input across the cluster
     * before a CPU-heavy per-row stage. Small tables arrive as one
     * parquet split and would otherwise run regex/shingling on one
@@ -437,6 +477,58 @@ object SparkEntry {
       sink.execute(joined).fold(e => throw e, _ => ())
       s.read.parquet(work.resolve("out").toString)
     }),
+    // ---- SUSTAINED stateful dedup + stateless classify -----------
+    // stream_dedup_fingerprint at 1× reads ~924 rows/s — the lane's
+    // slowest per-row number, but it is fixture-sized (500 docs) and
+    // overhead-bound, so it says nothing about the state store. This
+    // run replays a 10-copy PERTURBED landing (distinct ids + texts
+    // per copy — see sharedLandingDocsPerturbedN: identical copies
+    // would hit existing state and never grow it), so the dedup
+    // state grows 10× across the replay and the reported rows/s is
+    // state-insert throughput. The output row count IS the final
+    // state size (one row per distinct fingerprint): rows == 10×
+    // the single-copy distinct count pins the growth.
+    "stream_sustained_dedup_fingerprint" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val work = scratch("stream_sus_dd")
+      val inDir = sharedLandingDocsPerturbedN(s, dir, copies = 10)
+      val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
+        Map("input_path" -> inDir.toString), work, "default")
+      val docs = scan.execute().fold(e => throw e, identity)
+        .withColumn("event_time",
+          expr("timestamp_micros((doc_id + 1) * 1000000)"))
+      val deduped = graft.streaming.Streams.dedupStream(
+        docs, "text", "event_time", watermark = "1 hour")
+      val sink = new graft.plugins.streaming.StreamParquetWriterPlugin(
+        Map("output_path" -> work.resolve("out").toString), work, "default")
+      sink.execute(deduped).fold(e => throw e, _ => ())
+      s.read.parquet(work.resolve("out").toString)
+        .select(Text.fingerprint(col("text")).as("fingerprint"))
+    }),
+    // stream_classify is STATELESS (the model rides in the plan as a
+    // literal — no join, no state store), so identical copies are the
+    // honest densification: the sustained number is pure per-row
+    // scoring throughput through the micro-batch machinery.
+    "stream_sustained_classify" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val work = scratch("stream_sus_cls")
+      val (train, _, _) = nbSplit(s, dir)
+      val (prior, weights) = graft.ops.NaiveBayes.logOddsModel(
+        train, "text", "label", "hi", "lo", maxTerms = 64)
+      val inDir = sharedLandingN(dir, "documents", copies = 10)
+      val scan = new graft.plugins.streaming.ParquetStreamScanPlugin(
+        Map("input_path" -> inDir.toString), work, "default")
+      val docs = scan.execute().fold(e => throw e, identity)
+        .filter(length(graft.ops.Text.normalize(col("text"))) > 0)
+      val scored = graft.ops.NaiveBayes.scoreWithModel(
+        docs, "text", prior, weights, "hi", "lo")
+        .select(col("doc_id"), col("pred"), col("score"))
+      val sink = new graft.plugins.streaming.StreamParquetWriterPlugin(
+        Map("output_path" -> work.resolve("out").toString), work, "default")
+      sink.execute(scored).fold(e => throw e, _ => ())
+      s.read.parquet(work.resolve("out").toString)
+    }),
+
     // ---- ANN scale paths on the clustered fixture ----------------
     // brute is the comparison baseline; lsh/ivf/ivfpq are the paths
     // whose bucketing actually prunes here (32 tight clusters), so

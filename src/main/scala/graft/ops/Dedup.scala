@@ -1112,7 +1112,12 @@ object Dedup {
       .select(col("_cl"), col(idCol).as("_id_a"), col("v").as("_v_a"))
     val b = clustered
       .select(col("_cl"), col(idCol).as("_id_b"), col("v").as("_v_b"))
-    val dropped = a.join(b, Seq("_cl"))
+    // MERGE pin (round-13 audit): b is the WHOLE normalized-vector
+    // corpus (self-op; the centroid assignment is a per-row
+    // expression, no exchange below → AQE-blind), so a lying
+    // estimate statically broadcasts every float vector. MERGE, not
+    // SHUFFLE_HASH — vector payloads, hash builds cannot spill.
+    val dropped = a.join(b.hint("MERGE"), Seq("_cl"))
       .filter(col("_id_a") < col("_id_b"))
       .filter(Similarity.dot(col("_v_a"), col("_v_b")) >= threshold)
       .select(col("_id_b").as(idCol)).distinct()

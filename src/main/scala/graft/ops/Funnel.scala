@@ -49,9 +49,18 @@ object Funnel {
             lit(0L).as("_anchor"))
           else acc.select(col(keyCol), prevT.as("_prev"),
             col(s"t_${steps.head}").as("_anchor"))
+        // SHUFFLE_HASH pin on the raw event side (round-13 audit):
+        // ev is ALWAYS corpus-scale (self-op on the event stream) and
+        // its subtree is scan→project with no exchange below, so a
+        // lying estimate statically broadcasts the whole event table
+        // once PER STEP with nothing for AQE to measure first. Skinny
+        // (key, t, type) rows → hash build; the exchange the pin
+        // forces on ev is the same keyed exchange a non-broadcast
+        // join needs anyway, and AQE may still broadcast `anchored`
+        // (genuinely key-sized) from measured sizes.
         acc.join(
           anchored
-            .join(ev, Seq(keyCol))
+            .join(ev.hint("SHUFFLE_HASH"), Seq(keyCol))
             .filter(col("_ty") === step && col("_t") > col("_prev") &&
               spanOk)
             .groupBy(col(keyCol)).agg(min(col("_t")).as(tc)),

@@ -96,7 +96,14 @@ object FuzzyJoin {
       col("_s").as("s_a"))
     val b = keyed.select(col("_bk"), col("_id").as("id_b"),
       col("_s").as("s_b"))
-    a.join(b, Seq("_bk"))
+    // MERGE pin (round-13 AuditBroadcast wave 2): b is ALWAYS
+    // corpus-derived (self-join) and its subtree is scan→normalize→
+    // explode with no exchange below — a lying size estimate turns
+    // it into a static driver broadcast AQE never gets to correct.
+    // MERGE rather than SHUFFLE_HASH because the rows carry the
+    // normalized STRING payload (document-length by contract): hash
+    // builds cannot spill, sort-merge can.
+    a.join(b.hint("MERGE"), Seq("_bk"))
       .filter(col("id_a") < col("id_b"))
       .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDistance)
       .select("id_a", "id_b", "s_a", "s_b")

@@ -81,8 +81,16 @@ object IncrementalDedup {
     val might = BloomMightContain.might_contain(col(keyCol), bcast)
     val definitelyNew = batch.filter(!might)
     val candidates = batch.filter(might)
+    // SHUFFLE_HASH pin (round-13 audit): the reference is the
+    // ACCUMULATED store — corpus-scale by contract — and the distinct
+    // here can plan with NO exchange below (partial+final fuse), so a
+    // lying estimate would statically broadcast corpus-scale keys
+    // with nothing for AQE to measure first. Skinny key rows → hash
+    // build is fine; the Bloom prefilter above already bounded the
+    // probe side.
     val refKeys = reference.select(col(keyCol)).distinct()
-    val verifiedNew = candidates.join(refKeys, Seq(keyCol), "left_anti")
+    val verifiedNew = candidates.join(refKeys.hint("SHUFFLE_HASH"),
+      Seq(keyCol), "left_anti")
     definitelyNew.unionByName(verifiedNew)
   }
 
@@ -132,8 +140,18 @@ object IncrementalDedup {
     // recall never soundness
     val keep = rb.groupBy("band", "bh").agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxBucket).select("band", "bh")
+    // SHUFFLE_HASH pins (round-13 audit, same rule as the self-join
+    // family in Dedup): batch AND reference are both unbounded by
+    // contract, their banded subtrees are pure per-row expression
+    // chains (no exchange below → AQE-blind), and the audit caught
+    // the static planner broadcasting them off a lying estimate.
+    // Banded rows are skinny (id, band, bh) → hash builds.
+    // Build sides: `keep` (bucket-space-bounded counts) under the
+    // inner filter join; the capped reference-banded rows (flood cap
+    // bounds every bucket) under the candidate join.
+    val refSide = rb.join(keep.hint("SHUFFLE_HASH"), Seq("band", "bh"))
     val candidates = bb
-      .join(rb.join(keep, Seq("band", "bh")), Seq("band", "bh"))
+      .join(refSide.hint("SHUFFLE_HASH"), Seq("band", "bh"))
       .select("_bid", "_rid").distinct()
 
     def shingles(df: DataFrame, out: String) = df
@@ -141,9 +159,14 @@ object IncrementalDedup {
       .select(col(out), Dedup.shinglesOfNormalized(col("_t"), shingleK).as("_sh"))
       .select(col(out),
         array_sort(transform(col("_sh"), s => xxhash64(s))).as(out + "_sh"))
+    // MERGE pins on the two shingle-ARRAY attaches (the exact
+    // ngramJaccardVerified rule): both sides are unbounded, the
+    // subtrees are expression-only (AQE-blind), and an unspillable
+    // hash build of shingle arrays is the shape that OOMed the ×100
+    // self-join run. Sort-merge spills; candidates stay the stream.
     val matched = candidates
-      .join(shingles(batch, "_bid"), Seq("_bid"))
-      .join(shingles(reference, "_rid"), Seq("_rid"))
+      .join(shingles(batch, "_bid").hint("MERGE"), Seq("_bid"))
+      .join(shingles(reference, "_rid").hint("MERGE"), Seq("_rid"))
       .select(col("_bid"),
         graft.expressions.SortedLongJaccard.sorted_long_jaccard(
           col("_bid_sh"), col("_rid_sh")).as("_j"))

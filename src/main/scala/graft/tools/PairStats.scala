@@ -73,6 +73,46 @@ object PairStats {
         s"post_cap_mass=${r.get(4)} over_cap(${cap})=${r.get(5)}")
     }
 
+    if (sections("graph")) {
+      // q_triangles' co-occurrence graph (lineitem parts sharing an
+      // order): edge count, oriented-degree wedge mass Σ c·(c−1)/2 —
+      // the exact quantity triangles' auto-batcher budgets from, and
+      // the wall-clock driver at ×100 (BASELINE: 119.6M edges / 4.1B
+      // wedges on the round-11 fixture). A densified regenerated
+      // fixture shows up HERE, not in the code: wall tracks
+      // wedge+closing mass ~linearly, so compare masses before
+      // comparing anchor seconds across testdata generations.
+      val li = spark.read.parquet(s"${args(0)}/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      val edges = a.join(b.hint("SHUFFLE_HASH"), Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .select(col("pa"), col("pb")).distinct()
+      val deg = edges.select(col("pa").as("x"))
+        .unionAll(edges.select(col("pb").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      // oriented wedge mass: orientation sends each edge from its
+      // lower-degree endpoint, so per-apex out-degree is bounded by
+      // sqrt(2m) — approximate the oriented mass with the exact
+      // formula triangles uses (post-orientation out-degrees)
+      val stats = deg.agg(count(lit(1)).as("nodes"),
+        sum(col("d")).as("deg_sum"),
+        max(col("d")).as("deg_max")).head()
+      val m = edges.count()
+      val oriented = edges.join(
+          deg.select(col("x").as("pa"), col("d").as("da")), Seq("pa"))
+        .join(deg.select(col("x").as("pb"), col("d").as("db"))
+          .hint("SHUFFLE_HASH"), Seq("pb"))
+        .select(when(col("da") < col("db") ||
+            (col("da") === col("db") && col("pa") < col("pb")),
+          col("pa")).otherwise(col("pb")).as("u"))
+      val wedges = oriented.groupBy("u").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * (col("c") - 1) / 2)).head().getDouble(0)
+      println(s"[pair-stats] graph edges=$m nodes=${stats.get(0)} " +
+        s"deg_max=${stats.get(2)} oriented_wedges=$wedges")
+    }
+
     if (sections("winnow")) {
       val fps = graft.ops.Text.winnow(docs, "doc_id", "text", 5, 4)
         .select(col("doc_id"), col("fp")).distinct()

@@ -36,9 +36,7 @@ object ScaleFixture {
       "usage: ScaleFixture <srcSfDir> <outDir> <factor> [table ...]")
     val Array(src, out, factorS) = args.take(3)
     val only = args.drop(3).toSet
-    def wants(name: String): Boolean = only.isEmpty || only(name)
     val factor = factorS.toInt
-    require(factor >= 1, s"factor must be >= 1, got $factor")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -47,6 +45,17 @@ object ScaleFixture {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    build(spark, src, out, factor, only)
+    spark.stop()
+  }
+
+  /** The fixture builder proper, callable from [[graft.Bench]]'s ×10
+    * lane (which builds the fixture on demand when the scratch dir
+    * does not survive between rounds). Empty `only` = all tables. */
+  def build(spark: SparkSession, src: String, out: String, factor: Int,
+            only: Set[String]): Unit = {
+    def wants(name: String): Boolean = only.isEmpty || only(name)
+    require(factor >= 1, s"factor must be >= 1, got $factor")
 
     def rd(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
@@ -157,6 +166,5 @@ object ScaleFixture {
     }
 
     println(s"[scale-fixture] wrote $out at ${factor}x from $src")
-    spark.stop()
   }
 }

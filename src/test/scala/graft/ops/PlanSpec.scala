@@ -450,6 +450,66 @@ class PlanSpec extends AnyFunSuite {
         threshold = 0.3, planes = 4, probeBits = 1, tables = 2))
   }
 
+  // Round-13 wave 2 (AuditBroadcast over every remaining join-bearing
+  // op): the ops whose AQE-BLIND side — an expression-only subtree
+  // with no exchange below, so no runtime stat ever corrects the
+  // static choice — is ALWAYS corpus-derived (self-ops, or both-sides
+  // -unbounded contracts). Pin rule unchanged: skinny rows
+  // SHUFFLE_HASH, string/array/vector payload rows MERGE. Two-table
+  // ops whose flagged side is bounded by contract (fuzzyMatch master
+  // list, contamination bench, interval table) are documented in
+  // PLANS.md instead — a pin there would forbid the legitimate
+  // broadcast of a genuinely small side.
+  test("wave-2 join family: lying-estimate corpora are never " +
+      "statically broadcast") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.functions._
+    val rdocs = spark.range(0, 256).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(j =>
+        concat(lit("w"), ((col("id") * 7 + j) % 97))): _*).as("text"))
+    val rdocs2 = spark.range(0, 256).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(j =>
+        concat(lit("v"), ((col("id") * 11 + j) % 89))): _*).as("text"))
+    val remb = spark.range(0, 256).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        j => sin(col("id") * 16 + j)).as("embedding"))
+    val revents = spark.range(0, 1024).select(
+      col("id").as("event_id"), (col("id") % 63).as("user_id"),
+      (col("id") * 1000000007L % 86400000000000L).as("ts"),
+      concat(lit("t"), col("id") % 5).as("event_type"))
+    // The assertion matches the adjudication criterion exactly: a
+    // broadcast with a ShuffleExchange BELOW it is AQE-correctable
+    // (the runtime re-plans from the measured stage — e.g. semDeDup's
+    // final anti-join of the exchange-backed dropped-id set, Funnel's
+    // per-step aggregates) and is allowed; a broadcast over an
+    // expression-only subtree executes before any measurement exists
+    // and must not appear.
+    def assertNoBlindBcast(name: String, df: DataFrame): Unit = {
+      val blind = nodes(df).collect {
+        case b: BroadcastExchangeExec
+            if !this.flatten(b).exists(_.isInstanceOf[
+              org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+          => b
+      }
+      assert(blind.isEmpty,
+        s"$name plans ${blind.size} AQE-BLIND broadcast(s) off a " +
+          "lying estimate — corpus-sized driver broadcast at scale " +
+          "with no runtime stat to correct it")
+    }
+    assertNoBlindBcast("selfFuzzyPairs",
+      FuzzyJoin.selfFuzzyPairs(rdocs, "doc_id", "text", maxDistance = 2))
+    assertNoBlindBcast("IncrementalDedup.cleaned",
+      IncrementalDedup.cleaned(rdocs, rdocs2, "doc_id"))
+    assertNoBlindBcast("IncrementalDedup.nearDupCleaned",
+      IncrementalDedup.nearDupCleaned(rdocs, rdocs2, "doc_id", "text"))
+    assertNoBlindBcast("semDeDup",
+      Dedup.semDeDup(remb, "vec_id", "embedding", threshold = 0.9,
+        nClusters = 4))
+    assertNoBlindBcast("Funnel.depth",
+      Funnel.depth(revents, "user_id", "ts", "event_type",
+        Seq("t0", "t1", "t2")))
+  }
+
   test("bounded-query lshTopK keeps its broadcast hints") {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     val vecs = (0L until 40L).map(i =>

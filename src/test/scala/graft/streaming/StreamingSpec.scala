@@ -447,4 +447,24 @@ class StreamingSpec extends AnyFunSuite {
         (1L, 240L, 2.0, 1L)))
     } finally q.stop()
   }
+
+  // Round-13 sustained-lane pin: the PERTURBED 10-copy landing must
+  // GROW the dedup state 10× (one state row per distinct
+  // fingerprint), not re-look-up copy 1's entries — identical copies
+  // would leave the sustained bench measuring lookup hits while
+  // claiming state-insert throughput. Growth = exactly 10× because
+  // the alphabet bijection transports each copy's fingerprint set
+  // injectively and the id offsets keep the synthetic event times
+  // in-watermark.
+  test("sustained dedup landing: perturbed copies grow state 10x") {
+    val dir = "/root/testdata/sf0.001"
+    val inv = graft.SparkEntry.queries ++ graft.SparkEntry.benchOnly
+    val single = inv("stream_dedup_fingerprint")(spark, dir).count()
+    val sustained =
+      inv("stream_sustained_dedup_fingerprint")(spark, dir).count()
+    assert(sustained == 10 * single,
+      s"state grew ${sustained}x vs single-copy $single — the " +
+        "perturbation no longer keeps copies distinct (or dups leak " +
+        "across copies)")
+  }
 }
