@@ -5174,16 +5174,25 @@ object SparkEntry {
         |  SELECT sh, CAST(row_number() OVER (ORDER BY sh) - 1 AS INTEGER) AS i
         |  FROM (SELECT DISTINCT sh FROM ex)
         |), bs AS MATERIALIZED (
-        |  SELECT s.doc_id, s.lang, CAST(len(s.shingles) AS BIGINT) AS nsh, x.b
+        |  SELECT s.doc_id, s.lang, CAST(len(s.shingles) AS BIGINT) AS nsh,
+        |    x.b, x.bc
         |  FROM sh s JOIN (
-        |    SELECT e.doc_id, bitstring_agg(x.i, 0, 65535) AS b
-        |    FROM ex e JOIN idx x USING (sh) GROUP BY e.doc_id) x USING (doc_id))
-        |SELECT id_a, id_b, r(jaccard, 4) AS jaccard FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(bit_count(a.b & b.b) AS DOUBLE) /
-        |      (a.nsh + b.nsh - bit_count(a.b & b.b)) AS jaccard
+        |    SELECT e.doc_id, bitstring_agg(x.i, 0, 65535) AS b,
+        |      bitstring_agg(x.i % 1024, 0, 1023) AS bc
+        |    FROM ex e JOIN idx x USING (sh) GROUP BY e.doc_id) x USING (doc_id)
+        |), cand AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM bs a JOIN bs b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |  WHERE a.nsh >= 0.6 * b.nsh AND b.nsh >= 0.6 * a.nsh)
+        |  WHERE a.nsh >= 0.6 * b.nsh AND b.nsh >= 0.6 * a.nsh
+        |    AND a.nsh + b.nsh >= 1.6 * bit_count(a.bc | b.bc))
+        |SELECT id_a, id_b, r(jaccard, 4) AS jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(inter AS DOUBLE) / (nsh_a + nsh_b - inter) AS jaccard
+        |  FROM (
+        |    SELECT c.id_a, c.id_b, a.nsh AS nsh_a, b.nsh AS nsh_b,
+        |      bit_count(a.b & b.b) AS inter
+        |    FROM cand c JOIN bs a ON a.doc_id = c.id_a
+        |                JOIN bs b ON b.doc_id = c.id_b))
         |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
 
     // Blank text counts 0 whitespace tokens (a naive split of ''
@@ -5623,6 +5632,19 @@ object SparkEntry {
     // shingles (the cipher fixture multiplies vocabulary by copies)
     // and hit the old bound exactly as designed. Counts are
     // set-exact — no hashing, no collisions.
+    //
+    // Round-13 fold prefilter (this and the five sibling bitstring
+    // oracles): the all-pairs AND of 8 KB bitstrings made the ×10
+    // sweep SLOW-SKIP this oracle (measured 238 s at sf0.1 → ~6.6 h
+    // extrapolated at ×10). A 1024-bit OR-fold (i % 1024) gives an
+    // EXACT prune: |A∪B| ≥ bit_count(foldA | foldB) (folding only
+    // merges bits), so J ≥ t requires nshA + nshB ≥ (1+t)·union_lb
+    // — a necessary condition checked on 128 B strings instead of
+    // 8 KB, with the full-width verify only on survivors. Tightness
+    // depends on DOC size (unions ~400 bits ≪ 1024), not corpus
+    // size, so the prune holds at any SF. Measured: 4.1 s at sf0.1
+    // (58× over the unfiltered spelling), hash-identical at sf0.01
+    // and sf0.1.
     "dedup_ngram_verified" ->
       """WITH d AS MATERIALIZED (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
@@ -5638,14 +5660,22 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT sh FROM ex)
         |), bs AS MATERIALIZED (
         |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS nsh,
-        |    bitstring_agg(x.i, 0, 65535) AS b
-        |  FROM ex e JOIN idx x USING (sh) GROUP BY e.doc_id)
-        |SELECT id_a, id_b, r(jaccard, 4) AS jaccard FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(bit_count(a.b & b.b) AS DOUBLE) /
-        |      (a.nsh + b.nsh - bit_count(a.b & b.b)) AS jaccard
+        |    bitstring_agg(x.i, 0, 65535) AS b,
+        |    bitstring_agg(x.i % 1024, 0, 1023) AS bc
+        |  FROM ex e JOIN idx x USING (sh) GROUP BY e.doc_id
+        |), cand AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM bs a JOIN bs b ON a.doc_id < b.doc_id
-        |  WHERE a.nsh >= 0.8 * b.nsh AND b.nsh >= 0.8 * a.nsh)
+        |  WHERE a.nsh >= 0.8 * b.nsh AND b.nsh >= 0.8 * a.nsh
+        |    AND a.nsh + b.nsh >= 1.8 * bit_count(a.bc | b.bc))
+        |SELECT id_a, id_b, r(jaccard, 4) AS jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(inter AS DOUBLE) / (nsh_a + nsh_b - inter) AS jaccard
+        |  FROM (
+        |    SELECT c.id_a, c.id_b, a.nsh AS nsh_a, b.nsh AS nsh_b,
+        |      bit_count(a.b & b.b) AS inter
+        |    FROM cand c JOIN bs a ON a.doc_id = c.id_a
+        |                JOIN bs b ON b.doc_id = c.id_b))
         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
     // Connected components by transitive closure: min reachable id
@@ -5669,15 +5699,23 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT sh FROM ex)
         |), bs AS MATERIALIZED (
         |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS nsh,
-        |    bitstring_agg(x.i, 0, 65535) AS b
+        |    bitstring_agg(x.i, 0, 65535) AS b,
+        |    bitstring_agg(x.i % 1024, 0, 1023) AS bc
         |  FROM ex e JOIN idx x USING (sh) GROUP BY e.doc_id
+        |), cand AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bs a JOIN bs b ON a.doc_id < b.doc_id
+        |  WHERE a.nsh >= 0.8 * b.nsh AND b.nsh >= 0.8 * a.nsh
+        |    AND a.nsh + b.nsh >= 1.8 * bit_count(a.bc | b.bc)
         |), pairs AS MATERIALIZED (
         |  SELECT id_a, id_b FROM (
-        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |      CAST(bit_count(a.b & b.b) AS DOUBLE) /
-        |        (a.nsh + b.nsh - bit_count(a.b & b.b)) AS jaccard
-        |    FROM bs a JOIN bs b ON a.doc_id < b.doc_id
-        |    WHERE a.nsh >= 0.8 * b.nsh AND b.nsh >= 0.8 * a.nsh)
+        |    SELECT c.id_a, c.id_b,
+        |      CAST(inter AS DOUBLE) / (nsh_a + nsh_b - inter) AS jaccard
+        |    FROM (
+        |      SELECT c0.id_a, c0.id_b, a.nsh AS nsh_a, b.nsh AS nsh_b,
+        |        bit_count(a.b & b.b) AS inter
+        |      FROM cand c0 JOIN bs a ON a.doc_id = c0.id_a
+        |                   JOIN bs b ON b.doc_id = c0.id_b) c)
         |  WHERE jaccard >= 0.8
         |), edges AS MATERIALIZED (
         |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -5709,15 +5747,23 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT sh FROM ex)
         |), bs AS MATERIALIZED (
         |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS nsh,
-        |    bitstring_agg(x.i, 0, 65535) AS b
+        |    bitstring_agg(x.i, 0, 65535) AS b,
+        |    bitstring_agg(x.i % 1024, 0, 1023) AS bc
         |  FROM ex e JOIN idx x USING (sh) GROUP BY e.doc_id
+        |), cand AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bs a JOIN bs b ON a.doc_id < b.doc_id
+        |  WHERE a.nsh >= 0.8 * b.nsh AND b.nsh >= 0.8 * a.nsh
+        |    AND a.nsh + b.nsh >= 1.8 * bit_count(a.bc | b.bc)
         |), pairs AS MATERIALIZED (
         |  SELECT id_a, id_b FROM (
-        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |      CAST(bit_count(a.b & b.b) AS DOUBLE) /
-        |        (a.nsh + b.nsh - bit_count(a.b & b.b)) AS jaccard
-        |    FROM bs a JOIN bs b ON a.doc_id < b.doc_id
-        |    WHERE a.nsh >= 0.8 * b.nsh AND b.nsh >= 0.8 * a.nsh)
+        |    SELECT c.id_a, c.id_b,
+        |      CAST(inter AS DOUBLE) / (nsh_a + nsh_b - inter) AS jaccard
+        |    FROM (
+        |      SELECT c0.id_a, c0.id_b, a.nsh AS nsh_a, b.nsh AS nsh_b,
+        |        bit_count(a.b & b.b) AS inter
+        |      FROM cand c0 JOIN bs a ON a.doc_id = c0.id_a
+        |                   JOIN bs b ON b.doc_id = c0.id_b) c)
         |  WHERE jaccard >= 0.8
         |), edges AS MATERIALIZED (
         |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -6097,15 +6143,23 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT sh FROM ex)
         |), bs AS MATERIALIZED (
         |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS nsh,
-        |    bitstring_agg(x.i, 0, 65535) AS b
+        |    bitstring_agg(x.i, 0, 65535) AS b,
+        |    bitstring_agg(x.i % 1024, 0, 1023) AS bc
         |  FROM ex e JOIN idx x USING (sh) GROUP BY e.doc_id
+        |), cand AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bs a JOIN bs b ON a.doc_id < b.doc_id
+        |  WHERE a.nsh >= 0.8 * b.nsh AND b.nsh >= 0.8 * a.nsh
+        |    AND a.nsh + b.nsh >= 1.8 * bit_count(a.bc | b.bc)
         |), pairs AS MATERIALIZED (
         |  SELECT id_a, id_b FROM (
-        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |      CAST(bit_count(a.b & b.b) AS DOUBLE) /
-        |        (a.nsh + b.nsh - bit_count(a.b & b.b)) AS jaccard
-        |    FROM bs a JOIN bs b ON a.doc_id < b.doc_id
-        |    WHERE a.nsh >= 0.8 * b.nsh AND b.nsh >= 0.8 * a.nsh)
+        |    SELECT c.id_a, c.id_b,
+        |      CAST(inter AS DOUBLE) / (nsh_a + nsh_b - inter) AS jaccard
+        |    FROM (
+        |      SELECT c0.id_a, c0.id_b, a.nsh AS nsh_a, b.nsh AS nsh_b,
+        |        bit_count(a.b & b.b) AS inter
+        |      FROM cand c0 JOIN bs a ON a.doc_id = c0.id_a
+        |                   JOIN bs b ON b.doc_id = c0.id_b) c)
         |  WHERE jaccard >= 0.8
         |), edges AS MATERIALIZED (
         |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -7043,44 +7097,48 @@ object SparkEntry {
     // 5 unrolled power-method iterations over the symmetrized
     // customer–supplier edge set; no dangling term needed (every node
     // of a symmetric graph has out-degree ≥ 1, and the Spark side's
-    // dangling aggregate is exactly 0 there too).
+    // dangling aggregate is exactly 0 there too). Every CTE is
+    // MATERIALIZED: without the pin DuckDB inlines the iteration
+    // chain and replays subtrees — measured 714.8 s vs 20.9 s pinned
+    // at the ×10 fixture (hash-identical both ways), which is what
+    // made the sf1 gate SLOW-SKIP this oracle in round 12.
     "q_pagerank" ->
-      """WITH e0 AS (
+      """WITH e0 AS MATERIALIZED (
         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |), e AS (
+        |), e AS MATERIALIZED (
         |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
-        |), nodes AS (SELECT DISTINCT src AS node FROM e),
-        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
+        |), nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS d
         |        FROM e GROUP BY src),
-        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
+        |r0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
         |       FROM nodes, nn),
-        |r1 AS (SELECT nodes.node,
+        |r1 AS MATERIALIZED (SELECT nodes.node,
         |    (1 - 0.85) / nn.n + 0.85 * coalesce(c.s, 0) AS rank
         |  FROM nodes CROSS JOIN nn LEFT JOIN (
         |    SELECT e.dst AS node, sum(r0.rank / deg.d) AS s
         |    FROM e JOIN deg ON e.src = deg.src JOIN r0 ON e.src = r0.node
         |    GROUP BY e.dst) c ON nodes.node = c.node),
-        |r2 AS (SELECT nodes.node,
+        |r2 AS MATERIALIZED (SELECT nodes.node,
         |    (1 - 0.85) / nn.n + 0.85 * coalesce(c.s, 0) AS rank
         |  FROM nodes CROSS JOIN nn LEFT JOIN (
         |    SELECT e.dst AS node, sum(r1.rank / deg.d) AS s
         |    FROM e JOIN deg ON e.src = deg.src JOIN r1 ON e.src = r1.node
         |    GROUP BY e.dst) c ON nodes.node = c.node),
-        |r3 AS (SELECT nodes.node,
+        |r3 AS MATERIALIZED (SELECT nodes.node,
         |    (1 - 0.85) / nn.n + 0.85 * coalesce(c.s, 0) AS rank
         |  FROM nodes CROSS JOIN nn LEFT JOIN (
         |    SELECT e.dst AS node, sum(r2.rank / deg.d) AS s
         |    FROM e JOIN deg ON e.src = deg.src JOIN r2 ON e.src = r2.node
         |    GROUP BY e.dst) c ON nodes.node = c.node),
-        |r4 AS (SELECT nodes.node,
+        |r4 AS MATERIALIZED (SELECT nodes.node,
         |    (1 - 0.85) / nn.n + 0.85 * coalesce(c.s, 0) AS rank
         |  FROM nodes CROSS JOIN nn LEFT JOIN (
         |    SELECT e.dst AS node, sum(r3.rank / deg.d) AS s
         |    FROM e JOIN deg ON e.src = deg.src JOIN r3 ON e.src = r3.node
         |    GROUP BY e.dst) c ON nodes.node = c.node),
-        |r5 AS (SELECT nodes.node,
+        |r5 AS MATERIALIZED (SELECT nodes.node,
         |    (1 - 0.85) / nn.n + 0.85 * coalesce(c.s, 0) AS rank
         |  FROM nodes CROSS JOIN nn LEFT JOIN (
         |    SELECT e.dst AS node, sum(r4.rank / deg.d) AS s
@@ -7284,13 +7342,20 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT sh FROM ex)
         |), bs AS MATERIALIZED (
         |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS nsh,
-        |    bitstring_agg(x.i, 0, 65535) AS b
+        |    bitstring_agg(x.i, 0, 65535) AS b,
+        |    bitstring_agg(x.i % 1024, 0, 1023) AS bc
         |  FROM ex e JOIN idx x USING (sh) GROUP BY e.doc_id
-        |), dropped AS (
-        |  SELECT DISTINCT a.doc_id FROM bs a JOIN bs b
+        |), cand AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bs a JOIN bs b
         |    ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
         |  WHERE a.nsh >= 0.8 * b.nsh AND b.nsh >= 0.8 * a.nsh
-        |    AND CAST(bit_count(a.b & b.b) AS DOUBLE) /
+        |    AND a.nsh + b.nsh >= 1.8 * bit_count(a.bc | b.bc)
+        |), dropped AS (
+        |  SELECT DISTINCT c.id_a AS doc_id
+        |  FROM cand c JOIN bs a ON a.doc_id = c.id_a
+        |              JOIN bs b ON b.doc_id = c.id_b
+        |  WHERE CAST(bit_count(a.b & b.b) AS DOUBLE) /
         |      (a.nsh + b.nsh - bit_count(a.b & b.b)) >= 0.8)
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dropped)
