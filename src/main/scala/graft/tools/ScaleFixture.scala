@@ -17,12 +17,13 @@ import org.apache.spark.sql.functions._
   * measuring its own construction).
   *
   * Documents additionally get a per-copy content perturbation (copy
-  * k > 0 drops every ((k % 6) + 2)-th word): verbatim copies would
-  * make every doc a 10-way near-dup family and the pair count would
-  * grow quadratically BY FIXTURE CONSTRUCTION, swamping the
-  * algorithmic signal. Word-dropping breaks most shingles/winnow
-  * fingerprints across copies while keeping within-copy density
-  * identical.
+  * k > 0 passes through a copy-unique seeded alphabet bijection —
+  * see the inline comment at the documents block): verbatim copies
+  * would make every doc a 10-way near-dup family and the pair count
+  * would grow quadratically BY FIXTURE CONSTRUCTION, swamping the
+  * algorithmic signal. The cipher preserves every within-copy set
+  * relation exactly while collapsing cross-copy shingle overlap to
+  * coincidence.
   *
   * Usage: runMain graft.tools.ScaleFixture <srcSfDir> <outDir>
   * <factor> [table ...] (factor 1 = byte-comparable passthrough

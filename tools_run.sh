@@ -4,7 +4,10 @@
 # usage: tools_run.sh [-mMEM] <mainClass> [args...]
 MEM=${SPARK_DRIVER_MEM:-8g}
 if [[ "$1" == -m* ]]; then MEM="${1#-m}"; shift; fi
-CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+# resources dir second: sbt copies resources into classes on compile,
+# but a partial/cleaned target tree silently drops data files
+# (graft/psl_default.dat) — the source resources are the fallback.
+CP="/root/repo/target/scala-2.13/classes:/root/repo/src/main/resources:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
