@@ -261,7 +261,7 @@ object Similarity {
           .join(broadcast(qSel), Seq(queryIdOut))
       else
         bucketJoined.filter(col("neighbor_id") =!= col(queryIdOut))
-          .join(qSel.hint("MERGE"), Seq(queryIdOut))
+          .join(qSel.hint("SHUFFLE_HASH"), Seq(queryIdOut))
     attached.select(col(queryIdOut), col("neighbor_id"),
       int8_dot(col("v_q"), col("_code"), col("_mn"), col("_scale"))
         .as("approx"))
@@ -284,19 +284,25 @@ object Similarity {
   private[ops] def exactRerank(candidates: DataFrame, c: DataFrame, q: DataFrame,
                           queryIdOut: String, k: Int,
                           hintBroadcast: Boolean = true): DataFrame = {
-    // false mode pins MERGE on both vector attaches: the corpus/query
-    // float tables can carry lying size estimates (see
+    // false mode pins SHUFFLE_HASH on both vector attaches: the
+    // corpus/query float tables can carry lying size estimates (see
     // int8CandidateScan's scaladoc) and a statically mis-broadcast
     // float-vector table is the single most expensive wrong plan in
-    // this file. MERGE rather than SHUFFLE_HASH because these build
-    // sides are full float-vector PAYLOADS: a shuffled-hash build
-    // cannot spill, so one skewed partition of vectors is an
-    // executor-OOM cliff (the same shape OOMed the ×100 shingle-array
-    // build in Dedup.ngramJaccardVerified — see its MERGE rule);
-    // sort-merge spills both sides. Skinny bounded sides elsewhere
-    // (counts, probe keys, int8 codes) keep SHUFFLE_HASH.
-    val cSide = if (hintBroadcast) c else c.hint("MERGE")
-    val qSide = if (hintBroadcast) broadcast(q) else q.hint("MERGE")
+    // this file. SHUFFLE_HASH, not MERGE, even though the build side
+    // is a float-vector payload: these joins key on UNIFORM ids
+    // (neighbor_id / query id), so the per-partition hash build is
+    // n/P single-vector rows — bounded and skew-free (×100 fixture:
+    // 1.6M × 256 B / 32 parts ≈ 13 MB; a real deployment scales P
+    // with the corpus). Dedup's MERGE-for-payloads rule targets a
+    // DIFFERENT shape — banded BUCKET keys, where flood skew can
+    // concentrate a partition's build beyond memory (the measured
+    // ×100 shingle-array OOM). A round-13 MERGE pin here was
+    // measured ~5× slower at the ×10 fixture: the probe side is the
+    // exploded candidate stream (88M rows at ×10, 1.8B at ×100 per
+    // PairStats) and sort-merge SORTS that stream per join, while
+    // the hash build streams it untouched.
+    val cSide = if (hintBroadcast) c else c.hint("SHUFFLE_HASH")
+    val qSide = if (hintBroadcast) broadcast(q) else q.hint("SHUFFLE_HASH")
     val reranked = candidates
       .join(cSide, Seq("neighbor_id"))
       .join(qSide, Seq(queryIdOut))
@@ -722,10 +728,14 @@ object Similarity {
       // rerank = 0: float scoring inside the bucket join. Self-graph
       // mode pins MERGE with the corpus as build side — same
       // lying-estimate hazard as above, and here a mis-broadcast
-      // ships full float vectors. MERGE, not SHUFFLE_HASH: the
-      // corpus side is a float-vector PAYLOAD, and a shuffled-hash
-      // build of payload rows cannot spill (Dedup's measured rule —
-      // the ×100 shingle-array hash build OOMed exactly this way).
+      // ships full float vectors. MERGE, not SHUFFLE_HASH, for THIS
+      // join only: it keys on BUCKET, and bucket flood skew can
+      // concentrate one partition's float-vector hash build beyond
+      // memory (Dedup's measured banded-key rule — unspillable
+      // build). The id-keyed attaches elsewhere keep SHUFFLE_HASH:
+      // uniform keys bound the build at n/P rows, and MERGE there
+      // would sort the exploded candidate stream (measured ~5× at
+      // the ×10 fixture — see exactRerank).
       val base =
         (if (hint) cJoin.join(broadcast(q), Seq("bucket"))
          else cJoin.hint("MERGE").join(q, Seq("bucket")))
@@ -734,9 +744,12 @@ object Similarity {
           dot(col("v_q"), col("v_c")).as("cosine"))
       val scored = starCands match {
         case Some(sc) =>
-          // float-vector payload attaches → MERGE (spillable build)
-          val cv = if (hint) c else c.hint("MERGE")
-          val qv = if (hint) broadcast(qPlain) else qPlain.hint("MERGE")
+          // id-keyed vector attaches → SHUFFLE_HASH (uniform keys,
+          // n/P-bounded build; see exactRerank's pin rationale —
+          // MERGE would sort the candidate stream)
+          val cv = if (hint) c else c.hint("SHUFFLE_HASH")
+          val qv = if (hint) broadcast(qPlain)
+                   else qPlain.hint("SHUFFLE_HASH")
           base.unionByName(sc.join(cv, Seq("neighbor_id"))
             .join(qv, Seq(queryIdOut))
             .select(col(queryIdOut), col("neighbor_id"),
