@@ -18,16 +18,26 @@ import check_oracle
 def main(sfdir, outdir, result_path, names):
     with open(f"{outdir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    if not names:
+        print("deep_check: no query names given", file=sys.stderr)
+        return 1
     results = {}
     for name in names:
         sql = oracles.get(name)
+        if sql is None:
+            print(f"deep_check: no oracle SQL for {name!r} in "
+                  f"{outdir}/oracle_sql.json", file=sys.stderr)
+            return 1
         t0 = time.time()
+        con = None
         try:
             con = check_oracle.connect(sfdir)
             status, msg = check_oracle.compare_query(con, outdir, name, sql)
-            con.close()
         except Exception as e:
             status, msg = "FAIL", f"WORKER-ERROR {str(e)[:200]}"
+        finally:
+            if con is not None:
+                con.close()
         wall = round(time.time() - t0, 1)
         results[name] = {"status": status, "oracle_wall_sec": wall,
                          "detail": msg}
