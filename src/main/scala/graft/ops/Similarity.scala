@@ -339,7 +339,7 @@ object Similarity {
     * the sample uniform over the corpus, where plain id order would
     * train centroids on whatever the lowest ids happen to be
     * (ingestion batches, one source's prefix). */
-  private[ops] def trainingSample(c: DataFrame, idCol: String, vecCol: String,
+  private[graft] def trainingSample(c: DataFrame, idCol: String, vecCol: String,
                                   n: Int = 2048): Array[Array[Double]] =
     c.orderBy(xxhash64(col(idCol)), col(idCol)).limit(n)
       .select(vecCol).collect()
