@@ -228,6 +228,10 @@ object Bench {
       "SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
     var streamState: Seq[(String, Double, Double)] = Nil
     val x10State = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // per-gauge host-health window (steal, iowait fractions): lets an
+    // artifact distinguish hypervisor steal from writeback storms
+    // without a separate monitoring session (see tools.HostMeter)
+    val gaugeHost = scala.collection.mutable.Map.empty[String, (Double, Double)]
     def artifactLine(partial: Boolean): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
@@ -246,8 +250,12 @@ object Bench {
         case (k, v) if gaugeBands.contains(k) =>
           val (lo, hi) = gaugeBands(k)
           val ratio = if (v > 0) math.rint(v / hi * 100) / 100 else -1.0
+          val host = gaugeHost.get(k).map { case (st, io) =>
+            ",\"steal\":" + math.rint(st * 1000) / 1000 +
+              ",\"iowait\":" + math.rint(io * 1000) / 1000
+          }.getOrElse("")
           "\"" + k + "\":{\"sec\":" + r3(v) + ",\"clean_band\":[" + lo +
-            "," + hi + "],\"ratio_vs_band_top\":" + ratio + "}"
+            "," + hi + "],\"ratio_vs_band_top\":" + ratio + host + "}"
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""streams":$ss,"stream_total_sec":$streamTotal,""" +
@@ -311,7 +319,11 @@ object Bench {
           }
         if (!ready) Nil
         else x10Headline.map { n =>
+          val close =
+            if (gaugeBands.contains(n)) Some(graft.tools.HostMeter.start())
+            else None
           val sec = runIn(n, x10Dir)
+          close.flatMap(_.apply()).foreach(w => gaugeHost(n) = w)
           // the scale lane runs 2–90 s queries back-to-back on a big
           // fixture; release each query's shuffle files before the
           // next (same reasoning as TimeQuery — the ContextCleaner

@@ -585,8 +585,11 @@ object SparkEntry {
     // real clustered corpora (see the recall note on ivfTopK).
     "sim_topk_ivfpq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // rerankFrac = the ×1 tuned ratio (128 of ~1750 probed): the
+      // exact-rerank window scales with the probed mass, so the
+      // recall gate holds at every fixture decade (see ivfPqTopK)
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5)
+          "vec_id", "embedding", k = 5, rerankFrac = 0.075)
         .withColumn("cosine", r(col("cosine"), 6))
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
@@ -1841,6 +1844,44 @@ object SparkEntry {
           threshold = 0.3, planes = 5, probeBits = 2, tables = 4)
         .select(col("id_a"), col("id_b"), lit(1).as("_hit"))
       exact.join(banded, Seq("id_a", "id_b"), "left")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          (coalesce(sum(coalesce(col("_hit"), lit(0))), lit(0L)) >=
+            ceil(count(lit(1)) * 0.9)).as("recall_ok"))
+    }),
+
+    // ---- auto-scaled embedding LSH recall gate (scale path) ------
+    // Same sampled-truth construction again, but the candidate
+    // generator runs autoPlanes=true: the plane count tracks the
+    // corpus (mean occupancy ≈ maxBucket/4 instead of n/2^4) and the
+    // probe depth is re-solved analytically for the 0.92 floor at
+    // threshold 0.3 (Similarity.probeBitsFor — exact binomial tail).
+    // At gate scale (≤ 2k vectors) auto does not engage and this is
+    // bit-identical to dedup_emb_lsh_recall; at ×10 (20k vectors,
+    // where the FIXED-plane gate's 16-bucket space saturates its
+    // flood cap and recall collapses — the round-14 finding that
+    // motivated the mode) planes deepen to 7, probes to 5, and the
+    // ≥ 0.9 floor holds. This is the query the cross-SF gate runs at
+    // scale fixtures; the fixed-plane gates above pin the tuned
+    // small-scale configurations and are scale-excluded BY CONTRACT
+    // (their saturation guard firing at ×10 is designed behavior).
+    "dedup_emb_auto_recall" -> ((s, dir) => {
+      val e = tBalanced(s, dir, "embeddings")
+      val norm = Similarity.withNormalized(e, "embedding", "v")
+        .select(col("vec_id"), col("v"))
+      val sample = md5Sample(norm, "vec_id", 512)
+        .select(col("vec_id").as("id_s"), col("v").as("v_s"))
+      val exact = broadcast(sample)
+        .join(norm.select(col("vec_id").as("id_o"), col("v").as("v_o")),
+          col("id_s") =!= col("id_o"))
+        .filter(Similarity.dot(col("v_s"), col("v_o")) >= 0.3)
+        .select(least(col("id_s"), col("id_o")).as("id_a"),
+          greatest(col("id_s"), col("id_o")).as("id_b"))
+        .distinct()
+      val lsh = Dedup.embeddingCosinePairs(e, "vec_id", "embedding",
+          threshold = 0.3, planes = 4, probeBits = 3, autoPlanes = true)
+        .select(col("id_a"), col("id_b"), lit(1).as("_hit"))
+      exact.join(lsh, Seq("id_a", "id_b"), "left")
         .agg(
           count(lit(1)).as("n_pairs"),
           (coalesce(sum(coalesce(col("_hit"), lit(0))), lit(0L)) >=
@@ -6377,6 +6418,30 @@ object SparkEntry {
     // Recall/bounds gates: the oracle recomputes the exact columns
     // and asserts the quality gate held (the *_ok flags must be true).
     "dedup_emb_lsh_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id,
+        |    CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0 THEN v
+        |         ELSE list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
+        |    END AS v
+        |  FROM e
+        |), smp AS (
+        |  SELECT vec_id, v FROM nrm
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 512)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs, true AS recall_ok
+        |FROM (
+        |  SELECT DISTINCT least(s.vec_id, o.vec_id) AS id_a,
+        |    greatest(s.vec_id, o.vec_id) AS id_b
+        |  FROM smp s JOIN nrm o ON s.vec_id <> o.vec_id
+        |  WHERE list_sum(list_transform(list_zip(s.v, o.v), p -> p[1] * p[2])) >= 0.3)""".stripMargin,
+
+    // auto-scaled gate: identical exact-side oracle (the LSH
+    // parameters are Spark-side; the oracle only recomputes the
+    // sampled ground truth and asserts the flag) — which is what
+    // makes this gate runnable unchanged at ANY scale fixture
+    "dedup_emb_auto_recall" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings

@@ -858,6 +858,34 @@ object Dedup {
     * other pair) so connected-components dedup still collapses the
     * family at O(bucket) cost.
     *
+    * The cap's design case is SKEW — a few flooded buckets in an
+    * otherwise healthy hash space. A FIXED plane count crosses the
+    * cap a second, silent way: mean occupancy n/2^planes grows
+    * linearly with the corpus, and once it passes `maxBucket` the cap
+    * withholds essentially EVERY bucket — in drop mode the pair set
+    * quietly collapses to ~nothing (measured at the ×10 fixture:
+    * 20k vectors over 2^4 buckets = 1250 mean occupancy vs cap 1000,
+    * recall_ok flipped false). Two defenses, both on by the gate
+    * queries that exercise them:
+    *  - `autoPlanes = true`: plane count tracks the corpus —
+    *    planesEff = ⌈log2(n / (maxBucket/4))⌉ (never below the
+    *    explicit `planes`, capped at 24), keeping mean occupancy
+    *    ≈ maxBucket/4, and the probe depth is re-solved analytically
+    *    against `recallFloor` via [[Similarity.probeBitsFor]] (the
+    *    exact binomial tail at `threshold` — deeper planes flip more
+    *    bits per true pair, so holding recall costs probe mass; at
+    *    low thresholds on isotropic data that cost is intrinsically
+    *    superlinear, which is the honest price of the semantics, not
+    *    a plan defect). Costs one count() of df's upstream plan
+    *    (same trade as [[Similarity.knnGraph]]'s auto mode).
+    *  - a saturation GUARD (drop mode only): when > 50% of corpus
+    *    rows sit in over-cap buckets the plan raises a typed error
+    *    naming the escapes instead of returning the silently-empty
+    *    pair set — the [[Similarity.requireBounded]] philosophy, but
+    *    in-plan (a 1-row broadcast scalar attach re-aggregating the
+    *    bucket counts), so it fires wherever the DataFrame is
+    *    finally executed.
+    *
     * Recall vs threshold: per-plane agreement for a pair at cosine c
     * is 1 − acos(c)/π, so at production near-dup thresholds (c ≥ 0.9,
     * agreement ≈ 0.9) planes=8/probeBits=1 already holds pair recall
@@ -870,16 +898,35 @@ object Dedup {
                            planes: Int = 8, probeBits: Int = 1,
                            maxBucket: Int = 1000, overCap: String = "drop",
                            int8Margin: Double = 0.1,
-                           tables: Int = 1): DataFrame = {
+                           tables: Int = 1,
+                           autoPlanes: Boolean = false,
+                           recallFloor: Double = 0.92): DataFrame = {
     require(Set("drop", "star")(overCap), s"unknown overCap mode: $overCap")
     if (tables > 1)
       return embeddingCosinePairsBanded(df, idCol, embCol, threshold,
         planes, probeBits, tables, maxBucket, overCap, int8Margin)
+    // auto mode: plane count tracks the corpus so mean occupancy
+    // stays ≈ maxBucket/4 (headroom under the cap), probe depth
+    // re-solved for the recall floor (see the class doc above)
+    val (planesEff, probeBitsEff) =
+      if (!autoPlanes) (planes, probeBits)
+      else {
+        val n = df.select(idCol).count()
+        val targetOcc = math.max(1.0, maxBucket / 4.0)
+        val auto = math.ceil(
+          math.log(math.max(1.0, n / targetOcc)) / math.log(2.0)).toInt
+        val pe = math.min(math.max(planes, auto), 24)
+        val pb = if (pe == planes) probeBits
+                 else Similarity.probeBitsFor(pe, threshold, recallFloor,
+                   probeBits)
+        (pe, pb)
+      }
     import graft.expressions.Int8Candidates._
     val sig = Similarity.withNormalized(
       df.select(col(idCol), col(embCol).as("_e")), "_e", "v")
       .select(col(idCol), col("v"))
-      .withColumn("bucket", Similarity.hyperplaneSignature(col("v"), planes))
+      .withColumn("bucket",
+        Similarity.hyperplaneSignature(col("v"), planesEff))
     val vById = sig.select(col(idCol).as("id_a"), col("v").as("v_a"))
 
     // bucket-occupancy cap on the BASE buckets (the join key the
@@ -889,7 +936,8 @@ object Dedup {
 
     // probing side: int8 code + the probe-mask fan-out (skinny rows
     // explode, never the fp vector)
-    val probes = array(Similarity.probeMasks(planes, probeBits).map(lit): _*)
+    val probes = array(
+      Similarity.probeMasks(planesEff, probeBitsEff).map(lit): _*)
     val aCoded = sig
       .select(col(idCol).as("id_a"), int8_code(col("v")).as("_q8"),
         col("bucket").as("_sig"))
@@ -929,12 +977,43 @@ object Dedup {
 
     // exact verify on survivors only: one keyed join re-attaches v_a
     // (MERGE — vector payload side, same pin rationale as above)
-    withStar
+    val out = withStar
       .join(vById.hint("MERGE"), Seq("id_a"))
       .select(col("id_a"), col("id_b"),
         Similarity.dot(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .groupBy("id_a", "id_b").agg(max("cosine").as("cosine"))
+    if (overCap == "drop")
+      withSaturationGuard(out, counts, "_n", maxBucket,
+        "embeddingCosinePairs",
+        "escapes: autoPlanes=true (planes track n), tables > 1 " +
+          "(banded), overCap=\"star\", or raise maxBucket")
+    else out
+  }
+
+  /** The in-plan saturation guard (class doc of
+    * [[embeddingCosinePairs]]): attach a 1-row broadcast scalar that
+    * re-aggregates the bucket-count table and raises a descriptive
+    * error when > 50% of corpus rows sit in over-cap buckets — the
+    * regime where overCap="drop" stops being a skew cap and becomes
+    * a silent recall collapse. The guard column is REFERENCED by a
+    * filter (assert_true yields NULL on success), so column pruning
+    * cannot optimize the assertion away; the cross join is a 1-row
+    * attach, the documented scalar-attach shape. */
+  private def withSaturationGuard(out: DataFrame, counts: DataFrame,
+                                  nCol: String, maxBucket: Int,
+                                  op: String, escape: String): DataFrame = {
+    val guard = counts
+      .agg((coalesce(sum(when(col(nCol) > maxBucket, col(nCol))), lit(0L))
+        * lit(1.0) / sum(col(nCol))).as("_sat"))
+      .select(assert_true(coalesce(col("_sat") < 0.5, lit(true)),
+        concat(lit(s"$op: LSH hash space saturated ("),
+          format_number(col("_sat") * 100, 1),
+          lit(s"% of rows in buckets over maxBucket=$maxBucket) - " +
+            s"overCap=\"drop\" would silently discard most candidate " +
+            s"mass; $escape"))).as("_sat_guard"))
+    out.crossJoin(broadcast(guard))
+      .filter(col("_sat_guard").isNull).drop("_sat_guard")
   }
 
   /** Multi-table (banded) variant of [[embeddingCosinePairs]] — the
@@ -1033,7 +1112,7 @@ object Dedup {
     // vector attaches pin MERGE (payload sides must stay spillable
     // and never statically broadcast — see embeddingCosinePairs);
     // the int8 code table is skinny and pins SHUFFLE_HASH
-    withStar.distinct()
+    val out = withStar.distinct()
       .join(norm.select(col(idCol).as("id_a"), col("v").as("v_a"))
         .hint("MERGE"), Seq("id_a"))
       .join(codes.hint("SHUFFLE_HASH"), Seq("id_b"))
@@ -1044,6 +1123,16 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         Similarity.dot(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+    // per-(band, bucket) saturation is the same silent-collapse risk
+    // as the single-table form (mean occupancy n/2^planes per band
+    // grows with n); the guard aggregates across all bands
+    if (overCap == "drop")
+      withSaturationGuard(out, counts, "_n", maxBucket,
+        "embeddingCosinePairs(banded)",
+        "escapes: more planes per band (occupancy falls 2x per " +
+          "plane; add tables to hold recall), overCap=\"star\", or " +
+          "raise maxBucket")
+    else out
   }
 
   /** SemDeDup [Abbas et al. 2023, arXiv:2303.09540]: partition the

@@ -404,13 +404,30 @@ object Similarity {
                 idCol: String, embCol: String, k: Int,
                 nlist: Int = 8, nprobe: Int = 7,
                 m: Int = 16, ksub: Int = 16, rerank: Int = 128,
-                queryIdOut: String = "query_id"): DataFrame = {
+                queryIdOut: String = "query_id",
+                rerankFrac: Double = 0.0): DataFrame = {
     import graft.expressions.NearestCentroids.nearest_centroids
     import graft.expressions.ProductQuantizer._
 
     val c = withNormalized(
       corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
       "_e", "v_c").select(col("neighbor_id"), col("v_c"))
+    // rerankFrac > 0: hold the exact-rerank window as a FRACTION of
+    // the probed candidate mass instead of a constant. ADC is a
+    // RANKING approximation with additive noise that does not shrink
+    // with the corpus, so the number of false candidates out-scoring
+    // a true neighbor grows ∝ candidates probed — a fixed window that
+    // held recall at gate scale silently starves one decade up
+    // (measured at the ×10 fixture: rerank=128 over 7/8 of 20k
+    // vectors = top 0.7% of candidates; recall_ok flipped false,
+    // restored by the ratio spelling at the ×1 ratio 128/1750 ≈
+    // 0.075). Cost is Q·rerankEff exact-dot rows — linear in n at
+    // fixed Q, the honest price of constant recall under PQ noise.
+    // Costs one count() of the corpus subtree (knnGraph precedent).
+    val rerankEff =
+      if (rerankFrac <= 0) rerank
+      else math.max(rerank, math.ceil(
+        rerankFrac * c.count() * nprobe / nlist).toInt)
     val q = withNormalized(
       queries.select(col(idCol).as(queryIdOut), col(embCol).as("_e")),
       "_e", "v_q").select(col(queryIdOut), col("v_q"))
@@ -462,7 +479,7 @@ object Similarity {
     val wAdc = Window.partitionBy(queryIdOut)
       .orderBy(col("adc").desc, col("neighbor_id").asc)
     val candidates = adcTop.withColumn("_r", row_number().over(wAdc))
-      .filter(col("_r") <= rerank)
+      .filter(col("_r") <= rerankEff)
       .select(col(queryIdOut), col("neighbor_id"))
 
     // Exact re-rank over Q·rerank rows: full vectors re-attached by
@@ -547,6 +564,44 @@ object Similarity {
     (0 to math.min(maxFlips, planes)).flatMap(f =>
       (0 until planes).combinations(f)
         .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+
+  /** Smallest probe depth that holds a pair-recall floor at a given
+    * plane count and cosine threshold — the analytic companion to
+    * auto-scaled planes (see [[graft.ops.Dedup.embeddingCosinePairs]]
+    * `autoPlanes`). A pair at exactly cosine `threshold` disagrees on
+    * each random hyperplane independently with probability
+    * acos(threshold)/π, so it is FOUND iff its signature Hamming
+    * distance H ~ Bin(planes, pFlip) is ≤ probeBits; pairs above the
+    * threshold disagree less and are found more often, so the
+    * binomial tail at the threshold is a sound recall LOWER bound for
+    * the whole ≥-threshold pair set. Solving the tail exactly (planes
+    * ≤ 24, plain double summation) replaces the "+1 probe bit per ~4
+    * added planes" rule of thumb, whose slack depends on the
+    * threshold: at production thresholds (c ≥ 0.9, pFlip ≈ 0.14) the
+    * tail is steep and the rule overshoots; at gate thresholds
+    * (c = 0.3, pFlip ≈ 0.40) it undershoots and recall quietly decays
+    * with scale. Returns a depth in [atLeast, planes]; the floor may
+    * be unreachable (recallFloor > P(H ≤ planes) = 1 never is), in
+    * which case `planes` (full coverage) is returned. */
+  private[graft] def probeBitsFor(planes: Int, threshold: Double,
+                                  recallFloor: Double,
+                                  atLeast: Int): Int = {
+    // clamp away from 1.0: pFlip = 1 (threshold -1) would 0/0 the
+    // recurrence; anything this close is full-coverage territory
+    val pFlip = math.min(0.999,
+      math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi)
+    var term = math.pow(1.0 - pFlip, planes) // P(H = 0)
+    var cdf = term
+    var k = 0
+    while (k < planes &&
+           (cdf < recallFloor || k < math.min(atLeast, planes))) {
+      // Bin(n,p): P(k+1) = P(k) * (n-k)/(k+1) * p/(1-p)
+      term *= (planes - k).toDouble / (k + 1) * pFlip / (1.0 - pFlip)
+      cdf += term
+      k += 1
+    }
+    k
+  }
 
   /** Approximate top-k via hyperplane-LSH bucketing with multi-probe:
     * the corpus is bucketed by its signature; each query probes its
@@ -850,12 +905,32 @@ object Similarity {
           else -1L
         val planesEff =
           if (!autoPlanes) planes
-          else if (n < 65536) planes
-          else {
+          else if (n >= 65536) {
+            // mass-driven regime: target occupancy ≈ 4 (the measured
+            // ×10/×100 clustered-fixture configuration)
             val auto = math.ceil(
               math.log(n / 4.0) / math.log(2.0)).toInt
             math.min(math.max(planes, auto), 24)
-          }
+          } else if (maxBucket > 0 &&
+                     n > (1L << planes) * (maxBucket / 4L)) {
+            // cap-driven regime (round 14): between gate scale and
+            // the mass threshold, mean occupancy n/2^planes crosses
+            // maxBucket long BEFORE 65536 rows (planes=4 + cap=1000
+            // cross at 16k) — past that point the occupancy cap
+            // withholds essentially every bucket and the graph
+            // silently degrades to star hub edges (measured at the
+            // ×10 driver-embeddings fixture: 20k vectors, occupancy
+            // 1250, sim_recall_knn collapsed). Deepen planes just
+            // enough for occupancy ≈ maxBucket/4 — clear of the cap
+            // with the SHALLOWEST hash, since deeper hashes cost
+            // isotropic recall at fixed probes — leaving the tuned
+            // sub-crossing gate configs and the measured ≥65536
+            // configs byte-identical.
+            val auto = math.ceil(
+              math.log(n / math.max(1.0, maxBucket / 4.0)) /
+                math.log(2.0)).toInt
+            math.min(math.max(planes, auto), 24)
+          } else planes
         // QUERY-SLICE batching — the self-graph SCRATCH control (the
         // same trade as Graph.triangles' wedge batching): every
         // query's top-k is independent of every other query's, so

@@ -110,7 +110,14 @@ class DedupPlugin(options: Map[String, Any], configDir: Path, label: String)
               // tables > 1 = banded (multi-table) LSH: recall
               // 1-(1-p^planes)^tables without widening any band's
               // buckets — the scale knob for pair recall
-              tables = numOpt("tables", 1).toInt)
+              tables = numOpt("tables", 1).toInt,
+              // auto_planes: plane count tracks the corpus so the
+              // flood cap never silently saturates (probe depth
+              // re-solved for recall_floor) — the single-table
+              // scale knob; see Dedup.embeddingCosinePairs
+              autoPlanes = options.get("auto_planes")
+                .exists(_.toString.toBoolean),
+              recallFloor = numOpt("recall_floor", 0.92))
           case "boilerplate_lines" =>
             Dedup.removeBoilerplateLines(df, idCol, textColumn,
               minDocs = numOpt("min_docs", 3).toInt)

@@ -22,28 +22,36 @@ object TimeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val inventory = graft.SparkEntry.queries ++ graft.SparkEntry.benchOnly
-    def once(n: String): Double = {
+    // Each timed run carries its own host-health window (HostMeter):
+    // the seconds column stays column 2 (scripts awk on it), the
+    // steal/iowait tail tells a reader whether an elevated number was
+    // hypervisor steal, a writeback storm, or a real regression.
+    def once(n: String): (Double, String) = {
+      val close = HostMeter.start()
       val t0 = System.nanoTime()
       inventory(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
+      val host = HostMeter.describe(close())
       // release the run's shuffle files NOW: the ContextCleaner only
       // reclaims them when the query's RDDs get GC'd, so on big
       // fixtures three timed runs accumulate 3× the shuffle footprint
       // and can fill the local disk (observed at the ×100 fixture)
       System.gc()
-      dt
+      (dt, host)
     }
+    def report(n: String, r: (Double, String)): Unit =
+      println(f"$n%-28s ${r._1}%8.2f s  ${r._2}")
     // GRAFT_TIME_ONCE=1: single cold run per query — for ×100-scale
     // fixtures where the standard warm best-of-2 (3 executions)
     // would triple an already half-hour measurement; anchors taken
     // this way are marked "cold single-run" in BASELINE.md.
     if (sys.env.get("GRAFT_TIME_ONCE").contains("1"))
-      names.foreach { n => println(f"$n%-28s ${once(n)}%8.2f s") }
+      names.foreach { n => report(n, once(n)) }
     else {
       names.foreach(once) // warm
       names.foreach { n =>
-        println(f"$n%-28s ${math.min(once(n), once(n))}%8.2f s")
+        report(n, Seq(once(n), once(n)).minBy(_._1))
       }
     }
     spark.stop()

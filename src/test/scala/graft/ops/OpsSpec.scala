@@ -481,6 +481,65 @@ class OpsSpec extends AnyFunSuite {
     assert(star.forall { case (a, b) => a < 100L && b < 100L })
   }
 
+  test("embeddingCosinePairs: saturation guard fires loud; autoPlanes " +
+      "re-scales the hash space and holds the recall floor") {
+    // probeBitsFor: the exact binomial-tail solver. planes=7 at
+    // threshold 0.3 (pFlip ≈ 0.403): P(H≤4) ≈ 0.90 < 0.92 but
+    // P(H≤5) ≈ 0.977 — the rule-of-thumb (+1 bit per 4 planes)
+    // would have stopped at 4 and quietly missed the floor
+    assert(Similarity.probeBitsFor(7, 0.3, 0.92, 3) == 5)
+    // steep tail at production thresholds: c = 0.9 flips few bits
+    // (Bin(8, 0.144): P(H≤2) = 0.906, P(H≤3) = 0.983 — k = 3)
+    assert(Similarity.probeBitsFor(8, 0.9, 0.92, 1) == 3)
+    // atLeast respected even when the floor is already met at k=0
+    assert(Similarity.probeBitsFor(8, 0.9999, 0.5, 1) == 1)
+    // unreachable floor degrades to full coverage (k = planes)
+    assert(Similarity.probeBitsFor(4, 0.0, 2.0, 0) == 4)
+
+    // 200 isotropic vectors over 2^4 buckets ≈ 12.5 mean occupancy:
+    // a cap of 5 puts ~every row in an over-cap bucket — the exact
+    // silent-collapse regime the ×10 fixture exposed (there: 20k
+    // rows, cap 1000), shrunk to test scale
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val ex = intercept[Exception] {
+      Dedup.embeddingCosinePairs(e, "vec_id", "embedding",
+        threshold = 0.3, planes = 4, probeBits = 3, maxBucket = 5).count()
+    }
+    assert(ex.getMessage.contains("saturated")
+      && ex.getMessage.contains("autoPlanes"), ex.getMessage)
+    // banded variant guards per (band, bucket) the same way
+    val exB = intercept[Exception] {
+      Dedup.embeddingCosinePairs(e, "vec_id", "embedding",
+        threshold = 0.3, planes = 5, probeBits = 2, tables = 4,
+        maxBucket = 3).count()
+    }
+    assert(exB.getMessage.contains("saturated"), exB.getMessage)
+    // star mode keeps collapsing through hubs — no guard, no throw
+    Dedup.embeddingCosinePairs(e, "vec_id", "embedding",
+      threshold = 0.3, planes = 4, probeBits = 3, maxBucket = 5,
+      overCap = "star").count()
+
+    // autoPlanes under the same hostile cap: planes deepen to
+    // ⌈log2(200 / (5/4))⌉ = 8 (occupancy ~0.8, no saturation),
+    // probes re-solve to 5, and recall vs the exact pair set holds
+    // the floor the fixed-plane call just demonstrated losing
+    val norm = Similarity.withNormalized(e, "embedding", "v")
+      .select(col("vec_id"), col("v"))
+    val truth = norm.as("a").join(norm.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(Similarity.dot(col("a.v"), col("b.v")) >= 0.3)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val auto = Dedup.embeddingCosinePairs(e, "vec_id", "embedding",
+        threshold = 0.3, planes = 4, probeBits = 3, maxBucket = 5,
+        autoPlanes = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((auto -- truth).isEmpty, "unsound pair emitted")
+    val recall = (truth & auto).size.toDouble / truth.size
+    assert(recall >= 0.9, s"auto recall $recall below floor")
+  }
+
   test("topNgramCoverage: dominant 2-gram coverage, saturation, edges") {
     val df = Seq(
       (1L, "spam spam spam spam spam"),   // 'spam spam' ×4 ×9 / 24 = 1.5

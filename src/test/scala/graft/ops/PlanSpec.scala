@@ -72,10 +72,28 @@ class PlanSpec extends AnyFunSuite {
     val emb = (0L until 30L).map(i =>
       (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
       .toDF("vec_id", "embedding")
-    assertNoAllPairs(
-      Dedup.embeddingCosinePairs(emb, "vec_id", "embedding",
-        threshold = 0.3, planes = 4, probeBits = 1),
-      "embeddingCosinePairs")
+    val df = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding",
+      threshold = 0.3, planes = 4, probeBits = 1)
+    val ns = nodes(df)
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
+      "embeddingCosinePairs plans a CartesianProduct")
+    // the deliberate 1-row saturation-guard scalar attach is the ONLY
+    // permissible nested-loop join (same precedent as LmScore/BM25's
+    // scalar cross joins); the candidate/verify joins must be keyed
+    val bnlj = ns.collect {
+      case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.size <= 1, "candidate joins must be keyed, not nested loops")
+    bnlj.foreach { j =>
+      // the guard's isNull filter is pushed INTO the broadcast side,
+      // after which its output prunes to nothing — so the legitimate
+      // shapes are the bare guard column or an empty projection;
+      // anything else (corpus columns) is a real all-pairs join
+      val build =
+        (if (j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight)
+          j.right else j.left).output.map(_.name)
+      assert(build.isEmpty || build == Seq("_sat_guard"),
+        s"non-guard side under a nested-loop join: $build")
+    }
   }
 
   test("SemDeDup never plans an all-pairs join (both assign modes)") {
@@ -424,7 +442,15 @@ class PlanSpec extends AnyFunSuite {
       transform(sequence(lit(0), lit(15)),
         j => sin(col("id") * 16 + j)).as("embedding"))
     def assertNoBcast(name: String, df: DataFrame): Unit = {
+      // the 1-row saturation-guard scalar is the one permitted
+      // broadcast (a global aggregate — its cardinality is provable,
+      // an estimate cannot lie about it). After the guard's isNull
+      // filter pushes into the broadcast side its output prunes to
+      // EMPTY; a corpus broadcast always carries join keys/columns,
+      // so column-less or guard-only outputs are the guard shape
       val bad = nodes(df).collect { case b: BroadcastExchangeExec => b }
+        .filterNot(b => b.output.isEmpty ||
+          b.output.map(_.name) == Seq("_sat_guard"))
       assert(bad.isEmpty,
         s"$name statically broadcasts off a lying estimate " +
           s"(${bad.size} BroadcastExchange nodes) — corpus-sized " +
