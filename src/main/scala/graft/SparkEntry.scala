@@ -911,12 +911,26 @@ object SparkEntry {
 
     // ---- TPC-H Q21 shape: EXISTS + NOT EXISTS ---------------------
     // (Adapted: no commit/receipt dates in the fixture, so "late" =
-    // shipped >60 days after the order date. The planner shape is the
-    // hard part and survives intact: one correlated EXISTS (other
-    // supplier touched the order → left-semi) and one correlated NOT
-    // EXISTS over TWO outer attributes (no OTHER supplier was late on
-    // the same order → left-anti), both decorrelated, never a
-    // per-row subquery loop.)
+    // shipped >60 days after the order date.)
+    //
+    // ROUND-14 SINGLE-SCAN RESPELL (oracle keeps the EXISTS form —
+    // the hash gate is the equivalence proof). The decorrelated
+    // EXISTS/NOT-EXISTS plan scanned AND shuffled lineitem — the
+    // biggest table — three times (l1 ⋈ orders, the l2 left-semi,
+    // the l3 left-anti, every one keyed on l_orderkey). Both
+    // subqueries depend only on (l_orderkey, l_suppkey)-level facts,
+    // so one pass computes them: per (order, supplier) count the
+    // late rows, then per order count the suppliers and the LATE
+    // suppliers. A row group qualifies iff it is late (late_rows >
+    // 0), another supplier touched the order (nsupp > 1 ⇔ EXISTS),
+    // and it is the order's ONLY late supplier (nlate = 1 ⇔ NOT
+    // EXISTS — its own supplier is in the late set, so "no other
+    // late supplier" is exactly |late set| = 1). numwait = the late
+    // ROW count summed over qualifying groups, which is what the
+    // 5-table count(*) counted (supplier/orders/nation/region joins
+    // are all 1:1 per l1 row). One lineitem scan, one shuffle of
+    // pre-aggregated (order, supplier) partials, both window counts
+    // in a single Window node over the same exchange.
     "q_tpch_q21" -> ((s, dir) => {
       t(s, dir, "supplier").createOrReplaceTempView("q21_supplier")
       t(s, dir, "lineitem").createOrReplaceTempView("q21_lineitem")
@@ -924,22 +938,26 @@ object SparkEntry {
       t(s, dir, "nation").createOrReplaceTempView("q21_nation")
       t(s, dir, "region").createOrReplaceTempView("q21_region")
       s.sql(
-        """SELECT s_name, count(*) AS numwait
-          |FROM q21_supplier, q21_lineitem l1, q21_orders, q21_nation,
-          |  q21_region
-          |WHERE s_suppkey = l1.l_suppkey
-          |  AND o_orderkey = l1.l_orderkey
-          |  AND o_orderstatus = 'F'
-          |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
-          |  AND EXISTS (SELECT 1 FROM q21_lineitem l2
-          |              WHERE l2.l_orderkey = l1.l_orderkey
-          |                AND l2.l_suppkey <> l1.l_suppkey)
-          |  AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
-          |                  WHERE l3.l_orderkey = l1.l_orderkey
-          |                    AND l3.l_suppkey <> l1.l_suppkey
-          |                    AND l3.l_shipdate > o_orderdate
-          |                      + INTERVAL 60 DAY)
-          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        """WITH per_supp AS (
+          |  SELECT l_orderkey, l_suppkey,
+          |    sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+          |             THEN 1 ELSE 0 END) AS _late_rows
+          |  FROM q21_lineitem JOIN q21_orders ON o_orderkey = l_orderkey
+          |  WHERE o_orderstatus = 'F'
+          |  GROUP BY l_orderkey, l_suppkey
+          |), flagged AS (
+          |  SELECT l_suppkey, _late_rows,
+          |    count(*) OVER (PARTITION BY l_orderkey) AS _nsupp,
+          |    count(CASE WHEN _late_rows > 0 THEN 1 END)
+          |      OVER (PARTITION BY l_orderkey) AS _nlate
+          |  FROM per_supp
+          |)
+          |SELECT s_name, sum(_late_rows) AS numwait
+          |FROM flagged
+          |JOIN q21_supplier ON s_suppkey = l_suppkey
+          |JOIN q21_nation ON s_nationkey = n_nationkey
+          |JOIN q21_region ON n_regionkey = r_regionkey
+          |WHERE _late_rows > 0 AND _nsupp > 1 AND _nlate = 1
           |  AND r_name = 'ASIA'
           |GROUP BY s_name
           |ORDER BY numwait DESC, s_name""".stripMargin)

@@ -301,11 +301,26 @@ object Similarity {
     // exploded candidate stream (88M rows at ×10, 1.8B at ×100 per
     // PairStats) and sort-merge SORTS that stream per join, while
     // the hash build streams it untouched.
-    val cSide = if (hintBroadcast) c else c.hint("SHUFFLE_HASH")
-    val qSide = if (hintBroadcast) broadcast(q) else q.hint("SHUFFLE_HASH")
-    val reranked = candidates
-      .join(cSide, Seq("neighbor_id"))
-      .join(qSide, Seq(queryIdOut))
+    // Broadcast-mode corpus attach (round 14): broadcast the
+    // CANDIDATES and stream the corpus, not the reverse. The bounded
+    // side of this join is the candidate list — ≤ rerank × |queries|
+    // skinny (query_id, neighbor_id) rows by construction under the
+    // bounded-query contract — while the corpus is unbounded, and an
+    // unhinted `candidates ⋈ c` let the static planner build the
+    // CORPUS side off its size estimate (measured at the 16k-vector
+    // clustered fixture: a BroadcastExchange of all 16,000 normalized
+    // fp vectors, ~8.5 MB, rebuilt per query, to serve a 2,048-row
+    // attach; on a transform-rooted corpus the estimate also LIES
+    // low, so the build survives arbitrary corpus growth — the same
+    // static-broadcast cliff class round 12 pinned on the self-graph
+    // paths). With the candidate side built, the corpus streams one
+    // scan — the same scan a shuffle would have paid — and zero
+    // corpus bytes move, at any corpus size.
+    val reranked = (
+      if (hintBroadcast) c.join(broadcast(candidates), Seq("neighbor_id"))
+      else candidates.join(c.hint("SHUFFLE_HASH"), Seq("neighbor_id")))
+      .join(if (hintBroadcast) broadcast(q) else q.hint("SHUFFLE_HASH"),
+        Seq(queryIdOut))
       .select(col(queryIdOut), col("neighbor_id"),
         dot(col("v_q"), col("v_c")).as("cosine"))
     val w = Window.partitionBy(queryIdOut)
