@@ -143,22 +143,30 @@ object Dedup {
     // pays a SortAggregate over 2×pairs wide array rows — and
     // candidate pairs outnumber docs on any near-dup-dense corpus
     // (A/B'd in tools/AbMinhash: melt 2.8 s vs joins 1.8 s at sf0.1).
-    // MERGE pins: the signature tables are corpus-sized (numHashes
-    // longs per row) and a corpus subtree with no shuffle boundary
-    // below the join (range-rooted synthetics, long transform
-    // chains) keeps a rows×8 B size estimate — the STATIC planner
-    // would broadcast a corpus-scale array table off that lying
-    // estimate, with no AQE stage to correct it (measured on the
-    // knnGraph self-graph: 8 GB driver OOM; the round-12 audit tool
-    // `AuditBroadcast` caught the same plan here). MERGE, not
-    // SHUFFLE_HASH, for array payloads: hash builds cannot spill
-    // (the ngramJaccardVerified comment below records the ×100 OOM),
-    // sort-merge is AQE's own choice on honest corpus-scale stats.
+    // Non-broadcast pins (lying-estimate defense): the signature
+    // tables are corpus-sized (numHashes longs per row) and a corpus
+    // subtree with no shuffle boundary below the join (range-rooted
+    // synthetics, long transform chains) keeps a rows×8 B size
+    // estimate — the STATIC planner would broadcast a corpus-scale
+    // array table off that lying estimate, with no AQE stage to
+    // correct it (measured on the knnGraph self-graph: 8 GB driver
+    // OOM; the round-12 audit tool `AuditBroadcast` caught the same
+    // plan here). SHUFFLE_HASH, not MERGE (round 14, reapplying the
+    // round-13 Similarity measurement to the same shape): these
+    // joins key on UNIFORM doc ids, so the per-partition hash build
+    // is n/P rows × ~(numHashes·8) B — bounded and skew-free (×100:
+    // 500k × 520 B / 32 parts ≈ 8 MB), nothing like the ×100
+    // shingle-ARRAY OOM below (8 KB+ rows, ngramJaccardVerified's
+    // attach, which stays MERGE). MERGE here sorted the candidate
+    // PAIR stream — which outnumbers docs on any near-dup-dense
+    // corpus — twice per attach; the round-13 Similarity experiment
+    // measured that sort ~5× slower than the hash build at ×10 on
+    // identical-width (512 B) payload rows.
     pairs
       .join(sig.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
-        .hint("MERGE"), Seq("id_a"))
+        .hint("SHUFFLE_HASH"), Seq("id_a"))
       .join(sig.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
-        .hint("MERGE"), Seq("id_b"))
+        .hint("SHUFFLE_HASH"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.expressions.LaneAgreement.lane_agreement(
           col("sig_a"), col("sig_b")).as("est_jaccard"))
@@ -975,10 +983,19 @@ object Dedup {
       candidates.unionByName(star)
     } else candidates
 
-    // exact verify on survivors only: one keyed join re-attaches v_a
-    // (MERGE — vector payload side, same pin rationale as above)
+    // exact verify on survivors only: one keyed join re-attaches v_a.
+    // SHUFFLE_HASH, not MERGE (round 14): unlike the bucket-keyed
+    // candidate join above, this keys on UNIFORM vector ids — the
+    // build side (vById) has one row per distinct id, so the
+    // per-partition hash build is n/P single-vector rows, bounded at
+    // any scale (probe-side id_a skew from star hubs only affects
+    // task balance, which sort-merge shares — both strategies
+    // colocate by key). MERGE sorted the candidate-pair stream per
+    // attach; the round-13 Similarity measurement on identical-width
+    // payload rows read that ~5× slower at ×10. The non-broadcast
+    // pin itself stays (lying-estimate defense, see above).
     val out = withStar
-      .join(vById.hint("MERGE"), Seq("id_a"))
+      .join(vById.hint("SHUFFLE_HASH"), Seq("id_a"))
       .select(col("id_a"), col("id_b"),
         Similarity.dot(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
