@@ -88,6 +88,51 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("cap engagement: a hub key over maxEventsPerKey takes the " +
+      "spill path and matches the bounded-collect result exactly") {
+    // hub key "h": 40 step-typed events (far over cap=8), built so
+    // the greedy chain needs events deep in the time order; "a" is a
+    // normal key; "z" has no step events at all (depth 0 via keys).
+    val hub = (0 until 12).flatMap(i => Seq(
+      ("h", ns(100 + i), "view"), ("h", ns(200 + i), "click"))) ++
+      Seq(("h", ns(50), "click"),        // pre-view click ignored
+        ("h", ns(300), "purchase"), ("h", ns(299), "purchase"),
+        ("h", ns(100), "purchase"),      // pre-click purchase ignored
+        ("h", ns(150), "error"), ("h", ns(151), "error"))
+    val ev = (hub ++ Seq(
+      ("a", ns(1), "view"), ("a", ns(2), "click"), ("a", ns(3), "purchase"),
+      ("z", ns(9), "error")))
+      .toDF("user_id", "ts", "event_type")
+    def run(cap: Int) = Funnel.depth(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxEventsPerKey = cap)
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    val bounded = run(100000)   // everything on the collect path
+    val spilled = run(8)        // hub key forced onto the spill path
+    assert(spilled == bounded)
+    // and the expected chain: view@100, click@200, purchase@299
+    val h = spilled.find(_.head == "h").get
+    assert(h == Seq("h", 3L, ns(100), ns(200), ns(299)))
+    // engagement proof: cap=8 really routes the hub key off the
+    // collect path (27 step events > 8), not just the same plan twice
+    assert(hub.count(e => Set("view", "click", "purchase")(e._3)) > 8)
+  }
+
+  test("cap engagement with a conversion window: spill path applies " +
+      "the span anchor identically") {
+    val ev = ((0 until 30).map(i => ("h", ns(10 + i), "view")) ++ Seq(
+      ("h", ns(50), "click"), ("h", ns(200), "purchase"),
+      ("b", ns(0), "view"), ("b", ns(50), "click"), ("b", ns(90), "purchase")))
+      .toDF("user_id", "ts", "event_type")
+    def run(cap: Int) = Funnel.depth(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxSpanSeconds = Some(100L),
+        maxEventsPerKey = cap)
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(run(4) == run(100000))
+    // h anchors at ns(10): click@50 in-window, purchase@200 out
+    assert(run(4).find(_.head == "h").get ==
+      Seq("h", 2L, ns(10), ns(50), null))
+  }
+
   test("option validation") {
     val ev = Seq(("a", ns(1), "x")).toDF("user_id", "ts", "event_type")
     assert(intercept[IllegalArgumentException] {
