@@ -931,6 +931,14 @@ object SparkEntry {
     // are all 1:1 per l1 row). One lineitem scan, one shuffle of
     // pre-aggregated (order, supplier) partials, both window counts
     // in a single Window node over the same exchange.
+    // Equivalence preconditions (round-15 ADVICE): o_orderkey is
+    // unique (orders PK — the original subqueries never join orders,
+    // the respell filters per_supp THROUGH the orders join, so a
+    // duplicated orderkey would multiply late counts) and l_suppkey
+    // is non-null (the original's `<>` comparison drops null-supplier
+    // rows where the GROUP BY here would keep a NULL group). Both are
+    // TPC-H schema guarantees; the two-SF hash gate proves them for
+    // this fixture.
     "q_tpch_q21" -> ((s, dir) => {
       t(s, dir, "supplier").createOrReplaceTempView("q21_supplier")
       t(s, dir, "lineitem").createOrReplaceTempView("q21_lineitem")

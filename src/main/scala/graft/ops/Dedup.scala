@@ -155,9 +155,14 @@ object Dedup {
     // round-13 Similarity measurement to the same shape): these
     // joins key on UNIFORM doc ids, so the per-partition hash build
     // is n/P rows × ~(numHashes·8) B — bounded and skew-free (×100:
-    // 500k × 520 B / 32 parts ≈ 8 MB), nothing like the ×100
-    // shingle-ARRAY OOM below (8 KB+ rows, ngramJaccardVerified's
-    // attach, which stays MERGE). MERGE here sorted the candidate
+    // 500k × 520 B / 32 parts ≈ 8 MB — and the bound REQUIRES P to
+    // scale with the corpus: shuffled-hash builds cannot spill, so a
+    // deployment that holds P fixed while the corpus grows re-enters
+    // the OOM cliff this pin exists to avoid; size P so n/P stays
+    // ~10⁴–10⁵ rows, exactly as Similarity.exactRerank documents for
+    // its corpus attach), nothing like the ×100 shingle-ARRAY OOM
+    // below (8 KB+ rows, ngramJaccardVerified's attach, which stays
+    // MERGE). MERGE here sorted the candidate
     // PAIR stream — which outnumbers docs on any near-dup-dense
     // corpus — twice per attach; the round-13 Similarity experiment
     // measured that sort ~5× slower than the hash build at ×10 on
