@@ -79,24 +79,32 @@ object NaiveBayes {
     val classDocs = train
       .filter(length(Text.normalize(col(textCol))) > 0)
       .groupBy(col(labelCol)).agg(count(lit(1)).as("docs_c"))
-    val totalDocs = classDocs.agg(sum(col("docs_c")).as("docs_n"))
 
     // dense (term, class) likelihood table over the TRAIN vocabulary:
-    // vocab × classes, missing counts -> 0 -> the smoothing floor
+    // vocab × classes, missing counts -> 0 -> the smoothing floor.
+    // Scalar-attach fusion (round 15, guide §3.3/§2.4): the 1-row
+    // scalar aggregates ride on the TINY frames, never on a
+    // vocab/corpus-sized probe — v_size crossJoins the C-row
+    // classTotals BEFORE the vocab fan-out (one C-row build instead
+    // of a second vocab-wide nested-loop pass), and docs_n is a
+    // window sum OVER classDocs itself (the old separate
+    // totalDocs aggregate re-planned the whole classDocs subtree
+    // behind a second 1-row cross join).
     val vocab = tokCounts.select(col("term")).distinct()
     val vocabSize = vocab.agg(count(lit(1)).as("v_size"))
     // cross joins MUST broadcast one side; hint the PROVABLY tiny
     // ones (C rows / 1 row) so the planner can never pick the
     // corpus-derived side at scale
+    val classTotalsV = classTotals.crossJoin(broadcast(vocabSize))
     val dense = vocab
-      .crossJoin(broadcast(classTotals))
+      .crossJoin(broadcast(classTotalsV))
       .join(tokCounts, Seq("term", labelCol), "left")
-      .crossJoin(broadcast(vocabSize))
       .select(col("term"), col(labelCol),
         log((coalesce(col("n_tc"), lit(0L)) + lit(1L)).cast("double") /
           (col("n_c") + col("v_size"))).as("loglik"))
 
-    val priors = classDocs.crossJoin(broadcast(totalDocs))
+    val priors = classDocs
+      .withColumn("docs_n", sum(col("docs_c")).over(Window.partitionBy()))
       .select(col(labelCol),
         log(col("docs_c").cast("double") / col("docs_n")).as("logprior"))
 
@@ -106,10 +114,16 @@ object NaiveBayes {
       .groupBy(col(idCol), col(labelCol))
       .agg(sum(col("cnt") * col("loglik")).as("tok_score"))
 
-    // dense doc × class fan-out so all-OOV docs still score (priors)
+    // dense doc × class fan-out so all-OOV docs still score (priors).
+    // SHUFFLE_HASH on the evidence attach (the round-13 measured
+    // uniform-id rule): both sides key on (doc, class) — uniform,
+    // agg-deduped — so the per-partition hash build is bounded at
+    // n/P single rows while sort-merge would SORT the test-corpus-
+    // sized fan-out stream; and the post-agg size estimate is
+    // fabricated, so an unpinned join is static-broadcast bait.
     val testIds = testToks.select(col(idCol)).distinct()
     val scored = testIds.crossJoin(broadcast(priors))
-      .join(evidence, Seq(idCol, labelCol), "left")
+      .join(evidence.hint("SHUFFLE_HASH"), Seq(idCol, labelCol), "left")
       .select(col(idCol), col(labelCol),
         r(col("logprior") + coalesce(col("tok_score"), lit(0.0)),
           roundDecimals).as("score"))
