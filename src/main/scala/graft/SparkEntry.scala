@@ -161,9 +161,34 @@ object SparkEntry {
     * parquet split and would otherwise run regex/shingling on one
     * core; one narrow shuffle of (id, text) buys full parallelism —
     * the standard rebalance-before-compute pattern, equally valid on
-    * a real cluster when upstream splits are few or skewed. */
-  private def tBalanced(s: SparkSession, dir: String, name: String): DataFrame =
-    t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+    * a real cluster when upstream splits are few or skewed.
+    *
+    * HASH on the unique id, not round-robin (round 15, guide §2.5):
+    * every keyless `repartition(n)` first pays a local sort of its
+    * input (`spark.sql.execution.sortBeforeRepartition`, on by
+    * default so task retries reproduce the row→partition map) — here
+    * a single-task sort of the whole table before any parallelism
+    * exists. Hashing the unique id needs no such sort (the map is
+    * already deterministic per row), spreads as evenly for a
+    * key with 4–5 orders of magnitude more distinct values than
+    * partitions, and drops one Sort node from every tBalanced-rooted
+    * plan. The read-option alternative (splitting the file via
+    * `spark.sql.files.maxPartitionBytes`) cannot work on the driver
+    * fixtures: the single-file parquet has ONE row group (measured),
+    * and a row group is the minimum parquet read unit. */
+  private def tBalanced(s: SparkSession, dir: String, name: String): DataFrame = {
+    val idCol = name match {
+      case "documents" => Some("doc_id")
+      case "embeddings" => Some("vec_id")
+      case _ => None
+    }
+    val base = t(s, dir, name)
+    idCol match {
+      case Some(id) =>
+        base.repartition(s.sparkContext.defaultParallelism, col(id))
+      case None => base.repartition(s.sparkContext.defaultParallelism)
+    }
+  }
 
   /** Deterministic synthetic URL for the q_url_* queries — documents
     * carry no URL column, so one is built from doc_id: scheme,
