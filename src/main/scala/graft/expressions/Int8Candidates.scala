@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.graftshim.ColumnShim
@@ -20,13 +20,23 @@ import org.apache.spark.sql.types._
   * rounding, degenerate constant vectors → -128) — the oracled
   * `sim_quantize_int8` pins every cell of that scheme, and these
   * kernels are its packed-binary twin.
-  */
+  *
+  * Whole-stage CODEGEN (round 15, guide §4 "eliminate non-codegen
+  * expressions in the hot path"): these kernels run once per
+  * CANDIDATE row — 88M rows at the ×10 self-graph, 1.8B at ×100 —
+  * and as CodegenFallback each call paid interpreted-eval dispatch
+  * and boxing inside an otherwise compiled stage (measured ~8 µs per
+  * candidate on the ×10 IVF scan, ~50× the arithmetic). doGenCode
+  * emits the identical loops (same accumulation order — the scores
+  * stay bit-identical, which the oracle hash gates require); the
+  * interpreted nullSafeEval is retained for constant folding and
+  * non-codegen parents. */
 object Int8Candidates {
 
   /** array<double> → struct(code: binary(D), mn: double, scale: double).
     * Null input or null element → null. */
   case class Int8Code(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = StructType(Seq(
       StructField("code", BinaryType, nullable = false),
@@ -68,6 +78,43 @@ object Int8Candidates {
       InternalRow(code, mn, s)
     }
 
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val mn = ctx.freshName("mn")
+        val mx = ctx.freshName("mx")
+        val x = ctx.freshName("x")
+        val s = ctx.freshName("s")
+        val code = ctx.freshName("code")
+        val rowCls = "org.apache.spark.sql.catalyst.expressions.GenericInternalRow"
+        s"""
+           |final int $n = $v.numElements();
+           |double $mn = Double.MAX_VALUE;
+           |double $mx = -Double.MAX_VALUE;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  final double $x = $v.getDouble($i);
+           |  if ($x < $mn) $mn = $x;
+           |  if ($x > $mx) $mx = $x;
+           |}
+           |if (!${ev.isNull}) {
+           |  if ($n == 0) {
+           |    ${ev.value} = new $rowCls(new Object[]{new byte[0], 0.0, 0.0});
+           |  } else {
+           |    final double $s = ($mx - $mn) / 255.0;
+           |    final byte[] $code = new byte[$n];
+           |    for (int $j = 0; $j < $n; $j++) {
+           |      $code[$j] = ($s == 0.0) ? (byte) -128
+           |        : (byte) (Math.floor(($v.getDouble($j) - $mn) / $s + 0.5 + 1e-6) - 128);
+           |    }
+           |    ${ev.value} = new $rowCls(new Object[]{$code, $mn, $s});
+           |  }
+           |}
+         """.stripMargin
+      })
+
     override protected def withNewChildInternal(newChild: Expression): Int8Code =
       copy(child = newChild)
   }
@@ -77,7 +124,7 @@ object Int8Candidates {
     * Length mismatch or null element → null. */
   case class Int8Dot(first: Expression, second: Expression,
                      third: Expression, fourth: Expression)
-      extends QuaternaryExpression with CodegenFallback {
+      extends QuaternaryExpression {
 
     override def dataType: DataType = DoubleType
     override def prettyName: String = "int8_dot"
@@ -114,6 +161,33 @@ object Int8Candidates {
       mn * sumQ + scale * sumQC
     }
 
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (q, code, mn, scale) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val qi = ctx.freshName("qi")
+        val sumQ = ctx.freshName("sumQ")
+        val sumQC = ctx.freshName("sumQC")
+        s"""
+           |final int $n = $code.length;
+           |if ($q.numElements() != $n) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $sumQ = 0.0;
+           |  double $sumQC = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($q.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    final double $qi = $q.getDouble($i);
+           |    $sumQ += $qi;
+           |    $sumQC += $qi * (double) (($code[$i] & 0xff) ^ 0x80);
+           |  }
+           |  if (!${ev.isNull}) {
+           |    ${ev.value} = $mn * $sumQ + $scale * $sumQC;
+           |  }
+           |}
+         """.stripMargin
+      })
+
     override protected def withNewChildrenInternal(
         newFirst: Expression, newSecond: Expression,
         newThird: Expression, newFourth: Expression): Int8Dot =
@@ -140,8 +214,7 @@ object Int8Candidates {
     * output cosines), and the recall gates pin the floor.
     * Length mismatch → null; null struct → null. */
   case class Int8DotInt8(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
     override def dataType: DataType = DoubleType
     override def prettyName: String = "int8_dot_int8"
@@ -182,6 +255,44 @@ object Int8Candidates {
       n * mnA * mnB + mnA * sB * sumB + mnB * sA * sumA +
         sA * sB * dotAB
     }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val codeA = ctx.freshName("codeA")
+        val codeB = ctx.freshName("codeB")
+        val mnA = ctx.freshName("mnA")
+        val mnB = ctx.freshName("mnB")
+        val sA = ctx.freshName("sA")
+        val sB = ctx.freshName("sB")
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val la = ctx.freshName("la")
+        val lb = ctx.freshName("lb")
+        val sumA = ctx.freshName("sumA")
+        val sumB = ctx.freshName("sumB")
+        val dotAB = ctx.freshName("dotAB")
+        s"""
+           |final byte[] $codeA = $a.getBinary(0);
+           |final double $mnA = $a.getDouble(1);
+           |final double $sA = $a.getDouble(2);
+           |final byte[] $codeB = $b.getBinary(0);
+           |final double $mnB = $b.getDouble(1);
+           |final double $sB = $b.getDouble(2);
+           |final int $n = $codeA.length;
+           |if ($codeB.length != $n) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  long $sumA = 0L; long $sumB = 0L; long $dotAB = 0L;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    final int $la = ($codeA[$i] & 0xff) ^ 0x80;
+           |    final int $lb = ($codeB[$i] & 0xff) ^ 0x80;
+           |    $sumA += $la; $sumB += $lb; $dotAB += (long) $la * $lb;
+           |  }
+           |  ${ev.value} = $n * $mnA * $mnB + $mnA * $sB * $sumB
+           |    + $mnB * $sA * $sumA + $sA * $sB * $dotAB;
+           |}
+         """.stripMargin
+      })
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Int8DotInt8 =

@@ -63,6 +63,22 @@ object ProfileIvfPhases {
             element_at(nearest_centroids(col("v_c"), centroids, 1), 1))
           .write.format("noop").mode("overwrite").save()
       }
+      // round-15 sub-chain decomposition: the approx candidate scan
+      // (int8 bucket join + scoring) and the rerank tail, timed
+      // separately through the package-private seams, so the
+      // full_query residual is attributed instead of guessed at
+      time("approx_scan") {
+        graft.ops.Similarity.ivfApproxForProfile(e,
+            e.filter(col("vec_id") < 32), "vec_id", "embedding",
+            nlist = 32, nprobe = 4)
+          .write.format("noop").mode("overwrite").save()
+      }
+      if (pass == 1) {
+        val nCand = graft.ops.Similarity.ivfApproxForProfile(e,
+          e.filter(col("vec_id") < 32), "vec_id", "embedding",
+          nlist = 32, nprobe = 4).count()
+        println(f"approx_rows              $nCand%9d")
+      }
       time("full_query") {
         graft.ops.Similarity.ivfTopK(e, e.filter(col("vec_id") < 32),
           "vec_id", "embedding", k = 5, nlist = 32, nprobe = 4)
