@@ -163,16 +163,26 @@ object SparkEntry {
     * the standard rebalance-before-compute pattern, equally valid on
     * a real cluster when upstream splits are few or skewed.
     *
-    * HASH on the unique id, not round-robin (round 15, guide §2.5):
-    * every keyless `repartition(n)` first pays a local sort of its
-    * input (`spark.sql.execution.sortBeforeRepartition`, on by
-    * default so task retries reproduce the row→partition map) — here
-    * a single-task sort of the whole table before any parallelism
-    * exists. Hashing the unique id needs no such sort (the map is
-    * already deterministic per row), spreads as evenly for a
-    * key with 4–5 orders of magnitude more distinct values than
-    * partitions, and drops one Sort node from every tBalanced-rooted
-    * plan. The read-option alternative (splitting the file via
+    * HASH on a key DERIVED from the unique id, not round-robin
+    * (round 15, guide §2.5): every keyless `repartition(n)` first
+    * pays a local sort of its input
+    * (`spark.sql.execution.sortBeforeRepartition`, on by default so
+    * task retries reproduce the row→partition map) — here a
+    * single-task sort of the whole table before any parallelism
+    * exists. Hashing a deterministic function of the unique id needs
+    * no such sort (the map is already deterministic per row) and
+    * spreads as evenly with 4–5 orders of magnitude more distinct
+    * values than partitions. The key is `xxhash64(id)`, NOT the raw
+    * id: hashpartitioning(id) would satisfy every downstream
+    * id-keyed join/agg requirement, removing their exchanges — and
+    * with a pipelined (non-shuffle) join child AQE can no longer
+    * skew-split that join. Measured on dedup_ngram_verified ×10:
+    * raw-id partitioning dropped 4 attach exchanges from the plan
+    * and cost +55% wall (4.9/5.1 → 7.8/8.3 s, ≤2.8% steal) because
+    * the skewed candidate-pair joins lost AQE's splitting; the
+    * derived key keeps the rebalance sort-free while leaving every
+    * downstream exchange (and AQE's freedom) in place. The
+    * read-option alternative (splitting the file via
     * `spark.sql.files.maxPartitionBytes`) cannot work on the driver
     * fixtures: the single-file parquet has ONE row group (measured),
     * and a row group is the minimum parquet read unit. */
@@ -185,7 +195,7 @@ object SparkEntry {
     val base = t(s, dir, name)
     idCol match {
       case Some(id) =>
-        base.repartition(s.sparkContext.defaultParallelism, col(id))
+        base.repartition(s.sparkContext.defaultParallelism, xxhash64(col(id)))
       case None => base.repartition(s.sparkContext.defaultParallelism)
     }
   }
